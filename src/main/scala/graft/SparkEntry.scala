@@ -1,13 +1,534 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/**
+ * Driver contract: the operator catalog. Every entry in [[queries]] is one
+ * operator/capability from SURVEY.md §2 expressed Spark-first; every entry in
+ * [[oracleSql]] is the equivalent ANSI SQL the driver runs in DuckDB over the
+ * same parquet tables for the hash-compare correctness gate.
+ *
+ * Conventions for oracle stability:
+ *  - every floating-point aggregate is `round(..., n)` on BOTH sides;
+ *  - every result is deterministically ordered on BOTH sides;
+ *  - column names are aliased identically on BOTH sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events fixture carries TIMESTAMP(NANOS) — illegal for Spark's
+    * parquet reader unless read as raw nanos longs; convert back to a
+    * proper timestamp (µs precision, which the fixture actually uses). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(spark, dir, "events")
+    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the star-join
+    * revenue rollup — scan, broadcast dims, hash agg, sort in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q05_star_join")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // Relational core
+  // ---------------------------------------------------------------------
+
+  private def q01_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q02_filter_project(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), round(col("l_extendedprice"), 2).as("price"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // order by every output column for a fully deterministic row order.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("price"))
+
+  private def q03_join_agg(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .filter(col("revenue") > 1000)
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private def q04_broadcast_join(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val l = t(s, dir, "lineitem")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private def q05_star_join(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private def q06_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  private def q07_topk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+
+  private def q08_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q09_setops(s: SparkSession, dir: String): DataFrame = {
+    val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    custNations.intersect(suppNations)
+      .union(custNations.except(suppNations).withColumn("nationkey",
+        col("nationkey") + 1000))
+      .distinct()
+      .orderBy(col("nationkey"))
+  }
+
+  private def q10_rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def q11_anti_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def q12_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val bigOrders = t(s, dir, "orders").filter(col("o_totalprice") > 200000)
+    c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def q13_string_fns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("prefix"),
+        regexp_replace(col("p_name"), "a", "@").as("subst"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  private def q14_date_fns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  private def q15_math_fns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(sqrt(col("l_extendedprice"))), 2).as("sum_sqrt_price"),
+        round(sum(pow(col("l_discount"), 2)), 4).as("sum_disc_sq"),
+        round(sum(abs(col("l_quantity") - 25)), 2).as("sum_absdev"),
+        sum(ceil(col("l_tax") * 100)).cast("long").as("sum_ceil_tax"),
+        sum(floor(col("l_quantity"))).cast("long").as("sum_floor_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private def q16_json(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+
+  private def q17_explode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("word"))
+
+  private def q18_having(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n"))
+      .filter(col("total_qty") > 100)
+      .orderBy(col("l_suppkey"))
+
+  private def q19_case_when(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).as("n_big"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_finished"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  private def q20_window_running(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def q21_lag_lead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"),
+          lag(col("o_orderdate"), 1).over(w)).cast("long").as("days_since_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private def q22_ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"))
+      .orderBy(col("quartile"))
+  }
+
+  private def q23_events_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+
+  private def q24_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  // ---------------------------------------------------------------------
+  // Pipeline algebra (stepist-parity flows, SURVEY §2.1)
+  // ---------------------------------------------------------------------
+
+  /** Chained map stages + StopFlowFlag-as-filter (≙ README arith flow +
+    * `stepist/flow/utils.py:8-12`), run through the core Flow engine. */
+  private def q25_flow_chain(s: SparkSession, dir: String): DataFrame = {
+    val app = new App(s)
+    val step3 = app.step("agg_stage", df => df
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("disc_price")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag")))
+    val step2 = app.step("filter_stage",
+      df => df.filter(col("disc_price") > 1000), next = Some(step3))
+    val step1 = app.step("compute_stage", df => df
+      .withColumn("disc_price", col("l_extendedprice") * (lit(1) - col("l_discount"))),
+      next = Some(step2),
+      inputCols = Seq("l_returnflag", "l_extendedprice", "l_discount"))
+    app.run(step1, t(s, dir, "lineitem"))("agg_stage")
+  }
+
+  /** Factory step 1→N expansion (≙ `factory_step.py:19-31`): explode doc
+    * tokens, count token frequency downstream. */
+  private def q26_flow_factory(s: SparkSession, dir: String): DataFrame = {
+    val app = new App(s)
+    val counter = app.step("token_count_stage", df => df
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 50)
+      .orderBy(col("token")))
+    val factory = app.factoryStep("tokenize_stage", df => df
+      .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+      next = Some(counter))
+    app.run(factory, t(s, dir, "documents"))("token_count_stage")
+  }
+
+  /** Hub fan-out → Reducer fan-in (≙ README.markdown:159-205 +
+    * `reducer_engine.py:21-80`): two branches compute different per-row
+    * metrics; the reducer joins them back by hub_job_id and combines. */
+  private def q27_flow_hub_reducer(s: SparkSession, dir: String): DataFrame = {
+    val app = new App(s)
+    val reducer = app.reducerStep("combine_stage", grouped => grouped
+      .select(
+        // job_list sorted by branch idx: [0]=double_qty branch, [1]=tenth_price
+        element_at(col("job_list"), 1).getField("l_orderkey").as("l_orderkey"),
+        element_at(col("job_list"), 1).getField("l_linenumber").as("l_linenumber"),
+        round(element_at(col("job_list"), 1).getField("double_qty") +
+          element_at(col("job_list"), 2).getField("tenth_price"), 2).as("combined"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("combined")))
+    val b1 = app.step("double_qty_stage", df => df
+      .withColumn("double_qty", col("l_quantity") * 2), next = Some(reducer))
+    val b2 = app.step("tenth_price_stage", df => df
+      .withColumn("tenth_price", col("l_extendedprice") / 10), next = Some(reducer))
+    val hub = Hub(b1, b2)
+    val src = app.step("src_stage", df => df
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice")),
+      next = Some(hub))
+    app.run(src, t(s, dir, "lineitem"))("combine_stage")
+  }
+
+  // ---------------------------------------------------------------------
+  // Assemble
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> q01_agg _,
+    "q02_filter_project" -> q02_filter_project _,
+    "q03_join_agg" -> q03_join_agg _,
+    "q04_broadcast_join" -> q04_broadcast_join _,
+    "q05_star_join" -> q05_star_join _,
+    "q06_window_rank" -> q06_window_rank _,
+    "q07_topk" -> q07_topk _,
+    "q08_distinct" -> q08_distinct _,
+    "q09_setops" -> q09_setops _,
+    "q10_rollup" -> q10_rollup _,
+    "q11_anti_join" -> q11_anti_join _,
+    "q12_semi_join" -> q12_semi_join _,
+    "q13_string_fns" -> q13_string_fns _,
+    "q14_date_fns" -> q14_date_fns _,
+    "q15_math_fns" -> q15_math_fns _,
+    "q16_json" -> q16_json _,
+    "q17_explode" -> q17_explode _,
+    "q18_having" -> q18_having _,
+    "q19_case_when" -> q19_case_when _,
+    "q20_window_running" -> q20_window_running _,
+    "q21_lag_lead" -> q21_lag_lead _,
+    "q22_ntile" -> q22_ntile _,
+    "q23_events_window" -> q23_events_window _,
+    "q24_grouping_sets" -> q24_grouping_sets _,
+    "q25_flow_chain" -> q25_flow_chain _,
+    "q26_flow_factory" -> q26_flow_factory _,
+    "q27_flow_hub_reducer" -> q27_flow_hub_reducer _,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        | round(l_extendedprice,2) AS price
+        |FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, price""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT o_orderkey, o_orderdate,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |HAVING round(sum(l_extendedprice*(1-l_discount)),2) > 1000
+        |ORDER BY revenue DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_extendedprice),2) AS total_price,
+        | round(avg(l_quantity),4) AS avg_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q05_star_join" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rnk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) x
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q08_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q09_setops" ->
+      """SELECT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier
+        |  UNION
+        |  SELECT nationkey + 1000 FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT SELECT s_nationkey FROM supplier) e
+        |) u ORDER BY nationkey""".stripMargin,
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_string_fns" ->
+      """SELECT p_partkey, upper(p_name) AS uname, length(p_name) AS name_len,
+        | substring(p_name, 1, 5) AS prefix,
+        | regexp_replace(p_name, 'a', '@', 'g') AS subst,
+        | concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q14_date_fns" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q15_math_fns" ->
+      """SELECT l_returnflag,
+        | round(sum(sqrt(l_extendedprice)),2) AS sum_sqrt_price,
+        | round(sum(pow(l_discount,2)),4) AS sum_disc_sq,
+        | round(sum(abs(l_quantity-25)),2) AS sum_absdev,
+        | CAST(sum(ceil(l_tax*100)) AS BIGINT) AS sum_ceil_tax,
+        | CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_floor_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q16_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS BIGINT)),4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part) w
+        |GROUP BY word ORDER BY word""".stripMargin,
+    "q18_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity),2) AS total_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING round(sum(l_quantity),2) > 100 ORDER BY l_suppkey""".stripMargin,
+    "q19_case_when" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q20_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q21_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        | date_diff('day', lag(o_orderdate,1) OVER w, o_orderdate) AS days_since_prev,
+        | lead(o_orderkey,1) OVER w AS next_orderkey
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q22_ntile" ->
+      """SELECT quartile, count(*) AS n, min(c_custkey) AS min_key FROM (
+        |  SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+        |    AS quartile FROM customer) x
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q23_events_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q24_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q25_flow_chain" ->
+      """SELECT l_returnflag, round(sum(disc_price),2) AS revenue, count(*) AS n
+        |FROM (SELECT l_returnflag, l_extendedprice*(1-l_discount) AS disc_price
+        |      FROM lineitem) x
+        |WHERE disc_price > 1000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q26_flow_factory" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) <> '') tk
+        |GROUP BY token HAVING count(*) >= 50 ORDER BY token""".stripMargin,
+    "q27_flow_hub_reducer" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity*2 + l_extendedprice/10, 2) AS combined
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, combined""".stripMargin,
+  )
 }

@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis stages for large-scale training-data pipelines: tokenization,
+ * BPE-ish token counting, language ID, quality scoring, fingerprinting,
+ * shingling. The reference expresses all per-record text work as arbitrary
+ * Python inside step handlers (e.g. `text.count('python')`,
+ * `/root/reference/README.markdown:84-85`); here each is a named, composable
+ * Column function built ONLY from `org.apache.spark.sql.functions._`
+ * primitives so the whole stage stays inside whole-stage codegen — no UDFs,
+ * no driver round-trips, scales linearly with partitions at 100 TB.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens of `text`, lowercased; empty array for blank input. */
+  def tokens(text: Column): Column = {
+    val t = trim(lower(text))
+    when(t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish token count: counts matches of a GPT-2-style pretokenizer
+   * pattern (contractions | letter runs | digit runs | punct runs). A cheap,
+   * deterministic proxy for an LLM tokenizer's token count — the standard
+   * pre-merge segmentation, each digit-run counted per ~3 digits.
+   */
+  def bpeTokenCount(text: Column): Column = {
+    val pat = "('(?:s|d|m|t|ll|ve|re))|([\\p{L}]+)|([0-9]{1,3})|([^\\s\\p{L}0-9]+)"
+    // regexp_count is SQL-standard in Spark 3.5+/4.x
+    regexp_count(coalesce(text, lit("")), lit(pat))
+  }
+
+  /** Count of non-overlapping occurrences of literal `word` as a token
+    * (the Spark form of README.markdown:84-85's `text.count('python')`). */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === lit(word.toLowerCase)))
+
+  // --- Language ID -----------------------------------------------------
+  // N-gram/stopword heuristic: score each candidate language by how many of
+  // its high-frequency function words appear; argmax wins, "und" if nothing
+  // scores. Pure array intrinsics → codegen'd, no shuffle.
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was",
+      "for", "with", "are", "this", "not", "you", "have"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "sie",
+      "mit", "ein", "eine", "auf", "für", "von", "den", "zu"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "que", "qui",
+      "pas", "pour", "sur", "avec", "vous", "nous", "mais"),
+    "es" -> Seq("el", "los", "las", "una", "por", "con", "para", "como",
+      "pero", "más", "este", "esta", "ser", "son", "del", "muy"),
+    "it" -> Seq("il", "gli", "che", "per", "con", "una", "del", "della",
+      "sono", "questo", "anche", "come", "più", "nel", "alla", "essere"))
+
+  /** Per-language stopword hit count over the token set. */
+  def langScore(text: Column, lang: String): Column = {
+    val sw = stopwords(lang).map(lit(_))
+    size(array_intersect(array_distinct(tokens(text)), array(sw: _*)))
+  }
+
+  /** Heuristic language ID: best-scoring language code, or "und". Ties break
+    * by fixed language order (en,de,fr,es,it) for determinism. */
+  def langId(text: Column): Column = {
+    val ordered = Seq("en", "de", "fr", "es", "it")
+    // array_max on structs compares field-by-field: score first, then -index,
+    // so equal scores break ties by fixed language priority, not by string.
+    val prioritized = ordered.zipWithIndex.map { case (l, i) =>
+      struct(langScore(text, l).as("s"), lit(-i).as("p"), lit(l).as("l"))
+    }
+    when(greatest(ordered.map(langScore(text, _)): _*) <= 0, lit("und"))
+      .otherwise(array_max(array(prioritized: _*)).getField("l"))
+  }
+
+  // --- Quality scoring -------------------------------------------------
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val stripped = regexp_replace(t, "[\\p{Punct}]", "")
+    when(length(t) === 0, lit(0.0))
+      .otherwise((length(t) - length(stripped)).cast("double") / length(t))
+  }
+
+  /** Ratio of alphabetic characters to total characters. */
+  def alphaRatio(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    when(length(t) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(t, "[^\\p{L}]", "")).cast("double") / length(t))
+  }
+
+  /** Fraction of tokens that are English stopwords — a classic fluency signal. */
+  def stopwordRatio(text: Column): Column = {
+    val sw = stopwords("en").map(lit(_))
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.isin(stopwords("en").map(x => x: Any): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Mean token length in characters (0 for empty). */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards moderate length, words of
+   * natural length, some stopwords, low punctuation density. Deterministic
+   * and cheap — the Gopher-rules-flavored filter for web-scale corpora.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenOk = when(nTok >= 5 && nTok <= 10000, lit(1.0)).otherwise(lit(0.0))
+    val mwl = meanWordLen(text)
+    val wordOk = when(mwl >= 2.5 && mwl <= 12.0, lit(1.0)).otherwise(lit(0.0))
+    val swOk = when(stopwordRatio(text) >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) <= 0.3, lit(1.0)).otherwise(lit(0.0))
+    val alphaOk = when(alphaRatio(text) >= 0.5, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + wordOk + swOk + punctOk + alphaOk) / 5.0, 2)
+  }
+
+  // --- Fingerprinting & shingling --------------------------------------
+
+  /** Content fingerprint: 128-bit hex digest of normalized text (lowercased,
+    * whitespace-collapsed) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** 64-bit fingerprint as a long (xxhash64 of normalized text) — cheaper
+    * join key than the hex digest at 100 TB scale. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(concat_ws(" ", tokens(text)))
+
+  /**
+   * Word k-shingles: overlapping windows of `k` consecutive tokens joined by
+   * a space. Built from sequence+transform+slice — no UDF, no explode unless
+   * the caller wants one. Documents shorter than k yield a single shingle of
+   * the whole text.
+   */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Hashed shingle set (distinct), the MinHash input domain. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+}

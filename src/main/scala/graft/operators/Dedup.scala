@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/**
+ * Deduplication operators for web-scale corpora — exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard, and embedding-cosine near-dup. North-star
+ * operators (BASELINE.json): the reference has no dedup primitive (any
+ * such logic would be user Python inside a step handler).
+ *
+ * Scale design: every variant is expressed as hash → groupBy/join on a
+ * *bucket key*, so the shuffle moves only (key, id) pairs or banded
+ * signatures — never full documents — and candidate verification happens
+ * after the blocking step has cut the candidate set from O(n²) to
+ * near-linear. No driver-side state anywhere.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup on normalized content: keeps the row with the minimum `idCol`
+   * per fingerprint (deterministic winner, unlike `dropDuplicates` whose
+   * survivor is partition-order-dependent — unacceptable for an oracle check
+   * or a reproducible 100 TB pipeline run).
+   */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keyed = df.withColumn("__fp", fingerprint(col(textCol)))
+    val winners = keyed.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as(idCol))
+    // join back on (fp, id): shuffle carries only the 2-column winner set.
+    keyed.join(winners, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** Rows per duplicate-cluster of identical normalized text (cluster size
+    * ≥ minSize), for corpus-duplication profiling. */
+  def exactClusters(df: DataFrame, textCol: String, idCol: String,
+                    minSize: Int = 2): DataFrame =
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("min_id"))
+      .filter(col("cluster_size") >= minSize)
+      .select(col("min_id"), col("cluster_size"))
+
+  /**
+   * MinHash signature: `numHashes` minima over the hashed shingle set,
+   * using the standard (a*x+b mod p) family derived from xxhash64 shingles.
+   * Pure expression — one pass over the shingle array per hash function,
+   * no UDF, no shuffle.
+   */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val hashes = shingleHashes(text, shingleK)
+    val p = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
+    val sig = (0 until numHashes).map { i =>
+      val a = lit(1000003L * (i + 1) + 12345L)
+      val b = lit(998244353L * (i + 7) + 42L)
+      array_min(transform(hashes, h => pmod(a * pmod(h, p) + b, p)))
+    }
+    array(sig: _*)
+  }
+
+  /**
+   * MinHash + LSH banding near-dup candidate pairs, verified by estimated
+   * Jaccard (signature agreement rate).
+   *
+   * Pipeline: signature → explode into `bands` band-hashes → groupBy band
+   * bucket (the ONLY shuffle over the corpus, keyed so same-band docs
+   * co-locate) → within-bucket self-join on compact (id, signature) pairs →
+   * dedup pairs → verify. Banding keeps the candidate set near-linear: two
+   * docs collide iff some band of `rows = numHashes/bands` hash minima agrees
+   * — the standard S-curve blocking from Broder/MMDS, NOT an O(n²) cross
+   * join. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+   */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+      // signatures are reused by every band and both join sides
+      .persist()
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val pairs = l.join(r,
+        col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes)
+    pairs.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /**
+   * 64-bit SimHash of the token multiset: sum ±1 votes per bit position of
+   * each token's xxhash64, take sign. Near-dups differ in few bits (compare
+   * with [[hammingDistance]]). Pure expressions: per-bit vote is an
+   * `aggregate` over the token-hash array.
+   */
+  def simhash64(text: Column): Column = {
+    val toks = transform(tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(lit(-1L)))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs within `maxHamming` bits. Blocking: split the
+   * 64-bit fingerprint into `maxHamming + 1` segments — by pigeonhole, any
+   * pair within distance d agrees on at least one of d+1 segments, so a
+   * segment-equality join finds ALL such pairs with a near-linear shuffle
+   * (the classic Manku/Google simhash-dedup trick), not an O(n²) cross join.
+   */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
+    val fps = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+      .persist()
+    val segmented = fps.select(col("id"), col("fp"),
+      explode(array((0 until nSeg).map { s =>
+        struct(lit(s).as("seg"),
+          shiftright(col("fp"), s * segBits)
+            .bitwiseAND(lit((1L << segBits) - 1)).as("segval"))
+      }: _*)).as("sv"))
+      .select(col("id"), col("fp"), col("sv.seg"), col("sv.segval"))
+    val l = segmented.alias("l")
+    val r = segmented.alias("r")
+    l.join(r,
+        col("l.seg") === col("r.seg") && col("l.segval") === col("r.segval") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hammingDistance(col("l.fp"), col("r.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for candidate pairs: token-set overlap
+   * of word-k-shingles. Joins the *shingle sets* through the candidate pair
+   * list, so cost is |candidates|, not |corpus|².
+   */
+  def ngramJaccard(df: DataFrame, candidates: DataFrame, textCol: String,
+                   idCol: String, shingleK: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    val a = sets.alias("a")
+    val b = sets.alias("b")
+    candidates
+      .join(a, col("id_a") === col("a.id"))
+      .join(b, col("id_b") === col("b.id"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs: LSH-bucket by hyperplane sign key, then
+   * verify cosine within buckets. `nBits` trades recall for bucket size
+   * (recall of near-identical vectors stays high since near-dups rarely
+   * straddle a hyperplane). For exhaustive small-corpus checks set
+   * `nBits = 0` (single bucket = brute force).
+   */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      (if (nBits == 0) lit(0L) else hyperplaneLshKey(col(vecCol), nBits)).as("bucket"))
+      .persist()
+    val l = keyed.alias("l")
+    val r = keyed.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosine(col("l.v"), col("r.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
