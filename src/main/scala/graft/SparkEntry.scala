@@ -339,6 +339,128 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // LLM-data-pipeline operators (north star): dedup, text analysis,
+  // similarity search, multimodal
+  // ---------------------------------------------------------------------
+
+  /** Normalized-text SQL fragment matching TextFunctions.tokens semantics
+    * (lowercase, trim, whitespace-collapse). */
+  private val normSql = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private val toksSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  private def q28_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private def q29_token_stats(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(txt).cast("long").as("n_tokens"),
+        TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe_tokens"),
+        length(concat_ws(" ", TextFunctions.tokens(txt))).cast("long").as("n_chars_norm"),
+        TextFunctions.fingerprint(txt).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q30_lang_id(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.langScore(col("text"), "en").cast("long").as("s_en"))
+      .orderBy(col("doc_id"))
+
+  private def q31_quality_score(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextFunctions.punctRatio(txt), 4).as("punct_ratio"),
+        round(TextFunctions.alphaRatio(txt), 4).as("alpha_ratio"),
+        round(TextFunctions.stopwordRatio(txt), 4).as("stopword_ratio"),
+        round(TextFunctions.meanWordLen(txt), 4).as("mean_word_len"),
+        TextFunctions.qualityScore(txt).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH candidates verified by exact shingle Jaccard: the output is
+    * the set of truly-near-duplicate pairs, so an exact brute-force oracle
+    * can check it — the LSH blocking must not lose a single j>=0.8 pair. */
+  private def q32_minhash_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+    val cands = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    Dedup.ngramJaccard(docs, cands, "text", "doc_id", shingleK = 3)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup pairs (no SQL oracle — xxhash64 has no DuckDB
+    * equivalent; correctness pinned by ScalaTest against planted dups). */
+  private def q33_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact cosine top-k: rank on the ROUNDED similarity (+ id tiebreak) so
+    * Spark and DuckDB rank identically even at float boundaries. */
+  private def q34_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus.join(broadcast(queries), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_r").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def q35_embedding_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(VectorFunctions.l2Norm(col("embedding"))), 4).as("avg_norm"),
+        round(avg(size(col("embedding"))), 2).as("avg_dim"))
+      .orderBy(col("label"))
+
+  /** Multimodal packing: text payload as binary media + typed meta struct,
+    * joined to its embedding row. Oracle checks the SQL-expressible fields
+    * (byte length, md5 checksum, label); the fake decode/feature stages are
+    * pinned by ScalaTest. */
+  private def q36_multimodal_meta(s: SparkSession, dir: String): DataFrame = {
+    val recs = Multimodal.multimodalRecords(
+      t(s, dir, "documents"), t(s, dir, "embeddings"))
+    recs.select(col("doc_id"),
+        col("media_meta").getField("byte_len").as("byte_len"),
+        col("media_meta").getField("checksum").as("checksum"),
+        col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** LSH-bucketed ANN (approximate by design — no oracle; recall vs brute
+    * force is asserted in ScalaTest). */
+  private def q37_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
+        "embedding", "vec_id", k = 5, nBits = 8)
+      .select(col("query_id"), col("corpus_id"), round(col("cos"), 4).as("cos_r"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def q38_near_dup_embedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(
+        t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+        "embedding", "vec_id", threshold = 0.45, nBits = 0)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
 
@@ -370,7 +492,43 @@ object SparkEntry {
     "q25_flow_chain" -> q25_flow_chain _,
     "q26_flow_factory" -> q26_flow_factory _,
     "q27_flow_hub_reducer" -> q27_flow_hub_reducer _,
+    "q28_dedup_exact" -> q28_dedup_exact _,
+    "q29_token_stats" -> q29_token_stats _,
+    "q30_lang_id" -> q30_lang_id _,
+    "q31_quality_score" -> q31_quality_score _,
+    "q32_minhash_neardup" -> q32_minhash_neardup _,
+    "q33_simhash_pairs" -> q33_simhash_pairs _,
+    "q34_cosine_topk" -> q34_cosine_topk _,
+    "q35_embedding_stats" -> q35_embedding_stats _,
+    "q36_multimodal_meta" -> q36_multimodal_meta _,
+    "q37_ann_lsh" -> q37_ann_lsh _,
+    "q38_near_dup_embedding" -> q38_near_dup_embedding _,
   )
+
+  /** SQL list literal of a stopword list. */
+  private def swList(lang: String): String =
+    TextFunctions.stopwordList(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** Per-language score fragment (≡ TextFunctions.langScore). */
+  private def langScoreSql(lang: String): String =
+    s"len(list_intersect(list_distinct($toksSql), ${swList(lang)}))"
+
+  /** argmax-with-priority CASE (≡ TextFunctions.langId tie-breaking). */
+  private def langCaseSql: String = {
+    val langs = TextFunctions.langOrder
+    val greatest = s"greatest(${langs.map(l => s"s_$l").mkString(",")})"
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val laterLangs = langs.drop(i + 1)
+      val cond = laterLangs.map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN $greatest <= 0 THEN 'und' $cases ELSE '${langs.last}' END"
+  }
+
+  /** DOUBLE-cast embedding fragment for exact-parity vector oracles. */
+  private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -530,5 +688,94 @@ object SparkEntry {
         | round(l_quantity*2 + l_extendedprice/10, 2) AS combined
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber, combined""".stripMargin,
+    "q28_dedup_exact" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM documents GROUP BY md5($normSql))
+         |ORDER BY doc_id""".stripMargin,
+    "q29_token_stats" ->
+      s"""SELECT doc_id,
+         | CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len($toksSql) END AS BIGINT) AS n_tokens,
+         | CAST(len(regexp_extract_all(coalesce(text,''),
+         |   '(''(?:s|d|m|t|ll|ve|re))|([\\p{L}]+)|([0-9]{1,3})|([^\\s\\p{L}0-9]+)')) AS BIGINT) AS n_bpe_tokens,
+         | CAST(length($normSql) AS BIGINT) AS n_chars_norm,
+         | md5($normSql) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_lang_id" -> {
+      val scores = TextFunctions.langOrder
+        .map(l => s"${langScoreSql(l)} AS s_$l").mkString(", ")
+      s"""SELECT doc_id, $langCaseSql AS lang_pred, CAST(s_en AS BIGINT) AS s_en
+         |FROM (SELECT doc_id, $scores FROM documents) x
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q31_quality_score" -> {
+      val en = swList("en")
+      s"""SELECT doc_id,
+         | round(punct_ratio, 4) AS punct_ratio,
+         | round(alpha_ratio, 4) AS alpha_ratio,
+         | round(stopword_ratio, 4) AS stopword_ratio,
+         | round(mean_word_len, 4) AS mean_word_len,
+         | round((
+         |   (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END)) / 5.0, 2) AS quality
+         |FROM (SELECT doc_id,
+         |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+         |       ELSE len($toksSql) END AS n_tok,
+         |  CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+         |       ELSE (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[[:punct:]]', '', 'g')))::DOUBLE / length(coalesce(text,'')) END AS punct_ratio,
+         |  CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+         |       ELSE length(regexp_replace(coalesce(text,''), '[^\\p{L}]', '', 'g'))::DOUBLE / length(coalesce(text,'')) END AS alpha_ratio,
+         |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0.0
+         |       ELSE len(list_filter($toksSql, t -> list_contains($en, t)))::DOUBLE / len($toksSql) END AS stopword_ratio,
+         |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0.0
+         |       ELSE list_aggregate(list_transform($toksSql, t -> length(t)), 'sum')::DOUBLE / len($toksSql) END AS mean_word_len
+         | FROM documents) raw
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q32_minhash_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 1000),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q34_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 100 = 0)
+         |SELECT query_id, corpus_id, cos_r, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    round(${cosSql("q.v", "c.v")}, 4) AS cos_r,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.v", "c.v")}, 4) DESC, c.vec_id) AS rank
+         |  FROM q, e c WHERE c.vec_id <> q.vec_id) x
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q35_embedding_stats" ->
+      s"""SELECT label, count(*) AS n,
+         | round(avg(sqrt(list_dot_product($vecSql, $vecSql))), 4) AS avg_norm,
+         | round(avg(len(embedding)), 2) AS avg_dim
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q36_multimodal_meta" ->
+      """SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS byte_len,
+        | md5(d.text) AS checksum, e.label
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q38_near_dup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings WHERE vec_id < 2000)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosSql("a.v", "b.v")}, 4) AS cos_r
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v")} >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -58,6 +58,13 @@ object TextFunctions {
     "it" -> Seq("il", "gli", "che", "per", "con", "una", "del", "della",
       "sono", "questo", "anche", "come", "più", "nel", "alla", "essere"))
 
+  /** Stopword list for a language (public: oracle-SQL generation reuses it
+    * so Spark and DuckDB score with the same lists). */
+  def stopwordList(lang: String): Seq[String] = stopwords(lang)
+
+  /** Languages in priority order (ties break toward the earlier one). */
+  val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "it")
+
   /** Per-language stopword hit count over the token set. */
   def langScore(text: Column, lang: String): Column = {
     val sw = stopwords(lang).map(lit(_))
@@ -67,7 +74,7 @@ object TextFunctions {
   /** Heuristic language ID: best-scoring language code, or "und". Ties break
     * by fixed language order (en,de,fr,es,it) for determinism. */
   def langId(text: Column): Column = {
-    val ordered = Seq("en", "de", "fr", "es", "it")
+    val ordered = langOrder
     // array_max on structs compares field-by-field: score first, then -index,
     // so equal scores break ties by fixed language priority, not by string.
     val prioritized = ordered.zipWithIndex.map { case (l, i) =>

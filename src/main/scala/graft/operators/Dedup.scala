@@ -51,10 +51,13 @@ object Dedup {
    */
   def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
     val hashes = shingleHashes(text, shingleK)
-    val p = lit(2305843009213693951L) // 2^61 - 1, Mersenne prime
+    // 2^31-1 (Mersenne prime): a,x < p keeps a*x+b < 2^62 — no ANSI-mode
+    // long overflow, and a 31-bit minhash space is ample for dedup.
+    val P = 2147483647L
+    val p = lit(P)
     val sig = (0 until numHashes).map { i =>
-      val a = lit(1000003L * (i + 1) + 12345L)
-      val b = lit(998244353L * (i + 7) + 42L)
+      val a = lit((1000003L * (i + 1) + 12345L) % P)
+      val b = lit((998244353L * (i + 7) + 42L) % P)
       array_min(transform(hashes, h => pmod(a * pmod(h, p) + b, p)))
     }
     array(sig: _*)
