@@ -49,8 +49,15 @@ object Dedup {
    * Pure expression — one pass over the shingle array per hash function,
    * no UDF, no shuffle.
    */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hashes = shingleHashes(text, shingleK)
+  /**
+   * Signature from an ALREADY-MATERIALIZED shingle-hash array column.
+   * The 64 (a*x+b mod p) minima each re-reference `hashes`; if that were an
+   * inline expression tree it would be re-evaluated per hash function —
+   * Spark's subexpression elimination does not cover higher-order-function
+   * lambdas — turning an O(shingles) pass into O(64·full-tokenize). Callers
+   * must hand in a stored/cached column (see [[minhashLsh]]).
+   */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
     // 2^31-1 (Mersenne prime): a,x < p keeps a*x+b < 2^62 — no ANSI-mode
     // long overflow, and a 31-bit minhash space is ample for dedup.
     val P = 2147483647L
@@ -62,6 +69,11 @@ object Dedup {
     }
     array(sig: _*)
   }
+
+  /** Convenience one-shot signature (fine for tests/small inputs; hot paths
+    * should go through [[minhashLsh]] which materializes the hash array). */
+  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column =
+    minhashSignatureFromHashes(shingleHashes(text, shingleK), numHashes)
 
   /**
    * MinHash + LSH banding near-dup candidate pairs, verified by estimated
@@ -80,9 +92,15 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), shingleK, numHashes).as("sig"))
+    // Materialize the shingle-hash array FIRST: the persist boundary stops
+    // CollapseProject from re-inlining the tokenize+shingle tree into each
+    // of the 64 min-hash branches (HOF lambdas are exempt from subexpr
+    // elimination — without this the signature costs 64× the tokenize).
+    val hashed = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("hs"))
+      .persist()
+    val sigs = hashed
+      .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
       // signatures are reused by every band and both join sides
       .persist()
     val banded = sigs.select(col("id"), col("sig"),
@@ -114,16 +132,21 @@ object Dedup {
    * with [[hammingDistance]]). Pure expressions: per-bit vote is an
    * `aggregate` over the token-hash array.
    */
-  def simhash64(text: Column): Column = {
-    val toks = transform(tokens(text), t => xxhash64(t))
+  /** SimHash from an ALREADY-MATERIALIZED token-hash array column (same
+    * HOF-lambda caveat as [[minhashSignatureFromHashes]]). */
+  def simhash64FromHashes(tokenHashes: Column): Column = {
     val bits = (0 until 64).map { i =>
-      val vote = aggregate(toks, lit(0L),
+      val vote = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(lit(-1L)))
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
+
+  /** Convenience one-shot simhash (tests/small inputs only). */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -140,7 +163,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
-    val fps = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("fp"))
+    val hashed = df.select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
+      .persist()
+    val fps = hashed.select(col("id"), simhash64FromHashes(col("th")).as("fp"))
       .persist()
     val segmented = fps.select(col("id"), col("fp"),
       explode(array((0 until nSeg).map { s =>
