@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("exact dedup keeps the minimum id per normalized text") {
+    val df = Seq(
+      (10L, "Hello  World"), (3L, "hello world"), (7L, "different text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
+      .as[Long].collect().sorted
+    assert(out.toSeq == Seq(3L, 7L)) // 10 is a dup of 3 (case/space-insensitive)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs") {
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+      .collect()
+    assert(pairs.nonEmpty, "fixture has j~0.99 planted pairs; LSH must find them")
+    // one known planted pair at sf0.001 (checked against exact jaccard)
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((474L, 498L)))
+    assert(pairs.forall(_.getDouble(2) >= 0.7))
+  }
+
+  test("estimated jaccard tracks exact jaccard on candidates") {
+    val cands = Dedup.minhashLsh(docs, "text", "doc_id", 3, 64, 16, 0.5)
+    val exact = Dedup.ngramJaccard(docs, cands, "text", "doc_id", 3)
+    val rows = cands.join(exact, Seq("id_a", "id_b"))
+      .select($"est_jaccard", $"jaccard").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, ex) =>
+      assert(math.abs(est - ex) < 0.25, s"est=$est exact=$ex diverged")
+    }
+  }
+
+  test("simhash blocking finds near-identical docs within hamming budget") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getInt(2) <= 3)) // bit_count → IntegerType
+  }
+
+  test("hamming distance of identical fingerprints is zero") {
+    val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w q"))
+      .toDF("t1", "t2")
+    val d = df.select(Dedup.hammingDistance(
+      Dedup.simhash64($"t1"), Dedup.simhash64($"t2")).as("d"))
+      .as[Long].collect()
+    assert(d(0) == 0L)
+    assert(d(1) > 10L) // unrelated texts differ in many bits
+  }
+
+  test("embedding near-dup finds crafted duplicate vectors (exact mode)") {
+    val v1 = Array(1.0f, 0.0f, 0.0f)
+    val v1b = Array(0.999f, 0.01f, 0.0f) // ~same direction
+    val v2 = Array(0.0f, 1.0f, 0.0f)
+    val df = Seq((1L, v1), (2L, v1b), (3L, v2)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      threshold = 0.99, nBits = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("LSH-bucketed embedding near-dup keeps identical-direction vectors") {
+    val base = Array.tabulate(16)(i => math.sin(i).toFloat)
+    val near = base.map(x => x * 1.0001f) // same direction → same buckets
+    val far = Array.tabulate(16)(i => math.cos(3 * i).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      threshold = 0.999, nBits = 6).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}

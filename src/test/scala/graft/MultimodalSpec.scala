@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packMedia: byte_len and checksum derive from payload bytes") {
+    val df = Seq("hello").toDF("text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val meta = Multimodal.packMedia(df, "payload", "text", "text/plain")
+      .select($"media_meta.*").head()
+    assert(meta.getAs[String]("modality") == "text")
+    assert(meta.getAs[Long]("byte_len") == 5L)
+    // md5("hello")
+    assert(meta.getAs[String]("checksum") == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("fakeDecode is deterministic and within bounds") {
+    val df = Seq("payload-a", "payload-a", "payload-b").toDF("text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select(Multimodal.fakeDecode($"payload").as("d"))
+    val rows = df.select($"d.width", $"d.height", $"d.duration_s").collect()
+    assert(rows(0) == rows(1)) // same payload → same decode
+    assert(rows(0) != rows(2))
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 1920)
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 1080)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 60.0)
+    }
+  }
+
+  test("fakeFeatures yields fixed-width float vectors in [-1,1)") {
+    val feats = Seq("x").toDF("text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .select(Multimodal.fakeFeatures($"payload", 8).as("f"))
+      .as[Seq[Float]].head()
+    assert(feats.length == 8)
+    assert(feats.forall(v => v >= -1.0f && v < 1.0f))
+  }
+
+  test("sampleFrames emits n frames per row with ordinal index") {
+    val df = Seq("vid1", "vid2").toDF("text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val frames = Multimodal.sampleFrames(df, "payload", 4)
+    assert(frames.count() == 8)
+    val idx = frames.groupBy($"text").agg(collect_set($"frame_idx").as("s"))
+      .select($"s").as[Seq[Int]].collect()
+    idx.foreach(s => assert(s.sorted == Seq(0, 1, 2, 3)))
+  }
+
+  test("fakeResize preserves aspect ratio bound and never upscales") {
+    val df = Seq("a", "b", "c").toDF("text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+      .withColumn("d", Multimodal.fakeDecode($"payload"))
+      .withColumn("r", Multimodal.fakeResize($"d", 640, 480))
+    df.select($"d.width", $"d.height", $"r.width", $"r.height").collect()
+      .foreach { row =>
+        val (w, h, rw, rh) = (row.getLong(0), row.getLong(1),
+          row.getLong(2), row.getLong(3))
+        assert(rw <= 640 && rh <= 480)
+        assert(rw <= w && rh <= h) // never upscale
+      }
+  }
+
+  test("multimodalRecords joins docs to embeddings with full contract") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val recs = Multimodal.multimodalRecords(docs, emb)
+    assert(recs.columns.toSeq == Seq("doc_id", "media_meta", "decoded",
+      "features", "embedding", "label"))
+    assert(recs.count() == 500)
+  }
+}

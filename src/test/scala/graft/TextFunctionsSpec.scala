@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String): T =
+    Seq(text).toDF("text").select(c.as("v")).collect().head.getAs[T]("v")
+
+  test("tokens: lowercases, splits on runs of whitespace, empty-safe") {
+    val df = Seq("  Hello   WORLD\tfoo ", "", "one").toDF("text")
+    val out = df.select(tokens($"text").as("t")).as[Seq[String]].collect()
+    assert(out(0) == Seq("hello", "world", "foo"))
+    assert(out(1) == Seq.empty)
+    assert(out(2) == Seq("one"))
+  }
+
+  test("tokenCount and wordOccurrences") {
+    assert(one[Int](tokenCount($"text"), "a b  c") == 3)
+    assert(one[Int](tokenCount($"text"), "") == 0)
+    assert(one[Int](wordOccurrences($"text", "python"),
+      "I love Python and python scripts") == 2)
+  }
+
+  test("bpeTokenCount segments letters/digits/punct separately") {
+    // "hello world 123, it's" → hello|world|123|,|it|'s = 6
+    assert(one[Int](bpeTokenCount($"text"), "hello world 123, it's") == 6)
+    assert(one[Int](bpeTokenCount($"text"), "") == 0)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val cases = Seq(
+      "the cat sat on the mat and it was happy" -> "en",
+      "der hund und die katze sind nicht mit ihm" -> "de",
+      "le chat est dans la maison avec les enfants" -> "fr",
+      "el perro y los gatos son para este niño" -> "es",
+      "xyzzy qwerty asdf" -> "und")
+    cases.foreach { case (text, expected) =>
+      assert(one[String](langId($"text"), text) == expected, s"for: $text")
+    }
+  }
+
+  test("quality components are in [0,1] and score rewards clean prose") {
+    val good = "the quick brown fox jumps over the lazy dog and it was good"
+    val junk = "@@@ ### !!! $$$ %%% ^^^ &&&"
+    val gq = one[Double](qualityScore($"text"), good)
+    val jq = one[Double](qualityScore($"text"), junk)
+    assert(gq > jq)
+    assert(gq >= 0.0 && gq <= 1.0 && jq >= 0.0 && jq <= 1.0)
+    assert(one[Double](punctRatio($"text"), "a,b.") == 0.5)
+    assert(one[Double](alphaRatio($"text"), "ab12") == 0.5)
+  }
+
+  test("fingerprint is whitespace/case-normalized; fingerprint64 matches") {
+    val df = Seq(("Hello  World", "hello world"), ("a b", "a c")).toDF("t1", "t2")
+    val rows = df.select(
+      (fingerprint($"t1") === fingerprint($"t2")).as("md5eq"),
+      (fingerprint64($"t1") === fingerprint64($"t2")).as("xxeq")).collect()
+    assert(rows(0).getBoolean(0) && rows(0).getBoolean(1))
+    assert(!rows(1).getBoolean(0) && !rows(1).getBoolean(1))
+  }
+
+  test("shingles: sliding windows, whole-text fallback when short") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(shingles($"text", 3).as("s")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b")) // shorter than k → single whole-text shingle
+  }
+}
