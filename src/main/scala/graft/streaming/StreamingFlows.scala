@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Streaming-mode building blocks mapping the reference's worker runtime
+ * onto Structured Streaming (SURVEY §1.3, §2.1 #12-16):
+ *
+ *  - per-step queue + long-poll worker loop (`libs/simple_queue.py:15-47`)
+ *    → micro-batch execution over a checkpointed source;
+ *  - `die_when_empty` (`libs/simple_queue.py:24-37`) → Trigger.AvailableNow:
+ *    drain everything available, then stop;
+ *  - backpressure `jobs_limit` (`adapters/simple_queue.py:24-29`)
+ *    → `maxFilesPerTrigger` source option;
+ *  - at-least-once + requeue (`libs/simple_queue.py:42-47`) → checkpointed
+ *    exactly-once to idempotent sinks (strictly stronger).
+ */
+object StreamingFlows {
+
+  /** Event-time tumbling/sliding window aggregation with late-data bound
+    * (≙ the only late-data semantics the reference has: the reducer's 30 s
+    * TTL, generalized to proper watermarking). */
+  def windowedCounts(events: DataFrame, tsCol: String, windowDur: String,
+                     slideDur: Option[String] = None,
+                     watermark: String = "30 seconds",
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    val win = slideDur.map(s => window(col(tsCol), windowDur, s))
+      .getOrElse(window(col(tsCol), windowDur))
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((win +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Session windows keyed by `keyCol` with `gap` inactivity timeout. */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, watermark: String = "30 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Drain-everything-then-stop execution (≙ `die_when_empty`):
+    * starts the sink with Trigger.AvailableNow and blocks to completion. */
+  def runUntilDrained[T](writer: DataStreamWriter[T]): Unit = {
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}
+
+/**
+ * Connector SPI ≙ the reference's pluggable `BaseWorkerEngine` ABC
+ * (`stepist/flow/workers/worker_engine.py:5-35`: add_job/receive_job/...).
+ * A stage boundary is a durable location one flow writes and another reads —
+ * the moral equivalent of the per-step Redis list, with storage supplying
+ * the durability Redis did.
+ */
+trait StageBoundary {
+  /** Enqueue a batch (≙ add_jobs): append rows durably. */
+  def write(df: DataFrame): Unit
+  /** Batch read of everything enqueued so far (≙ drain). */
+  def read(spark: SparkSession): DataFrame
+  /** Streaming read — the worker side (≙ process loop). */
+  def readStream(spark: SparkSession): DataFrame
+}
+
+/** Parquet-directory stage boundary: append-only files, schema pinned at
+  * first write. At cluster scale this is the standard files-as-queue
+  * pattern (exactly-once with checkpointed readers). */
+final class ParquetBoundary(path: String) extends StageBoundary {
+  private var schemaJson: Option[String] = None
+
+  override def write(df: DataFrame): Unit = {
+    schemaJson = schemaJson.orElse(Some(df.schema.json))
+    df.write.mode("append").parquet(path)
+  }
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(path)
+
+  override def readStream(spark: SparkSession): DataFrame = {
+    val schema = schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(spark.read.parquet(path).schema)
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "16") // ≙ jobs_limit backpressure
+      .parquet(path)
+  }
+}

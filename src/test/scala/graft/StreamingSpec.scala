@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{ParquetBoundary, StreamingFlows, StreamingReducer}
+import graft.streaming.StreamingReducer.{Arrival, Completed}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming reducer emits exactly on count-complete, in branch order") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Arrival]
+    // no TTL: registered processing-time timeouts would busy-loop the
+    // zero-interval test trigger and starve processAllAvailable
+    val out = StreamingReducer.reduce(input.toDS(), ttlMs = 0L)
+    val q = out.writeStream.format("memory").queryName("red_out")
+      .outputMode("append").start()
+    try {
+      // job a:2 gets branch 1 first, then branch 0 → completes second batch
+      input.addData(Arrival("a:2", 1, """{"v":11}"""))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM red_out").count() == 0)
+
+      // duplicate delivery of branch 1 must NOT complete the job
+      input.addData(Arrival("a:2", 1, """{"v":99}"""))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM red_out").count() == 0)
+
+      input.addData(Arrival("a:2", 0, """{"v":10}"""), Arrival("b:1", 0, """{"v":7}"""))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM red_out").as[Completed].collect()
+        .map(c => c.hubJobId -> c.jobList).toMap
+      // branch order pinned; first delivery of branch 1 wins (dedup)
+      assert(rows("a:2") == Seq("""{"v":10}""", """{"v":11}"""))
+      assert(rows("b:1") == Seq("""{"v":7}"""))
+    } finally q.stop()
+  }
+
+  test("streaming reducer TTL drops incomplete groups silently") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Arrival]
+    val out = StreamingReducer.reduce(input.toDS(), ttlMs = 1L)
+    // with a TTL the engine re-triggers continuously (timeouts pending), so
+    // poll the sink instead of processAllAvailable
+    val q = out.writeStream.format("memory").queryName("red_ttl")
+      .outputMode("append").start()
+    def pollUntil(cond: => Boolean, ms: Long = 30000): Boolean = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      cond
+    }
+    try {
+      input.addData(Arrival("x:2", 0, """{"v":1}""")) // never completes
+      input.addData(Arrival("y:1", 0, """{"v":2}"""))
+      input.addData(Arrival("z:1", 0, """{"v":3}"""))
+      assert(pollUntil(
+        spark.sql("SELECT * FROM red_ttl").count() == 2),
+        "complete jobs y:1 and z:1 must emit")
+      // give the expired x:2 additional batches to (incorrectly) emit
+      Thread.sleep(500)
+      val ids = spark.sql("SELECT hubJobId FROM red_ttl").as[String].collect().toSet
+      assert(ids == Set("y:1", "z:1")) // x:2 expired, never emitted
+    } finally q.stop()
+  }
+
+  test("toArrivals serializes hub-tagged frames into the reducer contract") {
+    val df = Seq((1, "u1:2", 0), (2, "u1:2", 1)).toDF("x", "__hub_job_id", "__hub_branch")
+    val arr = StreamingReducer.toArrivals(df).collect().sortBy(_.branch)
+    assert(arr.map(_.hubJobId).toSet == Set("u1:2"))
+    assert(arr(0).payload == """{"x":1}""")
+    assert(arr(1).payload == """{"x":2}""")
+  }
+
+  test("windowed counts with watermark over the events fixture (AvailableNow)") {
+    // file-source replay of the events parquet ≙ worker drain
+    // (die_when_empty); the file stream source needs a DIRECTORY, so stage
+    // the single-file fixture into one
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val agg = StreamingFlows.windowedCounts(stream, "ts", "1 hour",
+      keyCols = Seq("event_type"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode emits only watermark-closed windows; the fixture spans
+    // many hours so all but the tail are closed
+    val n = spark.sql("SELECT * FROM win_out").count()
+    assert(n > 0)
+    // cross-check a closed window's count against the batch query
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
+    val streamed = spark.sql("SELECT window, event_type, n FROM win_out")
+    val joined = streamed.join(batch,
+      streamed("window") === batch("window") &&
+        streamed("event_type") === batch("event_type"))
+    assert(joined.filter(col("n") =!= col("count")).count() == 0)
+  }
+
+  test("ParquetBoundary: write side feeds both batch and streaming readers") {
+    val dir = java.nio.file.Files.createTempDirectory("boundary").toString
+    val b = new ParquetBoundary(s"$dir/stage")
+    b.write(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    b.write(Seq((3, "c")).toDF("id", "s"))
+    assert(b.read(spark).count() == 3)
+    val q = b.readStream(spark)
+      .writeStream.format("memory").queryName("bnd_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT * FROM bnd_out").count() == 3)
+  }
+}
