@@ -26,8 +26,16 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity in [-1, 1]; null-safe zero for zero-norm inputs. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity in [-1, 1]; zero for zero-norm inputs. Delegates to
+    * the fused codegen expression ([[graft.functions.expressions.CosineSimilarity]])
+    * — one loop, no intermediate arrays; accumulation order (left-to-right
+    * double) is bit-identical to [[cosineHof]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.GraftExpressions.cosineSimilarity(a, b)
+
+  /** Reference formulation from built-in higher-order functions — kept for
+    * cross-checking the native expression in tests. */
+  def cosineHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }

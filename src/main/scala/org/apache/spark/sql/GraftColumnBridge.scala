@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into `private[sql]` Column↔Expression conversion (Spark 4 wraps
+ * Columns in ColumnNodes; `classic.ExpressionUtils` does the plumbing but
+ * is sql-package-private). Lives in org.apache.spark.sql purely to widen
+ * access for graft's custom Catalyst expressions.
+ */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.functions.expressions.GraftExpressions
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine is bit-identical to the HOF formulation on fixtures") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+    val a = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("ib"), $"embedding".as("vb"))
+    val pairs = a.join(b, $"ia" < $"ib")
+    val diff = pairs.select(
+      (GraftExpressions.cosineSimilarity($"va", $"vb") -
+        VectorFunctions.cosineHof($"va", $"vb")).as("d"))
+      .agg(max(abs($"d"))).as[Double].head()
+    assert(diff == 0.0, s"native vs HOF cosine diverged by $diff")
+  }
+
+  test("native cosine handles zero vectors and double arrays") {
+    val d = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(GraftExpressions.cosineSimilarity($"a", $"b")).as[Double].head()
+    assert(d == 0.0)
+    val dd = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(GraftExpressions.cosineSimilarity($"a", $"b")).as[Double].head()
+    assert(dd == 1.0)
+  }
+
+  test("rolling hash: deterministic, content-sensitive, SQL-registered") {
+    GraftExpressions.registerAll(spark)
+    val rows = Seq("hello", "hello", "hellp").toDF("t")
+      .select(GraftExpressions.rollingHash($"t").as("h")).as[Long].collect()
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+    // SQL surface + interpreted/codegen agreement
+    val viaSql = spark.sql("SELECT rolling_hash('hello')").as[Long].head()
+    assert(viaSql == rows(0))
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0f, 0.0f), array(1.0f, 0.0f))")
+      .as[Double].head()
+    assert(cos == 1.0)
+  }
+}
