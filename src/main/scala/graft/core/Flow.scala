@@ -172,6 +172,9 @@ final class App(val spark: SparkSession) {
     val acc = mutable.LinkedHashMap.empty[String, DataFrame]
     val pending = walk(root, input, acc)
     finishReducers(pending, acc)
+    // the reference declares flow_finished but never emits it
+    // (signals.py:1-6); we fire it for real
+    graft.observe.Signals.fireFinished(acc.keySet.toSet)
     FlowResult(acc.toMap)
   }
 
@@ -208,7 +211,9 @@ final class App(val spark: SparkSession) {
         val projected =
           if (s.inputCols.isEmpty) in
           else in.select((s.inputCols ++ metaCols).map(col): _*)
+        graft.observe.Signals.fireBefore(s.name)
         val out0 = s.handler(projected)
+        graft.observe.Signals.fireAfter(s.name)
         val out = if (s.barrier) out0.persist() else out0
         if (s.saveResult || s.next.isEmpty) acc += s.name -> userView(out)
         s.next.map(walk(_, out, acc)).getOrElse(Nil)

@@ -1,0 +1,86 @@
+package graft.observe
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Lifecycle signals + stats (SURVEY §2.1 #19-20).
+ *
+ * The reference *declares* blinker signals `before_step` / `after_step` /
+ * `flow_finished` but never emits them anywhere
+ * (`/root/reference/stepist/flow/signals.py:1-6`), and its stats worker
+ * imports a module that does not exist (`stats/worker.py:1`). We implement
+ * both for real: step-level callbacks fired by the flow runner, and a
+ * `QueryExecutionListener` that aggregates per-action execution metrics —
+ * the Spark-native replacement for the Redis-MONITOR push/pop counters
+ * (`adapters/simple_queue.py:69-88`).
+ */
+object Signals {
+
+  /** A step-lifecycle observer (≙ blinker receivers). */
+  trait FlowListener {
+    def beforeStep(stepName: String): Unit = {}
+    def afterStep(stepName: String): Unit = {}
+    def flowFinished(terminalSteps: Set[String]): Unit = {}
+  }
+
+  private val listeners = new ConcurrentLinkedQueue[FlowListener]()
+
+  def addListener(l: FlowListener): Unit = listeners.add(l)
+  def removeListener(l: FlowListener): Unit = listeners.remove(l)
+  def clearListeners(): Unit = listeners.clear()
+
+  private[graft] def fireBefore(step: String): Unit =
+    listeners.iterator().asScala.foreach(_.beforeStep(step))
+  private[graft] def fireAfter(step: String): Unit =
+    listeners.iterator().asScala.foreach(_.afterStep(step))
+  private[graft] def fireFinished(steps: Set[String]): Unit =
+    listeners.iterator().asScala.foreach(_.flowFinished(steps))
+}
+
+/**
+ * Per-session execution stats: rows written, execution wall time, action
+ * count, failures — collected off the query-execution event bus, zero cost
+ * on the hot path. Attach once per session.
+ */
+final class ExecutionStats extends QueryExecutionListener {
+  val actions = new LongAdder
+  val failures = new LongAdder
+  val totalExecMs = new LongAdder
+  val rowsWritten = new LongAdder
+  private val _lastAction = new AtomicLong(0L)
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+                         durationNs: Long): Unit = {
+    actions.increment()
+    totalExecMs.add(durationNs / 1000000L)
+    _lastAction.set(System.currentTimeMillis())
+    val written = qe.executedPlan.metrics.get("numOutputRows")
+      .map(_.value).getOrElse(0L)
+    rowsWritten.add(written)
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+                         exception: Exception): Unit = failures.increment()
+
+  def snapshot: Map[String, Long] = Map(
+    "actions" -> actions.sum(),
+    "failures" -> failures.sum(),
+    "total_exec_ms" -> totalExecMs.sum(),
+    "rows_written" -> rowsWritten.sum(),
+    "last_action_ts" -> _lastAction.get())
+}
+
+object ExecutionStats {
+  /** Attach a fresh stats collector to the session and return it. */
+  def attach(spark: SparkSession): ExecutionStats = {
+    val s = new ExecutionStats
+    spark.listenerManager.register(s)
+    s
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Plan-quality gates: these assert the physical plans the operators are
+ * DESIGNED to produce at scale — filter/column pushdown into the parquet
+ * scan, broadcast joins for dims, whole-stage codegen coverage. A
+ * regression here means a query silently degrades at 100 TB even though
+ * its results stay correct.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters are pushed down to the parquet scan") {
+    val plan = planOf("q02_filter_project")
+    assert(plan.contains("PushedFilters:"), "scan should report pushed filters")
+    assert(plan.contains("GreaterThan(l_quantity,45.0)")
+      || plan.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$plan")
+  }
+
+  test("q02: scan reads only the referenced columns (pruning)") {
+    val plan = planOf("q02_filter_project")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"),
+      s"unreferenced columns read from parquet: $readSchema")
+  }
+
+  test("q05 star join: all dimension joins are broadcast, fact never shuffled for join") {
+    val plan = planOf("q05_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "star-schema dims must broadcast, not sort-merge")
+  }
+
+  test("q01 agg: partial aggregation before the exchange (map-side combine)") {
+    val df = SparkEntry.queries("q01_agg")(spark, sfDir)
+    // simple mode prints the tree once (formatted repeats nodes in the
+    // details section, double-counting)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashAggs = "HashAggregate".r.findAllIn(plan).size
+    assert(hashAggs >= 2, s"partial+final hash agg expected:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"q01 should shuffle once for the agg (+1 for sort):\n$plan")
+  }
+
+  test("q34 cosine top-k: query side broadcast, native expression in plan") {
+    val plan = planOf("q34_cosine_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query set must broadcast:\n$plan")
+    assert(plan.contains("cosine_similarity"),
+      s"native cosine expression missing from plan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the hot scan->filter->project pipeline") {
+    // codegen explain mode reports the fused subtrees even under AQE
+    val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(plan.contains("WholeStageCodegen"), s"no codegen span:\n${plan.take(2000)}")
+  }
+}

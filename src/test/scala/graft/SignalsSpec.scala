@@ -1,0 +1,39 @@
+package graft
+
+import graft.core._
+import graft.observe.Signals
+
+class SignalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flow runner fires before/after/finished signals in order") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val l = new Signals.FlowListener {
+      override def beforeStep(s: String): Unit = events += s"before:$s"
+      override def afterStep(s: String): Unit = events += s"after:$s"
+      override def flowFinished(t: Set[String]): Unit =
+        events += s"finished:${t.toSeq.sorted.mkString(",")}"
+    }
+    Signals.addListener(l)
+    try {
+      val app = new App(spark)
+      val s2 = app.step("sig2", identity)
+      val s1 = app.step("sig1", identity, next = Some(s2))
+      app.run(s1, Seq(1).toDF("x"))
+      assert(events.toSeq == Seq(
+        "before:sig1", "after:sig1", "before:sig2", "after:sig2",
+        "finished:sig2"))
+    } finally Signals.removeListener(l)
+  }
+
+  test("ExecutionStats listener counts actions on the session") {
+    val stats = graft.observe.ExecutionStats.attach(spark)
+    Seq(1, 2, 3).toDF("x").count()
+    // listener bus is async; give it a beat
+    val deadline = System.currentTimeMillis() + 10000
+    while (stats.snapshot("actions") < 1 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(stats.snapshot("actions") >= 1)
+    assert(stats.snapshot("failures") == 0)
+  }
+}
