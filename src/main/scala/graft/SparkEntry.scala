@@ -461,6 +461,82 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   // ---------------------------------------------------------------------
+  // Temporal / non-equi / SQL-surface operators
+  // ---------------------------------------------------------------------
+
+  /** As-of (temporal) join: each event picks the latest order of the same
+    * user with o_orderdate <= ts. Right side deduped to one row per
+    * (key, time) so the as-of winner is well-defined on both engines. */
+  private def q39_asof_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val quotes = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val joined = operators.AsOf.join(ev, quotes, Seq("user_id"),
+      "ts", "o_orderdate", Seq("o_orderkey"))
+    joined.select(col("event_id"), col("user_id"),
+        col("asof_o_orderkey").as("last_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Non-equi range join: orders bucketed into literal price bands. */
+  private def q40_range_join(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("p0_50k", 0.0, 50000.0), ("p50_150k", 50000.0, 150000.0),
+      ("p150_300k", 150000.0, 300000.0), ("p300k_up", 300000.0, 1e18))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "orders")
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("band"))
+  }
+
+  /** Explicit GROUPING SETS through the SQL surface. */
+  private def q41_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL preserve duplicity. */
+  private def q42_setops_all(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") < 25).select(col("l_returnflag"))
+    val b = li.filter(col("l_discount") > 0.03).select(col("l_returnflag"))
+    a.intersectAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_intersect"))
+      .join(a.exceptAll(b).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_except")), Seq("l_returnflag"), "full_outer")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles per group. */
+  private def q43_percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ approximate distinct (rows-only: sketch values are
+    * implementation-specific; accuracy pinned in ScalaTest vs exact). */
+  private def q44_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
 
@@ -503,6 +579,12 @@ object SparkEntry {
     "q36_multimodal_meta" -> q36_multimodal_meta _,
     "q37_ann_lsh" -> q37_ann_lsh _,
     "q38_near_dup_embedding" -> q38_near_dup_embedding _,
+    "q39_asof_join" -> q39_asof_join _,
+    "q40_range_join" -> q40_range_join _,
+    "q41_grouping_sets" -> q41_grouping_sets _,
+    "q42_setops_all" -> q42_setops_all _,
+    "q43_percentiles" -> q43_percentiles _,
+    "q44_approx_distinct" -> q44_approx_distinct _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -777,5 +859,46 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v")} >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+    "q39_asof_join" ->
+      """WITH quotes AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, q.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN quotes q
+        |  ON e.user_id = q.user_id AND e.ts >= q.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q40_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p0_50k', 0.0, 50000.0), ('p50_150k', 50000.0, 150000.0),
+        |  ('p150_300k', 150000.0, 300000.0), ('p300k_up', 300000.0, 1e18))
+        |SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "q41_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q42_setops_all" ->
+      """WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity < 25),
+        |b AS (SELECT l_returnflag FROM lineitem WHERE l_discount > 0.03),
+        |i AS (SELECT l_returnflag, count(*) AS n_intersect
+        |      FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) x
+        |      GROUP BY l_returnflag),
+        |e AS (SELECT l_returnflag, count(*) AS n_except
+        |      FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) y
+        |      GROUP BY l_returnflag)
+        |SELECT coalesce(i.l_returnflag, e.l_returnflag) AS l_returnflag,
+        |       n_intersect, n_except
+        |FROM i FULL OUTER JOIN e ON i.l_returnflag = e.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

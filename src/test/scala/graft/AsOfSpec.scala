@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks latest right row at-or-before each left time") {
+    val trades = Seq((1L, "A", 10L), (2L, "A", 25L), (3L, "B", 5L), (4L, "C", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 5L, 1.0), ("A", 10L, 2.0), ("A", 20L, 3.0),
+      ("B", 9L, 9.9)).toDF("sym", "qt", "px")
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(2.0)) // tie at t=10 is inclusive
+    assert(out(2L).contains(3.0)) // latest <= 25 is qt=20
+    assert(out(3L).isEmpty)       // B's only quote is at 9 > 5 → null
+    assert(out(4L).isEmpty)       // C has no quotes
+  }
+
+  test("as-of join emits each left row exactly once") {
+    val trades = Seq((1L, "A", 10L), (2L, "A", 10L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 1L, 1.0), ("A", 2L, 2.0)).toDF("sym", "qt", "px")
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+    assert(out.count() == 2)
+    assert(out.select($"asof_px").as[Double].collect().toSeq == Seq(2.0, 2.0))
+  }
+
+  test("approx_count_distinct within HLL++ error of exact") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val row = li.agg(
+      approx_count_distinct($"l_partkey").as("a"),
+      countDistinct($"l_partkey").as("e")).head()
+    val (a, e) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.1, s"approx=$a exact=$e")
+  }
+}
