@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalacheck.rng.Seed
+import graft.core._
+import graft.functions.TextFunctions
+
+/**
+ * Property-based checks (SURVEY §5 item 4) using ScalaCheck generators with
+ * fixed seeds (deterministic, no wall-clock dependence), sampled over a
+ * DataFrame per property rather than per-case for Spark-session economy.
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val textGen: Gen[String] = Gen.listOfN(12,
+    Gen.oneOf("the", "cat", "sat", "on", "mat", "und", "der", "le", "a",
+      "xyz", "123", "!!", "")).map(_.mkString(" "))
+
+  test("projection is idempotent: select(c) . select(c) == select(c)") {
+    val df = sample(Gen.zip(Gen.chooseNum(-100, 100), Gen.alphaStr), 200, 1L)
+      .toDF("a", "b")
+    val once = df.select($"a").collect().toSeq
+    val twice = df.select($"a").select($"a").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("filter composition commutes and equals conjunction") {
+    val df = sample(Gen.chooseNum(-1000, 1000), 500, 2L).toDF("x")
+    val pq = df.filter($"x" % 3 === 0).filter($"x" > 10).as[Int].collect().sorted
+    val qp = df.filter($"x" > 10).filter($"x" % 3 === 0).as[Int].collect().sorted
+    val conj = df.filter($"x" % 3 === 0 && $"x" > 10).as[Int].collect().sorted
+    assert(pq.toSeq == qp.toSeq && qp.toSeq == conj.toSeq)
+  }
+
+  test("hub fan-out with identity branches then reducer preserves the multiset") {
+    val xs = sample(Gen.chooseNum(0, 50), 100, 3L)
+    val app = new App(spark)
+    val red = app.reducerStep("p_red", g => g.select(
+      element_at($"job_list", 1).getField("x").as("x")))
+    val b1 = app.step("p_b1", identity, next = Some(red))
+    val b2 = app.step("p_b2", identity, next = Some(red))
+    val out = app.run(app.step("p_src", identity, next = Some(Hub(b1, b2))),
+      xs.toDF("x"))("p_red").as[Int].collect().sorted
+    assert(out.toSeq == xs.sorted)
+  }
+
+  test("fingerprint is invariant under whitespace amount and case") {
+    val texts = sample(textGen, 100, 4L)
+    val df = texts.map(t => (t, "  " + t.toUpperCase.replace(" ", "   ") + " "))
+      .toDF("t1", "t2")
+    val mismatches = df.filter(
+      TextFunctions.fingerprint($"t1") =!= TextFunctions.fingerprint($"t2"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("shingle count is max(1, tokens - k + 1)") {
+    val texts = sample(textGen, 100, 5L)
+    val df = texts.toDF("t")
+    val bad = df.select(
+        size(TextFunctions.shingles($"t", 3)).as("s"),
+        TextFunctions.tokenCount($"t").as("n"))
+      .filter($"s" =!= greatest(lit(1), $"n" - 2))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("cosine is symmetric and self-similarity is 1 for non-zero vectors") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
+    val vecs = sample(vecGen, 100, 6L).filter(_.exists(_ != 0.0f))
+    val df = vecs.zip(vecs.reverse).toDF("a", "b")
+    import graft.functions.VectorFunctions.cosine
+    val rows = df.select(cosine($"a", $"b").as("ab"), cosine($"b", $"a").as("ba"),
+      cosine($"a", $"a").as("aa")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // symmetry (same fold order)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+}
