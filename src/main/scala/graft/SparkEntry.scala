@@ -25,14 +25,8 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture carries TIMESTAMP(NANOS) — illegal for Spark's
-    * parquet reader unless read as raw nanos longs; convert back to a
-    * proper timestamp (µs precision, which the fixture actually uses). */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t(spark, dir, "events")
-    raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-  }
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    sources.Tables.events(spark, dir)
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the star-join
     * revenue rollup — scan, broadcast dims, hash agg, sort in one plan. */
@@ -536,6 +530,24 @@ object SparkEntry {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot (long→wide conditional aggregation) with pinned pivot values. */
+  private def q45_pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  /** Fuzzy string matching: edit distance against a probe word. */
+  private def q46_levenshtein(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        levenshtein(substring(col("p_name"), 1, 8), lit("red widg"))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= 4)
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -585,6 +597,8 @@ object SparkEntry {
     "q42_setops_all" -> q42_setops_all _,
     "q43_percentiles" -> q43_percentiles _,
     "q44_approx_distinct" -> q44_approx_distinct _,
+    "q45_pivot" -> q45_pivot _,
+    "q46_levenshtein" -> q46_levenshtein _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -900,5 +914,15 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q45_pivot" ->
+      """SELECT l_returnflag,
+        | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q46_levenshtein" ->
+      """SELECT p_partkey,
+        | CAST(levenshtein(substring(p_name, 1, 8), 'red widg') AS BIGINT) AS dist
+        |FROM part WHERE levenshtein(substring(p_name, 1, 8), 'red widg') <= 4
+        |ORDER BY p_partkey""".stripMargin,
   )
 }
