@@ -28,6 +28,15 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     sources.Tables.events(spark, dir)
 
+  /** Split a narrow source across the cluster: the fixture tables are
+    * single-row-group parquet files (unsplittable scans), so CPU-heavy
+    * per-row stages (tokenize, regex, sketch, JSON parse) would otherwise
+    * run on ONE core. A cheap round-robin shuffle of the small input
+    * unlocks full parallelism — at production scale multi-file inputs
+    * arrive pre-split and this is a no-op decision. */
+  private def parallelize(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the star-join
     * revenue rollup — scan, broadcast dims, hash agg, sort in one plan. */
   def entry(spark: SparkSession): DataFrame =
@@ -192,7 +201,7 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   private def q16_json(s: SparkSession, dir: String): DataFrame =
-    events(s, dir)
+    parallelize(events(s, dir))
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -303,7 +312,7 @@ object SparkEntry {
     val factory = app.factoryStep("tokenize_stage", df => df
       .select(explode(TextFunctions.tokens(col("text"))).as("token")),
       next = Some(counter))
-    app.run(factory, t(s, dir, "documents"))("token_count_stage")
+    app.run(factory, parallelize(t(s, dir, "documents")))("token_count_stage")
   }
 
   /** Hub fan-out → Reducer fan-in (≙ README.markdown:159-205 +
@@ -349,7 +358,7 @@ object SparkEntry {
 
   private def q29_token_stats(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
-    t(s, dir, "documents")
+    parallelize(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextFunctions.tokenCount(txt).cast("long").as("n_tokens"),
         TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe_tokens"),
@@ -359,7 +368,7 @@ object SparkEntry {
   }
 
   private def q30_lang_id(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    parallelize(t(s, dir, "documents"))
       .select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang_pred"),
         TextFunctions.langScore(col("text"), "en").cast("long").as("s_en"))
@@ -367,7 +376,7 @@ object SparkEntry {
 
   private def q31_quality_score(s: SparkSession, dir: String): DataFrame = {
     val txt = col("text")
-    t(s, dir, "documents")
+    parallelize(t(s, dir, "documents"))
       .select(col("doc_id"),
         round(TextFunctions.punctRatio(txt), 4).as("punct_ratio"),
         round(TextFunctions.alphaRatio(txt), 4).as("alpha_ratio"),
@@ -381,7 +390,7 @@ object SparkEntry {
     * the set of truly-near-duplicate pairs, so an exact brute-force oracle
     * can check it — the LSH blocking must not lose a single j>=0.8 pair. */
   private def q32_minhash_neardup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+    val docs = parallelize(t(s, dir, "documents").filter(col("doc_id") < 1000))
     val cands = Dedup.minhashLsh(docs, "text", "doc_id",
       shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
     Dedup.ngramJaccard(docs, cands, "text", "doc_id", shingleK = 3)
@@ -393,7 +402,7 @@ object SparkEntry {
   /** SimHash near-dup pairs (no SQL oracle — xxhash64 has no DuckDB
     * equivalent; correctness pinned by ScalaTest against planted dups). */
   private def q33_simhash_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents").filter(col("doc_id") < 1000),
+    Dedup.simhashPairs(parallelize(t(s, dir, "documents").filter(col("doc_id") < 1000)),
         "text", "doc_id", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
