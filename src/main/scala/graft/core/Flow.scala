@@ -134,6 +134,17 @@ final class App(val spark: SparkSession) {
   import Flow._
 
   private val registry = mutable.LinkedHashMap.empty[String, FlowNode]
+  private val persisted = mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Release every frame this app persisted (hub tags, barriers). Call after
+    * terminal results are consumed — long-lived drivers at scale must not
+    * accumulate cached plans across flows. */
+  def cleanup(): Unit = {
+    persisted.foreach(_.unpersist(blocking = false))
+    persisted.clear()
+  }
+
+  private def track(df: DataFrame): DataFrame = { persisted += df; df }
 
   /** Register a step (≙ `register_step` uniqueness check, `app.py:102-108`). */
   def register[N <: FlowNode](node: N): N = {
@@ -214,7 +225,7 @@ final class App(val spark: SparkSession) {
         graft.observe.Signals.fireBefore(s.name)
         val out0 = s.handler(projected)
         graft.observe.Signals.fireAfter(s.name)
-        val out = if (s.barrier) out0.persist() else out0
+        val out = if (s.barrier) track(out0.persist()) else out0
         if (s.saveResult || s.next.isEmpty) acc += s.name -> userView(out)
         s.next.map(walk(_, out, acc)).getOrElse(Nil)
 
@@ -227,9 +238,9 @@ final class App(val spark: SparkSession) {
         val n = h.branches.size
         // uuid per row + branch count, ≙ hub.py:12-14. One uuid per *record*:
         // each input row is its own hub job, its branch copies share the id.
-        val tagged = in
+        val tagged = track(in
           .withColumn(HubJobIdCol, concat(expr("uuid()"), lit(s":$n")))
-          .persist() // branches must see the SAME uuids — and not recompute upstream
+          .persist()) // branches must see the SAME uuids — and not recompute upstream
         h.branches.zipWithIndex.flatMap { case (b, i) =>
           walk(b, tagged.withColumn(BranchCol, lit(i)), acc)
         }

@@ -42,4 +42,15 @@ class ExpressionsSpec extends SparkSpec {
       .as[Double].head()
     assert(cos == 1.0)
   }
+
+  test("GraftExtensions injects the native functions into a registry") {
+    import org.apache.spark.sql.SparkSessionExtensions
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.GraftColumnBridge.applyFunctions(ext, registry)
+    assert(registry.functionExists(FunctionIdentifier("cosine_similarity")))
+    assert(registry.functionExists(FunctionIdentifier("rolling_hash")))
+  }
 }

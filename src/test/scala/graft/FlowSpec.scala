@@ -74,6 +74,16 @@ class FlowSpec extends SparkSpec {
     assert(res("square").as[Int].collect().sorted.toSeq == Seq(1, 4, 9))
   }
 
+  test("hub zip variant routes one input per branch (next_step.py:34-39)") {
+    val app = new App(spark)
+    val hub = Hub(
+      app.step("z1", df => df.select(($"x" * 10).as("y"))),
+      app.step("z2", df => df.select(($"x" + 1).as("y"))))
+    val res = app.runZip(hub, Seq(Seq(1, 2).toDF("x"), Seq(7).toDF("x")))
+    assert(res("z1").as[Int].collect().sorted.toSeq == Seq(10, 20))
+    assert(res("z2").as[Int].collect().toSeq == Seq(8))
+  }
+
   test("hub zip variant: wrong arity fails at plan build (next_step.py:34-36)") {
     val app = new App(spark)
     val hub = Hub(app.step("b1", identity), app.step("b2", identity))

@@ -106,6 +106,23 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(col("n") =!= col("count")).count() == 0)
   }
 
+  test("session windows group events by inactivity gap") {
+    // batch-mode session_window: same semantics engine as streaming
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:00:30"),
+      (1L, "2024-01-01 01:00:00"), // > gap → second session for user 1
+      (2L, "2024-01-01 00:00:10"))
+      .toDF("user_id", "tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    val sessions = rows
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val byUser = sessions.groupBy("user_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(byUser == Map(1L -> 2L, 2L -> 1L))
+    assert(sessions.filter(col("n") === 2).count() == 1) // the 2-event session
+  }
+
   test("ParquetBoundary: write side feeds both batch and streaming readers") {
     val dir = java.nio.file.Files.createTempDirectory("boundary").toString
     val b = new ParquetBoundary(s"$dir/stage")
