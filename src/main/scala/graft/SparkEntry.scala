@@ -557,6 +557,39 @@ object SparkEntry {
       .filter(col("dist") <= 4)
       .orderBy(col("p_partkey"))
 
+  /** Array intrinsics over the token array (distinct, sort, slice,
+    * contains, join). */
+  private def q47_array_fns(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 3)).as("top3"),
+        array_contains(toks, "the").as("has_the"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Correlated scalar subquery: orders above their customer's average. */
+  private def q48_subquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders_v o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.2
+        |                      FROM orders_v o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Pattern predicates: LIKE / IN / prefix. */
+  private def q49_like_in(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").like("%widget%") ||
+        (col("p_name").startsWith("red") &&
+          col("p_type").isin("ECONOMY", "PROMO")))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -608,6 +641,9 @@ object SparkEntry {
     "q44_approx_distinct" -> q44_approx_distinct _,
     "q45_pivot" -> q45_pivot _,
     "q46_levenshtein" -> q46_levenshtein _,
+    "q47_array_fns" -> q47_array_fns _,
+    "q48_subquery" -> q48_subquery _,
+    "q49_like_in" -> q49_like_in _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -932,6 +968,24 @@ object SparkEntry {
       """SELECT p_partkey,
         | CAST(levenshtein(substring(p_name, 1, 8), 'red widg') AS BIGINT) AS dist
         |FROM part WHERE levenshtein(substring(p_name, 1, 8), 'red widg') <= 4
+        |ORDER BY p_partkey""".stripMargin,
+    "q47_array_fns" ->
+      s"""SELECT doc_id,
+         | CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct,
+         | array_to_string(list_sort(list_distinct($toksSql))[1:3], ',') AS top3,
+         | list_contains($toksSql, 'the') AS has_the
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q48_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) * 1.2
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q49_like_in" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%widget%'
+        |   OR (p_name LIKE 'red%' AND p_type IN ('ECONOMY', 'PROMO'))
         |ORDER BY p_partkey""".stripMargin,
   )
 }
