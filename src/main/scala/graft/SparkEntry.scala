@@ -325,8 +325,12 @@ object SparkEntry {
         // job_list sorted by branch idx: [0]=double_qty branch, [1]=tenth_price
         element_at(col("job_list"), 1).getField("l_orderkey").as("l_orderkey"),
         element_at(col("job_list"), 1).getField("l_linenumber").as("l_linenumber"),
+        // round to 3: the exact value has <=3 decimals (price/10), so both
+        // engines' doubles sit within 1 ulp of the representable target —
+        // rounding to FEWER decimals can diverge at exact .xx5 boundaries
+        // (Spark rounds the shortest decimal repr, DuckDB the binary value)
         round(element_at(col("job_list"), 1).getField("double_qty") +
-          element_at(col("job_list"), 2).getField("tenth_price"), 2).as("combined"))
+          element_at(col("job_list"), 2).getField("tenth_price"), 3).as("combined"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("combined")))
     val b1 = app.step("double_qty_stage", df => df
       .withColumn("double_qty", col("l_quantity") * 2), next = Some(reducer))
@@ -524,10 +528,14 @@ object SparkEntry {
   private def q43_percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // round to 4: quartile interpolation of 2-decimal prices yields exact
+      // values with <=4 decimals; Spark's (1-f)*lo+f*hi and DuckDB's
+      // lo+f*(hi-lo) differ by 1 ulp, and rounding to the exact precision
+      // absorbs it (coarser rounding diverges at .xx5 boundaries)
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
       .orderBy(col("l_returnflag"))
 
   /** HLL++ approximate distinct (rows-only: sketch values are
@@ -826,7 +834,7 @@ object SparkEntry {
         |GROUP BY token HAVING count(*) >= 50 ORDER BY token""".stripMargin,
     "q27_flow_hub_reducer" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_quantity*2 + l_extendedprice/10, 2) AS combined
+        | round(l_quantity*2 + l_extendedprice/10, 3) AS combined
         |FROM lineitem WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber, combined""".stripMargin,
     "q28_dedup_exact" ->
@@ -955,9 +963,9 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
     "q43_percentiles" ->
       """SELECT l_returnflag,
-        | round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-        | round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_pivot" ->
       """SELECT l_returnflag,
