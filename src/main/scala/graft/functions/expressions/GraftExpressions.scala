@@ -131,6 +131,125 @@ object RollingHash {
   }
 }
 
+/**
+ * MinHash signature over an `array<long>` of shingle hashes: all `numHashes`
+ * lane minima of `(a_i * (h mod p) + b_i) mod p` (p = 2^31-1, the standard
+ * universal family) computed in ONE pass over the array. The equivalent
+ * built-in formulation is `numHashes` separate `array_min(transform(...))`
+ * branches — `numHashes`× the traversals and an interpreted lambda per
+ * element, since higher-order-function lambdas are exempt from both
+ * whole-stage codegen and subexpression elimination. Semantics are
+ * bit-identical to that formulation (null elements skipped; an all-null or
+ * empty array yields null lanes, matching `array_min`).
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.compute(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinHashSignature.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** 2^31-1 (Mersenne prime): a,x < p keeps a*x+b < 2^62 — no long overflow. */
+  private final val P = 2147483647L
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(hashes: ArrayData, numHashes: Int): ArrayData = {
+    val n = hashes.numElements()
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var sawValue = false
+    var i = 0
+    while (i < n) {
+      if (!hashes.isNullAt(i)) {
+        sawValue = true
+        val h = hashes.getLong(i)
+        val x = ((h % P) + P) % P // pmod: xxhash64 may be negative
+        var j = 0
+        while (j < numHashes) {
+          val a = (1000003L * (j + 1) + 12345L) % P
+          val b = (998244353L * (j + 7) + 42L) % P
+          val v = (a * x + b) % P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!sawValue)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](numHashes)(null))
+    else
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
+  }
+}
+
+/**
+ * 64-bit SimHash of an `array<long>` of token hashes: per-bit ±1 votes,
+ * sign of the vote per bit, ONE pass over the array — vs 64 separate
+ * `aggregate(...)` traversals in the built-in HOF formulation (same
+ * interpreted-lambda caveat as [[MinHashSignature]]). Bit-identical to that
+ * formulation: a null element votes −1 in every lane (the HOF's
+ * `when(null_cond, 1).otherwise(-1)`), an empty array yields 0L.
+ */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.SimHash64.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokenHashes: ArrayData): Long = {
+    val n = tokenHashes.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (tokenHashes.isNullAt(i)) {
+        var j = 0
+        while (j < 64) { votes(j) -= 1; j += 1 }
+      } else {
+        val h = tokenHashes.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -140,6 +259,13 @@ object GraftExpressions {
   def rollingHash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
 
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      MinHashSignature(GraftColumnBridge.expression(hashes), numHashes))
+
+  def simhash64(tokenHashes: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokenHashes)))
+
   /** Expose as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -147,5 +273,7 @@ object GraftExpressions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("rolling_hash",
       exprs => RollingHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "scala_udf")
   }
 }

@@ -44,22 +44,24 @@ object Dedup {
       .select(col("min_id"), col("cluster_size"))
 
   /**
-   * MinHash signature: `numHashes` minima over the hashed shingle set,
-   * using the standard (a*x+b mod p) family derived from xxhash64 shingles.
-   * Pure expression — one pass over the shingle array per hash function,
-   * no UDF, no shuffle.
+   * MinHash signature from a shingle-hash array column: all `numHashes`
+   * (a*x+b mod p) lane minima in ONE codegen'd pass over the array — the
+   * native [[graft.functions.expressions.MinHashSignature]] expression.
+   * (The equivalent built-in formulation, kept below as the executable
+   * semantics spec, needs `numHashes` separate `array_min(transform(...))`
+   * traversals with an interpreted lambda per element.)
    */
+  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column =
+    graft.functions.expressions.GraftExpressions.minhashSignature(hashes, numHashes)
+
   /**
-   * Signature from an ALREADY-MATERIALIZED shingle-hash array column.
-   * The 64 (a*x+b mod p) minima each re-reference `hashes`; if that were an
-   * inline expression tree it would be re-evaluated per hash function —
-   * Spark's subexpression elimination does not cover higher-order-function
-   * lambdas — turning an O(shingles) pass into O(64·full-tokenize). Callers
-   * must hand in a stored/cached column (see [[minhashLsh]]).
+   * Reference semantics of [[minhashSignatureFromHashes]] in pure built-in
+   * HOFs — `numHashes` minima of the standard (a*x+b mod p) family over
+   * xxhash64 shingles (p = 2^31-1: a,x < p keeps a*x+b < 2^62 — no
+   * ANSI-mode long overflow; a 31-bit minhash space is ample for dedup).
+   * Used by the equivalence spec; hot paths use the native expression.
    */
-  def minhashSignatureFromHashes(hashes: Column, numHashes: Int): Column = {
-    // 2^31-1 (Mersenne prime): a,x < p keeps a*x+b < 2^62 — no ANSI-mode
-    // long overflow, and a 31-bit minhash space is ample for dedup.
+  private[graft] def minhashSignatureHof(hashes: Column, numHashes: Int): Column = {
     val P = 2147483647L
     val p = lit(P)
     val sig = (0 until numHashes).map { i =>
@@ -92,15 +94,12 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Materialize the shingle-hash array FIRST: the persist boundary stops
-    // CollapseProject from re-inlining the tokenize+shingle tree into each
-    // of the 64 min-hash branches (HOF lambdas are exempt from subexpr
-    // elimination — without this the signature costs 64× the tokenize).
-    val hashed = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), shingleK).as("hs"))
-      .persist()
-    val sigs = hashed
-      .select(col("id"), minhashSignatureFromHashes(col("hs"), numHashes).as("sig"))
+    // The native signature expression reads the shingle-hash array exactly
+    // once, so tokenize→shingle→signature fuses into one codegen'd stage.
+    val sigs = df
+      .select(col(idCol).as("id"),
+        minhashSignatureFromHashes(
+          shingleHashes(col(textCol), shingleK), numHashes).as("sig"))
       // signatures are reused by every band and both join sides
       .persist()
     val banded = sigs.select(col("id"), col("sig"),
@@ -129,12 +128,17 @@ object Dedup {
   /**
    * 64-bit SimHash of the token multiset: sum ±1 votes per bit position of
    * each token's xxhash64, take sign. Near-dups differ in few bits (compare
-   * with [[hammingDistance]]). Pure expressions: per-bit vote is an
-   * `aggregate` over the token-hash array.
+   * with [[hammingDistance]]). Native single-pass expression
+   * ([[graft.functions.expressions.SimHash64]]); the built-in HOF
+   * formulation below is the executable semantics spec.
    */
-  /** SimHash from an ALREADY-MATERIALIZED token-hash array column (same
-    * HOF-lambda caveat as [[minhashSignatureFromHashes]]). */
-  def simhash64FromHashes(tokenHashes: Column): Column = {
+  def simhash64FromHashes(tokenHashes: Column): Column =
+    graft.functions.expressions.GraftExpressions.simhash64(tokenHashes)
+
+  /** Reference semantics of [[simhash64FromHashes]] in pure built-in HOFs:
+    * per-bit vote is an `aggregate` over the token-hash array — 64 array
+    * traversals with interpreted lambdas. Equivalence-spec only. */
+  private[graft] def simhash64Hof(tokenHashes: Column): Column = {
     val bits = (0 until 64).map { i =>
       val vote = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L)
@@ -163,10 +167,10 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
-    val hashed = df.select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => xxhash64(t)).as("th"))
-      .persist()
-    val fps = hashed.select(col("id"), simhash64FromHashes(col("th")).as("fp"))
+    // single-pass native simhash: tokenize→hash→fingerprint in one stage
+    val fps = df.select(col(idCol).as("id"),
+        simhash64FromHashes(
+          transform(tokens(col(textCol)), t => xxhash64(t))).as("fp"))
       .persist()
     val segmented = fps.select(col("id"), col("fp"),
       explode(array((0 until nSeg).map { s =>

@@ -43,6 +43,53 @@ class ExpressionsSpec extends SparkSpec {
     assert(cos == 1.0)
   }
 
+  test("native minhash signature is bit-identical to the HOF formulation") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select(TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+    val numHashes = 64
+    val mismatches = docs.select(
+        GraftExpressions.minhashSignature($"hs", numHashes).as("native"),
+        operators.Dedup.minhashSignatureHof($"hs", numHashes).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+      .count()
+    assert(mismatches == 0, s"$mismatches rows diverged")
+  }
+
+  test("native minhash signature: empty and null-element arrays match array_min") {
+    val df = Seq(
+      (1, Seq.empty[java.lang.Long]),
+      (2, Seq[java.lang.Long](null)),
+      (3, Seq[java.lang.Long](42L, null, -7L))).toDF("id", "hs")
+    val out = df.select($"id",
+        GraftExpressions.minhashSignature($"hs", 4).as("native"),
+        operators.Dedup.minhashSignatureHof($"hs", 4).as("hof"))
+      .filter(not($"native" <=> $"hof"))
+    assert(out.count() == 0)
+    // empty input → all-null lanes, like array_min of an empty array
+    val lanes = df.filter($"id" === 1)
+      .select(GraftExpressions.minhashSignature($"hs", 4))
+      .head().getSeq[Any](0)
+    assert(lanes == Seq(null, null, null, null))
+  }
+
+  test("native simhash64 is bit-identical to the HOF formulation") {
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+      .select(transform(TextFunctions.tokens(col("text")),
+        t => xxhash64(t)).as("th"))
+    val mismatches = docs.select(
+        GraftExpressions.simhash64($"th").as("native"),
+        operators.Dedup.simhash64Hof($"th").as("hof"))
+      .filter(not($"native" <=> $"hof"))
+      .count()
+    assert(mismatches == 0, s"$mismatches rows diverged")
+    // empty token array → 0L on both
+    val z = Seq(Seq.empty[Long]).toDF("th")
+      .select(GraftExpressions.simhash64($"th")).as[Long].head()
+    assert(z == 0L)
+  }
+
   test("GraftExtensions injects the native functions into a registry") {
     import org.apache.spark.sql.SparkSessionExtensions
     import org.apache.spark.sql.catalyst.FunctionIdentifier
