@@ -599,6 +599,193 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
 
   // ---------------------------------------------------------------------
+  // Round-2 additions: dedup/fingerprint variants, sessionization, sources,
+  // window frames, stats aggregates, map functions, streaming
+  // ---------------------------------------------------------------------
+
+  /** Standalone exact n-gram Jaccard near-dup. Candidate blocking: any
+    * shared shingle hash — lossless for every threshold > 0 (j >= 0.6
+    * implies a nonempty shingle intersection), so the exact brute-force
+    * oracle must agree pair-for-pair. The shuffle moves (hash, id) pairs,
+    * never documents. */
+  private def q50_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(TextFunctions.shingleHashes(col("text"), 3)).as("h"))
+    val cands = sh.alias("a").join(sh.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    Dedup.ngramJaccard(docs, cands, "text", "doc_id", shingleK = 3)
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Gap-based sessionization (30 min inactivity): lag + cumulative-sum
+    * session ids, then per-session aggregates. Micro-precision epoch math
+    * on both engines — no sub-second truncation divergence. */
+  private def q51_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al.): md5 3-gram hashes,
+    * min of each 4-window, distinct. md5 exists in both engines, so the
+    * whole selection is oracle-checkable. */
+  private def q52_winnow_fingerprint(s: SparkSession, dir: String): DataFrame =
+    parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        transform(TextFunctions.shingles(col("text"), 3), g => md5(g)).as("gh"))
+      .select(col("doc_id"),
+        TextFunctions.winnowFromGramHashes(col("gh"), 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"), array_max(col("fps")).as("fp_max"))
+      .orderBy(col("doc_id"))
+
+  /** Statistical aggregates: correlation, sample stddev/variance/covariance. */
+  private def q53_stats_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+        round(covar_samp(col("l_quantity"), col("l_tax")), 6).as("cov_qty_tax"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** CSV sink + source round-trip: write orders as headered CSV, read back
+    * with an explicit schema, aggregate — the result must equal the oracle's
+    * direct-parquet aggregate (lossless round-trip of longs/doubles). */
+  private def q54_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q54_csv"
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read
+      .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("header", "true").csv(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON-lines sink + source round-trip over part. */
+  private def q55_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q55_json"
+    t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
+      .write.mode("overwrite").json(tmp)
+    s.read
+      .schema("p_partkey BIGINT, p_brand STRING, p_type STRING, p_retailprice DOUBLE")
+      .json(tmp)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Sliding ROWS-frame window aggregates: 3-row moving avg/max/count. */
+  private def q56_window_frames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 40)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(avg(col("o_totalprice")).over(w), 4).as("moving_avg"),
+        round(max(col("o_totalprice")).over(w), 2).as("moving_max"),
+        count(lit(1)).over(w).as("n_in_frame"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Relative-rank window functions: percent_rank + cume_dist per nation
+    * (deterministic: the order key (c_acctbal, c_custkey) is unique). */
+  private def q57_percent_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .filter(col("c_custkey") <= 300)
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Map-typed columns: JSON props → map<string,long>, key intrinsics. */
+  private def q58_map_fns(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    parallelize(events(s, dir))
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .select(col("event_id"),
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        size(col("m")).cast("long").as("n_keys"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Event-time windowed aggregation through the STRUCTURED STREAMING path:
+    * file source → watermark → window agg → AvailableNow drain (≙ the
+    * reference worker's `die_when_empty`, `libs/simple_queue.py:24-37`) →
+    * memory sink. Must produce exactly the batch oracle's answer. Complete
+    * output mode because the fixture is one file = one micro-batch; the
+    * memory sink is test-scale only — production flows write parquet/Kafka
+    * via the same writeStream. */
+  private def q59_streaming_window(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // file-stream sources take a DIRECTORY; glob-filter to the events table
+    val agg = s.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    s.streams.active.filter(_.name == "q59_mem").foreach(_.stop())
+    val q = agg.writeStream.format("memory").queryName("q59_mem")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("q59_mem")
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("bucket"), col("event_type"))
+  }
+
+  /** IVF ANN top-k (approximate — no oracle; recall vs brute force pinned
+    * in SimilaritySpec). Centroids are a deterministic corpus sample; at
+    * real scale they come from k-means and the corpus is written
+    * partitioned by cell. */
+  private def q60_ivf_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val centroids = e.filter(pmod(col("vec_id"), lit(97)) === 3)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.ivfTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
+        centroids, "embedding", "vec_id", k = 5, nProbe = 3)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 4).as("cos_r"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
 
@@ -652,6 +839,17 @@ object SparkEntry {
     "q47_array_fns" -> q47_array_fns _,
     "q48_subquery" -> q48_subquery _,
     "q49_like_in" -> q49_like_in _,
+    "q50_ngram_jaccard" -> q50_ngram_jaccard _,
+    "q51_sessionize" -> q51_sessionize _,
+    "q52_winnow_fingerprint" -> q52_winnow_fingerprint _,
+    "q53_stats_agg" -> q53_stats_agg _,
+    "q54_csv_roundtrip" -> q54_csv_roundtrip _,
+    "q55_json_roundtrip" -> q55_json_roundtrip _,
+    "q56_window_frames" -> q56_window_frames _,
+    "q57_percent_rank" -> q57_percent_rank _,
+    "q58_map_fns" -> q58_map_fns _,
+    "q59_streaming_window" -> q59_streaming_window _,
+    "q60_ivf_ann" -> q60_ivf_ann _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -995,5 +1193,100 @@ object SparkEntry {
         |WHERE p_name LIKE '%widget%'
         |   OR (p_name LIKE 'red%' AND p_type IN ('ECONOMY', 'PROMO'))
         |ORDER BY p_partkey""".stripMargin,
+    "q50_ngram_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q51_sessionize" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts), 1) OVER w AS prev_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM seq),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS sess_start,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+        |  round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q52_winnow_fingerprint" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |gr AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [md5(array_to_string(w, ' '))]
+         |    ELSE [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |          for i in range(1, len(w) - 1)] END AS gh
+         |  FROM tok),
+         |fp AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(gh) <= 4 THEN [list_aggregate(gh, 'min')]
+         |      ELSE [list_aggregate(gh[i:i+3], 'min')
+         |            for i in range(1, len(gh) - 2)] END) AS fps
+         |  FROM gr)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  list_aggregate(fps, 'min') AS fp_min,
+         |  list_aggregate(fps, 'max') AS fp_max
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "q53_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(stddev_samp(l_discount), 6) AS sd_disc,
+        | round(covar_samp(l_quantity, l_tax), 6) AS cov_qty_tax,
+        | round(var_samp(l_quantity), 4) AS var_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q54_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q55_json_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+        | round(avg(p_retailprice), 4) AS avg_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q56_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(avg(o_totalprice) OVER w, 4) AS moving_avg,
+        | round(max(o_totalprice) OVER w, 2) AS moving_max,
+        | count(*) OVER w AS n_in_frame
+        |FROM orders WHERE o_custkey < 40
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q57_percent_rank" ->
+      """SELECT c_custkey, c_nationkey, pr, cd FROM (
+        |  SELECT c_custkey, c_nationkey,
+        |    round(percent_rank() OVER w, 6) AS pr,
+        |    round(cume_dist() OVER w, 6) AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)) x
+        |WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+    "q58_map_fns" ->
+      """SELECT event_id,
+        | array_to_string(list_sort(json_keys(props)), ',') AS keys,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q59_streaming_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+        | count(*) AS n, round(sum(value),2) AS total_value
+        |FROM events GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
   )
 }

@@ -163,4 +163,22 @@ object TextFunctions {
   /** Hashed shingle set (distinct), the MinHash input domain. */
   def shingleHashes(text: Column, k: Int): Column =
     array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /**
+   * Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+   * from an ORDERED k-gram hash array, keep the minimum of every sliding
+   * window of `w` consecutive hashes, distinct. Guarantees at least one
+   * shared fingerprint for any match of length >= w+k-1 tokens — the
+   * standard local document-fingerprinting scheme (cheap, alignment-free).
+   *
+   * `grams` must be a materialized column (not an inline expression tree):
+   * the per-window `slice` re-references it inside a HOF lambda, which is
+   * exempt from subexpression elimination.
+   */
+  def winnowFromGramHashes(grams: Column, w: Int): Column =
+    array_distinct(
+      when(size(grams) <= w, array(array_min(grams)))
+        .otherwise(transform(
+          sequence(lit(1), size(grams) - (w - 1)),
+          i => array_min(slice(grams, i, lit(w))))))
 }

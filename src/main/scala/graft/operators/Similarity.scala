@@ -98,4 +98,42 @@ object Similarity {
       .filter(col("rank") === 1)
       .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
   }
+
+  /**
+   * IVF ANN top-k: corpus vectors are coarse-quantized into centroid cells
+   * ([[ivfAssign]]); each query probes its `nProbe` nearest cells and scores
+   * only the vectors inside them. The scan shrinks by ~cells/nProbe; recall
+   * depends on centroid quality (pinned vs [[bruteForceTopK]] in tests). At
+   * 100 TB the assigned corpus is written partitioned by `cell`, so the
+   * probe join becomes partition pruning at the parquet scan — only the
+   * probed cells are ever read.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              vecCol: String, idCol: String, k: Int, nProbe: Int = 2,
+              includeSelf: Boolean = false): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, vecCol, idCol)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("cell"))
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    // each query's nProbe nearest centroids → (query, probed cell) pairs
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(c))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("qv"), col("centv")).as("ccos"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ccos").desc, col("centroid_id").asc)))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    val joined = assigned.join(broadcast(probes), Seq("cell"))
+    val filtered =
+      if (includeSelf) joined else joined.filter(col("corpus_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    filtered
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+      .dropDuplicates("query_id", "corpus_id") // a pair may appear via 2 cells
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -19,10 +19,12 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS) — read nanos as long, convert
-    * to a proper µs timestamp column. */
+    * to a proper µs timestamp column. Integral `div`, NOT `/`: nanos
+    * (~1.7e18) exceed double's exact range (2^53), so float division is off
+    * by up to ~256 ns → a ±1 µs error against an engine that truncates. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 }

@@ -52,6 +52,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, f"LSH recall $recall%.2f too low")
   }
 
+  test("ivfTopK finds neighbors within probed cells and beats chance recall") {
+    val queries = emb.filter(pmod($"vec_id", lit(50)) === 0)
+    val centroids = emb.filter(pmod($"vec_id", lit(97)) === 3)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, centroids,
+        "embedding", "vec_id", k = 5, nProbe = 3)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    // every query must get a full top-k from its probed cells
+    val nQ = queries.count()
+    assert(approx.size == 5 * nQ, s"expected ${5 * nQ} rows, got ${approx.size}")
+    val recall = (exact & approx).size.toDouble / exact.size
+    // near-random fixture vectors + sampled (non-k-means) centroids is the
+    // IVF worst case; probing 3 of ~5 cells must still clearly beat the
+    // random-top-k baseline (~1%) and roughly track the probed fraction.
+    assert(recall >= 0.3, f"IVF recall $recall%.2f too low")
+  }
+
   test("ivfAssign routes each vector to its nearest centroid") {
     val cents = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))

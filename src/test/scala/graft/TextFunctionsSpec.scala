@@ -68,4 +68,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) == Seq("a b c", "b c d"))
     assert(out(1) == Seq("a b")) // shorter than k → single whole-text shingle
   }
+
+  test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fingerprint") {
+    val k = 3; val w = 4
+    // two docs sharing a (w+k-1)=6-token run inside different surroundings
+    val shared = "one two three four five six"
+    val df = Seq(
+      (1, s"alpha beta $shared gamma delta"),
+      (2, s"zz yy xx ww $shared vv uu"),
+      (3, "completely different words entirely here now")).toDF("id", "text")
+    val fps = df
+      .select($"id", transform(shingles($"text", k), g => md5(g)).as("gh"))
+      .select($"id", winnowFromGramHashes($"gh", w).as("fps"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert((fps(1).toSet & fps(2).toSet).nonEmpty,
+      "docs sharing a w+k-1 run must share a winnowed fingerprint")
+    assert((fps(1).toSet & fps(3).toSet).isEmpty)
+    // selection is a subset of the gram hashes, never larger than gram count
+    val nGrams = df.filter($"id" === 1)
+      .select(size(shingles($"text", k))).as[Int].head()
+    assert(fps(1).size <= nGrams)
+  }
 }
