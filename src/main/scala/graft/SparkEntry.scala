@@ -785,6 +785,48 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Native session-window operator (batch form of the streaming gap
+    * sessionizer), checked against a first-principles lag/cumulative-sum
+    * oracle: Spark's merge rule (same session iff gap < 30 min, end
+    * exclusive) must reproduce the SQL formulation exactly. */
+  private def q61_session_window(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("sess_start"), col("sw.end").as("sess_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  /** Skew-salted equi-join (hot keys fan out over saltFactor reducers);
+    * result must be row-identical to the plain inner join the oracle runs. */
+  private def q62_salted_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("value"))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    operators.Skew.saltedJoin(ev, cust, Seq("user_id"), saltFactor = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Custom typed Aggregator UDAF (constant-size top-3 buffer, partial+final
+    * hash agg — the scalable form of the reference's reducer-handler fold,
+    * `reducer_engine.py:78`). */
+  private def q63_custom_udaf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val top3 = udaf(graft.functions.Aggregators.Top3Double, Encoders.scalaDouble)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(top3(col("l_extendedprice")).as("t"))
+      .select(col("l_returnflag"),
+        round(col("t._1"), 2).as("top1"),
+        round(col("t._2"), 2).as("top2"),
+        round(col("t._3"), 2).as("top3"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -850,6 +892,9 @@ object SparkEntry {
     "q58_map_fns" -> q58_map_fns _,
     "q59_streaming_window" -> q59_streaming_window _,
     "q60_ivf_ann" -> q60_ivf_ann _,
+    "q61_session_window" -> q61_session_window _,
+    "q62_salted_join" -> q62_salted_join _,
+    "q63_custom_udaf" -> q63_custom_udaf _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1288,5 +1333,34 @@ object SparkEntry {
         | count(*) AS n, round(sum(value),2) AS total_value
         |FROM events GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    "q61_session_window" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, value, lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM seq),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL '30 minutes' AS sess_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
+    "q62_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q63_custom_udaf" ->
+      """SELECT l_returnflag,
+        | round(list_sort(list(l_extendedprice), 'DESC')[1], 2) AS top1,
+        | round(list_sort(list(l_extendedprice), 'DESC')[2], 2) AS top2,
+        | round(list_sort(list(l_extendedprice), 'DESC')[3], 2) AS top3
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
