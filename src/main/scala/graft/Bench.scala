@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
  * Methodology: each query is forced end-to-end with a `noop` sink —
  * full computation of every output column, zero driver-side collection
  * (a `count()` would let Catalyst prune the projections being measured).
- * One untimed warmup query amortizes JVM/classloader/codegen startup so
- * the numbers reflect steady-state throughput, which is what matters at
- * cluster scale.
+ * Each query runs once untimed (Janino codegen compile + JIT + parquet
+ * footer caches), then once timed: steady-state throughput is the metric
+ * that scales to cluster runs, where per-query compile cost (hundreds of
+ * ms, fixed) amortizes over minutes of execution and what matters is the
+ * per-row cost of the pipeline.
  */
 object Bench {
   /** Headline set: scan+agg, star join, window, event-time bucketing,
@@ -44,10 +46,8 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    runOnce("q01_agg") // warmup: JIT + codegen + parquet footer caches
-
     val results = headline.map { name =>
-      val sec = try runOnce(name) catch {
+      val sec = try { runOnce(name); runOnce(name) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0

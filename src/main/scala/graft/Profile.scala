@@ -27,30 +27,24 @@ object Profile {
         .write.format("noop").mode("overwrite").save()
     }
 
+    run("q01_agg") // warmup
+    (1 to 5).foreach(i => run(s"q26_flow_factory"))
+    // stage breakdown without the flow engine
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    time("warmup")(docs.count())
-    println(s"[profile] docs rows=${docs.count()} " +
-      s"avg text len=${docs.select(avg(length(col("text")))).head.getDouble(0)}")
-
-    // stage breakdown of q26
     val par = docs.repartition(32)
-    time("q26a tokenize only")(
-      par.select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .write.format("noop").mode("overwrite").save())
-    time("q26b tokenize+groupBy")(
-      par.select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 50)
-        .write.format("noop").mode("overwrite").save())
-
-    args.headOption match {
-      case Some("all") =>
-        Seq("q16_json", "q26_flow_factory", "q29_token_stats",
-          "q31_quality_score", "q32_minhash_neardup", "q05_star_join",
-          "q23_events_window").foreach(run)
-      case _ =>
-        Seq("q26_flow_factory", "q31_quality_score", "q32_minhash_neardup")
-          .foreach { n => run(n); run(n) } // second run = warm
+    (1 to 3).foreach { i =>
+      time(s"q26 raw (no App) #$i")(
+        par.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 50).orderBy(col("token"))
+          .write.format("noop").mode("overwrite").save())
+    }
+    (1 to 3).foreach { i =>
+      time(s"q26 no repartition #$i")(
+        docs.select(explode(TextFunctions.tokens(col("text"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 50).orderBy(col("token"))
+          .write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

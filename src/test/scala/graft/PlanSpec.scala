@@ -58,6 +58,31 @@ class PlanSpec extends SparkSpec {
       s"native cosine expression missing from plan:\n$plan")
   }
 
+  test("q60 IVF: centroid table and probe set broadcast, corpus never collected") {
+    val plan = planOf("q60_ivf_ann")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids/probes must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "IVF probe join must not degenerate to a cartesian product over the corpus")
+  }
+
+  test("q63 typed Aggregator runs as partial+final hash agg (map-side combine)") {
+    val df = SparkEntry.queries("q63_custom_udaf")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val aggs = ("HashAggregate".r.findAllIn(plan).size
+      + "ObjectHashAggregate".r.findAllIn(plan).size
+      + "SortAggregate".r.findAllIn(plan).size)
+    assert(aggs >= 2, s"partial+final aggregation expected for Aggregator:\n$plan")
+  }
+
+  test("q52 winnowing scan reads only doc_id and text") {
+    val plan = planOf("q52_winnow_fingerprint")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unreferenced document columns read from parquet: $readSchema")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
