@@ -827,6 +827,92 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** LEFT OUTER join with surviving nulls (unmatched customers keep null
+    * aggregate columns — exercised, not coalesced away). */
+  private def q64_left_outer(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_custkey") <= 200)
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), round(max(col("o_totalprice")), 2).as("max_price"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("n_big"), col("max_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** FULL OUTER join on overlapping key ranges — nulls possible both sides. */
+  private def q65_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_custkey") < 60)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_a"))
+    val b = o.filter(col("o_custkey").between(30, 90))
+      .groupBy(col("o_custkey").as("k"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_b"))
+    a.join(b, Seq("k"), "full_outer").orderBy(col("k"))
+  }
+
+  /** CROSS join (explicit cartesian of two small dims). */
+  private def q66_cross_join(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"),
+        concat_ws("/", col("r_name"), col("n_name")).as("pair"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** unionByName with missing columns (schema-widening union — ≙ the
+    * reference's heterogeneous branch dicts) + null intrinsics. */
+  private def q67_union_null_fns(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_custkey") < 10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("amount"))
+    val b = o.filter(col("o_custkey") >= 140)
+      .select(col("o_orderkey"), col("o_orderstatus").as("status"))
+    a.unionByName(b, allowMissingColumns = true)
+      .select(col("o_orderkey"),
+        coalesce(col("amount"), lit(-1.0)).as("amount_f"),
+        coalesce(col("status"), lit("none")).as("status_f"),
+        col("amount").isNull.as("amount_missing"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Window VALUE functions: first/last/nth over the full-partition frame. */
+  private def q68_window_value_fns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(w), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(w), 2).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Date/time arithmetic: month add (end-clamped), day add, last_day,
+    * month truncation, quarter, day-of-week (normalized to Sunday=0). */
+  private def q69_date_arith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus3m"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        trunc(col("o_orderdate").cast("date"), "month").as("month_start"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  /** String surface 2: padding, translate, repeat, reverse, split-part. */
+  private def q70_string_fns2(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, "-").as("rp"),
+        translate(col("p_type"), "AEO", "aeo").as("tr"),
+        repeat(substring(col("p_name"), 1, 3), 2).as("rep"),
+        reverse(col("p_brand")).as("rev"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -895,6 +981,13 @@ object SparkEntry {
     "q61_session_window" -> q61_session_window _,
     "q62_salted_join" -> q62_salted_join _,
     "q63_custom_udaf" -> q63_custom_udaf _,
+    "q64_left_outer" -> q64_left_outer _,
+    "q65_full_outer" -> q65_full_outer _,
+    "q66_cross_join" -> q66_cross_join _,
+    "q67_union_null_fns" -> q67_union_null_fns _,
+    "q68_window_value_fns" -> q68_window_value_fns _,
+    "q69_date_arith" -> q69_date_arith _,
+    "q70_string_fns2" -> q70_string_fns2 _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1362,5 +1455,63 @@ object SparkEntry {
         | round(list_sort(list(l_extendedprice), 'DESC')[2], 2) AS top2,
         | round(list_sort(list(l_extendedprice), 'DESC')[3], 2) AS top3
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q64_left_outer" ->
+      """SELECT c_custkey, n_big, max_price
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |    round(max(o_totalprice), 2) AS max_price
+        |  FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin,
+    "q65_full_outer" ->
+      """WITH a AS (SELECT o_custkey AS k, count(*) AS n_a
+        |           FROM orders WHERE o_custkey < 60 GROUP BY o_custkey),
+        |b AS (SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS total_b
+        |      FROM orders WHERE o_custkey BETWEEN 30 AND 90 GROUP BY o_custkey)
+        |SELECT coalesce(a.k, b.k) AS k, n_a, total_b
+        |FROM a FULL OUTER JOIN b ON a.k = b.k ORDER BY k""".stripMargin,
+    "q66_cross_join" ->
+      """SELECT r_name, n_name, concat_ws('/', r_name, n_name) AS pair
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q67_union_null_fns" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS amount,
+        |         CAST(NULL AS VARCHAR) AS status
+        |  FROM orders WHERE o_custkey < 10
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderstatus
+        |  FROM orders WHERE o_custkey >= 140)
+        |SELECT o_orderkey, coalesce(amount, -1.0) AS amount_f,
+        |  coalesce(status, 'none') AS status_f,
+        |  amount IS NULL AS amount_missing
+        |FROM u ORDER BY o_orderkey""".stripMargin,
+    "q68_window_value_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        | round(last_value(o_totalprice) OVER w, 2) AS last_price,
+        | round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+        |FROM orders WHERE o_custkey < 30
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q69_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus30d,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "q70_string_fns2" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS lp,
+        | rpad(p_brand, 12, '-') AS rp,
+        | translate(p_type, 'AEO', 'aeo') AS tr,
+        | repeat(substring(p_name, 1, 3), 2) AS rep,
+        | reverse(p_brand) AS rev,
+        | split_part(p_name, ' ', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }
