@@ -49,6 +49,43 @@ object StreamingFlows {
     val q = writer.trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
   }
+
+  /**
+   * Watermarked stream-stream interval join: both sides carry a watermark
+   * and the join condition bounds `rightTs` to [leftTs, leftTs + maxDelay],
+   * so each side's join state is evictable once the other side's watermark
+   * passes the bound — constant state at any stream length, the only
+   * stream-stream join shape that survives an unbounded run. (The reference
+   * has no two-input operator at all; its Hub+Reducer fan-in is positional,
+   * SURVEY §2.2 "Joins".)
+   */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
+                   rightTs: String, keys: Seq[String], maxDelay: String,
+                   watermark: String = "30 seconds"): DataFrame = {
+    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    val joined = left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        keyCond &&
+          right(rightTs) >= left(leftTs) &&
+          right(rightTs) <= left(leftTs) + expr(s"INTERVAL $maxDelay"))
+    // keep one copy of each equi-key (the left's)
+    keys.foldLeft(joined)((df, k) => df.drop(right(k)))
+  }
+
+  /**
+   * Streaming exact dedup: drop any record whose normalized-content
+   * fingerprint was already seen within the watermark horizon — the
+   * streaming form of `Dedup.exact`. State is evicted past the watermark
+   * (`dropDuplicatesWithinWatermark`), so the dedup set never grows
+   * unboundedly; a plain `dropDuplicates` would hold every fingerprint
+   * forever and OOM on an unbounded corpus stream.
+   */
+  def streamingDedup(df: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "30 seconds"): DataFrame =
+    df.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
 }
 
 /**

@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     val agg = StreamingFlows.windowedCounts(stream, "ts", "1 hour",
       keyCols = Seq("event_type"))
     val q = agg.writeStream.format("memory").queryName("win_out")
@@ -97,7 +97,7 @@ class StreamingSpec extends SparkSpec {
     assert(n > 0)
     // cross-check a closed window's count against the batch query
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
     val streamed = spark.sql("SELECT window, event_type, n FROM win_out")
     val joined = streamed.join(batch,
@@ -121,6 +121,52 @@ class StreamingSpec extends SparkSpec {
       .collect().toMap
     assert(byUser == Map(1L -> 2L, 2L -> 1L))
     assert(sessions.filter(col("n") === 2).count() == 1) // the 2-event session
+  }
+
+  test("stream-stream interval join matches clicks to impressions in-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val joined = StreamingFlows.intervalJoin(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      "imp_ts",
+      clicks.toDF().toDF("ad_id", "click_ts"),
+      "click_ts",
+      Seq("ad_id"), maxDelay = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:05:00")))
+      clicks.addData(
+        (1L, ts("2024-01-01 00:04:00")),  // in window → match
+        (2L, ts("2024-01-01 00:30:00")),  // past maxDelay → no match
+        (3L, ts("2024-01-01 00:06:00")))  // no impression → no match
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT ad_id FROM ssj_out").as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"expected only ad 1 to join, got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated content within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val deduped = StreamingFlows.streamingDedup(
+      input.toDF().toDF("text", "ts"), "text", "ts", watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("sdd_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("Hello  World", ts("2024-01-01 00:00:00")),
+        ("other doc", ts("2024-01-01 00:00:10")))
+      q.processAllAvailable()
+      // same normalized content (case/whitespace) in a LATER batch → dropped
+      input.addData(("hello world", ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT * FROM sdd_out").count()
+      assert(n == 2, s"duplicate should be dropped, got $n rows")
+    } finally q.stop()
   }
 
   test("ParquetBoundary: write side feeds both batch and streaming readers") {
