@@ -913,6 +913,56 @@ object SparkEntry {
         element_at(split(col("p_name"), " "), 1).as("first_word"))
       .orderBy(col("p_partkey"))
 
+  /** Bucketed-layout join: both sides pre-shuffled ONCE at write time into
+    * co-located hash buckets, so the join itself plans with no exchange
+    * (asserted in PlanSpec) — the 100 TB answer to a join that would
+    * otherwise shuffle the fact table every run. The result must equal the
+    * oracle's plain join over the original parquet. */
+  private def q71_bucketed_join(s: SparkSession, dir: String): DataFrame = {
+    Seq("q71_li", "q71_o").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(s"spark-warehouse/$tbl")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    operators.Layout.writeBucketed(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount")),
+      "q71_li", Seq("l_orderkey"), 8)
+    operators.Layout.writeBucketed(
+      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderpriority")),
+      "q71_o", Seq("l_orderkey"), 8)
+    // force sort-merge (the shape that matters at 100 TB, where neither
+    // side broadcasts) — bucketing then removes both join exchanges
+    operators.Layout.readTable(s, "q71_li").hint("merge")
+      .join(operators.Layout.readTable(s, "q71_o"), Seq("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Multimodal frame sampling: 1→N posexplode of content-derived frame
+    * fingerprints per document payload (the real sampler swaps the fake
+    * md5 frames for codec output at the same column contract). md5 exists
+    * in both engines, so even the fake frames are oracle-checkable. */
+  private def q72_multimodal_frames(s: SparkSession, dir: String): DataFrame = {
+    val packed = t(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    Multimodal.sampleFrames(packed, "payload", n = 3)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_fingerprint"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -988,6 +1038,8 @@ object SparkEntry {
     "q68_window_value_fns" -> q68_window_value_fns _,
     "q69_date_arith" -> q69_date_arith _,
     "q70_string_fns2" -> q70_string_fns2 _,
+    "q71_bucketed_join" -> q71_bucketed_join _,
+    "q72_multimodal_frames" -> q72_multimodal_frames _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1513,5 +1565,16 @@ object SparkEntry {
         | reverse(p_brand) AS rev,
         | split_part(p_name, ' ', 1) AS first_word
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q71_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q72_multimodal_frames" ->
+      """SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        | md5(md5(text) || CAST(fi AS VARCHAR)) AS frame_fingerprint
+        |FROM documents CROSS JOIN (SELECT unnest([0,1,2]) AS fi) f
+        |WHERE doc_id < 200
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

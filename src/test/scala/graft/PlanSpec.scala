@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpec {
       s"unreferenced document columns read from parquet: $readSchema")
   }
 
+  test("q71 bucketed join plans with no exchange before the join") {
+    val df = SparkEntry.queries("q71_bucketed_join")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    // exchanges above the join (groupBy hash, orderBy range) are expected;
+    // the join's own subtree — everything printed below it — must read
+    // co-located buckets with no shuffle
+    val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$plan")
+    assert(joinSubtree.contains("Bucketed: true"),
+      s"scan did not use the bucketed layout:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
