@@ -18,13 +18,15 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
   /** Headline set: scan+agg, star join, window, event-time bucketing,
-    * text analysis, MinHash near-dup, ANN top-k — the operators whose
-    * cost profile dominates a real corpus pipeline. */
+    * text analysis, MinHash near-dup, ANN top-k, n-gram Jaccard dedup,
+    * sessionization, custom-Aggregator UDAF — the operators whose cost
+    * profile dominates a real corpus pipeline. */
   private val headline = Seq(
     "q01_agg", "q02_filter_project", "q05_star_join", "q06_window_rank",
     "q16_json", "q23_events_window", "q26_flow_factory", "q29_token_stats",
     "q31_quality_score", "q32_minhash_neardup", "q34_cosine_topk",
-    "q28_dedup_exact")
+    "q28_dedup_exact", "q50_ngram_jaccard", "q51_sessionize",
+    "q63_custom_udaf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -603,24 +603,15 @@ object SparkEntry {
   // window frames, stats aggregates, map functions, streaming
   // ---------------------------------------------------------------------
 
-  /** Standalone exact n-gram Jaccard near-dup. Candidate blocking: any
-    * shared shingle hash — lossless for every threshold > 0 (j >= 0.6
-    * implies a nonempty shingle intersection), so the exact brute-force
-    * oracle must agree pair-for-pair. The shuffle moves (hash, id) pairs,
-    * never documents. */
-  private def q50_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = parallelize(t(s, dir, "documents"))
-    val sh = docs.select(col("doc_id").as("id"),
-      explode(TextFunctions.shingleHashes(col("text"), 3)).as("h"))
-    val cands = sh.alias("a").join(sh.alias("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    Dedup.ngramJaccard(docs, cands, "text", "doc_id", shingleK = 3)
-      .filter(col("jaccard") >= 0.6)
+  /** Standalone exact n-gram Jaccard near-dup via the prefix-filtered
+    * set-similarity self-join (lossless for the threshold, so the exact
+    * brute-force oracle must agree pair-for-pair). The shuffle moves
+    * (prefix-hash, id) pairs, never documents. */
+  private def q50_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardSelfJoin(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", shingleK = 3, threshold = 0.6)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Gap-based sessionization (30 min inactivity): lag + cumulative-sum
     * session ids, then per-session aggregates. Micro-precision epoch math

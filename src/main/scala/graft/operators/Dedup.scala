@@ -191,6 +191,47 @@ object Dedup {
   }
 
   /**
+   * EXACT self-join on shingle-set Jaccard >= threshold with positional
+   * prefix filtering (Chaudhuri/Xiao et al., the ppjoin family): order each
+   * document's distinct shingle hashes globally (ascending), explode only
+   * the first `len - ceil(t*len) + 1` of them, and join on those prefix
+   * hashes. Any pair with Jaccard >= t MUST collide inside both prefixes,
+   * so filtering is lossless — but a shingle shared by many documents only
+   * blows up candidates if it lands in many PREFIXES, which high-frequency
+   * shingles (being uniformly placed by the hash order) rarely do. A plain
+   * shared-any-shingle join is quadratic inside every frequent-shingle
+   * group; the prefix join is the exact-similarity-join shape that
+   * survives 100 TB. Candidates then verify on a cheap length bound and
+   * the exact hash-set intersection.
+   */
+  def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sets = df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
+      .withColumn("len", size(col("sh")))
+      .persist()
+    // prefix length errs LARGER on float boundaries (never drops a pair)
+    val p = (col("len") - ceil(col("len") * threshold - 1e-9) + 1).cast("int")
+    val prefix = sets.select(col("id"), col("len"),
+      explode(slice(col("sh"), lit(1), p)).as("h"))
+    val cands = prefix.alias("a").join(prefix.alias("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        // length bound: jaccard >= t forces min(len) >= t * max(len)
+        least(col("a.len"), col("b.len")).cast("double") >=
+          greatest(col("a.len"), col("b.len")) * threshold - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for candidate pairs: token-set overlap
    * of word-k-shingles. Joins the *shingle sets* through the candidate pair
    * list, so cost is |candidates|, not |corpus|².

@@ -57,6 +57,26 @@ class DedupSpec extends SparkSpec {
     assert(d(1) > 10L) // unrelated texts differ in many bits
   }
 
+  test("prefix-filtered jaccard self-join equals the brute-force join") {
+    import graft.functions.TextFunctions.shingles
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 300)
+    val fast = Dedup.jaccardSelfJoin(docs, "text", "doc_id", 3, 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sets = docs.select($"doc_id",
+      array_distinct(shingles($"text", 3)).as("sh"))
+    val brute = sets.alias("a").join(sets.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter($"j" >= 0.6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(fast == brute,
+      s"missing=${brute -- fast}, extra=${fast -- brute}")
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("embedding near-dup finds crafted duplicate vectors (exact mode)") {
     val v1 = Array(1.0f, 0.0f, 0.0f)
     val v1b = Array(0.999f, 0.01f, 0.0f) // ~same direction
