@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CosineSimilarity, RollingHash}
+import graft.functions.expressions.{CosineSimilarity, MinHashSignature, RollingHash, SimHash64}
 
 /**
  * Session-extension plugin: register graft's native expressions at session
@@ -24,5 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        // second argument is the (foldable) lane count
+        MinHashSignature(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -275,5 +275,8 @@ object GraftExpressions {
       exprs => RollingHash(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -67,6 +67,55 @@ object Multimodal {
         .cast(FloatType))
 
   /**
+   * Partition-batched decode — the Scala shape of a batched decode UDF
+   * (Python's `mapInPandas` contract): rows stream through `mapPartitions`,
+   * are buffered into fixed-size batches, the (stub) codec is invoked once
+   * per BATCH, and decoded structs are emitted alongside the original
+   * columns. This is the plumbing a real JNI/native codec needs — batch
+   * amortizes per-call overhead (model load, FFI crossing) and bounds peak
+   * memory to `batchSize` payloads per task. The stub decodes to the same
+   * content-derived pseudo-features as [[fakeDecode]] (pinned in
+   * MultimodalSpec), so swapping in a real codec changes ONE function.
+   */
+  def decodeBatched(df: DataFrame, payloadCol: String,
+                    batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(df.schema.fields :+
+      StructField("decoded", StructType(Seq(
+        StructField("width", LongType, nullable = false),
+        StructField("height", LongType, nullable = false),
+        StructField("duration_s", DoubleType, nullable = false)))))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // one codec call per batch — the stub loops, a real codec would
+        // hand the whole Array[Array[Byte]] to native code at once
+        val decoded = Multimodal.stubCodecBatch(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray)
+        batch.iterator.zip(decoded.iterator).map { case (r, d) =>
+          Row.fromSeq(r.toSeq :+ Row(d._1, d._2, d._3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Stub batch codec: same content-derived pseudo-features as
+    * [[fakeDecode]] (xxhash64 with Spark's seed 42), computed JVM-side. */
+  private[operators] def stubCodecBatch(
+      payloads: Array[Array[Byte]]): Array[(Long, Long, Double)] =
+    payloads.map { bytes =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+      def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+      (pmod(h, 1920L) + 1L,
+        pmod(h >> 16, 1080L) + 1L,
+        pmod(h >> 32, 600L).toDouble / 10.0)
+    }
+
+  /**
    * Frame-sampling stage for video-like payloads: emits `n` (frame_idx,
    * frame_payload) rows per input via posexplode — the 1→N shape a real
    * frame sampler has. Fake frames are content-derived slices.

@@ -99,5 +99,18 @@ class ExpressionsSpec extends SparkSpec {
     org.apache.spark.sql.GraftColumnBridge.applyFunctions(ext, registry)
     assert(registry.functionExists(FunctionIdentifier("cosine_similarity")))
     assert(registry.functionExists(FunctionIdentifier("rolling_hash")))
+    assert(registry.functionExists(FunctionIdentifier("simhash64")))
+    assert(registry.functionExists(FunctionIdentifier("minhash_signature")))
+  }
+
+  test("sketch expressions are callable through the SQL surface") {
+    GraftExpressions.registerAll(spark)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s").head().getSeq[Long](0)
+    assert(sig.length == 8)
+    val sh = spark.sql("SELECT simhash64(array(1L, 2L, 3L)) AS h").head().getLong(0)
+    val shCol = Seq(Seq(1L, 2L, 3L)).toDF("a")
+      .select(GraftExpressions.simhash64($"a")).as[Long].head()
+    assert(sh == shCol)
   }
 }

@@ -64,6 +64,20 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
+  test("batched decode (mapPartitions codec contract) equals the expression fake") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 100)
+      .withColumn("payload", encode($"text", "UTF-8"))
+    val batched = Multimodal.decodeBatched(docs, "payload", batchSize = 16)
+      .select($"doc_id", $"decoded")
+    val expr = docs
+      .select($"doc_id", Multimodal.fakeDecode($"payload").as("decoded"))
+    assert(batched.exceptAll(expr).isEmpty && expr.exceptAll(batched).isEmpty,
+      "batched stub codec must produce the same features as the expression fake")
+    // schema contract: original columns survive, decoded struct appended last
+    assert(Multimodal.decodeBatched(docs, "payload").columns.last == "decoded")
+  }
+
   test("multimodalRecords joins docs to embeddings with full contract") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
