@@ -70,6 +70,31 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("prefix-filtered jaccard join is lossless vs brute force on random corpora") {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions.shingles
+    // small vocab → heavy shingle sharing → stresses the prefix filter
+    val docGen = Gen.chooseNum(4, 14).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "c", "d", "e", "f")).map(_.mkString(" ")))
+    val docs = sample(docGen, 120, 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.8)) {
+      val fast = Dedup.jaccardSelfJoin(docs, "text", "doc_id", 2, t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val sets = docs.select($"doc_id",
+        array_distinct(shingles($"text", 2)).as("sh"))
+      val brute = sets.alias("a").join(sets.alias("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+        .filter($"j" >= t)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute,
+        s"t=$t missing=${brute -- fast}, extra=${fast -- brute}")
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1 for non-zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
     val vecs = sample(vecGen, 100, 6L).filter(_.exists(_ != 0.0f))
