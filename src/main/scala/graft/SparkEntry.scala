@@ -954,6 +954,17 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Regex surface: capture-group extraction, rlike predicate, match
+    * counting over the part names. */
+  private def q73_regex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)\\s+(\\w+)", 1).as("w1"),
+        regexp_extract(col("p_name"), "^(\\w+)\\s+(\\w+)", 2).as("w2"),
+        col("p_name").rlike("(gear|widget)").as("is_mech"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"))
+      .orderBy(col("p_partkey"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1031,6 +1042,7 @@ object SparkEntry {
     "q70_string_fns2" -> q70_string_fns2 _,
     "q71_bucketed_join" -> q71_bucketed_join _,
     "q72_multimodal_frames" -> q72_multimodal_frames _,
+    "q73_regex" -> q73_regex _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1567,5 +1579,12 @@ object SparkEntry {
         |FROM documents CROSS JOIN (SELECT unnest([0,1,2]) AS fi) f
         |WHERE doc_id < 200
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q73_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^(\w+)\s+(\w+)', 1) AS w1,
+        | regexp_extract(p_name, '^(\w+)\s+(\w+)', 2) AS w2,
+        | regexp_matches(p_name, '(gear|widget)') AS is_mech,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
   )
 }
