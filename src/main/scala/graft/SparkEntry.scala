@@ -965,6 +965,39 @@ object SparkEntry {
         regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"))
       .orderBy(col("p_partkey"))
 
+  /** Document chunking for training pipelines: overlapping token windows
+    * (size 32, stride 24) as 1→N rows with chunk index, token count, and
+    * reassembled text — the standard long-document → context-window prep. */
+  private def q74_chunking(s: SparkSession, dir: String): DataFrame = {
+    val size32 = 32
+    val stride = 24
+    parallelize(t(s, dir, "documents"))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        (lit(1) + ceil(greatest(lit(0), col("n") - size32).cast("double") / stride))
+          .cast("int"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * stride + 1)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(size32), col("n") - col("start") + 1).cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(size32))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Element-wise mean embedding per label (vector aggregate): posexplode
+    * to (label, dim, v) rows, partial+final avg per lane — the shuffle
+    * moves per-dimension partial sums, never whole vectors. */
+  private def q75_vector_mean(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(round(avg(col("v").cast("double")), 5).as("mean_v"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("mean_v"))
+      .orderBy(col("label"), col("dim"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1043,6 +1076,8 @@ object SparkEntry {
     "q71_bucketed_join" -> q71_bucketed_join _,
     "q72_multimodal_frames" -> q72_multimodal_frames _,
     "q73_regex" -> q73_regex _,
+    "q74_chunking" -> q74_chunking _,
+    "q75_vector_mean" -> q75_vector_mean _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1586,5 +1621,26 @@ object SparkEntry {
         | regexp_matches(p_name, '(gear|widget)') AS is_mech,
         | CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q74_chunking" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(lower(coalesce(text, ''))) = ''
+         |      THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |n AS (SELECT doc_id, w, len(w) AS n FROM tok WHERE len(w) > 0),
+         |c AS (SELECT *, CAST(1 + ceil(greatest(0, n - 32) / 24.0) AS INT)
+         |        AS n_chunks FROM n),
+         |ch AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx
+         |       FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(least(32, n - (chunk_idx * 24 + 1) + 1) AS BIGINT) AS n_tokens,
+         |  array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         |    AS chunk_text
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q75_vector_mean" ->
+      """SELECT label, CAST(fi - 1 AS BIGINT) AS dim,
+        | round(avg(CAST(embedding[fi] AS DOUBLE)), 5) AS mean_v
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
+        |GROUP BY label, fi ORDER BY label, dim""".stripMargin,
   )
 }
