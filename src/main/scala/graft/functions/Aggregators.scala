@@ -46,4 +46,43 @@ object Aggregators {
       else if (v > b._3) (b._1, b._2, v)
       else b
   }
+
+  /**
+   * Element-wise mean of float-vector columns in ONE pass: the buffer is a
+   * (lane sums, count) pair, merged associatively — the scale path for
+   * mean-pooled embeddings. The posexplode formulation (q75) shuffles
+   * `dim` rows per vector; this shuffles ONE partial buffer per partition
+   * per group. Ragged inputs fold over the common prefix; empty groups
+   * yield an empty array.
+   */
+  object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+      if (v == null) return b
+      val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+      val n = math.min(sums.length, v.length)
+      var i = 0
+      while (i < n) { sums(i) += v(i); i += 1 }
+      (sums, b._2 + 1)
+    }
+
+    override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._1.isEmpty) return b
+      if (b._1.isEmpty) return a
+      val n = math.min(a._1.length, b._1.length)
+      var i = 0
+      while (i < n) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+
+    override def finish(r: (Array[Double], Long)): Seq[Double] =
+      if (r._2 == 0L) Seq.empty
+      else r._1.map(_ / r._2).toSeq
+
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
 }

@@ -71,6 +71,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"IVF recall $recall%.2f too low")
   }
 
+  test("VectorMean aggregator equals the posexplode lane-average formulation") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val vmean = udaf(graft.functions.Aggregators.VectorMean,
+      ExpressionEncoder[Seq[Float]]())
+    val viaAgg = emb.groupBy($"label")
+      .agg(vmean($"embedding").as("m"))
+      .select($"label", posexplode($"m").as(Seq("dim", "v")))
+      .select($"label", $"dim", round($"v", 9).as("v"))
+    val viaExplode = emb
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"v".cast("double")), 9).as("v"))
+      .select($"label", $"dim", $"v")
+    // same lanes, same means (both sum float values in double, then divide;
+    // round(9) absorbs partial-merge association differences)
+    assert(viaAgg.exceptAll(viaExplode).isEmpty &&
+      viaExplode.exceptAll(viaAgg).isEmpty)
+    // empty group contract
+    val empty = spark.emptyDataFrame.sparkSession
+      .createDataFrame(Seq((1, Seq.empty[Float]))).toDF("g", "embedding")
+      .groupBy($"g").agg(vmean($"embedding").as("m"))
+      .select(size($"m")).head().getInt(0)
+    assert(empty == 0)
+  }
+
   test("ivfAssign routes each vector to its nearest centroid") {
     val cents = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
