@@ -998,6 +998,63 @@ object SparkEntry {
       .select(col("label"), col("dim").cast("long").as("dim"), col("mean_v"))
       .orderBy(col("label"), col("dim"))
 
+  /** explode_outer null-row semantics: documents with no tokens survive
+    * the 1→N expansion as a single null-token row (explode would drop
+    * them — the outer variant is what a lossless pipeline audit needs). */
+  private def q76_explode_outer(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        explode_outer(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("token").isNull.cast("long")).as("n_null"))
+      .orderBy(col("doc_id"))
+
+  /** Higher-order array functions as the user surface: transform, filter,
+    * exists, aggregate over the token array. */
+  private def q77_array_hof(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), t => length(t) >= 5)).cast("long").as("n_long"),
+        exists(col("toks"), t => t.rlike("^[0-9]+$")).as("has_number"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        concat_ws(",", slice(transform(col("toks"), t => upper(t)), 1, 2)).as("up2"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unpivot (wide→long): per-order price/tax-ish measures melted into
+    * (measure, value) rows. */
+  private def q78_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 50)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        round(col("l_extendedprice"), 2).as("price"),
+        round(col("l_discount"), 2).as("discount"),
+        round(col("l_tax"), 2).as("tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        Array(col("price"), col("discount"), col("tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("measure"), col("value"))
+
+  /** FILTER-clause aggregates + conditional distinct counting. */
+  private def q79_filtered_agg(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q79")
+    s.sql(
+      """SELECT o_orderstatus,
+        | count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        | round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+        |   AS urgent_total,
+        | count(DISTINCT CASE WHEN o_totalprice > 150000 THEN o_custkey END)
+        |   AS n_big_custs
+        |FROM orders_q79
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1078,6 +1135,10 @@ object SparkEntry {
     "q73_regex" -> q73_regex _,
     "q74_chunking" -> q74_chunking _,
     "q75_vector_mean" -> q75_vector_mean _,
+    "q76_explode_outer" -> q76_explode_outer _,
+    "q77_array_hof" -> q77_array_hof _,
+    "q78_unpivot" -> q78_unpivot _,
+    "q79_filtered_agg" -> q79_filtered_agg _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1642,5 +1703,47 @@ object SparkEntry {
         | round(avg(CAST(embedding[fi] AS DOUBLE)), 5) AS mean_v
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
         |GROUP BY label, fi ORDER BY label, dim""".stripMargin,
+    "q76_explode_outer" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(lower(coalesce(text, ''))) = ''
+         |      THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN len(w) = 0 THEN 1 ELSE len(w) END AS BIGINT) AS n_rows,
+         |  CAST(CASE WHEN len(w) = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_null
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q77_array_hof" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(lower(coalesce(text, ''))) = ''
+         |      THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, t -> length(t) >= 5)) AS BIGINT) AS n_long,
+         |  len(list_filter(w, t -> regexp_matches(t, '^[0-9]+$$'))) > 0 AS has_number,
+         |  CAST(coalesce(list_aggregate(list_transform(w, t -> length(t)), 'sum'), 0)
+         |    AS BIGINT) AS total_chars,
+         |  array_to_string(list_transform(w, t -> upper(t))[1:2], ',') AS up2
+         |FROM tok ORDER BY doc_id""".stripMargin,
+    "q78_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'price' AS measure,
+        |    round(l_extendedprice, 2) AS value FROM lineitem WHERE l_orderkey < 50
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'discount',
+        |    round(l_discount, 2) FROM lineitem WHERE l_orderkey < 50
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, l_partkey, 'tax',
+        |    round(l_tax, 2) FROM lineitem WHERE l_orderkey < 50) u
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, measure, value""".stripMargin,
+    "q79_filtered_agg" ->
+      """SELECT o_orderstatus,
+        | count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        | round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+        |   AS urgent_total,
+        | count(DISTINCT CASE WHEN o_totalprice > 150000 THEN o_custkey END)
+        |   AS n_big_custs
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
