@@ -1055,6 +1055,48 @@ object SparkEntry {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** argmax/argmin aggregates: the order row per extreme value, without a
+    * self-join or window (tie-broken by max/min orderkey for determinism). */
+  private def q80_max_by(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_q80")
+    // ordering key = exact integer composite (2-decimal price in cents,
+    // orderkey tiebreak) so both engines pick the same row on price ties
+    s.sql(
+      """SELECT o_orderpriority,
+        | max_by(o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |   AS priciest_order,
+        | min_by(o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |   AS cheapest_order,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders_q80
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Deterministic string aggregation: sorted distinct values joined into
+    * one list column per group. */
+  private def q81_string_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        concat_ws("|", sort_array(collect_set(
+          year(col("l_shipdate")).cast("string")))).as("ship_years"))
+      .orderBy(col("l_returnflag"))
+
+  /** Bitwise and boolean aggregates per group. */
+  private def q82_bit_bool_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        bit_or(col("l_suppkey")).as("suppkey_or"),
+        bit_and(col("l_suppkey")).as("suppkey_and"),
+        bit_xor(col("l_orderkey")).as("orderkey_xor"),
+        every(col("l_quantity") > 0).as("all_positive"),
+        some(col("l_discount") > 0.09).as("any_high_disc"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1139,6 +1181,9 @@ object SparkEntry {
     "q77_array_hof" -> q77_array_hof _,
     "q78_unpivot" -> q78_unpivot _,
     "q79_filtered_agg" -> q79_filtered_agg _,
+    "q80_max_by" -> q80_max_by _,
+    "q81_string_agg" -> q81_string_agg _,
+    "q82_bit_bool_agg" -> q82_bit_bool_agg _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1745,5 +1790,29 @@ object SparkEntry {
         | count(DISTINCT CASE WHEN o_totalprice > 150000 THEN o_custkey END)
         |   AS n_big_custs
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q80_max_by" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |   AS priciest_order,
+        | arg_min(o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) * 10000000 + o_orderkey)
+        |   AS cheapest_order,
+        | round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q81_string_agg" ->
+      """SELECT l_returnflag,
+        | array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        | array_to_string(list_sort(list(DISTINCT CAST(year(l_shipdate) AS VARCHAR))), '|')
+        |   AS ship_years
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q82_bit_bool_agg" ->
+      """SELECT l_returnflag,
+        | bit_or(l_suppkey) AS suppkey_or,
+        | bit_and(l_suppkey) AS suppkey_and,
+        | bit_xor(l_orderkey) AS orderkey_xor,
+        | bool_and(l_quantity > 0) AS all_positive,
+        | bool_or(l_discount > 0.09) AS any_high_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
