@@ -214,12 +214,20 @@ object Dedup {
     // prefix length errs LARGER on float boundaries (never drops a pair)
     val p = (col("len") - ceil(col("len") * threshold - 1e-9) + 1).cast("int")
     val prefix = sets.select(col("id"), col("len"),
-      explode(slice(col("sh"), lit(1), p)).as("h"))
+      posexplode(slice(col("sh"), lit(1), p)).as(Seq("pos", "h")))
+    // ppjoin position filter: at a collision at (0-based) positions pa/pb,
+    // the overlap can reach at most min(la-pa, lb-pb) elements (suffixes
+    // from the match on), while jaccard >= t needs alpha =
+    // ceil(t/(1+t) * (la+lb)) — slack errs SMALLER (never drops a pair).
+    val alpha = ceil((col("a.len") + col("b.len")) * (threshold / (1 + threshold))
+      - 1e-9)
     val cands = prefix.alias("a").join(prefix.alias("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
         // length bound: jaccard >= t forces min(len) >= t * max(len)
         least(col("a.len"), col("b.len")).cast("double") >=
-          greatest(col("a.len"), col("b.len")) * threshold - 1e-9)
+          greatest(col("a.len"), col("b.len")) * threshold - 1e-9 &&
+        least(col("a.len") - col("a.pos"), col("b.len") - col("b.pos"))
+          .cast("double") >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
