@@ -1097,6 +1097,31 @@ object SparkEntry {
         some(col("l_discount") > 0.09).as("any_high_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Histogram binning: fixed-width price buckets via floor division —
+    * exact integer arithmetic on both engines, no width_bucket needed. */
+  private def q83_histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket",
+        floor(col("o_totalprice") / 50000).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Nested struct building + field access + struct equality grouping. */
+  private def q84_struct_fns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("who", struct(
+        col("c_nationkey").as("nation"),
+        struct(col("c_mktsegment").as("segment"),
+          (col("c_acctbal") > 0).as("solvent")).as("profile")))
+      .groupBy(col("who.nation").as("nation"),
+        col("who.profile.segment").as("segment"),
+        col("who.profile.solvent").as("solvent"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nation"), col("segment"), col("solvent"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1184,6 +1209,8 @@ object SparkEntry {
     "q80_max_by" -> q80_max_by _,
     "q81_string_agg" -> q81_string_agg _,
     "q82_bit_bool_agg" -> q82_bit_bool_agg _,
+    "q83_histogram" -> q83_histogram _,
+    "q84_struct_fns" -> q84_struct_fns _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1814,5 +1841,16 @@ object SparkEntry {
         | bool_and(l_quantity > 0) AS all_positive,
         | bool_or(l_discount > 0.09) AS any_high_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q83_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        | count(*) AS n,
+        | round(min(o_totalprice), 2) AS lo,
+        | round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q84_struct_fns" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        | c_acctbal > 0 AS solvent, count(*) AS n
+        |FROM customer GROUP BY nation, segment, solvent
+        |ORDER BY nation, segment, solvent""".stripMargin,
   )
 }
