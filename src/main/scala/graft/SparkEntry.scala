@@ -1122,6 +1122,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("nation"), col("segment"), col("solvent"))
 
+  /** Discrete percentiles: the quantile is an actual data element (no
+    * interpolation), so cross-engine float drift cannot exist. */
+  private def q85_percentile_disc(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q85")
+    s.sql(
+      """SELECT l_returnflag,
+        | round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+        |   AS p25,
+        | round(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+        |   AS p50,
+        | round(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+        |   AS p90
+        |FROM lineitem_q85
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1211,6 +1227,7 @@ object SparkEntry {
     "q82_bit_bool_agg" -> q82_bit_bool_agg _,
     "q83_histogram" -> q83_histogram _,
     "q84_struct_fns" -> q84_struct_fns _,
+    "q85_percentile_disc" -> q85_percentile_disc _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1852,5 +1869,11 @@ object SparkEntry {
         | c_acctbal > 0 AS solvent, count(*) AS n
         |FROM customer GROUP BY nation, segment, solvent
         |ORDER BY nation, segment, solvent""".stripMargin,
+    "q85_percentile_disc" ->
+      """SELECT l_returnflag,
+        | round(quantile_disc(l_extendedprice, 0.25), 2) AS p25,
+        | round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
+        | round(quantile_disc(l_extendedprice, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
