@@ -11,22 +11,27 @@ import org.apache.spark.sql.SparkSession
  * full computation of every output column, zero driver-side collection
  * (a `count()` would let Catalyst prune the projections being measured).
  * Each query runs once untimed (Janino codegen compile + JIT + parquet
- * footer caches), then once timed: steady-state throughput is the metric
- * that scales to cluster runs, where per-query compile cost (hundreds of
- * ms, fixed) amortizes over minutes of execution and what matters is the
- * per-row cost of the pipeline.
+ * footer caches), then `RUNS` timed repeats; the headline number is the
+ * MEDIAN and the tail records per-query min/median/max, so a load-shared
+ * driver machine's noise (r1→r2 showed 3× swings on identical code) is
+ * distinguishable from a real regression. Steady-state throughput is the
+ * metric that scales to cluster runs, where per-query compile cost
+ * (hundreds of ms, fixed) amortizes over minutes of execution and what
+ * matters is the per-row cost of the pipeline.
  */
 object Bench {
   /** Headline set: scan+agg, star join, window, event-time bucketing,
-    * text analysis, MinHash near-dup, ANN top-k, n-gram Jaccard dedup,
-    * sessionization, custom-Aggregator UDAF — the operators whose cost
-    * profile dominates a real corpus pipeline. */
+    * text analysis, MinHash near-dup, brute + LSH ANN top-k, n-gram
+    * Jaccard dedup, sessionization, custom-Aggregator UDAF — the
+    * operators whose cost profile dominates a real corpus pipeline. */
   private val headline = Seq(
     "q01_agg", "q02_filter_project", "q05_star_join", "q06_window_rank",
     "q16_json", "q23_events_window", "q26_flow_factory", "q29_token_stats",
     "q31_quality_score", "q32_minhash_neardup", "q34_cosine_topk",
-    "q28_dedup_exact", "q50_ngram_jaccard", "q51_sessionize",
+    "q37_ann_lsh", "q28_dedup_exact", "q50_ngram_jaccard", "q51_sessionize",
     "q63_custom_udaf")
+
+  private val RUNS = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,17 +54,24 @@ object Bench {
     }
 
     val results = headline.map { name =>
-      val sec = try { runOnce(name); runOnce(name) } catch {
+      val times = try {
+        runOnce(name) // warmup: codegen compile + JIT + parquet footers
+        Seq.fill(RUNS)(runOnce(name)).sorted
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          Seq(-1.0)
       }
-      name -> sec
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    def median(ts: Seq[Double]): Double = ts(ts.size / 2)
+    val qs = results.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results.map { case (k, ts) =>
+      "\"" + k + f"""\":{"min":${ts.head}%.3f,"median":${median(ts)}%.3f,"max":${ts.last}%.3f}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"spread":$spread}""")
     spark.stop()
   }
 }

@@ -65,6 +65,16 @@ object VectorFunctions {
    */
   def hyperplaneLshKey(vec: Column, nBits: Int, seed: Int = 42): Column = {
     require(nBits >= 1 && nBits <= 63, "nBits must be in [1,63]")
+    graft.functions.expressions.GraftExpressions.hyperplaneLshKey(vec, nBits, seed)
+  }
+
+  /** Reference semantics of [[hyperplaneLshKey]] in pure built-in HOFs —
+    * `nBits` separate `aggregate(zip_with(...))` traversals, each hashing
+    * per element with an interpreted lambda. Kept ONLY for the
+    * equivalence spec (ExpressionsSpec); every hot path uses the fused
+    * native expression. */
+  private[graft] def hyperplaneLshKeyHof(vec: Column, nBits: Int, seed: Int = 42): Column = {
+    require(nBits >= 1 && nBits <= 63, "nBits must be in [1,63]")
     val bits = (0 until nBits).map { i =>
       // pseudo-random ±1 component per (bit, dim): hash(seed,i,j) parity.
       val proj = aggregate(

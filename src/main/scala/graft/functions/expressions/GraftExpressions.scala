@@ -250,6 +250,87 @@ object SimHash64 {
   }
 }
 
+/**
+ * Hyperplane-LSH sign key of a float/double array: `nBits` sign bits of
+ * pseudo-random ±1 projections packed into a long. The hyperplane component
+ * for (bit i, dim j) is the parity of `xxhash64(seed*1000003 + i, j)` —
+ * exactly the HOF formulation's hash (so buckets are reproducible across
+ * both), computed via the same `XXH64` kernel Spark's `xxhash64` lowers to.
+ * ONE fused pass over the array versus `nBits` separate
+ * `aggregate(zip_with(...))` traversals with interpreted lambdas (HOF
+ * lambdas are exempt from whole-stage codegen AND subexpression
+ * elimination). Bit-identical to [[graft.functions.VectorFunctions.hyperplaneLshKeyHof]]:
+ * per-bit accumulation is left-to-right double; a null element nulls every
+ * projection (key 0); an empty array's projections are 0.0 ≥ 0 (all bits
+ * set).
+ */
+case class HyperplaneLshKey(child: Expression, nBits: Int, seed: Int)
+    extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 63, "nBits must be in [1,63]")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_lsh_key"
+
+  // lazy: at construction the child may still be an unresolved attribute
+  private lazy val elemIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case ArrayType(FloatType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"hyperplane_lsh_key needs array<float|double>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneLshKey.compute(v.asInstanceOf[ArrayData], nBits, seed, elemIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HyperplaneLshKey.compute($c, $nBits, $seed, $elemIsDouble)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneLshKey {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(vec: ArrayData, nBits: Int, seed: Int, elemIsDouble: Boolean): Long = {
+    val n = vec.numElements()
+    // any null element nulls every projection in the HOF → bits all 0
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return 0L; i += 1 }
+    // base_i = xxhash64's fold of the long literal (seed*1000003 + i) into
+    // Spark's default seed 42; per element j (an int in the HOF's
+    // sequence()) the hash folds j into base_i.
+    val base = new Array[Long](nBits)
+    var b = 0
+    while (b < nBits) {
+      base(b) = XXH64.hashLong(seed.toLong * 1000003L + b, 42L)
+      b += 1
+    }
+    val proj = new Array[Double](nBits)
+    var j = 0
+    while (j < n) {
+      val x = if (elemIsDouble) vec.getDouble(j) else vec.getFloat(j).toDouble
+      b = 0
+      while (b < nBits) {
+        // parity of the hash == pmod(h, 2): the low bit
+        if ((XXH64.hashInt(j, base(b)) & 1L) == 0L) proj(b) += x else proj(b) -= x
+        b += 1
+      }
+      j += 1
+    }
+    var key = 0L
+    b = 0
+    while (b < nBits) {
+      if (proj(b) >= 0) key |= (1L << b)
+      b += 1
+    }
+    key
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -266,6 +347,10 @@ object GraftExpressions {
   def simhash64(tokenHashes: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokenHashes)))
 
+  def hyperplaneLshKey(vec: Column, nBits: Int, seed: Int): Column =
+    GraftColumnBridge.column(
+      HyperplaneLshKey(GraftColumnBridge.expression(vec), nBits, seed))
+
   /** Expose as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -278,5 +363,9 @@ object GraftExpressions {
     registry.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+    registry.createOrReplaceTempFunction("hyperplane_lsh_key",
+      exprs => HyperplaneLshKey(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -90,6 +90,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(z == 0L)
   }
 
+  test("native hyperplane LSH key is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(300)
+    for (nBits <- Seq(1, 8, 16)) {
+      val mismatches = emb.select(
+          GraftExpressions.hyperplaneLshKey($"embedding", nBits, 42).as("native"),
+          VectorFunctions.hyperplaneLshKeyHof($"embedding", nBits).as("hof"))
+        .filter(not($"native" <=> $"hof"))
+        .count()
+      assert(mismatches == 0, s"nBits=$nBits: $mismatches rows diverged")
+    }
+  }
+
+  test("native hyperplane LSH key: empty, null-element, and double arrays") {
+    // empty array: every projection is 0.0 >= 0 → all bits set
+    val empty = Seq(Seq.empty[Float]).toDF("v")
+      .select(GraftExpressions.hyperplaneLshKey($"v", 8, 42)).as[Long].head()
+    assert(empty == 0xFFL)
+    // a null element nulls every projection → key 0 (matches the HOF)
+    val withNull = Seq(Seq[java.lang.Float](1.0f, null)).toDF("v")
+      .select(
+        GraftExpressions.hyperplaneLshKey($"v", 8, 42).as("native"),
+        VectorFunctions.hyperplaneLshKeyHof($"v", 8).as("hof"))
+      .head()
+    assert(withNull.getLong(0) == 0L && withNull.getLong(1) == 0L)
+    // double arrays accepted, same key as the equivalent float vector
+    val f = Seq(Seq(0.5f, -1.25f, 2.0f)).toDF("v")
+      .select(GraftExpressions.hyperplaneLshKey($"v", 16, 7)).as[Long].head()
+    val d = Seq(Seq(0.5, -1.25, 2.0)).toDF("v")
+      .select(GraftExpressions.hyperplaneLshKey($"v", 16, 7)).as[Long].head()
+    assert(f == d)
+  }
+
   test("GraftExtensions injects the native functions into a registry") {
     import org.apache.spark.sql.SparkSessionExtensions
     import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -66,6 +66,17 @@ class PlanSpec extends SparkSpec {
       "IVF probe join must not degenerate to a cartesian product over the corpus")
   }
 
+  test("q37 LSH ANN: native hyperplane key in plan, no interpreted HOF bucketing") {
+    val plan = planOf("q37_ann_lsh")
+    assert(plan.contains("hyperplane_lsh_key"),
+      s"native hyperplane LSH expression missing from plan:\n$plan")
+    // the HOF formulation would show up as aggregate/zip_with lambda nodes
+    assert(!plan.contains("zip_with"),
+      s"interpreted HOF bucketing leaked back into the ANN path:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "bucketed ANN must not degenerate to a cartesian product")
+  }
+
   test("q63 typed Aggregator runs as partial+final hash agg (map-side combine)") {
     val df = SparkEntry.queries("q63_custom_udaf")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
