@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.expressions.{CosineSimilarity, MinHashSignature, RollingHash, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, HyperplaneLshKey, MinHashSignature, RollingHash, SimHash64}
 
 /**
  * Session-extension plugin: register graft's native expressions at session
@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // second argument is the (foldable) lane count
         MinHashSignature(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_lsh_key"),
+      new ExpressionInfo(classOf[HyperplaneLshKey].getName, "hyperplane_lsh_key"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        // nBits and seed are foldable int literals
+        HyperplaneLshKey(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -259,10 +259,16 @@ object SimHash64 {
  * ONE fused pass over the array versus `nBits` separate
  * `aggregate(zip_with(...))` traversals with interpreted lambdas (HOF
  * lambdas are exempt from whole-stage codegen AND subexpression
- * elimination). Bit-identical to [[graft.functions.VectorFunctions.hyperplaneLshKeyHof]]:
- * per-bit accumulation is left-to-right double; a null element nulls every
- * projection (key 0); an empty array's projections are 0.0 ≥ 0 (all bits
- * set).
+ * elimination). Bit-identical to
+ * [[graft.functions.VectorFunctions.hyperplaneLshKeyHof]] on every non-null
+ * input: per-bit accumulation is left-to-right double; a null element nulls
+ * every projection (key 0); an empty array yields key 0 (the HOF's
+ * `sequence(0, -1)` null-pads every projection to null there too).
+ * Intentional divergence: a NULL input array propagates NULL here
+ * (nullIntolerant) where the HOF's `when(null >= 0).otherwise(0L)` chain
+ * collapses to 0L — NULL is the more correct answer (an absent vector has
+ * no bucket, and a NULL key never equi-joins, so it can't spuriously
+ * collide with real bucket 0); callers wanting the HOF behavior coalesce.
  */
 case class HyperplaneLshKey(child: Expression, nBits: Int, seed: Int)
     extends UnaryExpression {
@@ -297,6 +303,9 @@ object HyperplaneLshKey {
   /** Shared by interpreted eval and generated code. */
   def compute(vec: ArrayData, nBits: Int, seed: Int, elemIsDouble: Boolean): Long = {
     val n = vec.numElements()
+    // empty array: the HOF's sequence(0, size-1) degenerates to [0, -1] and
+    // zip_with null-pads, nulling every projection → key 0; match it.
+    if (n == 0) return 0L
     // any null element nulls every projection in the HOF → bits all 0
     var i = 0
     while (i < n) { if (vec.isNullAt(i)) return 0L; i += 1 }

@@ -102,11 +102,23 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
-  test("native hyperplane LSH key: empty, null-element, and double arrays") {
-    // empty array: every projection is 0.0 >= 0 → all bits set
-    val empty = Seq(Seq.empty[Float]).toDF("v")
-      .select(GraftExpressions.hyperplaneLshKey($"v", 8, 42)).as[Long].head()
-    assert(empty == 0xFFL)
+  test("native hyperplane LSH key: empty, null, null-element, and double arrays") {
+    // empty array: the HOF's sequence(0,-1) null-pads every projection →
+    // key 0 on BOTH formulations (cross-checked, not just pinned)
+    val emptyRow = Seq(Seq.empty[Float]).toDF("v")
+      .select(
+        GraftExpressions.hyperplaneLshKey($"v", 8, 42).as("native"),
+        VectorFunctions.hyperplaneLshKeyHof($"v", 8).as("hof"))
+      .head()
+    assert(emptyRow.getLong(0) == 0L && emptyRow.getLong(1) == 0L)
+    // NULL input array: intentional divergence — native propagates NULL
+    // (no bucket, never equi-joins), the HOF collapses to 0L
+    val nullRow = Seq(null.asInstanceOf[Seq[java.lang.Float]]).toDF("v")
+      .select(
+        GraftExpressions.hyperplaneLshKey($"v", 8, 42).as("native"),
+        VectorFunctions.hyperplaneLshKeyHof($"v", 8).as("hof"))
+      .head()
+    assert(nullRow.isNullAt(0) && nullRow.getLong(1) == 0L)
     // a null element nulls every projection → key 0 (matches the HOF)
     val withNull = Seq(Seq[java.lang.Float](1.0f, null)).toDF("v")
       .select(
@@ -133,6 +145,7 @@ class ExpressionsSpec extends SparkSpec {
     assert(registry.functionExists(FunctionIdentifier("rolling_hash")))
     assert(registry.functionExists(FunctionIdentifier("simhash64")))
     assert(registry.functionExists(FunctionIdentifier("minhash_signature")))
+    assert(registry.functionExists(FunctionIdentifier("hyperplane_lsh_key")))
   }
 
   test("sketch expressions are callable through the SQL surface") {
