@@ -1138,6 +1138,20 @@ object SparkEntry {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** Near-dup cluster resolution: the exact Jaccard pair set (q50's
+    * operator) fed through connected components (alternating
+    * large-star/small-star joins) — one row per member doc with its
+    * canonical cluster id and survivor flag. Oracle: a DuckDB recursive-CTE
+    * transitive closure over the identical pair set, so the component
+    * structure is hash-checked end to end. */
+  private def q86_cluster_resolve(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardSelfJoin(parallelize(t(s, dir, "documents")),
+      "text", "doc_id", shingleK = 3, threshold = 0.6)
+    Dedup.resolveClusters(pairs)
+      .select(col("id"), col("cluster_id"), col("keep"))
+      .orderBy(col("id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1228,6 +1242,7 @@ object SparkEntry {
     "q83_histogram" -> q83_histogram _,
     "q84_struct_fns" -> q84_struct_fns _,
     "q85_percentile_disc" -> q85_percentile_disc _,
+    "q86_cluster_resolve" -> q86_cluster_resolve _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1875,5 +1890,26 @@ object SparkEntry {
         | round(quantile_disc(l_extendedprice, 0.5), 2) AS p50,
         | round(quantile_disc(l_extendedprice, 0.9), 2) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q86_cluster_resolve" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
+         |SELECT id, min(r) AS cluster_id, (id = min(r)) AS keep
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
   )
 }

@@ -259,6 +259,100 @@ object Dedup {
   }
 
   /**
+   * Connected-component resolution over a near-dup pair set: turns the
+   * (id_a, id_b) pairs every fuzzy-dedup operator emits ([[minhashLsh]],
+   * [[simhashPairs]], [[jaccardSelfJoin]], [[embeddingNearDup]]) into the
+   * decision a pipeline actually ships — one row per member document with
+   * its canonical `cluster_id` (the component minimum) and a `keep` flag
+   * (true exactly for the canonical survivor). a–b, b–c, c–d ⇒ all four map
+   * to min(a,b,c,d), keep = (id == that min).
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) — each round is
+   * a groupBy-min + join over bare (u, v) id pairs (16 bytes/edge; documents
+   * never enter the loop), converging in O(log² n) rounds vs O(diameter) for
+   * naive label propagation, so a pathological million-doc chain still
+   * resolves in ~20 rounds. Per-round `localCheckpoint` truncates the
+   * iterative lineage (swap for a reliable `checkpoint` dir on a real
+   * cluster). Convergence is detected exactly (cardinality + anti-join
+   * emptiness — scalar actions only, never a row collect).
+   *
+   * Only ids appearing in `pairs` are returned; singleton documents (no
+   * near-dup edge) are trivially their own cluster and are left untouched —
+   * callers drop `keep = false` ids with [[keepRepresentatives]].
+   */
+  def resolveClusters(pairs: DataFrame, idACol: String = "id_a",
+                      idBCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    // canonical larger→smaller directed edges; the loop preserves this
+    // invariant (every emitted edge points at a strictly smaller id)
+    var edges = pairs
+      .select(greatest(col(idACol), col(idBCol)).as("u"),
+        least(col(idACol), col(idBCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = pairs.select(col(idACol).as("id"))
+      .union(pairs.select(col(idBCol).as("id")))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // exact set-equality: distinct frames with equal cardinality and an
+      // empty anti-join are identical (both checks are scalar aggregates)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      round += 1
+    }
+    // at the fixpoint the edge set is a star forest (each non-root id has
+    // exactly one edge, to its component min); the groupBy-min is a cheap
+    // defensive reduction in case maxRounds cut the loop short
+    val labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("root"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("root"), col("id")).as("cluster_id"),
+        col("root").isNull.as("keep"))
+  }
+
+  /** Large-star round: every node connects its larger neighbors to the
+    * minimum of its closed neighborhood. One groupBy + one join on id pairs. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      // m = min(Γ(u) ∪ {u}) ≤ u < v, so the emitted edge stays larger→smaller
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node rewires its smaller neighbors (and itself)
+    * to its minimum smaller neighbor. */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min(col("v")).as("mn"))
+    val rewired = edges.join(mins, "u")
+      .filter(col("v") =!= col("mn"))
+      .select(col("v").as("u"), col("mn").as("v"))
+    rewired.union(mins.select(col("u"), col("mn").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /**
+   * Applies a cluster resolution back to the corpus: keeps every document
+   * that is either untouched by `pairs` (no near-dup edge) or its cluster's
+   * canonical survivor. The anti-join ships only the loser id list.
+   */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame,
+                          idCol: String): DataFrame = {
+    val losers = resolveClusters(pairs).filter(!col("keep")).select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: LSH-bucket by hyperplane sign key, then
    * verify cosine within buckets. `nBits` trades recall for bucket size
    * (recall of near-identical vectors stays high since near-dups rarely

@@ -87,6 +87,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("resolveClusters collapses a planted chain to the minimum id") {
+    // a–b, b–c, c–d plus an unrelated pair: two components
+    val pairs = Seq((20L, 10L), (20L, 30L), (30L, 40L), (100L, 200L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.resolveClusters(pairs)
+      .select($"id", $"cluster_id", $"keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (10L, 10L, true), (20L, 10L, false), (30L, 10L, false), (40L, 10L, false),
+      (100L, 100L, true), (200L, 100L, false)))
+  }
+
+  test("resolveClusters matches brute-force transitive closure on random graphs") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs)
+      .select($"id", $"cluster_id").as[(Long, Long)].collect().toMap
+    // driver-side union-find as the oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want, s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
+  test("keepRepresentatives drops exactly the non-canonical cluster members") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // 1-2-3 one cluster
+    val kept = Dedup.keepRepresentatives(df, pairs, "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L)) // 4 untouched by pairs, 1 is the survivor
+  }
+
   test("LSH-bucketed embedding near-dup keeps identical-direction vectors") {
     val base = Array.tabulate(16)(i => math.sin(i).toFloat)
     val near = base.map(x => x * 1.0001f) // same direction → same buckets

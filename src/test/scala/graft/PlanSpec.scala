@@ -108,6 +108,21 @@ class PlanSpec extends SparkSpec {
       s"scan did not use the bucketed layout:\n$plan")
   }
 
+  test("connected-components rounds are join+agg plans over bare id pairs") {
+    // one large-star + small-star round: the loop body must plan as
+    // hash-aggregate + join with no row collect and no cartesian — the
+    // driver only ever sees scalar convergence aggregates
+    import spark.implicits._
+    val edges = Seq((20L, 10L), (30L, 20L), (40L, 30L)).toDF("u", "v")
+    val round = graft.operators.Dedup.smallStar(
+      graft.operators.Dedup.largeStar(edges))
+    val plan = round.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("Join"), s"star round should be join-based:\n$plan")
+    assert(plan.contains("HashAggregate"), s"min-reduction should hash-agg:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("CollectLimit"),
+      s"star round must not collect or go quadratic:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
