@@ -81,13 +81,21 @@ object Dedup {
    * MinHash + LSH banding near-dup candidate pairs, verified by estimated
    * Jaccard (signature agreement rate).
    *
-   * Pipeline: signature → explode into `bands` band-hashes → groupBy band
-   * bucket (the ONLY shuffle over the corpus, keyed so same-band docs
-   * co-locate) → within-bucket self-join on compact (id, signature) pairs →
-   * dedup pairs → verify. Banding keeps the candidate set near-linear: two
-   * docs collide iff some band of `rows = numHashes/bands` hash minima agrees
-   * — the standard S-curve blocking from Broder/MMDS, NOT an O(n²) cross
-   * join. Output: (id_a, id_b, est_jaccard) with id_a < id_b.
+   * Pipeline: signature → explode into `bands` band-hashes → within-bucket
+   * self-join on bare (id, band, bucket) triples (the ONLY shuffle over the
+   * corpus, keyed so same-band docs co-locate) → dedup candidate pairs →
+   * attach signatures per pair → verify. Banding keeps the candidate set
+   * near-linear: two docs collide iff some band of `rows = numHashes/bands`
+   * hash minima agrees — the standard S-curve blocking from Broder/MMDS,
+   * NOT an O(n²) cross join. Output: (id_a, id_b, est_jaccard), id_a < id_b.
+   *
+   * Shuffle shape: the banded frame carries 24-byte triples, NOT the
+   * `numHashes`-long signature — carrying the 512 B signature through the
+   * 16-band explode and BOTH self-join sides costs ~16 KB/doc of shuffle;
+   * attaching signatures per candidate pair instead (the [[ngramJaccard]]
+   * shape) ships the signature exactly twice per *candidate*, and at a sane
+   * threshold candidates ≪ banded rows. Measured at sf0.1 (500k docs would
+   * scale linearly): see SURVEY §6 shuffle note.
    */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -96,32 +104,33 @@ object Dedup {
     val rows = numHashes / bands
     // The native signature expression reads the shingle-hash array exactly
     // once, so tokenize→shingle→signature fuses into one codegen'd stage.
-    val sigs = df
+    val sigs = OpCache.track(df
       .select(col(idCol).as("id"),
         minhashSignatureFromHashes(
           shingleHashes(col(textCol), shingleK), numHashes).as("sig"))
-      // signatures are reused by every band and both join sides
-      .persist()
-    val banded = sigs.select(col("id"), col("sig"),
+      // signatures are reused by every band and both per-pair attach joins
+      .persist())
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = banded.alias("l")
     val r = banded.alias("r")
     val pairs = l.join(r,
         col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") &&
         col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+    val withSigs = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
     val est = size(filter(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)).cast("double") / lit(numHashes)
-    pairs.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+    withSigs.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
   }
 
@@ -168,10 +177,10 @@ object Dedup {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
     // single-pass native simhash: tokenize→hash→fingerprint in one stage
-    val fps = df.select(col(idCol).as("id"),
+    val fps = OpCache.track(df.select(col(idCol).as("id"),
         simhash64FromHashes(
           transform(tokens(col(textCol)), t => xxhash64(t))).as("fp"))
-      .persist()
+      .persist())
     val segmented = fps.select(col("id"), col("fp"),
       explode(array((0 until nSeg).map { s =>
         struct(lit(s).as("seg"),
@@ -207,10 +216,10 @@ object Dedup {
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val sets = df.select(col(idCol).as("id"),
+    val sets = OpCache.track(df.select(col(idCol).as("id"),
         sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
       .withColumn("len", size(col("sh")))
-      .persist()
+      .persist())
     // prefix length errs LARGER on float boundaries (never drops a pair)
     val p = (col("len") - ceil(col("len") * threshold - 1e-9) + 1).cast("int")
     val prefix = sets.select(col("id"), col("len"),
@@ -272,40 +281,54 @@ object Dedup {
    * a groupBy-min + join over bare (u, v) id pairs (16 bytes/edge; documents
    * never enter the loop), converging in O(log² n) rounds vs O(diameter) for
    * naive label propagation, so a pathological million-doc chain still
-   * resolves in ~20 rounds. Per-round `localCheckpoint` truncates the
-   * iterative lineage (swap for a reliable `checkpoint` dir on a real
-   * cluster). Convergence is detected exactly (cardinality + anti-join
-   * emptiness — scalar actions only, never a row collect).
+   * resolves in ~20 rounds. Each round is materialized to a persisted RDD
+   * and re-planned from a bare scan, truncating the iterative lineage (a
+   * star round references its input ~6×, so un-truncated plans grow
+   * exponentially in the round count); the previous round's cache is
+   * released as soon as its successor is materialized, so the loop holds at
+   * most two edge sets. Convergence is detected exactly (cardinality +
+   * anti-join emptiness — scalar actions only, never a row collect).
    *
    * Only ids appearing in `pairs` are returned; singleton documents (no
    * near-dup edge) are trivially their own cluster and are left untouched —
-   * callers drop `keep = false` ids with [[keepRepresentatives]].
+   * callers drop `keep = false` ids with [[keepRepresentatives]]. The final
+   * edge set and node list stay cached for the returned frame; release with
+   * [[OpCache.release]] after consuming it.
    */
   def resolveClusters(pairs: DataFrame, idACol: String = "id_a",
                       idBCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // materialize to a persisted RDD and re-plan from a bare scan: lineage
+    // truncation with an explicit unpersist handle (localCheckpoint offers
+    // no public-API release and would leak its cached RDD)
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, df.schema), rdd, rdd.count())
+    }
     // canonical larger→smaller directed edges; the loop preserves this
     // invariant (every emitted edge points at a strictly smaller id)
-    var edges = pairs
+    var (edges, edgesRdd, edgeCount) = materialize(pairs
       .select(greatest(col(idACol), col(idBCol)).as("u"),
         least(col(idACol), col(idBCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
-    val nodes = pairs.select(col(idACol).as("id"))
+      .distinct())
+    val (nodes, nodesRdd, _) = materialize(pairs.select(col(idACol).as("id"))
       .union(pairs.select(col(idBCol).as("id")))
-      .distinct()
-      .localCheckpoint()
-    var converged = edges.isEmpty
+      .distinct())
+    OpCache.trackRdd(nodesRdd)
+    var converged = edgeCount == 0L
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val (next, nextRdd, nextCount) = materialize(smallStar(largeStar(edges)))
       // exact set-equality: distinct frames with equal cardinality and an
       // empty anti-join are identical (both checks are scalar aggregates)
-      converged = next.count() == edges.count() &&
+      converged = nextCount == edgeCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      edges = next
+      edgesRdd.unpersist(blocking = false)
+      edges = next; edgesRdd = nextRdd; edgeCount = nextCount
       round += 1
     }
+    OpCache.trackRdd(edgesRdd)
     // at the fixpoint the edge set is a star forest (each non-root id has
     // exactly one edge, to its component min); the groupBy-min is a cheap
     // defensive reduction in case maxRounds cut the loop short
@@ -361,9 +384,9 @@ object Dedup {
    */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
-    val keyed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val keyed = OpCache.track(df.select(col(idCol).as("id"), col(vecCol).as("v"),
       (if (nBits == 0) lit(0L) else hyperplaneLshKey(col(vecCol), nBits)).as("bucket"))
-      .persist()
+      .persist())
     val l = keyed.alias("l")
     val r = keyed.alias("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))

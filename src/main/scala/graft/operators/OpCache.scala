@@ -1,0 +1,36 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Registry of frames/RDDs persisted inside the stateless operator objects
+ * ([[Dedup]], [[Similarity]]) so a long-lived driver can release them after
+ * materializing results — the operator-level mirror of `core.App.cleanup()`
+ * (`core/Flow.scala`). Operators persist intermediates that are read by
+ * several downstream branches (signatures read by both self-join sides,
+ * shingle sets read by prefix and verify stages); those cache entries must
+ * not accumulate across repeated invocations on a driver that lives for
+ * months.
+ *
+ * Usage: run operators, materialize/write their results, then
+ * `OpCache.release()`. Releasing before the caller has consumed a returned
+ * frame is safe (Spark recomputes from lineage) but forfeits the reuse.
+ */
+object OpCache {
+  private val entries = mutable.ArrayBuffer.empty[() => Unit]
+
+  private[graft] def track(df: DataFrame): DataFrame = synchronized {
+    entries += (() => df.unpersist(blocking = false)); df
+  }
+
+  private[graft] def trackRdd[T](rdd: RDD[T]): RDD[T] = synchronized {
+    entries += (() => { rdd.unpersist(blocking = false); () }); rdd
+  }
+
+  /** Unpersist everything tracked since the last release. */
+  def release(): Unit = synchronized {
+    entries.foreach(f => f()); entries.clear()
+  }
+}

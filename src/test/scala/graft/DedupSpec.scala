@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, OpCache}
 import graft.functions.TextFunctions
 
 class DedupSpec extends SparkSpec {
@@ -118,6 +118,21 @@ class DedupSpec extends SparkSpec {
     }
     val want = parent.keys.map(k => k -> find(k)).toMap
     assert(got == want, s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
+  test("OpCache.release leaves no lingering cached RDDs after an operator sweep") {
+    val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "x y z w q r s t")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLsh(df, "text", "doc_id").count()
+    Dedup.simhashPairs(df, "text", "doc_id").count()
+    Dedup.jaccardSelfJoin(df, "text", "doc_id").count()
+    Dedup.resolveClusters(Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")).count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "operators should cache reused intermediates while results are consumed")
+    OpCache.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "a catalog sweep + release must leave the cache registry empty")
   }
 
   test("keepRepresentatives drops exactly the non-canonical cluster members") {
