@@ -762,13 +762,13 @@ object SparkEntry {
   }
 
   /** IVF ANN top-k (approximate — no oracle; recall vs brute force pinned
-    * in SimilaritySpec). Centroids are a deterministic corpus sample; at
-    * real scale they come from k-means and the corpus is written
-    * partitioned by cell. */
+    * in SimilaritySpec, trained ≥ sampled centroids gated there too).
+    * Centroids are Lloyd-trained from a deterministic seed sample; at real
+    * scale the assigned corpus is written partitioned by cell. */
   private def q60_ivf_ann(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val centroids = e.filter(pmod(col("vec_id"), lit(97)) === 3)
-      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val centroids = Similarity.trainCentroids(e, "embedding", "vec_id",
+      k = 10)
     Similarity.ivfTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
         centroids, "embedding", "vec_id", k = 5, nProbe = 3)
       .select(col("query_id"), col("corpus_id"),

@@ -33,4 +33,16 @@ object OpCache {
   def release(): Unit = synchronized {
     entries.foreach(f => f()); entries.clear()
   }
+
+  /** Materialize `df` into a tracked persisted RDD and re-plan it from a
+    * bare scan: truncates iterative lineage (plans that reference their
+    * own prior iterations grow exponentially otherwise) with an explicit
+    * release path — unlike `localCheckpoint`, whose cached RDD has no
+    * public-API unpersist. */
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    trackRdd(rdd)
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
 }

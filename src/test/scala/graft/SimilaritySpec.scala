@@ -71,6 +71,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, f"IVF recall $recall%.2f too low")
   }
 
+  test("trained IVF centroids match or beat a raw sample on recall") {
+    val queries = emb.filter(pmod($"vec_id", lit(50)) === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val approx = Similarity.ivfTopK(emb, queries, centroids,
+          "embedding", "vec_id", k = 5, nProbe = 3)
+        .select($"query_id", $"corpus_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val sampled = emb.filter(pmod($"vec_id", lit(97)) === 3)
+      .select($"vec_id".as("centroid_id"), $"embedding")
+    val nSampled = sampled.count().toInt
+    val trained = Similarity.trainCentroids(emb, "embedding", "vec_id",
+      k = nSampled)
+    assert(trained.count() <= nSampled) // Lloyd may only drop empty cells
+    val (rSampled, rTrained) = (recall(sampled), recall(trained))
+    graft.operators.OpCache.release()
+    // same centroid count, same probe budget: training must not hurt
+    assert(rTrained >= rSampled,
+      f"trained recall $rTrained%.3f < sampled recall $rSampled%.3f")
+  }
+
   test("VectorMean aggregator equals the posexplode lane-average formulation") {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val vmean = udaf(graft.functions.Aggregators.VectorMean,
