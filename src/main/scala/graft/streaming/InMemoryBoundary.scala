@@ -1,0 +1,59 @@
+package graft.streaming
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Driver-memory stage boundary ≙ the reference's in-process dev adapter
+ * (SimpleQueue over an in-memory dict when Redis isn't wired,
+ * `stepist/flow/libs/simple_queue.py`): rows buffered on the driver, for
+ * tests and small control-plane flows. Deliberately NOT a 100 TB data path
+ * — [[write]] collects each batch into driver memory by design; bulk data
+ * goes through [[ParquetBoundary]]. Second [[StageBoundary]] implementation
+ * proving the SPI is pluggable (≙ the reference shipping Redis + RMQ + SQS
+ * behind one ABC, `workers/worker_engine.py:5-35`).
+ *
+ * `limit`, if set, is the producer-side jobs_limit in rows: [[write]]
+ * blocks while the buffer holds at least `limit` rows, until a consumer
+ * [[flush]]es (≙ `adapters/simple_queue.py:24-29`).
+ */
+final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
+    extends StageBoundary {
+  private val buf = mutable.ArrayBuffer.empty[Row] // guarded by this
+  private var stream: Option[MemoryStream[Row]] = None // guarded by this
+
+  override protected def jobsLimit: Option[Long] = limit
+
+  override def write(df: DataFrame): Unit = {
+    awaitCapacity(df.sparkSession)
+    val rows = df.collect().toIndexedSeq
+    synchronized {
+      buf ++= rows
+      stream.foreach(_.addData(rows))
+    }
+  }
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.createDataFrame(synchronized(buf.toList).asJava, schema)
+
+  /** Streaming view: everything enqueued so far plus all later writes.
+    * (Rows already handed to the stream are part of its history — a later
+    * [[flush]] empties the queue but cannot retract delivered batches,
+    * matching a queue consumer that already popped them.) */
+  override def readStream(spark: SparkSession): DataFrame = synchronized {
+    implicit val enc = Encoders.row(schema)
+    implicit val ctx = spark.sqlContext
+    val s = MemoryStream[Row]
+    if (buf.nonEmpty) s.addData(buf.toIndexedSeq)
+    stream = Some(s)
+    s.toDF()
+  }
+
+  override def jobsCount(spark: SparkSession): Long = synchronized(buf.size.toLong)
+
+  override def flush(): Unit = synchronized { buf.clear() }
+}

@@ -90,27 +90,59 @@ object StreamingFlows {
 
 /**
  * Connector SPI ≙ the reference's pluggable `BaseWorkerEngine` ABC
- * (`stepist/flow/workers/worker_engine.py:5-35`: add_job/receive_job/...).
- * A stage boundary is a durable location one flow writes and another reads —
- * the moral equivalent of the per-step Redis list, with storage supplying
- * the durability Redis did.
+ * (`stepist/flow/workers/worker_engine.py:5-35`: add_job/receive_job/
+ * jobs_count/flush_queue) plus the queue-introspection surface of
+ * `adapters/simple_queue.py:54-64`. A stage boundary is a durable location
+ * one flow writes and another reads — the moral equivalent of the per-step
+ * Redis list, with storage supplying the durability Redis did.
+ *
+ * Consumption model: batch/streaming readers do NOT pop — streaming
+ * readers track their own progress via checkpoints (files-as-queue), so
+ * `jobsCount` is producer-side queue depth (≙ Redis LLEN before any BRPOP)
+ * and [[flush]] is the explicit drop (≙ `flush_queue`).
+ *
+ * Producer-side backpressure ≙ `jobs_limit` blocking
+ * (`adapters/simple_queue.py:24-29`: `add_jobs` sleeps while the queue is
+ * over the limit): implementations with a `jobsLimit` block in
+ * [[write]] until depth falls below the limit (a consumer flushing, or a
+ * compactor trimming consumed files).
  */
 trait StageBoundary {
-  /** Enqueue a batch (≙ add_jobs): append rows durably. */
+  /** Enqueue a batch (≙ add_jobs): append rows durably. Blocks while the
+    * queue is at or over `jobsLimit`, if one is configured. */
   def write(df: DataFrame): Unit
   /** Batch read of everything enqueued so far (≙ drain). */
   def read(spark: SparkSession): DataFrame
   /** Streaming read — the worker side (≙ process loop). */
   def readStream(spark: SparkSession): DataFrame
+  /** Queue depth in rows (≙ `jobs_count`). */
+  def jobsCount(spark: SparkSession): Long
+  /** ≙ `is_empty` (`adapters/simple_queue.py:58-60`). */
+  def isEmpty(spark: SparkSession): Boolean = jobsCount(spark) == 0L
+  /** Drop everything enqueued (≙ `flush_queue`). */
+  def flush(): Unit
+
+  /** Producer-side throttle cap, None = unbounded. */
+  protected def jobsLimit: Option[Long] = None
+  protected def throttlePollMs: Long = 50L
+  /** Block until depth < jobsLimit (≙ `add_jobs`'s sleep-while-full loop). */
+  protected def awaitCapacity(spark: SparkSession): Unit =
+    jobsLimit.foreach { lim =>
+      while (jobsCount(spark) >= lim) Thread.sleep(throttlePollMs)
+    }
 }
 
 /** Parquet-directory stage boundary: append-only files, schema pinned at
   * first write. At cluster scale this is the standard files-as-queue
-  * pattern (exactly-once with checkpointed readers). */
-final class ParquetBoundary(path: String) extends StageBoundary {
+  * pattern (exactly-once with checkpointed readers). `limit`, if set, is
+  * the producer-side jobs_limit in ROWS (checked before each append). */
+final class ParquetBoundary(path: String, limit: Option[Long] = None)
+    extends StageBoundary {
   private var schemaJson: Option[String] = None
+  override protected def jobsLimit: Option[Long] = limit
 
   override def write(df: DataFrame): Unit = {
+    awaitCapacity(df.sparkSession)
     schemaJson = schemaJson.orElse(Some(df.schema.json))
     df.write.mode("append").parquet(path)
   }
@@ -125,7 +157,29 @@ final class ParquetBoundary(path: String) extends StageBoundary {
       .getOrElse(spark.read.parquet(path).schema)
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "16") // ≙ jobs_limit backpressure
+      // consumer-side batch cap, complementing the producer-side jobsLimit
+      .option("maxFilesPerTrigger", "16")
       .parquet(path)
+  }
+
+  override def jobsCount(spark: SparkSession): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else try
+      // a concurrent flush may delete files between listing and scan — a
+      // vanished file/dir is an empty (drained) queue, not an error
+      spark.read.option("ignoreMissingFiles", "true").parquet(path).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+  }
+
+  override def flush(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    // session hadoop conf so non-local filesystems (s3a/hdfs) resolve
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    p.getFileSystem(conf).delete(p, true)
+    ()
   }
 }

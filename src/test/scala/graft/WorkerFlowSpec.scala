@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.core._
-import graft.streaming.{ParquetBoundary, StreamingReducer}
+import graft.streaming.{InMemoryBoundary, ParquetBoundary, StreamingReducer}
 
 /**
  * End-to-end async-worker parity (SURVEY §3.2–3.3): the reference's
@@ -14,6 +14,12 @@ import graft.streaming.{ParquetBoundary, StreamingReducer}
  * the stateful count-complete reducer. The async path must produce exactly
  * the rows of the in-process batch reducer.
  */
+object WorkerFlowSpec {
+  /** Armed → the poison UDF throws once (local mode shares the JVM, so the
+    * "executor" sees this driver-side flag). */
+  val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
 class WorkerFlowSpec extends SparkSpec {
   import spark.implicits._
 
@@ -63,5 +69,89 @@ class WorkerFlowSpec extends SparkSpec {
       s"async worker path diverged: ${streamOut.toSeq} vs ${batchOut.toSeq}")
     // expected: (x+10)*(2x) for x=1..5
     assert(batchOut.toSeq == Seq(1, 2, 3, 4, 5).map(x => (x + 10) * 2 * x).sorted)
+  }
+
+  test("boundary introspection: jobsCount / isEmpty / flush") {
+    val dir = java.nio.file.Files.createTempDirectory("wf_introspect").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    assert(b.isEmpty(spark) && b.jobsCount(spark) == 0L) // before any write
+    b.write(Seq(1, 2, 3).toDF("x"))
+    b.write(Seq(4, 5).toDF("x"))
+    assert(b.jobsCount(spark) == 5L && !b.isEmpty(spark))
+    b.flush()
+    assert(b.isEmpty(spark) && b.jobsCount(spark) == 0L)
+    // queue is reusable after a flush
+    b.write(Seq(9).toDF("x"))
+    assert(b.jobsCount(spark) == 1L)
+  }
+
+  test("producer-side jobs_limit blocks writes until the queue drains") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("wf_limit").toString
+    val b = new ParquetBoundary(s"$dir/q", limit = Some(3L))
+    b.write(Seq(1, 2, 3).toDF("x")) // fills to the limit
+    val blocked = Future { b.write(Seq(4).toDF("x")) }
+    Thread.sleep(500)
+    assert(!blocked.isCompleted,
+      "write should block while the queue is at jobs_limit")
+    b.flush() // consumer drains -> producer proceeds
+    Await.result(blocked, 30.seconds)
+    assert(b.jobsCount(spark) == 1L) // only the unblocked batch remains
+  }
+
+  test("failed worker batch is redelivered: requeue-on-error as checkpoint replay") {
+    // ≙ reference requeue-on-error (`libs/simple_queue.py:42-47`): a handler
+    // crash puts the job back; the restarted worker reprocesses it. Spark
+    // mapping: the checkpointed source offset is not committed on failure,
+    // so a restarted query REPLAYS the batch — and the file sink's commit
+    // log upgrades the resulting at-least-once redelivery to exactly-once
+    // output (no dupes from the failed attempt, no losses).
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("wf_retry").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1, 2, 3, 4).toDF("x"))
+    WorkerFlowSpec.crashArmed.set(true)
+    val poison = udf { (x: Int) =>
+      if (x == 3 && WorkerFlowSpec.crashArmed.getAndSet(false))
+        throw new RuntimeException("transient worker crash")
+      x * 10
+    }
+    def startWorker() = b.readStream(spark).select(poison($"x").as("y"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    val crash = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startWorker().awaitTermination()
+    }
+    assert(crash.getMessage.contains("transient worker crash") ||
+      crash.getCause != null)
+    startWorker().awaitTermination() // same checkpoint: batch redelivered
+    val out = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
+    assert(out.toSeq == Seq(10, 20, 30, 40),
+      s"retry must yield exactly-once output, got ${out.toSeq}")
+  }
+
+  test("InMemoryBoundary is a drop-in second StageBoundary implementation") {
+    val schema = Seq(1).toDF("x").schema
+    val b = new InMemoryBoundary(schema)
+    assert(b.isEmpty(spark))
+    b.write(Seq(1, 2).toDF("x"))
+    b.write(Seq(3).toDF("x"))
+    assert(b.jobsCount(spark) == 3L)
+    assert(b.read(spark).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // streaming view sees the backlog plus post-subscription writes
+    val stream = b.readStream(spark)
+    val q = stream.writeStream.format("memory").queryName("imb_out")
+      .outputMode("append").start()
+    try {
+      b.write(Seq(4).toDF("x"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM imb_out").as[Int].collect().sorted
+      assert(got.toSeq == Seq(1, 2, 3, 4))
+    } finally q.stop()
+    b.flush()
+    assert(b.isEmpty(spark))
   }
 }
