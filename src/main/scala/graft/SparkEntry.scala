@@ -32,10 +32,13 @@ object SparkEntry {
     * single-row-group parquet files (unsplittable scans), so CPU-heavy
     * per-row stages (tokenize, regex, sketch, JSON parse) would otherwise
     * run on ONE core. A cheap round-robin shuffle of the small input
-    * unlocks full parallelism — at production scale multi-file inputs
-    * arrive pre-split and this is a no-op decision. */
-  private def parallelize(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * unlocks full parallelism — conditional, so a production multi-file
+    * input that arrives pre-split is passed through untouched (no shuffle
+    * inserted at 100 TB where it would be the bottleneck). */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the star-join
     * revenue rollup — scan, broadcast dims, hash agg, sort in one plan. */
@@ -659,11 +662,17 @@ object SparkEntry {
         round(var_samp(col("l_quantity")), 4).as("var_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-process round-trip scratch dir: two concurrent catalog runs (e.g.
+    * parallel Verify invocations) must not clobber each other's files. */
+  private lazy val roundTripBase: String =
+    java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
+  private def roundTripDir(name: String): String = s"$roundTripBase/$name"
+
   /** CSV sink + source round-trip: write orders as headered CSV, read back
     * with an explicit schema, aggregate — the result must equal the oracle's
     * direct-parquet aggregate (lossless round-trip of longs/doubles). */
   private def q54_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q54_csv"
+    val tmp = roundTripDir("graft_q54_csv")
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -680,7 +689,7 @@ object SparkEntry {
 
   /** JSON-lines sink + source round-trip over part. */
   private def q55_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_q55_json"
+    val tmp = roundTripDir("graft_q55_json")
     t(s, dir, "part")
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_retailprice"))
       .write.mode("overwrite").json(tmp)
@@ -741,21 +750,24 @@ object SparkEntry {
     * via the same writeStream. */
   private def q59_streaming_window(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    // isolated child session (shared SparkContext, own conf/catalog/streams):
+    // the nanosAsLong legacy flag and the memory-sink table stay scoped here
+    // instead of mutating the caller's session
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = ns.read.parquet(s"$dir/events.parquet")
     // file-stream sources take a DIRECTORY; glob-filter to the events table
-    val agg = s.readStream.schema(raw.schema)
+    val agg = ns.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-    s.streams.active.filter(_.name == "q59_mem").foreach(_.stop())
     val q = agg.writeStream.format("memory").queryName("q59_mem")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table("q59_mem")
+    ns.table("q59_mem")
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("total_value"))
       .orderBy(col("bucket"), col("event_type"))
