@@ -84,3 +84,56 @@ object ExecutionStats {
     s
   }
 }
+
+/**
+ * Per-step throughput counters fed from flow signals — the Spark-native
+ * `monitor_steps` (`adapters/simple_queue.py:69-88`, which samples Redis
+ * MONITOR for per-step push/pop rates over a time window). A "job" here is
+ * one step execution of a batch (the flow runner fires one after-signal per
+ * step per run); counts are cumulative, rates are computed over a sliding
+ * window of recent executions. Timestamps older than `maxWindowMs` are
+ * evicted, so memory stays bounded on a long-lived driver.
+ */
+final class StepStats(maxWindowMs: Long = 300000L) extends Signals.FlowListener {
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, LongAdder]()
+  private val stamps = new ConcurrentLinkedQueue[(String, Long)]()
+
+  override def afterStep(step: String): Unit = {
+    counts.computeIfAbsent(step, _ => new LongAdder).increment()
+    val now = System.currentTimeMillis()
+    stamps.add((step, now))
+    // evict beyond the rate horizon (head = oldest)
+    var h = stamps.peek()
+    while (h != null && now - h._2 > maxWindowMs) {
+      stamps.poll(); h = stamps.peek()
+    }
+  }
+
+  /** Cumulative executions of `step` since attach. */
+  def count(step: String): Long =
+    Option(counts.get(step)).map(_.sum()).getOrElse(0L)
+
+  /** All per-step cumulative counts. */
+  def snapshot: Map[String, Long] =
+    counts.asScala.map { case (k, v) => k -> v.sum() }.toMap
+
+  /** Executions of `step` in the trailing window / window seconds
+    * (≙ `monitor_steps`' pop rate). `windowMs` ≤ `maxWindowMs`. */
+  def ratePerSec(step: String, windowMs: Long = 60000L): Double = {
+    val cutoff = System.currentTimeMillis() - math.min(windowMs, maxWindowMs)
+    val n = stamps.iterator().asScala.count {
+      case (s, t) => s == step && t >= cutoff
+    }
+    n * 1000.0 / math.min(windowMs, maxWindowMs)
+  }
+}
+
+object StepStats {
+  /** Register a fresh per-step collector on the flow signal bus. */
+  def attach(): StepStats = {
+    val s = new StepStats()
+    Signals.addListener(s)
+    s
+  }
+}

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, Trigger}
 
 /**
  * Streaming fan-in: the Structured Streaming form of the reference's
@@ -46,8 +47,8 @@ object StreamingReducer {
    * and keys are dropped the moment they complete or expire, so the state
    * store stays bounded at scale. Note: with a TTL and the default
    * zero-interval trigger, registered timeouts make the micro-batch engine
-   * re-trigger continuously — production queries should pair a TTL with a
-   * `Trigger.ProcessingTime` interval.
+   * re-trigger continuously — use [[reduceQuery]], which pairs a TTL with
+   * a `Trigger.ProcessingTime` interval by default.
    */
   def reduce(arrivals: Dataset[Arrival], ttlMs: Long = 30000L): Dataset[Completed] = {
     import arrivals.sparkSession.implicits._
@@ -83,6 +84,25 @@ object StreamingReducer {
             }
           }
       }
+  }
+
+  /**
+   * Safe-by-default query wiring for [[reduce]]: a TTL registers
+   * processing-time timeouts, and under the default zero-interval trigger
+   * the micro-batch engine re-fires continuously just to check them — a
+   * busy spin that burns a cluster's scheduler for nothing. This pairs the
+   * TTL with a `Trigger.ProcessingTime` at half the TTL (expiry still
+   * observed within ~1.5× ttl worst-case); without a TTL no timeouts are
+   * registered and the default data-driven trigger is kept. Caller attaches
+   * format/options/checkpoint to the returned writer and `start()`s it.
+   */
+  def reduceQuery(arrivals: Dataset[Arrival], ttlMs: Long = 30000L,
+                  triggerIntervalMs: Option[Long] = None): DataStreamWriter[Completed] = {
+    val w = reduce(arrivals, ttlMs).writeStream.outputMode("append")
+    if (ttlMs > 0)
+      w.trigger(Trigger.ProcessingTime(
+        triggerIntervalMs.getOrElse(math.max(ttlMs / 2, 100L))))
+    else w
   }
 
   /** Column-level helper: turn a hub-tagged DataFrame (as produced by the

@@ -26,6 +26,23 @@ class SignalsSpec extends SparkSpec {
     } finally Signals.removeListener(l)
   }
 
+  test("StepStats reports per-step execution counts and a windowed rate") {
+    val stats = graft.observe.StepStats.attach()
+    try {
+      val app = new App(spark)
+      val t2 = app.step("ss_b", identity)
+      val t1 = app.step("ss_a", identity, next = Some(t2))
+      app.run(t1, Seq(1).toDF("x"))
+      app.run(t1, Seq(2).toDF("x"))
+      app.run(t1, Seq(3).toDF("x"))
+      assert(stats.count("ss_a") == 3 && stats.count("ss_b") == 3)
+      assert(stats.snapshot.filter(_._1.startsWith("ss_")) ==
+        Map("ss_a" -> 3L, "ss_b" -> 3L))
+      assert(stats.ratePerSec("ss_a", windowMs = 60000L) > 0.0)
+      assert(stats.ratePerSec("ss_never_ran") == 0.0)
+    } finally Signals.removeListener(stats)
+  }
+
   test("ExecutionStats listener counts actions on the session") {
     val stats = graft.observe.ExecutionStats.attach(spark)
     Seq(1, 2, 3).toDF("x").count()

@@ -65,6 +65,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reduceQuery paces TTL timeout checks instead of busy re-triggering") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Arrival]
+    // an incomplete group leaves a registered timeout; with the default
+    // zero-interval trigger the engine would spin empty batches back-to-back
+    val q = StreamingReducer.reduceQuery(input.toDS(), ttlMs = 1000L)
+      .format("memory").queryName("red_paced").start()
+    try {
+      input.addData(Arrival("lone:2", 0, """{"v":1}""")) // never completes
+      Thread.sleep(3000)
+      val batches = Option(q.lastProgress).map(_.batchId).getOrElse(0L)
+      // paced at ttl/2 = 500 ms -> at most ~8 batches in 3 s; a busy spin
+      // runs hundreds
+      assert(batches <= 10, s"expected paced triggers, saw batchId=$batches")
+      assert(spark.sql("SELECT * FROM red_paced").isEmpty) // expired silently
+    } finally q.stop()
+  }
+
   test("toArrivals serializes hub-tagged frames into the reducer contract") {
     val df = Seq((1, "u1:2", 0), (2, "u1:2", 1)).toDF("x", "__hub_job_id", "__hub_branch")
     val arr = StreamingReducer.toArrivals(df).collect().sortBy(_.branch)
