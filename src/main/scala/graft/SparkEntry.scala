@@ -1164,6 +1164,20 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** The full dedup decision, end to end: near-dup pairs (exact Jaccard) →
+    * connected components → drop every non-canonical cluster member — the
+    * `pairs → clusters → keep one` pipeline a production corpus dedup
+    * actually ships. Oracle: DuckDB recursive-CTE closure to find the
+    * losers, anti-joined against the corpus. */
+  private def q87_dedup_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.6)
+    Dedup.keepRepresentatives(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1255,6 +1269,7 @@ object SparkEntry {
     "q84_struct_fns" -> q84_struct_fns _,
     "q85_percentile_disc" -> q85_percentile_disc _,
     "q86_cluster_resolve" -> q86_cluster_resolve _,
+    "q87_dedup_pipeline" -> q87_dedup_pipeline _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1923,5 +1938,28 @@ object SparkEntry {
          |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u)
          |SELECT id, min(r) AS cluster_id, (id = min(r)) AS keep
          |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q87_dedup_pipeline" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }
