@@ -22,14 +22,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline set: scan+agg, star join, window, event-time bucketing,
     * text analysis, MinHash near-dup, brute + LSH ANN top-k, n-gram
-    * Jaccard dedup, sessionization, custom-Aggregator UDAF — the
-    * operators whose cost profile dominates a real corpus pipeline. */
+    * Jaccard dedup, cluster resolution, sessionization, custom-Aggregator
+    * UDAF — the operators whose cost profile dominates a real corpus
+    * pipeline. */
   private val headline = Seq(
     "q01_agg", "q02_filter_project", "q05_star_join", "q06_window_rank",
     "q16_json", "q23_events_window", "q26_flow_factory", "q29_token_stats",
     "q31_quality_score", "q32_minhash_neardup", "q34_cosine_topk",
-    "q37_ann_lsh", "q28_dedup_exact", "q50_ngram_jaccard", "q51_sessionize",
-    "q63_custom_udaf")
+    "q37_ann_lsh", "q28_dedup_exact", "q50_ngram_jaccard",
+    "q86_cluster_resolve", "q51_sessionize", "q63_custom_udaf")
 
   private val RUNS = 5
 
@@ -48,9 +49,14 @@ object Bench {
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally
+        // operators persist reused intermediates per invocation; release
+        // between runs so repeated timing doesn't accumulate cache entries
+        graft.operators.OpCache.release()
     }
 
     val results = headline.map { name =>

@@ -289,9 +289,10 @@ object Dedup {
    * most two edge sets. Convergence is detected exactly (cardinality +
    * anti-join emptiness — scalar actions only, never a row collect).
    *
-   * Only ids appearing in `pairs` are returned; singleton documents (no
-   * near-dup edge) are trivially their own cluster and are left untouched —
-   * callers drop `keep = false` ids with [[keepRepresentatives]]. The final
+   * Only ids with at least one non-self edge in `pairs` are returned;
+   * singleton documents (no near-dup edge, or a degenerate self-pair) are
+   * trivially their own cluster and are left untouched — callers drop
+   * `keep = false` ids with [[keepRepresentatives]]. The final
    * edge set and node list stay cached for the returned frame; release with
    * [[OpCache.release]] after consuming it.
    */
@@ -312,8 +313,13 @@ object Dedup {
         least(col(idACol), col(idBCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    val (nodes, nodesRdd, _) = materialize(pairs.select(col(idACol).as("id"))
-      .union(pairs.select(col(idBCol).as("id")))
+    // derive the member list from the materialized edge set, NOT from
+    // `pairs` — the pair frame is typically an expensive similarity join,
+    // and a second scan of it would recompute that join just to list ids.
+    // (Degenerate self-pairs are dropped above; a doc paired only with
+    // itself is a singleton and is handled like any un-paired doc.)
+    val (nodes, nodesRdd, _) = materialize(edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
       .distinct())
     OpCache.trackRdd(nodesRdd)
     var converged = edgeCount == 0L
