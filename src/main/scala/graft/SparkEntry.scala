@@ -1178,6 +1178,14 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style 2-gram repetition filter scores over the corpus
+    * (dup-occurrence and top-gram fractions) — the standard boilerplate/
+    * spam signal a curation pipeline thresholds on. */
+  private def q88_repetition_scores(s: SparkSession, dir: String): DataFrame =
+    operators.TextProfile.repetitionScores(
+        parallelize(t(s, dir, "documents")), "text", "doc_id", n = 2)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1270,6 +1278,7 @@ object SparkEntry {
     "q85_percentile_disc" -> q85_percentile_disc _,
     "q86_cluster_resolve" -> q86_cluster_resolve _,
     "q87_dedup_pipeline" -> q87_dedup_pipeline _,
+    "q88_repetition_scores" -> q88_repetition_scores _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1961,5 +1970,18 @@ object SparkEntry {
          |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
          |WHERE d.doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY d.doc_id""".stripMargin,
+    "q88_repetition_scores" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 2 THEN [array_to_string(w, ' ')]
+         |    ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END AS gs
+         |  FROM tok),
+         |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY 1, 2)
+         |SELECT doc_id,
+         | round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 4)
+         |   AS dup_2gram_frac,
+         | round(max(c)::DOUBLE / sum(c), 4) AS top_2gram_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -89,4 +89,22 @@ class TextFunctionsSpec extends SparkSpec {
       .select(size(shingles($"text", k))).as[Int].head()
     assert(fps(1).size <= nGrams)
   }
+
+  test("repetition scores flag repeated n-grams (Gopher-style fractions)") {
+    val df = Seq(
+      (1L, "a a a b"),        // 2-grams: "a a","a a","a b" -> dup 2/3, top 2/3
+      (2L, "x y z w"),        // all distinct -> dup 0, top 1/3
+      (3L, "spam spam spam spam"), // "spam spam" x3 -> dup 1, top 1
+      (4L, "solo")            // short doc -> single whole-text gram
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextProfile
+      .repetitionScores(df, "text", "doc_id", n = 2)
+      .select($"doc_id", $"dup_2gram_frac", $"top_2gram_frac")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 0.6667, 0.6667),
+      (2L, 0.0, 0.3333),
+      (3L, 1.0, 1.0),
+      (4L, 0.0, 1.0)))
+  }
 }
