@@ -1186,6 +1186,17 @@ object SparkEntry {
         parallelize(t(s, dir, "documents")), "text", "doc_id", n = 2)
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination: training docs sharing any distinct word
+    * 4-gram with the held-out eval slice (doc_id % 100 == 7), with the
+    * shared-gram count — the pre-training contamination sweep. */
+  private def q89_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val isEval = pmod(col("doc_id"), lit(100)) === 7
+    operators.TextProfile.contaminationReport(
+        docs.filter(!isEval), docs.filter(isEval), "text", "doc_id", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1279,6 +1290,7 @@ object SparkEntry {
     "q86_cluster_resolve" -> q86_cluster_resolve _,
     "q87_dedup_pipeline" -> q87_dedup_pipeline _,
     "q88_repetition_scores" -> q88_repetition_scores _,
+    "q89_decontaminate" -> q89_decontaminate _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -1983,5 +1995,17 @@ object SparkEntry {
          |   AS dup_2gram_frac,
          | round(max(c)::DOUBLE / sum(c), 4) AS top_2gram_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q89_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([array_to_string(w[i:i+3], ' ')
+         |                        for i in range(1, len(w) - 2)]) END AS gs
+         |  FROM tok),
+         |ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 100 = 7),
+         |tr AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 100 <> 7)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev ON tr.gram = ev.gram
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
   )
 }

@@ -41,4 +41,30 @@ object TextProfile {
         round(max(col("c")).cast("double") / sum(col("c")), 4)
           .as(s"top_${n}gram_frac"))
   }
+
+  /**
+   * Benchmark-decontamination report: for each training document, the
+   * number of distinct word n-grams it shares with the evaluation corpus —
+   * the standard test-set-contamination check run before training (n-gram
+   * overlap decontamination as published with GPT-3/PaLM/Llama). Emits
+   * only contaminated docs (n_shared ≥ 1); threshold/drop downstream.
+   *
+   * Scale shape: the eval gram set (distinct, small — eval corpora are
+   * thousands of docs, not billions) builds once and the join is an equi
+   * semi-join on the gram, which Spark broadcasts when it fits; training
+   * grams stream partition-parallel and only (id, gram) pairs shuffle. At
+   * extreme eval sizes swap the gram string for its 8-byte xxhash64 on
+   * both sides.
+   */
+  def contaminationReport(train: DataFrame, eval: DataFrame, textCol: String,
+                          idCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(array_distinct(
+        TextFunctions.shingles(col(textCol), n))).as("g"))
+    val evalGrams = grams(eval).select(col("g")).distinct()
+    grams(train)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared")) // per-doc grams are distinct
+  }
 }

@@ -107,4 +107,19 @@ class TextFunctionsSpec extends SparkSpec {
       (3L, 1.0, 1.0),
       (4L, 0.0, 1.0)))
   }
+
+  test("contamination report counts distinct shared n-grams per train doc") {
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "he saw the quick brown fox run far away"), // shares 2 distinct 3-grams
+      (2L, "completely unrelated words everywhere here now"), // clean
+      (3L, "quick brown fox jumps high quick brown fox jumps") // 2, deduped
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextProfile
+      .contaminationReport(train, eval, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // doc 1: "the quick brown","quick brown fox"; doc 3: "quick brown fox",
+    // "brown fox jumps" (each once despite repetition); doc 2 absent
+    assert(out.toSeq == Seq((1L, 2L), (3L, 2L)))
+  }
 }
