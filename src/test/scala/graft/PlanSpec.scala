@@ -123,6 +123,46 @@ class PlanSpec extends SparkSpec {
       s"star round must not collect or go quadratic:\n$plan")
   }
 
+  test("q87 dedup pipeline: survivor filter is an anti-join, never cartesian") {
+    val df = SparkEntry.queries("q87_dedup_pipeline")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("LeftAnti"),
+      s"keepRepresentatives must anti-join the loser list:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"dedup pipeline must stay blocked/joined, not quadratic:\n$plan")
+  }
+
+  test("IVF cells written as partitions prune the probe-time scan") {
+    // the 100 TB claim on ivfTopK: assign once, write partitioned by cell,
+    // and a probe reads ONLY its cells' files (partition pruning at the
+    // parquet scan) — gate that the written layout actually prunes
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = graft.operators.Similarity.trainCentroids(
+      emb, "embedding", "vec_id", k = 4)
+    val assigned = graft.operators.Similarity.ivfAssign(
+      emb, centroids, "embedding", "vec_id")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    graft.operators.OpCache.release()
+    // trained cell ids are the surviving seed ids — pick a real one
+    // partition-dir values are re-inferred (int, not the written long)
+    val aCell = spark.read.parquet(dir).select(col("cell")).head().get(0).toString
+    val probed = spark.read.parquet(dir).filter(col("cell") === aCell)
+    val plan = probed.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val scanLine = plan.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scanLine.contains("cell"),
+      s"cell predicate must become a partition filter:\n$plan")
+    // pruning proof at EXECUTION time: every file actually read lives in
+    // the probed cell's directory (inputFiles would report pre-pruning)
+    val files = probed.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains(s"cell=$aCell")),
+      s"probe read files outside cell=$aCell: ${files.mkString(", ")}")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
