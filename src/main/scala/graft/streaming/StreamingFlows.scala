@@ -170,7 +170,13 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None)
       // a concurrent flush may delete files between listing and scan — a
       // vanished file/dir is an empty (drained) queue, not an error
       spark.read.option("ignoreMissingFiles", "true").parquet(path).count()
-    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    catch {
+      // AnalysisException: dir vanished before planning; SparkException:
+      // footer/schema read or task hit a file deleted mid-flush
+      // (ignoreMissingFiles covers only files lost after listing)
+      case _: org.apache.spark.sql.AnalysisException => 0L
+      case _: org.apache.spark.SparkException => 0L
+    }
   }
 
   override def flush(): Unit = {
