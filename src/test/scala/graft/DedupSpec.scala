@@ -120,6 +120,19 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"diff=${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
+  test("resolveClusters collapses a 1000-node chain (pathological diameter)") {
+    // naive label propagation needs O(diameter) = 1000 rounds; the
+    // large-star/small-star alternation must finish inside the default
+    // maxRounds = 50 budget (O(log^2 n)) and label every node with the min
+    val pairs = (1L until 1000L).map(i => (i - 1, i)).toDF("id_a", "id_b")
+    val out = Dedup.resolveClusters(pairs)
+      .select($"id", $"cluster_id", $"keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 1000)
+    assert(out.forall { case (id, c, keep) => c == 0L && keep == (id == 0L) })
+    graft.operators.OpCache.release()
+  }
+
   test("OpCache.release leaves no lingering cached RDDs after an operator sweep") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "x y z w q r s t")).toDF("doc_id", "text")
