@@ -39,10 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("hyperplane_lsh_key"),
       new ExpressionInfo(classOf[HyperplaneLshKey].getName, "hyperplane_lsh_key"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        // nBits and seed are foldable int literals
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // (vec, nBits[, seed]) — seed defaults to 42, matching the Scala API
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "hyperplane_lsh_key",
+              "expectedNum" -> "2 or 3", "actualNum" -> exprs.length.toString,
+              "docroot" -> ""))
+        val seed = if (exprs.length > 2)
+          exprs(2).eval().asInstanceOf[Number].intValue() else 42
         HyperplaneLshKey(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[Number].intValue())))
+          exprs(1).eval().asInstanceOf[Number].intValue(), seed)
+      }))
   }
 }

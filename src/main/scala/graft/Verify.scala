@@ -25,6 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally
+        // operators persist reused intermediates; without a per-query
+        // release an 89-query sweep holds every dedup/similarity cache
+        // simultaneously
+        operators.OpCache.release()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

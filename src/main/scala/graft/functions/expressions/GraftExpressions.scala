@@ -375,6 +375,8 @@ object GraftExpressions {
     registry.createOrReplaceTempFunction("hyperplane_lsh_key",
       exprs => HyperplaneLshKey(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        // optional 3rd arg; default seed mirrors the Scala API
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
+        else 42), "scala_udf")
   }
 }

@@ -103,10 +103,14 @@ final class StepStats(maxWindowMs: Long = 300000L) extends Signals.FlowListener 
     counts.computeIfAbsent(step, _ => new LongAdder).increment()
     val now = System.currentTimeMillis()
     stamps.add((step, now))
-    // evict beyond the rate horizon (head = oldest)
-    var h = stamps.peek()
-    while (h != null && now - h._2 > maxWindowMs) {
-      stamps.poll(); h = stamps.peek()
+    // evict beyond the rate horizon (head = oldest); the lock makes the
+    // peek/poll pair atomic — two concurrent evictors interleaving would
+    // otherwise drop a fresh stamp and skew the windowed rate
+    stamps.synchronized {
+      var h = stamps.peek()
+      while (h != null && now - h._2 > maxWindowMs) {
+        stamps.poll(); h = stamps.peek()
+      }
     }
   }
 

@@ -132,6 +132,10 @@ object Dedup {
       b => b)).cast("double") / lit(numHashes)
     withSigs.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      // ids are expected unique; on a dirty corpus with duplicate ids the
+      // attach joins would fan a pair out once per id occurrence — keep the
+      // one-row-per-pair contract regardless of input hygiene
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**
@@ -298,51 +302,58 @@ object Dedup {
    */
   def resolveClusters(pairs: DataFrame, idACol: String = "id_a",
                       idBCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    // materialize to a persisted RDD and re-plan from a bare scan: lineage
-    // truncation with an explicit unpersist handle (localCheckpoint offers
-    // no public-API release and would leak its cached RDD)
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, df.schema), rdd, rdd.count())
-    }
     // canonical larger→smaller directed edges; the loop preserves this
-    // invariant (every emitted edge points at a strictly smaller id)
-    var (edges, edgesRdd, edgeCount) = materialize(pairs
+    // invariant (every emitted edge points at a strictly smaller id).
+    // Rounds materialize via OpCache.materializeHandle (persisted-RDD
+    // lineage truncation — localCheckpoint has no public release path).
+    var (edges, edgesRdd, edgeCount) = OpCache.materializeHandle(pairs
       .select(greatest(col(idACol), col(idBCol)).as("u"),
         least(col(idACol), col(idBCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct())
-    // derive the member list from the materialized edge set, NOT from
-    // `pairs` — the pair frame is typically an expensive similarity join,
-    // and a second scan of it would recompute that join just to list ids.
-    // (Degenerate self-pairs are dropped above; a doc paired only with
-    // itself is a singleton and is handled like any un-paired doc.)
-    val (nodes, nodesRdd, _) = materialize(edges.select(col("u").as("id"))
-      .union(edges.select(col("v").as("id")))
-      .distinct())
-    OpCache.trackRdd(nodesRdd)
-    var converged = edgeCount == 0L
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val (next, nextRdd, nextCount) = materialize(smallStar(largeStar(edges)))
-      // exact set-equality: distinct frames with equal cardinality and an
-      // empty anti-join are identical (both checks are scalar aggregates)
-      converged = nextCount == edgeCount &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+    // the not-yet-swapped round result, for failure cleanup only
+    var inFlightRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    try {
+      // derive the member list from the materialized edge set, NOT from
+      // `pairs` — the pair frame is typically an expensive similarity join,
+      // and a second scan of it would recompute that join just to list ids.
+      // (Degenerate self-pairs are dropped above; a doc paired only with
+      // itself is a singleton and is handled like any un-paired doc.)
+      val nodes = OpCache.materialize(edges.select(col("u").as("id"))
+        .union(edges.select(col("v").as("id")))
+        .distinct())
+      var converged = edgeCount == 0L
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val (next, nextRdd, nextCount) =
+          OpCache.materializeHandle(smallStar(largeStar(edges)))
+        inFlightRdd = nextRdd
+        // exact set-equality: distinct frames with equal cardinality and an
+        // empty anti-join are identical (both checks are scalar aggregates)
+        converged = nextCount == edgeCount &&
+          next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+        edgesRdd.unpersist(blocking = false)
+        edges = next; edgesRdd = nextRdd; edgeCount = nextCount
+        inFlightRdd = null
+        round += 1
+      }
+      OpCache.trackRdd(edgesRdd)
+      // at the fixpoint the edge set is a star forest (each non-root id has
+      // exactly one edge, to its component min); the groupBy-min is a cheap
+      // defensive reduction in case maxRounds cut the loop short
+      val labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("root"))
+      nodes.join(labels, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("root"), col("id")).as("cluster_id"),
+          col("root").isNull.as("keep"))
+    } catch { case e: Throwable =>
+      // a failed round must not strand cache entries no release() can reach
+      // (nodes is already tracked; double-unpersist after trackRdd is a
+      // harmless no-op)
       edgesRdd.unpersist(blocking = false)
-      edges = next; edgesRdd = nextRdd; edgeCount = nextCount
-      round += 1
+      if (inFlightRdd != null) inFlightRdd.unpersist(blocking = false)
+      throw e
     }
-    OpCache.trackRdd(edgesRdd)
-    // at the fixpoint the edge set is a star forest (each non-root id has
-    // exactly one edge, to its component min); the groupBy-min is a cheap
-    // defensive reduction in case maxRounds cut the loop short
-    val labels = edges.groupBy(col("u").as("id")).agg(min(col("v")).as("root"))
-    nodes.join(labels, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("root"), col("id")).as("cluster_id"),
-        col("root").isNull.as("keep"))
   }
 
   /** Large-star round: every node connects its larger neighbors to the
@@ -374,10 +385,13 @@ object Dedup {
    * Applies a cluster resolution back to the corpus: keeps every document
    * that is either untouched by `pairs` (no near-dup edge) or its cluster's
    * canonical survivor. The anti-join ships only the loser id list.
+   * `idACol`/`idBCol` name the pair columns, as in [[resolveClusters]].
    */
-  def keepRepresentatives(df: DataFrame, pairs: DataFrame,
-                          idCol: String): DataFrame = {
-    val losers = resolveClusters(pairs).filter(!col("keep")).select(col("id"))
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
+                          idACol: String = "id_a",
+                          idBCol: String = "id_b"): DataFrame = {
+    val losers = resolveClusters(pairs, idACol, idBCol)
+      .filter(!col("keep")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 

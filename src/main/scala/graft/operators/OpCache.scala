@@ -34,15 +34,23 @@ object OpCache {
     entries.foreach(f => f()); entries.clear()
   }
 
-  /** Materialize `df` into a tracked persisted RDD and re-plan it from a
-    * bare scan: truncates iterative lineage (plans that reference their
-    * own prior iterations grow exponentially otherwise) with an explicit
+  /** Materialize `df` into a persisted RDD and re-plan it from a bare
+    * scan: truncates iterative lineage (plans that reference their own
+    * prior iterations grow exponentially otherwise) with an explicit
     * release path — unlike `localCheckpoint`, whose cached RDD has no
-    * public-API unpersist. */
-  private[graft] def materialize(df: DataFrame): DataFrame = {
+    * public-API unpersist. Returns the re-planned frame, the persisted
+    * RDD handle (caller owns its release), and the row count. */
+  private[graft] def materializeHandle(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], Long) = {
     val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    rdd.count()
+    val n = rdd.count()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd, n)
+  }
+
+  /** [[materializeHandle]] with the RDD auto-tracked for [[release]]. */
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    val (out, rdd, _) = materializeHandle(df)
     trackRdd(rdd)
-    df.sparkSession.createDataFrame(rdd, df.schema)
+    out
   }
 }

@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.StructType
 final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     extends StageBoundary {
   private val buf = mutable.ArrayBuffer.empty[Row] // guarded by this
-  private var stream: Option[MemoryStream[Row]] = None // guarded by this
+  // every live streaming subscriber; each write feeds them all (a second
+  // readStream must not silently detach the first query's feed)
+  private val streams = mutable.ArrayBuffer.empty[MemoryStream[Row]] // guarded by this
 
   override protected def jobsLimit: Option[Long] = limit
 
@@ -33,7 +35,7 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     val rows = df.collect().toIndexedSeq
     synchronized {
       buf ++= rows
-      stream.foreach(_.addData(rows))
+      streams.foreach(_.addData(rows))
     }
   }
 
@@ -41,15 +43,17 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     spark.createDataFrame(synchronized(buf.toList).asJava, schema)
 
   /** Streaming view: everything enqueued so far plus all later writes.
-    * (Rows already handed to the stream are part of its history — a later
-    * [[flush]] empties the queue but cannot retract delivered batches,
-    * matching a queue consumer that already popped them.) */
+    * Each call subscribes an independent consumer; all of them receive
+    * every subsequent write. (Rows already handed to a stream are part of
+    * its history — a later [[flush]] empties the queue but cannot retract
+    * delivered batches, matching a queue consumer that already popped
+    * them.) */
   override def readStream(spark: SparkSession): DataFrame = synchronized {
     implicit val enc = Encoders.row(schema)
     implicit val ctx = spark.sqlContext
     val s = MemoryStream[Row]
     if (buf.nonEmpty) s.addData(buf.toIndexedSeq)
-    stream = Some(s)
+    streams += s
     s.toDF()
   }
 

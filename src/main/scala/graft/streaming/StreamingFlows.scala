@@ -162,21 +162,32 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None)
       .parquet(path)
   }
 
+  // depth polls run a real count job; 50 ms would hammer the scheduler
+  override protected def throttlePollMs: Long = 500L
+
   override def jobsCount(spark: SparkSession): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else try
-      // a concurrent flush may delete files between listing and scan — a
-      // vanished file/dir is an empty (drained) queue, not an error
+    def scan(): Long =
       spark.read.option("ignoreMissingFiles", "true").parquet(path).count()
-    catch {
-      // AnalysisException: dir vanished before planning; SparkException:
-      // footer/schema read or task hit a file deleted mid-flush
-      // (ignoreMissingFiles covers only files lost after listing)
-      case _: org.apache.spark.sql.AnalysisException => 0L
-      case _: org.apache.spark.SparkException => 0L
+    // a concurrent flush can delete files during driver-side footer/schema
+    // reads (ignoreMissingFiles covers only post-listing loss). Distinguish
+    // that race from a genuinely broken store: a vanished dir is a drained
+    // queue; otherwise retry against a fresh listing (the delete completes
+    // in moments) and let a persistent failure propagate.
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(p)) return 0L
+      try return scan()
+      catch {
+        case e @ (_: org.apache.spark.sql.AnalysisException |
+                  _: org.apache.spark.SparkException) =>
+          attempt += 1
+          if (attempt > 3 && fs.exists(p)) throw e
+          Thread.sleep(50L * attempt)
+      }
     }
+    0L // unreachable
   }
 
   override def flush(): Unit = {

@@ -153,6 +153,12 @@ class ExpressionsSpec extends SparkSpec {
     val sig = spark.sql(
       "SELECT minhash_signature(array(1L, 2L, 3L), 8) AS s").head().getSeq[Long](0)
     assert(sig.length == 8)
+    // 2-arg form defaults the seed to 42, mirroring the Scala API
+    val k2 = spark.sql(
+      "SELECT hyperplane_lsh_key(array(0.5F, -1.0F), 8) AS k").head().getLong(0)
+    val k3 = spark.sql(
+      "SELECT hyperplane_lsh_key(array(0.5F, -1.0F), 8, 42) AS k").head().getLong(0)
+    assert(k2 == k3)
     val sh = spark.sql("SELECT simhash64(array(1L, 2L, 3L)) AS h").head().getLong(0)
     val shCol = Seq(Seq(1L, 2L, 3L)).toDF("a")
       .select(GraftExpressions.simhash64($"a")).as[Long].head()
