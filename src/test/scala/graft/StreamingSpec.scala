@@ -166,6 +166,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension per micro-batch") {
+    // the third join shape next to batch joins and the stream-stream
+    // interval join: a stream enriched against a static dim — planned as a
+    // broadcast join inside each micro-batch, no stream-side state at all
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "EMEA"), (2L, "APAC")).toDF("region_id", "region_name")
+    val input = MemoryStream[(Long, Double)]
+    val enriched = input.toDF().toDF("region_id", "value")
+      .join(broadcast(dim), Seq("region_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("sse_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (9L, 30.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT region_id, region_name FROM sse_out")
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == Map(1L -> Some("EMEA"), 2L -> Some("APAC"), 9L -> None))
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static joins must keep no streaming state")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
