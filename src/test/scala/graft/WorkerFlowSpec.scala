@@ -154,4 +154,22 @@ class WorkerFlowSpec extends SparkSpec {
     b.flush()
     assert(b.isEmpty(spark))
   }
+
+  test("InMemoryBoundary feeds every streaming subscriber, not just the last") {
+    val schema = Seq(1).toDF("x").schema
+    val b = new InMemoryBoundary(schema)
+    b.write(Seq(1).toDF("x"))
+    val q1 = b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_sub1").outputMode("append").start()
+    val q2 = b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_sub2").outputMode("append").start()
+    try {
+      b.write(Seq(2).toDF("x")) // after BOTH subscriptions
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val g1 = spark.sql("SELECT * FROM imb_sub1").as[Int].collect().sorted
+      val g2 = spark.sql("SELECT * FROM imb_sub2").as[Int].collect().sorted
+      assert(g1.toSeq == Seq(1, 2), s"first subscriber lost data: ${g1.toSeq}")
+      assert(g2.toSeq == Seq(1, 2), s"second subscriber lost data: ${g2.toSeq}")
+    } finally { q1.stop(); q2.stop() }
+  }
 }
