@@ -1945,13 +1945,13 @@ object SparkEntry {
          |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |                        for i in range(1, len(w) - 1)]) END AS s
          |  FROM tok),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
          |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
          |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -1966,13 +1966,13 @@ object SparkEntry {
          |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |                        for i in range(1, len(w) - 1)]) END AS s
          |  FROM tok),
-         |pairs AS (
+         |pairs AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
          |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
-         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
          |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
          |reach(id, r) AS (
          |  SELECT id, id FROM nodes
@@ -1997,7 +1997,7 @@ object SparkEntry {
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q89_decontaminate" ->
       s"""WITH tok AS (SELECT doc_id, $toksSql AS w FROM documents),
-         |g AS (
+         |g AS MATERIALIZED (
          |  SELECT doc_id, CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
          |    ELSE list_distinct([array_to_string(w[i:i+3], ' ')
          |                        for i in range(1, len(w) - 2)]) END AS gs
