@@ -1198,6 +1198,66 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
+  // Corpus curation: sampling, data mixing, PII, quality filtering
+  // ---------------------------------------------------------------------
+
+  /** Stratified deterministic sampling by language: per-stratum keep rates
+    * on an md5-hex threshold — a pure filter (no shuffle, no RNG state),
+    * reproducible across runs/cluster sizes, unlike `df.sample`. Oracle runs
+    * the identical hash threshold in DuckDB, so the exact row set matches. */
+  private def q90_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), defaultRate = 0.05)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Exactly-k-per-group deterministic sample (distributed reservoir):
+    * 20 docs per language, ranked by the uniform sample key. */
+  private def q91_group_sample(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.samplePerGroup(t(s, dir, "documents"), "lang", "doc_id", 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+
+  /** PII scrub: plant a deterministic email/IP/phone suffix per doc (so the
+    * check exercises real replacements, not a no-op), then count and redact
+    * stage-wise. The redacted text is hash-compared via md5. */
+  private def q92_pii_redact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(coalesce(col("text"), lit("")),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10."),
+      pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".0.1 tel +1415555"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    parallelize(t(s, dir, "documents"))
+      .withColumn("__p", planted)
+      .withColumn("__c", TextFunctions.piiCounts(col("__p")))
+      .select(col("doc_id"),
+        col("__c.n_emails").cast("long").as("n_emails"),
+        col("__c.n_ips").cast("long").as("n_ips"),
+        col("__c.n_phones").cast("long").as("n_phones"),
+        md5(TextFunctions.redactPii(col("__p"))).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-percentile curation: keep the top half of each language by the
+    * Gopher-ish quality score (deterministic doc_id tiebreak). */
+  private def q93_quality_filter(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.topFractionPerGroup(
+        parallelize(t(s, dir, "documents"))
+          .withColumn("quality", TextFunctions.qualityScore(col("text"))),
+        "lang", "quality", 0.5, "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Data-mixing rates: per-language keep rates that hit a target mix
+    * (en .4 / de .2 / fr .2 / es .1 / zh .1) without over-sampling any
+    * stratum — the planning step before [[q90_stratified_sample]]'s filter. */
+  private def q94_mixing_rates(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.mixingRates(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
+      .orderBy(col("stratum"))
+
+  // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
 
@@ -1291,11 +1351,44 @@ object SparkEntry {
     "q87_dedup_pipeline" -> q87_dedup_pipeline _,
     "q88_repetition_scores" -> q88_repetition_scores _,
     "q89_decontaminate" -> q89_decontaminate _,
+    "q90_stratified_sample" -> q90_stratified_sample _,
+    "q91_group_sample" -> q91_group_sample _,
+    "q92_pii_redact" -> q92_pii_redact _,
+    "q93_quality_filter" -> q93_quality_filter _,
+    "q94_mixing_rates" -> q94_mixing_rates _,
   )
 
   /** SQL list literal of a stopword list. */
   private def swList(lang: String): String =
     TextFunctions.stopwordList(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** DuckDB subquery computing per-document quality components (the oracle
+    * twin of TextFunctions' ratio columns); `cols` prepends id/group cols. */
+  private def qualityRawSql(cols: String): String = {
+    val en = swList("en")
+    s"""SELECT $cols,
+       |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0
+       |       ELSE len($toksSql) END AS n_tok,
+       |  CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+       |       ELSE (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[[:punct:]]', '', 'g')))::DOUBLE / length(coalesce(text,'')) END AS punct_ratio,
+       |  CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
+       |       ELSE length(regexp_replace(coalesce(text,''), '[^\\p{L}]', '', 'g'))::DOUBLE / length(coalesce(text,'')) END AS alpha_ratio,
+       |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0.0
+       |       ELSE len(list_filter($toksSql, t -> list_contains($en, t)))::DOUBLE / len($toksSql) END AS stopword_ratio,
+       |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0.0
+       |       ELSE list_aggregate(list_transform($toksSql, t -> length(t)), 'sum')::DOUBLE / len($toksSql) END AS mean_word_len
+       | FROM documents""".stripMargin
+  }
+
+  /** The composite quality formula over [[qualityRawSql]]'s columns — the
+    * oracle twin of TextFunctions.qualityScore's combination step. */
+  private val qualityExprSql: String =
+    """round((
+      |   (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) +
+      |   (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) +
+      |   (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
+      |   (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END) +
+      |   (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END)) / 5.0, 2)""".stripMargin
 
   /** Per-language score fragment (≡ TextFunctions.langScore). */
   private def langScoreSql(lang: String): String =
@@ -1496,33 +1589,15 @@ object SparkEntry {
          |FROM (SELECT doc_id, $scores FROM documents) x
          |ORDER BY doc_id""".stripMargin
     },
-    "q31_quality_score" -> {
-      val en = swList("en")
+    "q31_quality_score" ->
       s"""SELECT doc_id,
          | round(punct_ratio, 4) AS punct_ratio,
          | round(alpha_ratio, 4) AS alpha_ratio,
          | round(stopword_ratio, 4) AS stopword_ratio,
          | round(mean_word_len, 4) AS mean_word_len,
-         | round((
-         |   (CASE WHEN n_tok >= 5 AND n_tok <= 10000 THEN 1.0 ELSE 0.0 END) +
-         |   (CASE WHEN mean_word_len >= 2.5 AND mean_word_len <= 12.0 THEN 1.0 ELSE 0.0 END) +
-         |   (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
-         |   (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END) +
-         |   (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END)) / 5.0, 2) AS quality
-         |FROM (SELECT doc_id,
-         |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0
-         |       ELSE len($toksSql) END AS n_tok,
-         |  CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
-         |       ELSE (length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[[:punct:]]', '', 'g')))::DOUBLE / length(coalesce(text,'')) END AS punct_ratio,
-         |  CASE WHEN length(coalesce(text,'')) = 0 THEN 0.0
-         |       ELSE length(regexp_replace(coalesce(text,''), '[^\\p{L}]', '', 'g'))::DOUBLE / length(coalesce(text,'')) END AS alpha_ratio,
-         |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0.0
-         |       ELSE len(list_filter($toksSql, t -> list_contains($en, t)))::DOUBLE / len($toksSql) END AS stopword_ratio,
-         |  CASE WHEN trim(coalesce(text,'')) = '' THEN 0.0
-         |       ELSE list_aggregate(list_transform($toksSql, t -> length(t)), 'sum')::DOUBLE / len($toksSql) END AS mean_word_len
-         | FROM documents) raw
-         |ORDER BY doc_id""".stripMargin
-    },
+         | $qualityExprSql AS quality
+         |FROM (${qualityRawSql("doc_id")}) raw
+         |ORDER BY doc_id""".stripMargin,
     "q32_minhash_neardup" ->
       s"""WITH tok AS (
          |  SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 1000),
@@ -2007,5 +2082,65 @@ object SparkEntry {
          |SELECT tr.doc_id, count(*) AS n_shared
          |FROM tr JOIN ev ON tr.gram = ev.gram
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q90_stratified_sample" -> {
+      val cases = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1).sortBy(_._1)
+        .map { case (l, r) =>
+          s"WHEN '$l' THEN '${operators.Curate.thresholdHex(r)}'" }
+        .mkString(" ")
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang $cases ELSE '${operators.Curate.thresholdHex(0.05)}' END
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q91_group_sample" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+        |    AS sample_rank
+        |  FROM documents) x
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    "q92_pii_redact" -> {
+      val em = TextFunctions.emailPattern
+      val ip = TextFunctions.ipv4Pattern
+      val ph = TextFunctions.phonePattern
+      s"""WITH p AS (SELECT doc_id,
+         |  coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |  '.0.1 tel +1415555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t, regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1 FROM p),
+         |s2 AS (SELECT doc_id, t, t1, regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t1, '$ip')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_phones,
+         | md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) AS red_fp
+         |FROM s2 ORDER BY doc_id""".stripMargin
+    },
+    "q93_quality_filter" ->
+      s"""WITH q AS (SELECT doc_id, lang, $qualityExprSql AS quality
+         |  FROM (${qualityRawSql("doc_id, lang")}) raw),
+         |rk AS (SELECT doc_id, lang, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM q)
+         |SELECT doc_id, lang, quality FROM rk
+         |WHERE rk <= ceil(n * 0.5 - 1e-9) ORDER BY doc_id""".stripMargin,
+    "q94_mixing_rates" -> {
+      val cases = Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
+          "zh" -> 0.1).sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      s"""WITH c AS (SELECT lang AS stratum, count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT stratum, n_docs,
+         |  CAST(CASE stratum $cases ELSE 0 END AS DOUBLE) AS weight FROM c),
+         |r AS (SELECT stratum, n_docs, weight,
+         |  round(CASE WHEN weight > 0 THEN least(1.0, weight *
+         |    (SELECT min(n_docs / weight) FROM w WHERE weight > 0) / n_docs)
+         |    ELSE 0.0 END, 6) AS rate FROM w)
+         |SELECT stratum, n_docs, weight, rate,
+         |  CAST(floor(rate * n_docs) AS BIGINT) AS sample_n
+         |FROM r ORDER BY stratum""".stripMargin
+    },
   )
 }

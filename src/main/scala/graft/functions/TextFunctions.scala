@@ -134,6 +134,51 @@ object TextFunctions {
     round((lenOk + wordOk + swOk + punctOk + alphaOk) / 5.0, 2)
   }
 
+  // --- PII redaction ----------------------------------------------------
+  // Patterns restricted to the syntax subset where Java regex (Spark) and
+  // RE2 (DuckDB, used by the oracle) agree exactly: character classes,
+  // bounded repetition, non-capturing groups, ASCII \b. No backreferences,
+  // no lookaround (RE2 has neither). Java's default \b is ASCII-\w-based,
+  // matching RE2's.
+
+  /** RFC-casual email pattern. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (no octet range check — redaction errs broad). */
+  val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** International-format phone number: + and 7-15 digits. */
+  val phonePattern = "\\+[0-9]{7,15}"
+
+  /** Text after email redaction (stage 1 of [[redactPii]]). */
+  def redactEmails(text: Column): Column =
+    regexp_replace(coalesce(text, lit("")), emailPattern, "<EMAIL>")
+
+  /**
+   * Redact emails, then IPv4 addresses, then phone numbers (that order:
+   * emails may contain dotted digit runs, so later stages run on already
+   * email-scrubbed text). Pure codegen'd regexp_replace chain — the PII
+   * scrub is a scan-speed map stage at 100 TB, no shuffle, no UDF.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(redactEmails(text), ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-type redaction counts, evaluated stage-wise on the same
+    * progressively-scrubbed text [[redactPii]] sees, so
+    * `n_emails + n_ips + n_phones` is exactly the number of replacements
+    * made. Returns a struct (n_emails, n_ips, n_phones). */
+  def piiCounts(text: Column): Column = {
+    val t0 = coalesce(text, lit(""))
+    val t1 = redactEmails(text)
+    val t2 = regexp_replace(t1, ipv4Pattern, "<IP>")
+    struct(
+      regexp_count(t0, lit(emailPattern)).as("n_emails"),
+      regexp_count(t1, lit(ipv4Pattern)).as("n_ips"),
+      regexp_count(t2, lit(phonePattern)).as("n_phones"))
+  }
+
   // --- Fingerprinting & shingling --------------------------------------
 
   /** Content fingerprint: 128-bit hex digest of normalized text (lowercased,

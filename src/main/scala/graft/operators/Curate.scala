@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus curation operators: deterministic sampling, stratified data mixing,
+ * and per-group quota selection — the stages that turn a deduplicated corpus
+ * into a training mix. The reference has no sampling primitive (any such
+ * logic would be user Python inside a step handler, e.g. `random.random() <
+ * rate`); these are the reproducible, cluster-safe Spark forms.
+ *
+ * Scale design notes:
+ *  - All *rate* sampling is a pure per-row filter on a content hash — no
+ *    shuffle, no RNG state, no driver coordination. The same row set is
+ *    selected on every run, on any cluster size, in any partition order
+ *    (unlike `df.sample`, whose output depends on partition layout — useless
+ *    for an oracle check or a reproducible 100 TB run).
+ *  - Per-group quota sampling is one window shuffle on the group key.
+ *  - Mixing-rate computation aggregates to one row per stratum first; the
+ *    single-partition window that follows touches only |strata| rows.
+ */
+object Curate {
+
+  /** Deterministic uniform sample key in [0, 2^32) hex: the first 8 hex
+    * chars of md5 of the id rendered as a string. Stringly-typed on purpose:
+    * a lexicographic compare on lowercase hex is engine-portable (DuckDB,
+    * Spark, Presto all agree), where bigint hash functions differ. */
+  def sampleKey(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 8)
+
+  /** 8-hex-char threshold for a sampling rate in [0,1): floor(rate * 2^32). */
+  private[graft] def thresholdHex(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** Keep each row iff its id hashes below `rate` — a deterministic,
+    * partition-order-independent Bernoulli(rate) sample. Pure filter:
+    * no shuffle, reproducible across runs and cluster sizes. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    if (rate >= 1.0) df
+    else df.filter(sampleKey(col(idCol)) < lit(thresholdHex(rate)))
+
+  /** CASE WHEN key = k THEN v ... ELSE default END, branches in sorted key
+    * order (deterministic expression tree regardless of Map iteration). */
+  private def caseOver(key: Column, mapping: Map[String, Column],
+                       default: Column): Column =
+    mapping.toSeq.sortBy(_._1).foldRight(default) { (kv, acc) =>
+      when(key === lit(kv._1), kv._2).otherwise(acc)
+    }
+
+  /**
+   * Stratified deterministic sample: each stratum keeps its own rate
+   * (`rates`), everything else keeps `defaultRate`. One CASE expression on
+   * top of [[deterministicSample]]'s hash filter — still a pure filter, so
+   * mixing a 100 TB corpus by language/source costs one scan and no shuffle.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       idCol: String = "doc_id"): DataFrame = {
+    val threshold = caseOver(col(stratumCol),
+      rates.map { case (k, r) => k -> lit(thresholdHex(r)) },
+      lit(thresholdHex(defaultRate)))
+    df.filter(sampleKey(col(idCol)) < threshold)
+  }
+
+  /**
+   * Exactly-k-per-group deterministic sample: ranks each group's rows by the
+   * uniform [[sampleKey]] (id tiebreak) and keeps the first `k` — the
+   * distributed, reproducible form of per-stratum reservoir sampling. One
+   * window shuffle on the group key; adds `sample_rank` (1-based).
+   */
+  def samplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /**
+   * Keep the top `frac` fraction of each group by `orderCol` (descending,
+   * `idCol` tiebreak) — the per-language quality-percentile filter a curation
+   * pipeline runs after scoring. Quota is `ceil(frac * group_size)`, so every
+   * non-empty group keeps at least one row and ties never admit extras
+   * (row_number, not rank). One window shuffle; both window functions share
+   * the partition key, so Catalyst plans a single exchange + sort.
+   */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, orderCol: String,
+                          frac: Double, idCol: String): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+    val cnt = Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cnt))
+      // float slack errs smaller so an exact-integer product never rounds up
+      .filter(col("__rk") <= ceil(col("__n") * frac - 1e-9))
+      .drop("__rk", "__n")
+  }
+
+  /**
+   * Data-mixing rate computation: given target mix weights per stratum
+   * (summing to ~1), find the largest total corpus `T` achievable without
+   * over-sampling any stratum — `T = min over strata of (count_s / w_s)` —
+   * and the per-stratum keep rate `w_s * T / count_s` (the binding stratum
+   * gets rate 1.0). Strata absent from `targets` get weight and rate 0.
+   *
+   * Output: (stratum, n_docs, weight, rate, sample_n), one row per stratum
+   * present in `df`. Feed the rates into [[stratifiedSample]] to materialize
+   * the mix. The global min runs on the aggregated per-stratum frame
+   * (|strata| rows), so the empty-frame window is not a scale concern.
+   */
+  def mixingRates(df: DataFrame, stratumCol: String,
+                  targets: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", caseOver(col("stratum"),
+        targets.map { case (k, w) => k -> lit(w) }, lit(0.0)))
+    val capacity = when(col("weight") > 0, col("n_docs") / col("weight"))
+    val total = min(capacity).over(Window.partitionBy())
+    counts
+      .withColumn("rate", round(
+        when(col("weight") > 0,
+          least(lit(1.0), col("weight") * total / col("n_docs")))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("sample_n", floor(col("rate") * col("n_docs")).cast("long"))
+      .select(col("stratum"), col("n_docs"), col("weight"), col("rate"),
+        col("sample_n"))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.Curate
+
+/** Curation operators: deterministic sampling, mixing rates, quality
+  * quantile filtering, PII redaction. */
+class CurateSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("deterministicSample is reproducible, order-independent, ~rate sized") {
+    val n = docs.count()
+    val a = Curate.deterministicSample(docs, "doc_id", 0.3)
+    val ids1 = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    // same selection from a differently-partitioned input
+    val ids2 = Curate.deterministicSample(docs.repartition(7), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // Bernoulli(0.3) over n docs: allow a generous 6-sigma band
+    val sigma = math.sqrt(n * 0.3 * 0.7)
+    assert(math.abs(ids1.size - 0.3 * n) <= 6 * sigma + 1)
+    // rate 1.0 keeps everything; rate 0.0 keeps nothing
+    assert(Curate.deterministicSample(docs, "doc_id", 1.0).count() == n)
+    assert(Curate.deterministicSample(docs, "doc_id", 0.0).count() == 0)
+  }
+
+  test("deterministicSample nests: the 10% sample is a subset of the 30%") {
+    val small = Curate.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Curate.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Curate.stratifiedSample(docs, "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.5)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == inLang("en")) // rate 1.0: all kept
+    assert(!byLang.contains("de")) // rate 0.0: none kept
+    val others = inLang.keySet -- Set("en", "de")
+    others.foreach { l => // default 0.5 within a wide band
+      assert(byLang(l) > 0 && byLang(l) < inLang(l))
+    }
+  }
+
+  test("samplePerGroup keeps exactly k per group with dense ranks") {
+    val out = Curate.samplePerGroup(docs, "lang", "doc_id", 7).cache()
+    val sizes = out.groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ == 7)) // every lang has >= 7 docs at sf0.001
+    val ranks = out.groupBy("lang")
+      .agg(sort_array(collect_list("sample_rank")).as("rs"))
+      .select("rs").collect().map(_.getSeq[Int](0))
+    assert(ranks.forall(_ == (1 to 7)))
+    out.unpersist()
+  }
+
+  test("topFractionPerGroup keeps ceil(frac*n) best rows per group") {
+    val scored = docs.withColumn("quality",
+      TextFunctions.qualityScore(col("text")))
+    val out = Curate.topFractionPerGroup(scored, "lang", "quality", 0.5,
+      "doc_id").cache()
+    val inSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val outSizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    inSizes.foreach { case (l, n) =>
+      assert(outSizes(l) == math.ceil(n * 0.5).toLong, s"lang $l")
+    }
+    // kept min quality >= dropped max quality per group (modulo tiebreak:
+    // at the boundary equal scores are split by doc_id, so compare >=)
+    val kept = out.groupBy("lang").agg(min("quality").as("keptMin"))
+    val dropped = scored.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(max("quality").as("dropMax"))
+    val joined = kept.join(dropped, "lang").collect()
+    joined.foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(2), s"lang ${r.getString(0)}")
+    }
+    out.unpersist()
+  }
+
+  test("mixingRates hits the target mix without over-sampling any stratum") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
+      "zh" -> 0.1)
+    val rates = Curate.mixingRates(docs, "lang", targets).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(rates.forall { case (_, _, _, rate, _) => rate >= 0 && rate <= 1 })
+    // exactly one binding stratum at rate 1.0
+    assert(rates.count(_._4 == 1.0) >= 1)
+    // realized mix proportional to targets: sample_n / weight equal across
+    // strata (within floor rounding slack)
+    val perWeight = rates.filter(_._3 > 0)
+      .map { case (_, _, w, _, n) => n / w }
+    assert(perWeight.max - perWeight.min <= 1.0 / targets.values.min,
+      s"per-weight totals spread too far: $perWeight")
+  }
+
+  test("redactPii scrubs planted emails, IPs, and phone numbers") {
+    import spark.implicits._
+    val rows = Seq(
+      ("reach me at jane.doe+spam@mail.example.org today", 1, 0, 0),
+      ("server 192.168.10.1 and 10.0.0.254 down", 0, 2, 0),
+      ("call +14155552671 now", 0, 0, 1),
+      ("a@b.co via 8.8.8.8 tel +4930123456: all three", 1, 1, 1),
+      ("no pii here, just pi 3.14 and v1.2.3.4.5 semverish", 0, 1, 0),
+      ("", 0, 0, 0))
+      .toDF("text", "e", "i", "p")
+    val out = rows.select(col("e"), col("i"), col("p"),
+      TextFunctions.piiCounts(col("text")).as("c"),
+      TextFunctions.redactPii(col("text")).as("red")).collect()
+    out.foreach { r =>
+      val c = r.getStruct(3)
+      assert(c.getInt(0) == r.getInt(0), s"emails in '${r.getString(4)}'")
+      assert(c.getInt(1) == r.getInt(1), s"ips in '${r.getString(4)}'")
+      assert(c.getInt(2) == r.getInt(2), s"phones in '${r.getString(4)}'")
+      val red = r.getString(4)
+      assert(!red.matches(s".*${TextFunctions.emailPattern}.*"), red)
+      assert(!red.contains("192.168.10.1") && !red.contains("+1415555267"), red)
+    }
+    // v1.2.3.4.5: the dotted-quad prefix "1.2.3.4" matches — redaction errs
+    // broad by design; documented, not accidental (the test row pins it).
+  }
+
+  test("redaction order: emails first, so their dotted parts never IP-match") {
+    import spark.implicits._
+    val out = Seq("mail user@10.0.0.1.example.com then host 10.0.0.1")
+      .toDF("text")
+      .select(TextFunctions.redactPii(col("text")).as("red"),
+        TextFunctions.piiCounts(col("text")).as("c"))
+      .collect()(0)
+    assert(out.getString(0) == "mail <EMAIL> then host <IP>")
+    assert(out.getStruct(1).getInt(0) == 1 && out.getStruct(1).getInt(1) == 1)
+  }
+
+  test("thresholdHex boundaries") {
+    assert(Curate.thresholdHex(0.0) == "00000000")
+    assert(Curate.thresholdHex(0.5) == "80000000")
+    assert(Curate.thresholdHex(1.0) == "ffffffff")
+    assert(Curate.thresholdHex(0.25) == "40000000")
+  }
+}
