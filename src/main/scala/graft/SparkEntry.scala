@@ -1204,10 +1204,13 @@ object SparkEntry {
   /** Stratified deterministic sampling by language: per-stratum keep rates
     * on an md5-hex threshold — a pure filter (no shuffle, no RNG state),
     * reproducible across runs/cluster sizes, unlike `df.sample`. Oracle runs
-    * the identical hash threshold in DuckDB, so the exact row set matches. */
+    * the identical hash threshold in DuckDB, so the exact row set matches.
+    * The `es` stratum runs at rate 1.0 to keep the sorts-above-all-hex
+    * threshold edge (binding-mixing-stratum path) under the driver gate. */
   private def q90_stratified_sample(s: SparkSession, dir: String): DataFrame =
     operators.Curate.stratifiedSample(t(s, dir, "documents"), "lang",
-        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1), defaultRate = 0.05)
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0),
+        defaultRate = 0.05)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
@@ -1256,6 +1259,17 @@ object SparkEntry {
     operators.Curate.mixingRates(t(s, dir, "documents"), "lang",
         Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
       .orderBy(col("stratum"))
+
+  /** Exact mix materialization — the q94 plan executed: per-stratum quotas
+    * from [[q94_mixing_rates]]' targets, realized to the row via rank +
+    * broadcast-joined quota (the |strata|-row plan frame never shuffles the
+    * corpus). Realized counts equal `sample_n` exactly, making mixing-plan
+    * drift driver-visible end to end. */
+  private def q95_materialize_mix(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.materializeMix(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("doc_id"))
 
   // ---------------------------------------------------------------------
   // Assemble
@@ -1356,6 +1370,7 @@ object SparkEntry {
     "q92_pii_redact" -> q92_pii_redact _,
     "q93_quality_filter" -> q93_quality_filter _,
     "q94_mixing_rates" -> q94_mixing_rates _,
+    "q95_materialize_mix" -> q95_materialize_mix _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2083,7 +2098,8 @@ object SparkEntry {
          |FROM tr JOIN ev ON tr.gram = ev.gram
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
     "q90_stratified_sample" -> {
-      val cases = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1).sortBy(_._1)
+      val cases = Seq("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1, "es" -> 1.0)
+        .sortBy(_._1)
         .map { case (l, r) =>
           s"WHEN '$l' THEN '${operators.Curate.thresholdHex(r)}'" }
         .mkString(" ")
@@ -2141,6 +2157,27 @@ object SparkEntry {
          |SELECT stratum, n_docs, weight, rate,
          |  CAST(floor(rate * n_docs) AS BIGINT) AS sample_n
          |FROM r ORDER BY stratum""".stripMargin
+    },
+    "q95_materialize_mix" -> {
+      val cases = Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
+          "zh" -> 0.1).sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      s"""WITH c AS (SELECT lang AS stratum, count(*) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT stratum, n_docs,
+         |  CAST(CASE stratum $cases ELSE 0 END AS DOUBLE) AS weight FROM c),
+         |r AS (SELECT stratum, n_docs,
+         |  round(CASE WHEN weight > 0 THEN least(1.0, weight *
+         |    (SELECT min(n_docs / weight) FROM w WHERE weight > 0) / n_docs)
+         |    ELSE 0.0 END, 6) AS rate FROM w),
+         |q AS (SELECT stratum,
+         |  CAST(floor(rate * n_docs) AS BIGINT) AS sample_n FROM r),
+         |rk AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+         |  AS sample_rank FROM documents)
+         |SELECT rk.doc_id, rk.lang, rk.sample_rank
+         |FROM rk JOIN q ON rk.lang = q.stratum
+         |WHERE rk.sample_rank <= q.sample_n ORDER BY rk.doc_id""".stripMargin
     },
   )
 }

@@ -30,10 +30,17 @@ object Curate {
   def sampleKey(id: Column): Column =
     substring(md5(id.cast("string")), 1, 8)
 
-  /** 8-hex-char threshold for a sampling rate in [0,1): floor(rate * 2^32). */
+  /** Threshold for a sampling rate: 8 hex chars floor(rate * 2^32) for
+    * rate < 1, and `"g"` — which sorts lexicographically above every hex
+    * key — for rate >= 1. The strict-`<` filter therefore keeps *all* rows
+    * at rate 1.0, including the ~1-in-2^32 docs whose md5 prefix is exactly
+    * `ffffffff` (real rows at 100 TB: the binding stratum [[mixingRates]]
+    * emits always has rate 1.0, and capping at `ffffffff` would silently
+    * drop them). */
   private[graft] def thresholdHex(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
-    f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+    if (rate >= 1.0) "g"
+    else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
   /** Keep each row iff its id hashes below `rate` — a deterministic,
@@ -100,6 +107,29 @@ object Curate {
       // float slack errs smaller so an exact-integer product never rounds up
       .filter(col("__rk") <= ceil(col("__n") * frac - 1e-9))
       .drop("__rk", "__n")
+  }
+
+  /**
+   * Materialize an exact data mix: [[mixingRates]] plans per-stratum keep
+   * counts (`sample_n`), and this ranks each stratum's rows by the uniform
+   * [[sampleKey]] and keeps exactly its quota — so realized per-stratum
+   * counts equal the plan to the row, where the rate-threshold filter of
+   * [[stratifiedSample]] realizes Binomial(n, rate) scatter around it.
+   * Costs one extra scan (the count pass) plus one window shuffle on the
+   * stratum key; the |strata|-row quota frame broadcasts onto the ranked
+   * rows, so nothing re-shuffles for the join. Adds `sample_rank`.
+   */
+  def materializeMix(df: DataFrame, stratumCol: String,
+                     targets: Map[String, Double],
+                     idCol: String = "doc_id"): DataFrame = {
+    val quotas = mixingRates(df, stratumCol, targets)
+      .select(col("stratum"), col("sample_n"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .join(broadcast(quotas), col(stratumCol) === col("stratum"))
+      .filter(col("sample_rank") <= col("sample_n"))
+      .drop("stratum", "sample_n")
   }
 
   /**

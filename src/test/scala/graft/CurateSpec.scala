@@ -101,6 +101,74 @@ class CurateSpec extends SparkSpec {
       s"per-weight totals spread too far: $perWeight")
   }
 
+  test("rate-1.0 stratum keeps docs whose md5 prefix is exactly ffffffff") {
+    import spark.implicits._
+    // md5("4958115803") = ffffffffeeb434f0... — the 1-in-2^32 sample key a
+    // capped 'ffffffff' threshold with strict < silently drops. Rate 1.0
+    // must keep it (threshold 'g' sorts above every hex key).
+    val rows = Seq((4958115803L, "en"), (1L, "en"), (2L, "de"))
+      .toDF("doc_id", "lang")
+    val keyOf = rows.filter(col("doc_id") === 4958115803L)
+      .select(Curate.sampleKey(col("doc_id"))).collect()(0).getString(0)
+    assert(keyOf == "ffffffff") // the fixture really sits on the edge
+    val kept = Curate.stratifiedSample(rows, "lang",
+        Map("en" -> 1.0), defaultRate = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4958115803L), "rate-1.0 stratum dropped an ffffffff-prefix doc")
+    assert(kept == Set(4958115803L, 1L))
+    // deterministicSample agrees at the same edge
+    val det = Curate.deterministicSample(rows, "doc_id", 1.0).count()
+    assert(det == 3)
+  }
+
+  test("mixingRates feeds stratifiedSample end-to-end (binding stratum exact)") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
+      "zh" -> 0.1)
+    val plan = Curate.mixingRates(docs, "lang", targets).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val rates = plan.map { case (l, (_, rate, _)) => l -> rate }
+    val kept = Curate.stratifiedSample(docs, "lang", rates, defaultRate = 0.0,
+        idCol = "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (l, (n, rate, sampleN)) =>
+      if (rate == 1.0) {
+        // the binding stratum keeps EVERY row — this is the gate that
+        // catches threshold-boundary drift (the ffffffff edge) permanently
+        assert(kept(l) == n, s"binding stratum $l kept ${kept(l)} of $n")
+      } else if (rate == 0.0) {
+        assert(!kept.contains(l), s"rate-0 stratum $l leaked rows")
+      } else {
+        // hash-threshold realizes Binomial(n, rate): 6-sigma band + 1
+        val sigma = math.sqrt(n * rate * (1 - rate))
+        assert(math.abs(kept(l) - sampleN) <= 6 * sigma + 1,
+          s"stratum $l kept ${kept(l)}, planned $sampleN (n=$n rate=$rate)")
+      }
+    }
+  }
+
+  test("materializeMix keeps exactly sample_n rows per stratum") {
+    val targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
+      "zh" -> 0.1)
+    val plan = Curate.mixingRates(docs, "lang", targets).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val out = Curate.materializeMix(docs, "lang", targets).cache()
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (l, sampleN) =>
+      assert(kept.getOrElse(l, 0L) == sampleN,
+        s"stratum $l kept ${kept.getOrElse(l, 0L)}, quota $sampleN")
+    }
+    // quota selection is deterministic: re-running on a repartitioned input
+    // picks the identical row set
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curate.materializeMix(docs.repartition(7), "lang", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    out.unpersist()
+  }
+
   test("redactPii scrubs planted emails, IPs, and phone numbers") {
     import spark.implicits._
     val rows = Seq(
@@ -141,7 +209,9 @@ class CurateSpec extends SparkSpec {
   test("thresholdHex boundaries") {
     assert(Curate.thresholdHex(0.0) == "00000000")
     assert(Curate.thresholdHex(0.5) == "80000000")
-    assert(Curate.thresholdHex(1.0) == "ffffffff")
+    // rate 1.0 must sort above every 8-hex key (strict < keeps ffffffff docs)
+    assert(Curate.thresholdHex(1.0) == "g")
     assert(Curate.thresholdHex(0.25) == "40000000")
+    assert("ffffffff" < Curate.thresholdHex(1.0))
   }
 }
