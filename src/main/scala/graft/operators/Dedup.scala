@@ -19,6 +19,8 @@ import graft.functions.VectorFunctions._
  */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /**
    * Exact dedup on normalized content: keeps the row with the minimum `idCol`
    * per fingerprint (deterministic winner, unlike `dropDuplicates` whose
@@ -299,9 +301,14 @@ object Dedup {
    * `keep = false` ids with [[keepRepresentatives]]. The final
    * edge set and node list stay cached for the returned frame; release with
    * [[OpCache.release]] after consuming it.
+   *
+   * If `maxRounds` exhausts before the fixpoint, the result may label
+   * multi-hop chains with a non-canonical root: the loop never fails
+   * silently — it throws when `strict`, and logs a WARN otherwise.
    */
   def resolveClusters(pairs: DataFrame, idACol: String = "id_a",
-                      idBCol: String = "id_b", maxRounds: Int = 50): DataFrame = {
+                      idBCol: String = "id_b", maxRounds: Int = 50,
+                      strict: Boolean = false): DataFrame = {
     // canonical larger→smaller directed edges; the loop preserves this
     // invariant (every emitted edge points at a strictly smaller id).
     // Rounds materialize via OpCache.materializeHandle (persisted-RDD
@@ -336,6 +343,18 @@ object Dedup {
         edges = next; edgesRdd = nextRdd; edgeCount = nextCount
         inFlightRdd = null
         round += 1
+      }
+      // maxRounds exhausting mid-chain is a silent-wrong-answer hazard: the
+      // defensive groupBy-min below still leaves multi-hop chains pointing
+      // at a non-canonical root. Never fall through quietly.
+      if (!converged) {
+        val msg = s"resolveClusters did not converge after $maxRounds " +
+          s"round(s) ($edgeCount edges left): cluster ids are approximate " +
+          "(multi-hop chains may keep non-canonical roots). Raise maxRounds " +
+          "(rounds needed grow as O(log^2 n))."
+        // (the catch below releases the cached edge set on the throw path)
+        if (strict) throw new IllegalStateException(msg)
+        log.warn(msg)
       }
       OpCache.trackRdd(edgesRdd)
       // at the fixpoint the edge set is a star forest (each non-root id has

@@ -125,21 +125,54 @@ trait StageBoundary {
   /** Producer-side throttle cap, None = unbounded. */
   protected def jobsLimit: Option[Long] = None
   protected def throttlePollMs: Long = 50L
+  /** Max time a throttled [[write]] may block, None = forever. A stuck
+    * queue (consumer dead, nobody flushing/trimming) then fails the
+    * producer with a [[java.util.concurrent.TimeoutException]] instead of
+    * wedging it silently. */
+  protected def throttleTimeoutMs: Option[Long] = None
   /** Block until depth < jobsLimit (≙ `add_jobs`'s sleep-while-full loop). */
   protected def awaitCapacity(spark: SparkSession): Unit =
     jobsLimit.foreach { lim =>
-      while (jobsCount(spark) >= lim) Thread.sleep(throttlePollMs)
+      val deadline = throttleTimeoutMs.map(System.nanoTime() + _ * 1000000L)
+      while (jobsCount(spark) >= lim) {
+        if (deadline.exists(System.nanoTime() >= _))
+          throw new java.util.concurrent.TimeoutException(
+            s"queue still at/over jobs_limit=$lim after " +
+              s"${throttleTimeoutMs.get} ms; no consumer drained it")
+        Thread.sleep(throttlePollMs)
+      }
     }
 }
 
 /** Parquet-directory stage boundary: append-only files, schema pinned at
   * first write. At cluster scale this is the standard files-as-queue
   * pattern (exactly-once with checkpointed readers). `limit`, if set, is
-  * the producer-side jobs_limit in ROWS (checked before each append). */
-final class ParquetBoundary(path: String, limit: Option[Long] = None)
+  * the producer-side jobs_limit in ROWS (checked before each append);
+  * `limitTimeoutMs` bounds how long a throttled write may block (None =
+  * forever, the reference's behavior — `adapters/simple_queue.py:24-29`
+  * sleeps unconditionally).
+  *
+  * Queue depth is tracked driver-side from parquet FOOTERS, cached per
+  * file: a [[jobsCount]] call lists the directory and reads only footers
+  * it hasn't seen — O(new files) metadata IO, never a cluster count job —
+  * so the producer's throttle loop costs the scheduler nothing. */
+final class ParquetBoundary(path: String, limit: Option[Long] = None,
+                            limitTimeoutMs: Option[Long] = None)
     extends StageBoundary {
   private var schemaJson: Option[String] = None
+  // file path -> exact row count from its footer (guarded by this);
+  // entries drop when the file vanishes (flush/trim/external delete)
+  private val fileRows = scala.collection.mutable.Map.empty[String, Long]
   override protected def jobsLimit: Option[Long] = limit
+  override protected def throttleTimeoutMs: Option[Long] = limitTimeoutMs
+  // metadata-only polls are cheap, but object-store LISTs aren't free
+  override protected def throttlePollMs: Long = 100L
+
+  private def hadoopConf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 
   override def write(df: DataFrame): Unit = {
     awaitCapacity(df.sparkSession)
@@ -159,44 +192,79 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None)
       .schema(schema)
       // consumer-side batch cap, complementing the producer-side jobsLimit
       .option("maxFilesPerTrigger", "16")
+      // [[trim]] deletes consumed files; a restarted reader whose
+      // checkpoint still lists them must skip, not die
+      .option("ignoreMissingFiles", "true")
       .parquet(path)
   }
 
-  // depth polls run a real count job; 50 ms would hammer the scheduler
-  override protected def throttlePollMs: Long = 500L
-
-  override def jobsCount(spark: SparkSession): Long = {
+  /** Queue depth in rows, from cached footer counts: one directory
+    * listing plus a footer read per not-yet-seen file. Exact — a parquet
+    * footer records the file's row count — and a pure driver-side
+    * metadata operation (no Spark job, nothing on the cluster). */
+  override def jobsCount(spark: SparkSession): Long = synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def scan(): Long =
-      spark.read.option("ignoreMissingFiles", "true").parquet(path).count()
-    // a concurrent flush can delete files during driver-side footer/schema
-    // reads (ignoreMissingFiles covers only post-listing loss). Distinguish
-    // that race from a genuinely broken store: a vanished dir is a drained
-    // queue; otherwise retry against a fresh listing (the delete completes
-    // in moments) and let a persistent failure propagate.
-    var attempt = 0
-    while (true) {
-      if (!fs.exists(p)) return 0L
-      try return scan()
-      catch {
-        case e @ (_: org.apache.spark.sql.AnalysisException |
-                  _: org.apache.spark.SparkException) =>
-          attempt += 1
-          if (attempt > 3 && fs.exists(p)) throw e
-          Thread.sleep(50L * attempt)
+    val conf = hadoopConf(spark)
+    val fs = p.getFileSystem(conf)
+    val listed =
+      try fs.listStatus(p).filter(st => st.isFile && isDataFile(st.getPath.getName))
+      catch { case _: java.io.FileNotFoundException =>
+        fileRows.clear(); return 0L // never written, or flushed away
+      }
+    val live = listed.map(_.getPath.toString).toSet
+    fileRows.filterInPlace((k, _) => live.contains(k))
+    listed.foreach { st =>
+      val key = st.getPath.toString
+      if (!fileRows.contains(key)) {
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(st, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try fileRows(key) = r.getRecordCount finally r.close()
+        } catch {
+          // raced a concurrent flush/trim between listing and footer read:
+          // the file is gone, so it contributes no depth
+          case _: java.io.FileNotFoundException => ()
+        }
       }
     }
-    0L // unreachable
+    fileRows.values.sum
   }
 
-  override def flush(): Unit = {
+  /**
+   * Release consumed files: delete every data file whose modification time
+   * is <= `upToEpochMs` (the consumer's committed high-water mark) and
+   * return how many were removed. Spark's file-stream source remembers
+   * seen files in its checkpoint and never re-reads them, so trimming what
+   * a checkpointed consumer has committed preserves exactly-once output;
+   * [[jobsCount]] afterwards reflects only outstanding depth — the
+   * files-as-queue form of Redis BRPOP consuming entries as it reads them
+   * (`libs/simple_queue.py:62-66`), without which a long-lived boundary
+   * grows without bound.
+   */
+  def trim(upToEpochMs: Long): Long = synchronized {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    val victims =
+      try fs.listStatus(p).filter(st => st.isFile &&
+        isDataFile(st.getPath.getName) && st.getModificationTime <= upToEpochMs)
+      catch { case _: java.io.FileNotFoundException => return 0L }
+    victims.count { st =>
+      fileRows.remove(st.getPath.toString)
+      fs.delete(st.getPath, false)
+    }
+  }
+
+  override def flush(): Unit = synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
     // session hadoop conf so non-local filesystems (s3a/hdfs) resolve
     val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
     p.getFileSystem(conf).delete(p, true)
-    ()
+    fileRows.clear()
   }
 }

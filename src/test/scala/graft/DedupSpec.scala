@@ -133,6 +133,33 @@ class DedupSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("resolveClusters surfaces non-convergence instead of falling through") {
+    // a 4-chain needs more than one star round to reach the fixpoint, so
+    // maxRounds = 1 exhausts mid-collapse: strict mode must throw (and a
+    // generous budget on the same input must succeed)
+    val pairs = Seq((20L, 10L), (20L, 30L), (30L, 40L), (40L, 50L))
+      .toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveClusters(pairs, maxRounds = 1, strict = true).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the throw path must leave nothing OpCache.release() can't reach
+    graft.operators.OpCache.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "the throw path stranded cached entries")
+    // non-strict keeps the defensive best-effort result (and warns)
+    val lax = Dedup.resolveClusters(pairs, maxRounds = 1)
+    assert(lax.count() == 5)
+    graft.operators.OpCache.release()
+    // same input, sufficient budget: converges to the canonical labels
+    val ok = Dedup.resolveClusters(pairs)
+      .select($"id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(ok == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      50L -> 10L))
+    graft.operators.OpCache.release()
+  }
+
   test("OpCache.release leaves no lingering cached RDDs after an operator sweep") {
     val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
       (3L, "x y z w q r s t")).toDF("doc_id", "text")
