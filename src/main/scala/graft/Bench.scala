@@ -23,14 +23,21 @@ object Bench {
   /** Headline set: scan+agg, star join, window, event-time bucketing,
     * text analysis, MinHash near-dup, brute + LSH ANN top-k, n-gram
     * Jaccard dedup, cluster resolution, sessionization, custom-Aggregator
-    * UDAF — the operators whose cost profile dominates a real corpus
-    * pipeline. */
+    * UDAF, plus the full curation tier (dedup pipeline, repetition
+    * profiling, decontamination, sampling, PII redaction, quality filter,
+    * mix planning/materialization, q87-q95) — the operators whose cost
+    * profile dominates a real corpus pipeline. q37 times the LSH ANN
+    * *plus* its recall gate (a brute-force pass), so q34 remains the
+    * clean brute-force signal. */
   private val headline = Seq(
     "q01_agg", "q02_filter_project", "q05_star_join", "q06_window_rank",
     "q16_json", "q23_events_window", "q26_flow_factory", "q29_token_stats",
     "q31_quality_score", "q32_minhash_neardup", "q34_cosine_topk",
     "q37_ann_lsh", "q28_dedup_exact", "q50_ngram_jaccard",
-    "q86_cluster_resolve", "q51_sessionize", "q63_custom_udaf")
+    "q86_cluster_resolve", "q51_sessionize", "q63_custom_udaf",
+    "q87_dedup_pipeline", "q88_repetition_scores", "q89_decontaminate",
+    "q90_stratified_sample", "q91_group_sample", "q92_pii_redact",
+    "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix")
 
   private val RUNS = 5
 

@@ -406,12 +406,43 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup pairs (no SQL oracle — xxhash64 has no DuckDB
-    * equivalent; correctness pinned by ScalaTest against planted dups). */
-  private def q33_simhash_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(parallelize(t(s, dir, "documents").filter(col("doc_id") < 1000)),
-        "text", "doc_id", maxHamming = 3)
-      .orderBy(col("id_a"), col("id_b"))
+  /** SimHash near-dup accuracy gate. xxhash64 has no DuckDB equivalent, so
+    * instead of the raw pairs (whose values the oracle can't recompute)
+    * this emits a deterministic (metric, bound, ok) verdict the oracle CAN
+    * rows-match:
+    *  - `simhash_recall_of_exact`: of the pairs the EXACT ppjoin Jaccard
+    *    self-join finds at >= 0.9, the fraction simhash (hamming <= 3)
+    *    recovers. Measured 0.60 / 0.78 / 0.86 at sf0.01/0.001/0.1 — short
+    *    near-dup docs can flip > 3 of the 64 bits, the standard simhash
+    *    recall/precision dial — so the bound regression-gates at 0.4.
+    *  - `simhash_pairs_bounded`: the candidate set is non-empty yet far
+    *    from all-pairs (a banding/hamming bug that degenerates toward
+    *    cartesian output trips it long before the driver times out).
+    * A drift in either flips `ok` and fails the driver's hash compare.
+    * Pair-level fingerprint values stay pinned in ExpressionsSpec. */
+  private def q33_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents").filter(col("doc_id") < 1000))
+    val sim = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select(col("id_a"), col("id_b"))
+    val exact = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleK = 3, threshold = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val recall = exact.join(sim.withColumn("hit", lit(1)),
+        Seq("id_a", "id_b"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+    val simCount = sim.agg(count(lit(1)).as("n"))
+    recall.crossJoin(simCount)
+      .select(explode(array(
+        struct(lit("simhash_pairs_bounded").as("metric"),
+          lit(200.0).as("bound"),
+          (col("n") >= 1L && col("n") <= 200L).as("ok")),
+        struct(lit("simhash_recall_of_exact").as("metric"),
+          lit(0.4).as("bound"), (col("recall") >= 0.4).as("ok")))).as("g"))
+      .select(col("g.metric").as("metric"), col("g.bound").as("bound"),
+        col("g.ok").as("ok"))
+      .orderBy(col("metric"))
+  }
 
   /** Exact cosine top-k: rank on the ROUNDED similarity (+ id tiebreak) so
     * Spark and DuckDB rank identically even at float boundaries. */
@@ -452,15 +483,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** LSH-bucketed ANN (approximate by design — no oracle; recall vs brute
-    * force is asserted in ScalaTest). */
+  /** LSH-bucketed ANN recall gate: the approximate top-k is compared
+    * in-plan against [[Similarity.bruteForceTopK]] (the exact answer) and
+    * the query emits a deterministic (metric, bound, ok) verdict — recall@5
+    * over all probe queries must clear the bound, which the oracle
+    * rows-matches as a literal. The synthetic embeddings are near-random,
+    * so with 8 hyperplanes the 1-bit multiprobe scans ~9/256 ≈ 3.5% of the
+    * corpus and chance-level recall is ~0.035; measured recall is 0.12 at
+    * sf0.01 (the driver's gate SF), so the 0.08 bound asserts the bucketing
+    * clearly beats chance and regression-gates the hash/probe path. On
+    * clustered real-world embeddings the same operator probes a far larger
+    * effective fraction of each query's neighborhood. Per-fixture recall
+    * values remain pinned in SimilaritySpec. */
   private def q37_ann_lsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.lshTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
-        "embedding", "vec_id", k = 5, nBits = 8)
-      .select(col("query_id"), col("corpus_id"), round(col("cos"), 4).as("cos_r"),
-        col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.lshTopK(e, queries, "embedding", "vec_id", k = 5, nBits = 8)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .select(lit("lsh_recall_at_5").as("metric"), lit(0.08).as("bound"),
+        (col("recall") >= 0.08).as("ok"))
   }
 
   private def q38_near_dup_embedding(s: SparkSession, dir: String): DataFrame =
@@ -541,13 +587,19 @@ object SparkEntry {
         round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
       .orderBy(col("l_returnflag"))
 
-  /** HLL++ approximate distinct (rows-only: sketch values are
-    * implementation-specific; accuracy pinned in ScalaTest vs exact). */
+  /** HLL++ approximate distinct, gated: sketch estimates are
+    * implementation-specific (the oracle can't recompute them), so each
+    * group emits its EXACT distinct count (oracle-computable) plus an
+    * `hll_ok` flag asserting the HLL estimate lands within the configured
+    * 5% rsd. Estimate drift flips the flag and fails the hash compare. */
   private def q44_approx_distinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .select(col("l_returnflag"), col("n_parts"),
+        (abs(col("approx") - col("n_parts")) <= col("n_parts") * lit(0.05))
+          .as("hll_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Pivot (long→wide conditional aggregation) with pinned pivot values. */
@@ -773,19 +825,27 @@ object SparkEntry {
       .orderBy(col("bucket"), col("event_type"))
   }
 
-  /** IVF ANN top-k (approximate — no oracle; recall vs brute force pinned
-    * in SimilaritySpec, trained ≥ sampled centroids gated there too).
-    * Centroids are Lloyd-trained from a deterministic seed sample; at real
-    * scale the assigned corpus is written partitioned by cell. */
+  /** IVF ANN recall gate (same shape as q37): Lloyd-trained centroids,
+    * nProbe-cell search, compared in-plan against the exact brute-force
+    * top-k; emits a deterministic (metric, bound, ok) verdict the oracle
+    * rows-matches. Trained ≥ sampled centroid quality stays gated in
+    * SimilaritySpec. At real scale the assigned corpus is written
+    * partitioned by cell. */
   private def q60_ivf_ann(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
     val centroids = Similarity.trainCentroids(e, "embedding", "vec_id",
       k = 10)
-    Similarity.ivfTopK(e, e.filter(pmod(col("vec_id"), lit(100)) === 0),
-        centroids, "embedding", "vec_id", k = 5, nProbe = 3)
-      .select(col("query_id"), col("corpus_id"),
-        round(col("cos"), 4).as("cos_r"), col("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    val exact = Similarity.bruteForceTopK(e, queries, "embedding", "vec_id", k = 5)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopK(e, queries, centroids, "embedding",
+        "vec_id", k = 5, nProbe = 3)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("recall"))
+      .select(lit("ivf_recall_at_5").as("metric"), lit(0.3).as("bound"),
+        (col("recall") >= 0.3).as("ok"))
   }
 
   /** Native session-window operator (batch form of the streaming gap
@@ -1628,6 +1688,16 @@ object SparkEntry {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+    // q33 is an accuracy GATE: Spark verifies simhash pairs against exact
+    // 3-gram Jaccard and emits (metric, bound, ok); the oracle pins the
+    // expected verdict literally, so a simhash regression (ok=false)
+    // hash-mismatches. The bound/metric literals must match the query.
+    "q33_simhash_pairs" ->
+      """SELECT * FROM (VALUES
+        |  ('simhash_pairs_bounded', CAST(200.0 AS DOUBLE), TRUE),
+        |  ('simhash_recall_of_exact', CAST(0.4 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     "q34_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
          |q AS (SELECT * FROM e WHERE vec_id % 100 = 0)
@@ -1648,6 +1718,10 @@ object SparkEntry {
         | md5(d.text) AS checksum, e.label
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q37 gate: LSH recall@5 vs in-plan brute force must clear the bound.
+    "q37_ann_lsh" ->
+      """SELECT 'lsh_recall_at_5' AS metric, CAST(0.08 AS DOUBLE) AS bound,
+        | TRUE AS ok""".stripMargin,
     "q38_near_dup_embedding" ->
       s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings WHERE vec_id < 2000)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1695,6 +1769,12 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q44 gate: exact distinct count is oracle-computable; hll_ok asserts
+    // the HLL++ estimate (not oracle-computable) stays within 5%.
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | TRUE AS hll_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_pivot" ->
       """SELECT l_returnflag,
@@ -1838,6 +1918,10 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, sess_start""".stripMargin,
+    // q60 gate: IVF recall@5 vs in-plan brute force must clear the bound.
+    "q60_ivf_ann" ->
+      """SELECT 'ivf_recall_at_5' AS metric, CAST(0.3 AS DOUBLE) AS bound,
+        | TRUE AS ok""".stripMargin,
     "q62_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey

@@ -122,14 +122,16 @@ object Curate {
   def materializeMix(df: DataFrame, stratumCol: String,
                      targets: Map[String, Double],
                      idCol: String = "doc_id"): DataFrame = {
+    // internal names are __mix_-prefixed so an input that already has a
+    // "stratum"/"sample_n" column neither collides nor gets dropped
     val quotas = mixingRates(df, stratumCol, targets)
-      .select(col("stratum"), col("sample_n"))
+      .select(col("stratum").as("__mix_stratum"), col("sample_n").as("__mix_n"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(sampleKey(col(idCol)), col(idCol))
     df.withColumn("sample_rank", row_number().over(w))
-      .join(broadcast(quotas), col(stratumCol) === col("stratum"))
-      .filter(col("sample_rank") <= col("sample_n"))
-      .drop("stratum", "sample_n")
+      .join(broadcast(quotas), col(stratumCol) === col("__mix_stratum"))
+      .filter(col("sample_rank") <= col("__mix_n"))
+      .drop("__mix_stratum", "__mix_n")
   }
 
   /**

@@ -25,17 +25,47 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     extends StageBoundary {
   private val buf = mutable.ArrayBuffer.empty[Row] // guarded by this
   // every live streaming subscriber; each write feeds them all (a second
-  // readStream must not silently detach the first query's feed)
-  private val streams = mutable.ArrayBuffer.empty[MemoryStream[Row]] // guarded by this
+  // readStream must not silently detach the first query's feed). A
+  // subscriber whose consuming query has TERMINATED is pruned on the next
+  // write — otherwise a long-lived driver retains every subsequently
+  // written row per dead consumer.
+  private final class Sub(val stream: MemoryStream[Row]) {
+    var attached = false // ever observed inside a running query's sources
+  }
+  private val streams = mutable.ArrayBuffer.empty[Sub] // guarded by this
 
   override protected def jobsLimit: Option[Long] = limit
+
+  /** Live streaming subscribers (post-prune); for tests/introspection. */
+  def subscriberCount: Int = synchronized(streams.size)
+
+  /** Drop subscribers whose query came and went: a stream that has been
+    * seen among some active query's sources but no longer is, is dead —
+    * nothing will ever read what we feed it. A never-yet-attached stream
+    * is kept (its query may still be starting up). Best-effort: a dead
+    * stream parks only until the next write, and the rows it already
+    * received are unreachable once dropped. */
+  private def pruneDead(spark: SparkSession): Unit = {
+    val live: Set[AnyRef] = spark.streams.active.iterator.flatMap {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        // StreamExecution.sources is Scala-protected but JVM-public;
+        // reflective read keeps us off Spark's private internals surface
+        try w.streamingQuery.getClass.getMethod("sources")
+          .invoke(w.streamingQuery).asInstanceOf[Seq[AnyRef]]
+        catch { case _: ReflectiveOperationException => Nil }
+      case _ => Nil
+    }.toSet
+    streams.foreach(s => if (live.contains(s.stream)) s.attached = true)
+    streams.filterInPlace(s => !s.attached || live.contains(s.stream))
+  }
 
   override def write(df: DataFrame): Unit = {
     awaitCapacity(df.sparkSession)
     val rows = df.collect().toIndexedSeq
     synchronized {
+      pruneDead(df.sparkSession)
       buf ++= rows
-      streams.foreach(_.addData(rows))
+      streams.foreach(_.stream.addData(rows))
     }
   }
 
@@ -49,11 +79,12 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     * delivered batches, matching a queue consumer that already popped
     * them.) */
   override def readStream(spark: SparkSession): DataFrame = synchronized {
+    pruneDead(spark)
     implicit val enc = Encoders.row(schema)
     implicit val ctx = spark.sqlContext
     val s = MemoryStream[Row]
     if (buf.nonEmpty) s.addData(buf.toIndexedSeq)
-    streams += s
+    streams += new Sub(s)
     s.toDF()
   }
 

@@ -181,7 +181,9 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
   }
 
   override def read(spark: SparkSession): DataFrame =
-    spark.read.parquet(path)
+    // a concurrent trim()/flush() may delete a file between listing and
+    // scan; skip it (parity with readStream) rather than failing the drain
+    spark.read.option("ignoreMissingFiles", "true").parquet(path)
 
   override def readStream(spark: SparkSession): DataFrame = {
     val schema = schemaJson
@@ -232,15 +234,88 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
   }
 
   /**
-   * Release consumed files: delete every data file whose modification time
-   * is <= `upToEpochMs` (the consumer's committed high-water mark) and
-   * return how many were removed. Spark's file-stream source remembers
-   * seen files in its checkpoint and never re-reads them, so trimming what
-   * a checkpointed consumer has committed preserves exactly-once output;
-   * [[jobsCount]] afterwards reflects only outstanding depth — the
-   * files-as-queue form of Redis BRPOP consuming entries as it reads them
+   * Release consumed files the SAFE way: delete exactly the data files the
+   * consumer's file-source checkpoint records as COMMITTED — the files-as-
+   * queue form of Redis BRPOP consuming entries as it reads them
    * (`libs/simple_queue.py:62-66`), without which a long-lived boundary
-   * grows without bound.
+   * grows without bound. Reads `commits/` for the highest committed batch,
+   * then the `sources/<sourceIdx>/` log for the file paths of entries with
+   * `batchId <= committed`, and deletes only those that live directly in
+   * this boundary's directory. Because the file list comes from the same
+   * log the restarted reader consults (and `ignoreMissingFiles` covers the
+   * already-seen entries), this cannot delete an unprocessed file no
+   * matter how the producer/consumer clocks disagree — unlike the
+   * mtime-based [[trim]]. Returns the number of files removed.
+   *
+   * `sourceIdx` is the position of this boundary among the consuming
+   * query's sources (0 for the usual single-source worker).
+   */
+  def trimCommitted(spark: SparkSession, checkpointDir: String,
+                    sourceIdx: Int = 0): Long = synchronized {
+    val conf = hadoopConf(spark)
+    val ck = new org.apache.hadoop.fs.Path(checkpointDir)
+    val ckFs = ck.getFileSystem(conf)
+    def list(dir: org.apache.hadoop.fs.Path) =
+      try ckFs.listStatus(dir).filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    // metadata-log filenames are "<batchId>" or "<batchId>.compact"
+    def batchId(name: String): Option[Long] =
+      try Some(name.stripSuffix(".compact").toLong)
+      catch { case _: NumberFormatException => None }
+    val committed = list(new org.apache.hadoop.fs.Path(ck, "commits"))
+      .flatMap(st => batchId(st.getPath.getName))
+    if (committed.isEmpty) return 0L // nothing fully processed yet
+    val maxCommitted = committed.max
+    // collect committed entries' paths; compact logs re-list earlier
+    // batches' entries (each tagged with its original batchId), so read
+    // every compact file but filter entries by entry batchId
+    val srcDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(ck, "sources"), sourceIdx.toString)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val victims = scala.collection.mutable.LinkedHashSet.empty[String]
+    list(srcDir).foreach { st =>
+      val name = st.getPath.getName
+      if (batchId(name).exists(_ <= maxCommitted) || name.endsWith(".compact")) {
+        val in = ckFs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+          if (line.startsWith("{")) {
+            val node = mapper.readTree(line)
+            val entryBatch = Option(node.get("batchId")).map(_.asLong()).getOrElse(Long.MaxValue)
+            if (entryBatch <= maxCommitted)
+              Option(node.get("path")).foreach(p => victims += p.asText())
+          }
+        } finally in.close()
+      }
+    }
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    val qualifiedDir = fs.makeQualified(dir).toUri.getPath
+    victims.count { uri =>
+      val vp = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+      // only touch files directly inside this boundary's directory — the
+      // consumer's checkpoint may track other sources' files too
+      val parentOk = Option(vp.getParent)
+        .exists(p => fs.makeQualified(p).toUri.getPath == qualifiedDir)
+      parentOk && {
+        fileRows.remove(fs.makeQualified(vp).toString)
+        fs.delete(vp, false)
+      }
+    }
+  }
+
+  /**
+   * Release consumed files by age: delete every data file whose
+   * modification time is <= `upToEpochMs` and return how many were
+   * removed. CLOCK CAVEAT: file mtimes come from the writer/filesystem
+   * clock (1 s granularity on many filesystems; object stores stamp
+   * server time), so `upToEpochMs` MUST derive from that same clock with
+   * a safety lag covering skew + mtime granularity — a consumer-side
+   * "committed up to T" taken from a different clock can delete a file
+   * the consumer has NOT processed, which `ignoreMissingFiles` then turns
+   * into silent data loss. When the consumer is a checkpointed streaming
+   * query, prefer [[trimCommitted]], which trims by the exact file paths
+   * the checkpoint recorded and is immune to clock skew.
    */
   def trim(upToEpochMs: Long): Long = synchronized {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -214,4 +214,25 @@ class CurateSpec extends SparkSpec {
     assert(Curate.thresholdHex(0.25) == "40000000")
     assert("ffffffff" < Curate.thresholdHex(1.0))
   }
+
+  test("materializeMix tolerates input columns named stratum / sample_n") {
+    import spark.implicits._
+    // the stratum column is literally called "stratum" AND the input
+    // carries its own unrelated "sample_n" column — neither may collide
+    // with the internal quota frame nor get dropped from the output
+    val df = (1L to 400L).map(i =>
+        (i, if (i % 2 == 0) "a" else "b", i * 100))
+      .toDF("doc_id", "stratum", "sample_n")
+    val out = Curate.materializeMix(df, "stratum",
+      Map("a" -> 0.5, "b" -> 0.5), idCol = "doc_id").cache()
+    assert(out.columns.sorted.toSeq ==
+      Seq("doc_id", "sample_n", "sample_rank", "stratum"))
+    // user column survives untouched
+    assert(out.filter(col("sample_n") =!= col("doc_id") * 100).count() == 0)
+    // quotas realized exactly: 200 per stratum at equal weights
+    val sizes = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 200L, "b" -> 200L), sizes.toString)
+    out.unpersist()
+  }
 }

@@ -155,6 +155,92 @@ class WorkerFlowSpec extends SparkSpec {
     assert(b.isEmpty(spark))
   }
 
+  test("trimCommitted releases exactly the checkpoint-committed files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("wf_trimck").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1, 2, 3).toDF("x"))
+    b.write(Seq(4, 5).toDF("x"))
+    def drain(): Unit = b.readStream(spark)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // nothing committed yet -> nothing trimmable
+    assert(b.trimCommitted(spark, s"$dir/ck") == 0L)
+    drain()
+    assert(b.jobsCount(spark) == 5L)
+    val removed = b.trimCommitted(spark, s"$dir/ck")
+    assert(removed >= 2L, s"expected both appends' files gone, removed=$removed")
+    assert(b.jobsCount(spark) == 0L,
+      "depth must reflect only outstanding (uncommitted) rows after trim")
+    // the queue keeps working: new rows enqueue, the restarted consumer
+    // (whose checkpoint still lists the trimmed files) survives and emits
+    // each row exactly once
+    b.write(Seq(6).toDF("x"))
+    assert(b.jobsCount(spark) == 1L)
+    drain()
+    val out = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
+    assert(out.toSeq == Seq(1, 2, 3, 4, 5, 6),
+      s"exactly-once violated across trim: ${out.toSeq}")
+    // batch read() tolerates the trimmed (missing) files too
+    assert(b.read(spark).as[Int].collect().sorted.toSeq == Seq(6))
+  }
+
+  test("trim(upToEpochMs) releases files by age") {
+    val dir = java.nio.file.Files.createTempDirectory("wf_trimage").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1, 2).toDF("x"))
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(2000) // clear 1s-granularity mtime stamps decisively
+    b.write(Seq(3).toDF("x"))
+    val removed = b.trim(afterFirst + 1000)
+    assert(removed >= 1L)
+    assert(b.jobsCount(spark) == 1L,
+      "only the younger append should remain after the age trim")
+  }
+
+  test("limitTimeoutMs fails a stuck producer instead of wedging it") {
+    val dir = java.nio.file.Files.createTempDirectory("wf_timeout").toString
+    val b = new ParquetBoundary(s"$dir/q", limit = Some(1L),
+      limitTimeoutMs = Some(400L))
+    b.write(Seq(1).toDF("x")) // fills to the limit
+    val t0 = System.nanoTime()
+    intercept[java.util.concurrent.TimeoutException] {
+      b.write(Seq(2).toDF("x")) // nobody drains -> must time out
+    }
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(waitedMs >= 400L, s"timed out too early: ${waitedMs}ms")
+    assert(b.jobsCount(spark) == 1L) // the timed-out batch was not written
+  }
+
+  test("InMemoryBoundary prunes subscribers whose query terminated") {
+    val schema = Seq(1).toDF("x").schema
+    val b = new InMemoryBoundary(schema)
+    b.write(Seq(1).toDF("x"))
+    val q1 = b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_pr1").outputMode("append").start()
+    val q2 = b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_pr2").outputMode("append").start()
+    try {
+      // a write while both run marks both subscribers as attached
+      b.write(Seq(2).toDF("x"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      assert(b.subscriberCount == 2)
+      q1.stop()
+      // stop() blocks until termination, but the manager unregisters the
+      // query asynchronously — wait for it to leave the active list
+      val deadline = System.nanoTime() + 10000000000L
+      while (spark.streams.active.exists(_.id == q1.id) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      b.write(Seq(3).toDF("x")) // prune happens on this write
+      assert(b.subscriberCount == 1,
+        "dead subscriber must be pruned once its query terminated")
+      q2.processAllAvailable()
+      val g2 = spark.sql("SELECT * FROM imb_pr2").as[Int].collect().sorted
+      assert(g2.toSeq == Seq(1, 2, 3), s"survivor lost data: ${g2.toSeq}")
+    } finally { if (q1.isActive) q1.stop(); q2.stop() }
+  }
+
   test("InMemoryBoundary feeds every streaming subscriber, not just the last") {
     val schema = Seq(1).toDF("x").schema
     val b = new InMemoryBoundary(schema)
