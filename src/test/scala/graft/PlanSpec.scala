@@ -132,6 +132,38 @@ class PlanSpec extends SparkSpec {
       s"dedup pipeline must stay blocked/joined, not quadratic:\n$plan")
   }
 
+  test("q90 stratified sample plans as a pure scan+filter (zero shuffles)") {
+    // the 100 TB claim on rate sampling: a deterministic hash filter needs
+    // no exchange at any corpus size — one appearing here means the
+    // operator silently turned a scan into a shuffle
+    val df = SparkEntry.queries("q90_stratified_sample")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // the only permitted exchange is the final presentation ORDER BY
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"rate sampling must not shuffle (beyond the output sort):\n$plan")
+    assert(!plan.contains("Window"), s"no window needed for rate sampling:\n$plan")
+  }
+
+  test("q95 materializeMix: quota frame broadcasts, no sort-merge join") {
+    // quotas are |strata| rows — if the join ever plans as SortMergeJoin
+    // the full corpus re-shuffles on the stratum key just to pick up a
+    // 5-row table
+    val plan = planOf("q95_materialize_mix")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not re-shuffle for the quota join:\n$plan")
+  }
+
+  test("q89 decontamination: eval-gram semi-join, never cartesian") {
+    val df = SparkEntry.queries("q89_decontaminate")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("LeftSemi"),
+      s"decontamination must semi-join the contaminated-id set:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"gram matching must stay an equi-join:\n$plan")
+  }
+
   test("IVF cells written as partitions prune the probe-time scan") {
     // the 100 TB claim on ivfTopK: assign once, write partitioned by cell,
     // and a probe reads ONLY its cells' files (partition pruning at the
