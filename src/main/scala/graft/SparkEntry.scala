@@ -438,7 +438,9 @@ object SparkEntry {
           lit(200.0).as("bound"),
           (col("n") >= 1L && col("n") <= 200L).as("ok")),
         struct(lit("simhash_recall_of_exact").as("metric"),
-          lit(0.4).as("bound"), (col("recall") >= 0.4).as("ok")))).as("g"))
+          lit(0.4).as("bound"),
+          // empty exact-pair set -> recall is NULL; fail loudly, not NULL
+          coalesce(col("recall") >= 0.4, lit(false)).as("ok")))).as("g"))
       .select(col("g.metric").as("metric"), col("g.bound").as("bound"),
         col("g.ok").as("ok"))
       .orderBy(col("metric"))
@@ -506,7 +508,8 @@ object SparkEntry {
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
         .as("recall"))
       .select(lit("lsh_recall_at_5").as("metric"), lit(0.08).as("bound"),
-        (col("recall") >= 0.08).as("ok"))
+        // empty exact set would make recall NULL; surface false, not NULL
+        coalesce(col("recall") >= 0.08, lit(false)).as("ok"))
   }
 
   private def q38_near_dup_embedding(s: SparkSession, dir: String): DataFrame =
@@ -598,8 +601,8 @@ object SparkEntry {
       .agg(approx_count_distinct(col("l_partkey")).as("approx"),
         countDistinct(col("l_partkey")).as("n_parts"))
       .select(col("l_returnflag"), col("n_parts"),
-        (abs(col("approx") - col("n_parts")) <= col("n_parts") * lit(0.05))
-          .as("hll_ok"))
+        coalesce(abs(col("approx") - col("n_parts")) <=
+          col("n_parts") * lit(0.05), lit(false)).as("hll_ok"))
       .orderBy(col("l_returnflag"))
 
   /** Pivot (long→wide conditional aggregation) with pinned pivot values. */
@@ -845,7 +848,8 @@ object SparkEntry {
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
         .as("recall"))
       .select(lit("ivf_recall_at_5").as("metric"), lit(0.3).as("bound"),
-        (col("recall") >= 0.3).as("ok"))
+        // empty exact set would make recall NULL; surface false, not NULL
+        coalesce(col("recall") >= 0.3, lit(false)).as("ok"))
   }
 
   /** Native session-window operator (batch form of the streaming gap

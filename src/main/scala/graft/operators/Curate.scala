@@ -117,7 +117,10 @@ object Curate {
    * [[stratifiedSample]] realizes Binomial(n, rate) scatter around it.
    * Costs one extra scan (the count pass) plus one window shuffle on the
    * stratum key; the |strata|-row quota frame broadcasts onto the ranked
-   * rows, so nothing re-shuffles for the join. Adds `sample_rank`.
+   * rows, so nothing re-shuffles for the join. Adds `sample_rank`,
+   * REPLACING any input column of that name (the documented output column,
+   * same convention as [[samplePerGroup]]); all other input columns —
+   * including ones named `stratum`/`sample_n` — pass through untouched.
    */
   def materializeMix(df: DataFrame, stratumCol: String,
                      targets: Map[String, Double],

@@ -44,7 +44,11 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     * nothing will ever read what we feed it. A never-yet-attached stream
     * is kept (its query may still be starting up). Best-effort: a dead
     * stream parks only until the next write, and the rows it already
-    * received are unreachable once dropped. */
+    * received are unreachable once dropped. Pruning is PERMANENT —
+    * matching queue semantics, a stopped consumer's registration is gone;
+    * restarting a query over the same pruned readStream frame yields a
+    * subscriber that receives nothing. Call [[readStream]] again for a
+    * fresh subscription instead of reusing the old frame. */
   private def pruneDead(spark: SparkSession): Unit = {
     val live: Set[AnyRef] = spark.streams.active.iterator.flatMap {
       case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>

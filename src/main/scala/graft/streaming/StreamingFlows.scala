@@ -238,14 +238,18 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
    * consumer's file-source checkpoint records as COMMITTED — the files-as-
    * queue form of Redis BRPOP consuming entries as it reads them
    * (`libs/simple_queue.py:62-66`), without which a long-lived boundary
-   * grows without bound. Reads `commits/` for the highest committed batch,
-   * then the `sources/<sourceIdx>/` log for the file paths of entries with
-   * `batchId <= committed`, and deletes only those that live directly in
-   * this boundary's directory. Because the file list comes from the same
-   * log the restarted reader consults (and `ignoreMissingFiles` covers the
-   * already-seen entries), this cannot delete an unprocessed file no
-   * matter how the producer/consumer clocks disagree — unlike the
-   * mtime-based [[trim]]. Returns the number of files removed.
+   * grows without bound. Reads `commits/` for the highest committed QUERY
+   * batch, translates it to this SOURCE's log offset via the matching
+   * `offsets/<batch>` entry (the two counters diverge: a stateful
+   * consumer's watermark-advancing no-data batch consumes a query batchId
+   * without advancing the file source, and union consumers have one offset
+   * per source), then deletes the `sources/<sourceIdx>/` log entries at or
+   * below that offset that live directly in this boundary's directory.
+   * Because the file list comes from the same log the restarted reader
+   * consults (and `ignoreMissingFiles` covers the already-seen entries),
+   * this cannot delete an unprocessed file no matter how the producer/
+   * consumer clocks disagree — unlike the mtime-based [[trim]]. Returns
+   * the number of files removed.
    *
    * `sourceIdx` is the position of this boundary among the consuming
    * query's sources (0 for the usual single-source worker).
@@ -259,6 +263,11 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       try ckFs.listStatus(dir).filter(_.isFile)
       catch { case _: java.io.FileNotFoundException =>
         Array.empty[org.apache.hadoop.fs.FileStatus] }
+    def readLines(p: org.apache.hadoop.fs.Path): Vector[String] = {
+      val in = ckFs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
     // metadata-log filenames are "<batchId>" or "<batchId>.compact"
     def batchId(name: String): Option[Long] =
       try Some(name.stripSuffix(".compact").toLong)
@@ -267,25 +276,52 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       .flatMap(st => batchId(st.getPath.getName))
     if (committed.isEmpty) return 0L // nothing fully processed yet
     val maxCommitted = committed.max
-    // collect committed entries' paths; compact logs re-list earlier
-    // batches' entries (each tagged with its original batchId), so read
-    // every compact file but filter entries by entry batchId
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // query batch -> source log offset: offsets/<batch> holds "v1", the
+    // batch metadata JSON, then one offset line per source in order;
+    // a file source's is {"logOffset":N} ("-" = source not started yet)
+    val cutoff: Long = {
+      val offFile = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(ck, "offsets"), maxCommitted.toString)
+      val offLines =
+        try readLines(offFile).drop(2)
+        catch { case _: java.io.FileNotFoundException => return 0L }
+      if (sourceIdx >= offLines.size) return 0L
+      val line = offLines(sourceIdx).trim
+      if (!(line.startsWith("{") || line.forall(_.isDigit))) return 0L
+      val node = try mapper.readTree(line)
+        catch { case _: com.fasterxml.jackson.core.JacksonException => return 0L }
+      if (node.has("logOffset")) node.get("logOffset").asLong()
+      else if (node.isNumber) node.asLong()
+      else return 0L
+    }
+    // collect committed entries' paths: the NEWEST compact log supersedes
+    // every earlier file (entries keep their original batchIds, which we
+    // filter by the cutoff), so read it plus only the deltas after it —
+    // bounded I/O however long the queue has lived
     val srcDir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(ck, "sources"), sourceIdx.toString)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val victims = scala.collection.mutable.LinkedHashSet.empty[String]
-    list(srcDir).foreach { st =>
+    val logFiles = list(srcDir)
+    val latestCompact = logFiles
+      .filter(_.getPath.getName.endsWith(".compact"))
+      .flatMap(st => batchId(st.getPath.getName).map(_ -> st))
+      .sortBy(_._1).lastOption
+    val toRead = latestCompact.map(_._2).toSeq ++ logFiles.filter { st =>
       val name = st.getPath.getName
-      if (batchId(name).exists(_ <= maxCommitted) || name.endsWith(".compact")) {
-        val in = ckFs.open(st.getPath)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
-          if (line.startsWith("{")) {
-            val node = mapper.readTree(line)
-            val entryBatch = Option(node.get("batchId")).map(_.asLong()).getOrElse(Long.MaxValue)
-            if (entryBatch <= maxCommitted)
-              Option(node.get("path")).foreach(p => victims += p.asText())
-          }
-        } finally in.close()
+      !name.endsWith(".compact") &&
+        batchId(name).exists(id =>
+          id <= cutoff && latestCompact.forall(id > _._1))
+    }
+    val victims = scala.collection.mutable.LinkedHashSet.empty[String]
+    toRead.foreach { st =>
+      readLines(st.getPath).foreach { line =>
+        if (line.startsWith("{")) {
+          val node = mapper.readTree(line)
+          val entryBatch = Option(node.get("batchId")).map(_.asLong())
+            .getOrElse(Long.MaxValue)
+          if (entryBatch <= cutoff)
+            Option(node.get("path")).foreach(p => victims += p.asText())
+        }
       }
     }
     val dir = new org.apache.hadoop.fs.Path(path)

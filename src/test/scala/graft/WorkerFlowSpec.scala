@@ -186,6 +186,52 @@ class WorkerFlowSpec extends SparkSpec {
     assert(b.read(spark).as[Int].collect().sorted.toSeq == Seq(6))
   }
 
+  test("trimCommitted honors source offsets, not query batch ids") {
+    // A stateful consumer's watermark-advancing NO-DATA batch consumes a
+    // query batchId without advancing the file source, so query batch ids
+    // run ahead of source log offsets. Hand-craft that checkpoint shape:
+    // source log batch 1 (fileB) belongs to query batch 2, which is NOT
+    // yet committed — a trim keyed naively on commits/ max (= 1) would
+    // delete fileB and silently lose its rows on replay.
+    val dir = java.nio.file.Files.createTempDirectory("wf_offsets").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    def dataFiles = new java.io.File(s"$dir/q").listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    b.write(Seq(1, 2).toDF("x"))
+    val committedFiles = dataFiles
+    b.write(Seq(3).toDF("x"))
+    val committedNames = committedFiles.map(_.getName).toSet
+    val pendingFiles = dataFiles.filterNot(f => committedNames(f.getName))
+    assert(committedFiles.nonEmpty && pendingFiles.nonEmpty)
+    def entry(f: java.io.File, batch: Long): String =
+      s"""{"path":"${f.toURI}","timestamp":${f.lastModified},"batchId":$batch}"""
+    def writeLog(rel: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/ck/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, lines.mkString("\n"))
+    }
+    val meta = """{"batchWatermarkMs":0,"batchTimestampMs":0,"conf":{}}"""
+    // source log: offset 0 = committed files, offset 1 = pending file
+    writeLog("sources/0/0", "v1" +: committedFiles.toSeq.map(entry(_, 0L)))
+    writeLog("sources/0/1", Seq("v1", entry(pendingFiles.head, 1L)))
+    // query batches: 0 = data(offset 0), 1 = NO-DATA (offset stays 0),
+    // 2 = data(offset 1); only 0 and 1 are committed
+    writeLog("offsets/0", Seq("v1", meta, """{"logOffset":0}"""))
+    writeLog("offsets/1", Seq("v1", meta, """{"logOffset":0}"""))
+    writeLog("offsets/2", Seq("v1", meta, """{"logOffset":1}"""))
+    writeLog("commits/0", Seq("v1", "{}"))
+    writeLog("commits/1", Seq("v1", "{}"))
+    val before = b.jobsCount(spark)
+    val removed = b.trimCommitted(spark, s"$dir/ck")
+    assert(removed == committedFiles.length.toLong,
+      s"must remove exactly the offset-0 files, removed=$removed")
+    assert(pendingFiles.head.exists,
+      "file of the uncommitted query batch must survive the trim")
+    assert(b.jobsCount(spark) == 1L && before == 3L,
+      "depth must keep exactly the pending file's rows")
+  }
+
   test("trim(upToEpochMs) releases files by age") {
     val dir = java.nio.file.Files.createTempDirectory("wf_trimage").toString
     val b = new ParquetBoundary(s"$dir/q")
