@@ -218,6 +218,16 @@ object Dedup {
    * group; the prefix join is the exact-similarity-join shape that
    * survives 100 TB. Candidates then verify on a cheap length bound and
    * the exact hash-set intersection.
+   *
+   * Canonical order note: the global order is by shingle HASH. The classic
+   * alternative (Bayardo et al., WWW'07: df-ascending, rare shingles
+   * first) shrinks the candidate set on zipf-skewed vocabularies, but
+   * costs two extra shuffles of the full (doc, shingle) token stream
+   * (global df aggregation + per-doc reorder); measured end-to-end on the
+   * benchmark corpus (near-uniform synthetic vocabulary, sf0.1) it halves
+   * candidates (127k -> 69k) yet is net SLOWER. Hash order keeps set
+   * construction shuffle-free; revisit df-ordering only for corpora with
+   * heavy-tailed shingle frequencies.
    */
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
