@@ -31,45 +31,98 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
   // written row per dead consumer.
   private final class Sub(val stream: MemoryStream[Row]) {
     var attached = false // ever observed inside a running query's sources
+    @volatile var dead = false // its consuming query terminated (listener)
   }
   private val streams = mutable.ArrayBuffer.empty[Sub] // guarded by this
+  // sessions (by session UUID-ish identity) we already watch
+  private val watched = mutable.Set.empty[AnyRef] // guarded by this
+  // active queries captured at start so termination can still reach their
+  // sources (StreamingQueryManager.get returns null post-termination)
+  private val activeWrappers =
+    new java.util.concurrent.ConcurrentHashMap[java.util.UUID, AnyRef]()
 
   override protected def jobsLimit: Option[Long] = limit
 
-  /** Live streaming subscribers (post-prune); for tests/introspection. */
-  def subscriberCount: Int = synchronized(streams.size)
+  /** Live streaming subscribers (post-prune); for tests/introspection.
+    * Termination events arrive asynchronously, so a just-stopped query's
+    * subscriber may linger until the event lands plus one write. */
+  def subscriberCount: Int = synchronized { streams.count(!_.dead) }
 
-  /** Drop subscribers whose query came and went: a stream that has been
-    * seen among some active query's sources but no longer is, is dead —
-    * nothing will ever read what we feed it. A never-yet-attached stream
-    * is kept (its query may still be starting up). Best-effort: a dead
-    * stream parks only until the next write, and the rows it already
-    * received are unreachable once dropped. Pruning is PERMANENT —
-    * matching queue semantics, a stopped consumer's registration is gone;
-    * restarting a query over the same pruned readStream frame yields a
-    * subscriber that receives nothing. Call [[readStream]] again for a
-    * fresh subscription instead of reusing the old frame. */
-  private def pruneDead(spark: SparkSession): Unit = {
-    val live: Set[AnyRef] = spark.streams.active.iterator.flatMap {
-      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
-        // StreamExecution.sources is Scala-protected but JVM-public;
-        // reflective read keeps us off Spark's private internals surface
-        try w.streamingQuery.getClass.getMethod("sources")
-          .invoke(w.streamingQuery).asInstanceOf[Seq[AnyRef]]
-        catch { case _: ReflectiveOperationException => Nil }
-      case _ => Nil
-    }.toSet
-    streams.foreach(s => if (live.contains(s.stream)) s.attached = true)
-    streams.filterInPlace(s => !s.attached || live.contains(s.stream))
+  /** StreamExecution.sources is Scala-protected but JVM-public; the
+    * reflective read keeps us off Spark's private internals surface.
+    * Populated once the stream thread initializes, and it REMAINS readable
+    * after termination — which is what lets the listener identify a dead
+    * query's subscribers. */
+  private def sourcesOf(q: AnyRef): Seq[AnyRef] = q match {
+    case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+      try w.streamingQuery.getClass.getMethod("sources")
+        .invoke(w.streamingQuery).asInstanceOf[Seq[AnyRef]]
+      catch { case _: ReflectiveOperationException => Nil }
+    case _ => Nil
+  }
+
+  /** Watch a session's query lifecycle (once per session): capture each
+    * query's wrapper at start, and at termination mark every subscriber it
+    * was reading as dead. This catches consumers that start AND finish
+    * between two writes (e.g. a Trigger.AvailableNow drain), which no
+    * poll-at-write scheme can observe. */
+  private def ensureWatched(spark: SparkSession): Unit = synchronized {
+    if (!watched.contains(spark)) {
+      watched += spark
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = {
+            val q = spark.streams.get(e.id)
+            if (q != null) activeWrappers.put(e.id, q)
+          }
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+            val q = activeWrappers.remove(e.id)
+            if (q != null) {
+              val gone = sourcesOf(q).toSet
+              InMemoryBoundary.this.synchronized {
+                streams.foreach(s => if (gone.contains(s.stream)) s.dead = true)
+              }
+            }
+          }
+        })
+    }
+  }
+
+  /** Drop dead subscribers. Primary signal: the per-session listener in
+    * [[ensureWatched]] (covers queries that came and went entirely
+    * between writes). Fallback for queries started before the listener
+    * existed: a stream once observed among a session's active sources and
+    * no longer present there is dead. Liveness is judged against the
+    * STREAM'S OWN session (the one [[readStream]] bound its DataFrame
+    * to — `spark.streams` is per-session, so checking the writer's
+    * session would wrongly prune a consumer on a cloned session).
+    * Pruning is PERMANENT — matching queue semantics, a stopped
+    * consumer's registration is gone; restarting a query over the same
+    * pruned readStream frame yields a subscriber that receives nothing.
+    * Call [[readStream]] again for a fresh subscription instead. */
+  private def pruneDead(): Unit = {
+    val cache = mutable.Map.empty[AnyRef, Set[AnyRef]]
+    def liveFor(sess: org.apache.spark.sql.SparkSession): Set[AnyRef] =
+      cache.getOrElseUpdate(sess,
+        sess.streams.active.iterator.flatMap(sourcesOf).toSet)
+    streams.foreach { s =>
+      if (liveFor(s.stream.sparkSession).contains(s.stream)) s.attached = true
+    }
+    streams.filterInPlace { s =>
+      !s.dead &&
+        (!s.attached || liveFor(s.stream.sparkSession).contains(s.stream))
+    }
   }
 
   override def write(df: DataFrame): Unit = {
     awaitCapacity(df.sparkSession)
     val rows = df.collect().toIndexedSeq
     synchronized {
-      pruneDead(df.sparkSession)
+      pruneDead()
       buf ++= rows
-      streams.foreach(_.stream.addData(rows))
+      streams.foreach(s => if (!s.dead) s.stream.addData(rows))
     }
   }
 
@@ -83,7 +136,8 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     * delivered batches, matching a queue consumer that already popped
     * them.) */
   override def readStream(spark: SparkSession): DataFrame = synchronized {
-    pruneDead(spark)
+    ensureWatched(spark)
+    pruneDead()
     implicit val enc = Encoders.row(schema)
     implicit val ctx = spark.sqlContext
     val s = MemoryStream[Row]

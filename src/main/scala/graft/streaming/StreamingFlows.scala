@@ -81,11 +81,14 @@ object StreamingFlows {
    * forever and OOM on an unbounded corpus stream.
    */
   def streamingDedup(df: DataFrame, textCol: String, tsCol: String,
-                     watermark: String = "30 seconds"): DataFrame =
-    df.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+                     watermark: String = "30 seconds"): DataFrame = {
+    // namespaced temp column so a caller's own "__fp" survives untouched
+    val fp = "__graft_dedup_fp"
+    df.withColumn(fp, graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("__fp")
-      .drop("__fp")
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
 }
 
 /**
@@ -174,19 +177,52 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
   private def isDataFile(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
+  private def dirExists(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(hadoopConf(spark)).exists(p)
+    catch { case _: java.io.IOException => false }
+  }
+
   override def write(df: DataFrame): Unit = {
     awaitCapacity(df.sparkSession)
-    schemaJson = schemaJson.orElse(Some(df.schema.json))
+    // plain var: pin-once under the lock so concurrent first writes can't
+    // race on which schema wins, and readers get a happens-before edge
+    synchronized { schemaJson = schemaJson.orElse(Some(df.schema.json)) }
     df.write.mode("append").parquet(path)
   }
 
-  override def read(spark: SparkSession): DataFrame =
-    // a concurrent trim()/flush() may delete a file between listing and
-    // scan; skip it (parity with readStream) rather than failing the drain
-    spark.read.option("ignoreMissingFiles", "true").parquet(path)
+  override def read(spark: SparkSession): DataFrame = {
+    val pinned = synchronized(schemaJson)
+    // consumer-before-producer (or post-flush) must see an EMPTY queue,
+    // like InMemoryBoundary — not a PATH_NOT_FOUND crash
+    if (!dirExists(spark))
+      pinned.map(j => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+        .getOrElse(spark.emptyDataFrame)
+    else
+      // a concurrent trim()/flush() may delete a file between listing and
+      // scan; skip it (parity with readStream) rather than failing the drain
+      spark.read.option("ignoreMissingFiles", "true").parquet(path)
+  }
 
   override def readStream(spark: SparkSession): DataFrame = {
-    val schema = schemaJson
+    val pinned = synchronized(schemaJson)
+    if (pinned.isEmpty && !dirExists(spark))
+      throw new IllegalStateException(
+        s"cannot readStream from '$path': nothing has been written yet and " +
+          "no schema is pinned — a streaming source needs a schema up " +
+          "front. Either write() first, or construct the consumer-side " +
+          "boundary after the producer's first append.")
+    if (!dirExists(spark)) {
+      // schema is pinned but the directory is gone (flushed, or consumer
+      // restarted first): subscribing to a queue creates it, like a Redis
+      // list springing into existence on first touch
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(hadoopConf(spark)).mkdirs(p)
+    }
+    val schema = pinned
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .getOrElse(spark.read.parquet(path).schema)
@@ -316,11 +352,17 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     toRead.foreach { st =>
       readLines(st.getPath).foreach { line =>
         if (line.startsWith("{")) {
-          val node = mapper.readTree(line)
-          val entryBatch = Option(node.get("batchId")).map(_.asLong())
-            .getOrElse(Long.MaxValue)
-          if (entryBatch <= cutoff)
-            Option(node.get("path")).foreach(p => victims += p.asText())
+          // a torn line (driver died mid-append to the metadata log) must
+          // skip, not wedge trimming forever
+          try {
+            val node = mapper.readTree(line)
+            val entryBatch = Option(node.get("batchId")).map(_.asLong())
+              .getOrElse(Long.MaxValue)
+            if (entryBatch <= cutoff)
+              Option(node.get("path")).foreach(p => victims += p.asText())
+          } catch {
+            case _: com.fasterxml.jackson.core.JacksonException => ()
+          }
         }
       }
     }
@@ -328,14 +370,19 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     val fs = dir.getFileSystem(conf)
     val qualifiedDir = fs.makeQualified(dir).toUri.getPath
     victims.count { uri =>
-      val vp = new org.apache.hadoop.fs.Path(new java.net.URI(uri))
       // only touch files directly inside this boundary's directory — the
-      // consumer's checkpoint may track other sources' files too
-      val parentOk = Option(vp.getParent)
-        .exists(p => fs.makeQualified(p).toUri.getPath == qualifiedDir)
-      parentOk && {
-        fileRows.remove(fs.makeQualified(vp).toString)
-        fs.delete(vp, false)
+      // consumer's checkpoint may track other sources' files too; an
+      // unparseable entry path simply isn't ours
+      val parsed = try Some(new org.apache.hadoop.fs.Path(new java.net.URI(uri)))
+        catch { case _: java.net.URISyntaxException |
+                     _: IllegalArgumentException => None }
+      parsed.exists { vp =>
+        val parentOk = Option(vp.getParent)
+          .exists(p => fs.makeQualified(p).toUri.getPath == qualifiedDir)
+        parentOk && {
+          fileRows.remove(fs.makeQualified(vp).toString)
+          fs.delete(vp, false)
+        }
       }
     }
   }

@@ -65,22 +65,33 @@ object StreamingReducer {
             state.remove()
             Iterator.empty
           } else {
-            val n = key.split(":").last.toInt
-            val prev: Map[Int, String] = state.getOption
-              .map(b => b.branches.zip(b.payloads).toMap).getOrElse(Map.empty)
-            // dedup duplicate branch deliveries: first write wins
-            val merged = rows.foldLeft(prev) { (acc, a) =>
-              if (acc.contains(a.branch)) acc else acc + (a.branch -> a.payload)
-            }
-            if (merged.size >= n) {
+            // a malformed id (no numeric ':<n>' suffix) can never complete;
+            // drop it instead of throwing — an exception here fails the
+            // whole query and, since the offset is never committed,
+            // crash-loops on every replay. One bad record must only lose
+            // itself (≙ reference: a bad job dies alone,
+            // reducer_engine.py:58-60).
+            val n = key.split(":").last.toIntOption.getOrElse(-1)
+            if (n < 0) {
               state.remove()
-              Iterator.single(Completed(key,
-                merged.toSeq.sortBy(_._1).map(_._2)))
-            } else {
-              val sorted = merged.toSeq.sortBy(_._1)
-              state.update(Buf(sorted.map(_._1), sorted.map(_._2)))
-              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
               Iterator.empty
+            } else {
+              val prev: Map[Int, String] = state.getOption
+                .map(b => b.branches.zip(b.payloads).toMap).getOrElse(Map.empty)
+              // dedup duplicate branch deliveries: first write wins
+              val merged = rows.foldLeft(prev) { (acc, a) =>
+                if (acc.contains(a.branch)) acc else acc + (a.branch -> a.payload)
+              }
+              if (merged.size >= n) {
+                state.remove()
+                Iterator.single(Completed(key,
+                  merged.toSeq.sortBy(_._1).map(_._2)))
+              } else {
+                val sorted = merged.toSeq.sortBy(_._1)
+                state.update(Buf(sorted.map(_._1), sorted.map(_._2)))
+                if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+                Iterator.empty
+              }
             }
           }
       }
@@ -99,10 +110,14 @@ object StreamingReducer {
   def reduceQuery(arrivals: Dataset[Arrival], ttlMs: Long = 30000L,
                   triggerIntervalMs: Option[Long] = None): DataStreamWriter[Completed] = {
     val w = reduce(arrivals, ttlMs).writeStream.outputMode("append")
-    if (ttlMs > 0)
-      w.trigger(Trigger.ProcessingTime(
-        triggerIntervalMs.getOrElse(math.max(ttlMs / 2, 100L))))
-    else w
+    // an explicitly requested pace always applies; otherwise only a TTL
+    // needs one (to keep timeout checks from busy-spinning the engine)
+    triggerIntervalMs match {
+      case Some(ms) => w.trigger(Trigger.ProcessingTime(ms))
+      case None if ttlMs > 0 =>
+        w.trigger(Trigger.ProcessingTime(math.max(ttlMs / 2, 100L)))
+      case None => w
+    }
   }
 
   /** Column-level helper: turn a hub-tagged DataFrame (as produced by the

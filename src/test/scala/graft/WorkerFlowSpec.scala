@@ -287,6 +287,60 @@ class WorkerFlowSpec extends SparkSpec {
     } finally { if (q1.isActive) q1.stop(); q2.stop() }
   }
 
+  test("empty-queue reads: missing directory means empty, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("wf_empty").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    // consumer-before-producer: batch read sees an empty queue
+    assert(b.read(spark).isEmpty)
+    // streaming needs a schema up front -> clear error, not PATH_NOT_FOUND
+    intercept[IllegalStateException] { b.readStream(spark) }
+    b.write(Seq(1).toDF("x"))
+    b.flush() // directory is gone again, but the schema is pinned now
+    assert(b.read(spark).isEmpty && b.read(spark).columns.toSeq == Seq("x"))
+    b.readStream(spark) // pinned schema makes the streaming reader legal
+  }
+
+  test("InMemoryBoundary prunes a drained-and-terminated subscriber") {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Seq(1).toDF("x").schema
+    val b = new InMemoryBoundary(schema)
+    b.write(Seq(1).toDF("x"))
+    // AvailableNow drain: starts, consumes the backlog, terminates —
+    // all BETWEEN writes, so attachment is never observed directly and
+    // only the committed offset betrays that a consumer came and went
+    b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_drain").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.sql("SELECT * FROM imb_drain").count() == 1L)
+    // the termination event arrives on the async listener bus
+    val deadline = System.nanoTime() + 10000000000L
+    while (b.subscriberCount > 0 && System.nanoTime() < deadline) {
+      b.write(Seq(2).toDF("x")) // prune runs on each write
+      Thread.sleep(50)
+    }
+    assert(b.subscriberCount == 0,
+      "a consumed-to-completion subscriber must not keep accumulating rows")
+  }
+
+  test("reducer drops a malformed hub id instead of crash-looping") {
+    import graft.streaming.StreamingReducer.Arrival
+    val dir = java.nio.file.Files.createTempDirectory("wf_badkey").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(
+      Arrival("job:2", 0, """{"v":1}"""),
+      Arrival("job:2", 1, """{"v":2}"""),
+      Arrival("poison", 0, """{"v":3}"""), // no numeric :<n> suffix
+      Arrival("alsobad:x", 0, """{"v":4}""")).toDF())
+    val arrivals = b.readStream(spark).as[Arrival]
+    val q = StreamingReducer.reduce(arrivals, ttlMs = 0L)
+      .writeStream.format("memory").queryName("wf_badkey")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // must not throw NumberFormatException
+    val out = spark.sql("SELECT * FROM wf_badkey").collect()
+    assert(out.length == 1 && out(0).getString(0) == "job:2",
+      s"only the well-formed job completes: ${out.mkString(",")}")
+  }
+
   test("InMemoryBoundary feeds every streaming subscriber, not just the last") {
     val schema = Seq(1).toDF("x").schema
     val b = new InMemoryBoundary(schema)
