@@ -37,7 +37,8 @@ object Bench {
     "q86_cluster_resolve", "q51_sessionize", "q63_custom_udaf",
     "q87_dedup_pipeline", "q88_repetition_scores", "q89_decontaminate",
     "q90_stratified_sample", "q91_group_sample", "q92_pii_redact",
-    "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix")
+    "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix",
+    "q96_curation_pipeline")
 
   private val RUNS = 5
 

@@ -1335,6 +1335,35 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("sample_rank"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end curation pipeline — the flagship composition a
+    * training-data team actually ships: per-language quality gating (top
+    * half), exact dedup to min-id representatives, benchmark
+    * decontamination against the eval slice, then exact mix
+    * materialization. Every stage is the operator its standalone query
+    * exercises (q93/q28/q89/q95); what this query gates is the
+    * COMPOSITION, oracle-checked as the same CTE chain. Scale shape: one
+    * scan feeds the quality window, dedup shuffles (fingerprint, id)
+    * pairs, decontamination ships only (id, gram) pairs semi-joined
+    * against the broadcastable eval-gram set, and the mix join broadcasts
+    * a |strata|-row quota frame — no stage widens at 100 TB. */
+  private def q96_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val qualified = operators.Curate.topFractionPerGroup(
+      docs.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+      "lang", "quality", 0.5, "doc_id")
+    val deduped = Dedup.exact(qualified, "text", "doc_id")
+    val isEval = pmod(col("doc_id"), lit(100)) === 7
+    val train = deduped.filter(!isEval)
+    val contaminated = operators.TextProfile.contaminationReport(
+        train, docs.filter(isEval), "text", "doc_id", n = 4)
+      .select(col("doc_id"))
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    operators.Curate.materializeMix(clean, "lang",
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("quality"), col("sample_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1435,6 +1464,7 @@ object SparkEntry {
     "q93_quality_filter" -> q93_quality_filter _,
     "q94_mixing_rates" -> q94_mixing_rates _,
     "q95_materialize_mix" -> q95_materialize_mix _,
+    "q96_curation_pipeline" -> q96_curation_pipeline _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2266,6 +2296,59 @@ object SparkEntry {
          |SELECT rk.doc_id, rk.lang, rk.sample_rank
          |FROM rk JOIN q ON rk.lang = q.stratum
          |WHERE rk.sample_rank <= q.sample_n ORDER BY rk.doc_id""".stripMargin
+    },
+    // q96: the q93 -> q28 -> q89 -> q95 stages as one CTE chain — the
+    // oracle twin of the composed curation pipeline
+    "q96_curation_pipeline" -> {
+      val cases = Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
+          "zh" -> 0.1).sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      val gramExpr =
+        """CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+          |    ELSE list_distinct([array_to_string(w[i:i+3], ' ')
+          |                        for i in range(1, len(w) - 2)]) END""".stripMargin
+      s"""WITH qual AS (
+         |  SELECT doc_id, lang, text, $qualityExprSql AS quality
+         |  FROM (${qualityRawSql("doc_id, lang, text")}) raw),
+         |rk AS (SELECT doc_id, lang, text, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM qual),
+         |kept AS (SELECT doc_id, lang, text, quality FROM rk
+         |  WHERE rk <= ceil(n * 0.5 - 1e-9)),
+         |dedup AS (SELECT * FROM kept WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM kept GROUP BY md5($normSql))),
+         |gev AS MATERIALIZED (
+         |  SELECT doc_id, $gramExpr AS gs
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents
+         |        WHERE doc_id % 100 = 7) t),
+         |gtr AS MATERIALIZED (
+         |  SELECT doc_id, $gramExpr AS gs
+         |  FROM (SELECT doc_id, $toksSql AS w FROM dedup
+         |        WHERE doc_id % 100 <> 7) t),
+         |ev AS (SELECT DISTINCT unnest(gs) AS gram FROM gev),
+         |contaminated AS (SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT doc_id, unnest(gs) AS gram FROM gtr) tr
+         |  JOIN ev ON tr.gram = ev.gram),
+         |clean AS (SELECT doc_id, lang, quality FROM dedup
+         |  WHERE doc_id % 100 <> 7
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |c AS (SELECT lang AS stratum, count(*) AS n_docs FROM clean GROUP BY 1),
+         |w AS (SELECT stratum, n_docs,
+         |  CAST(CASE stratum $cases ELSE 0 END AS DOUBLE) AS weight FROM c),
+         |r AS (SELECT stratum, n_docs,
+         |  round(CASE WHEN weight > 0 THEN least(1.0, weight *
+         |    (SELECT min(n_docs / weight) FROM w WHERE weight > 0) / n_docs)
+         |    ELSE 0.0 END, 6) AS rate FROM w),
+         |q AS (SELECT stratum,
+         |  CAST(floor(rate * n_docs) AS BIGINT) AS sample_n FROM r),
+         |rk2 AS (SELECT doc_id, lang, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
+         |    AS sample_rank FROM clean)
+         |SELECT rk2.doc_id, rk2.lang, rk2.quality, rk2.sample_rank
+         |FROM rk2 JOIN q ON rk2.lang = q.stratum
+         |WHERE rk2.sample_rank <= q.sample_n ORDER BY rk2.doc_id""".stripMargin
     },
   )
 }

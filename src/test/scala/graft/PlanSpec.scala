@@ -164,6 +164,19 @@ class PlanSpec extends SparkSpec {
       s"gram matching must stay an equi-join:\n$plan")
   }
 
+  test("q96 curation pipeline: joined stages, no cartesian, broadcast quotas") {
+    val df = SparkEntry.queries("q96_curation_pipeline")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("LeftAnti"),
+      s"contaminated ids must anti-join out:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"dedup winners / eval grams must semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no stage of the pipeline may go quadratic:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the quota frame must broadcast:\n$plan")
+  }
+
   test("IVF cells written as partitions prune the probe-time scan") {
     // the 100 TB claim on ivfTopK: assign once, write partitioned by cell,
     // and a probe reads ONLY its cells' files (partition pruning at the
