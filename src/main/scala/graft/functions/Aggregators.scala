@@ -52,28 +52,32 @@ object Aggregators {
    * (lane sums, count) pair, merged associatively — the scale path for
    * mean-pooled embeddings. The posexplode formulation (q75) shuffles
    * `dim` rows per vector; this shuffles ONE partial buffer per partition
-   * per group. Ragged inputs fold over the common prefix; empty groups
-   * yield an empty array.
+   * per group. Null/empty vectors are ignored (not counted in the
+   * divisor); ragged inputs zero-pad to the longest vector seen, so the
+   * result is identical under any partitioning/encounter order — a
+   * min-length or first-seen-length fold would make the answer (and even
+   * its dimension) depend on shuffle layout. Empty groups yield an empty
+   * array.
    */
   object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
     override def zero: (Array[Double], Long) = (Array.emptyDoubleArray, 0L)
 
     override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-      if (v == null) return b
-      val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
-      val n = math.min(sums.length, v.length)
+      if (v == null || v.isEmpty) return b
+      val sums = if (b._1.length >= v.length) b._1
+        else java.util.Arrays.copyOf(b._1, v.length)
       var i = 0
-      while (i < n) { sums(i) += v(i); i += 1 }
+      while (i < v.length) { sums(i) += v(i); i += 1 }
       (sums, b._2 + 1)
     }
 
     override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
-      if (a._1.isEmpty) return b
-      if (b._1.isEmpty) return a
-      val n = math.min(a._1.length, b._1.length)
+      if (b._2 == 0L) return a
+      if (a._2 == 0L) return b
+      val (big, small) = if (a._1.length >= b._1.length) (a._1, b._1) else (b._1, a._1)
       var i = 0
-      while (i < n) { a._1(i) += b._1(i); i += 1 }
-      (a._1, a._2 + b._2)
+      while (i < small.length) { big(i) += small(i); i += 1 }
+      (big, a._2 + b._2)
     }
 
     override def finish(r: (Array[Double], Long)): Seq[Double] =

@@ -39,13 +39,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case t => throw new IllegalArgumentException(
       s"cosine_similarity needs array<float|double>, got $t")
   }
+  // plan-time constants — interpreted eval must not re-match per row
+  private lazy val leftIsDouble = elemIsDouble(left)
+  private lazy val rightIsDouble = elemIsDouble(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val xd = elemIsDouble(left)
-    val yd = elemIsDouble(right)
+    val xd = leftIsDouble
+    val yd = rightIsDouble
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -105,13 +108,10 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rolling_hash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    var h = 1125899906842597L // large prime seed
-    var i = 0
-    while (i < bytes.length) { h = h * 1000003L + bytes(i); i += 1 }
-    h
-  }
+  override def nullSafeEval(v: Any): Any =
+    // same helper the generated code calls — one copy of the loop, so the
+    // interpreted and codegen paths can never drift apart
+    RollingHash.hashBytes(v.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>

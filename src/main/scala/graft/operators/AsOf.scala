@@ -32,23 +32,34 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String,
            rightValues: Seq[String]): DataFrame = {
+    require(rightValues.nonEmpty, "rightValues must name at least one column")
     val leftCols = left.columns.toIndexedSeq
+    // Right values travel as ONE struct per right row: carrying them as
+    // separate columns with per-column last(ignoreNulls) would (a) let a
+    // NULL value in the matched row resurrect a STALE value from an older
+    // row, and (b) mix fields of different right rows into a row that
+    // never existed. The struct itself is non-null for every right row,
+    // so last(struct, ignoreNulls) picks exactly one real row — NULL
+    // fields included.
     // side ordinal 0 = right so it precedes left at equal times
     val r = right.select(
-      (keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side")) ++
-        rightValues.map(c => col(c).as(s"__rv_$c")): _*)
+      keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
+        struct(rightValues.map(col): _*).as("__rv"): _*)
     val l = left.select(
       (keyCols.map(col) :+ col(leftTime).as("__t") :+ lit(1).as("__side")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // __rv as the final sort key makes the winner among equal-time right
+    // rows deterministic (value-lexicographic) instead of partition-order
+    // dependent; left rows all carry a NULL struct, so their mutual order
+    // is irrelevant (ignoreNulls skips them anyway)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t"), col("__side"))
+      .orderBy(col("__t"), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValues.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++
-        rightValues.map(c => col(s"__asof_$c").as(s"asof_$c"))): _*)
+        rightValues.map(c => col("__asof").getField(c).as(s"asof_$c"))): _*)
   }
 }

@@ -180,8 +180,14 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
+    // nSeg=1 => segBits=64, where (1L << 64) wraps to 1L and the mask
+    // would zero every segment value — degenerating the pigeonhole join
+    // into an all-pairs cross product; -1L is the correct all-bits mask
+    val segMask = if (segBits >= 64) -1L else (1L << segBits) - 1
     // single-pass native simhash: tokenize→hash→fingerprint in one stage
     val fps = OpCache.track(df.select(col(idCol).as("id"),
         simhash64FromHashes(
@@ -191,7 +197,7 @@ object Dedup {
       explode(array((0 until nSeg).map { s =>
         struct(lit(s).as("seg"),
           shiftright(col("fp"), s * segBits)
-            .bitwiseAND(lit((1L << segBits) - 1)).as("segval"))
+            .bitwiseAND(lit(segMask)).as("segval"))
       }: _*)).as("sv"))
       .select(col("id"), col("fp"), col("sv.seg"), col("sv.segval"))
     val l = segmented.alias("l")

@@ -105,7 +105,10 @@ object Multimodal {
     * [[fakeDecode]] (xxhash64 with Spark's seed 42), computed JVM-side. */
   private[operators] def stubCodecBatch(
       payloads: Array[Array[Byte]]): Array[(Long, Long, Double)] =
-    payloads.map { bytes =>
+    payloads.map { raw =>
+      // NULL payloads are in-contract for the media pipeline (packMedia
+      // coalesces them to empty); decode must not NPE on one bad blob
+      val bytes = if (raw == null) Array.emptyByteArray else raw
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
         bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
         bytes.length, 42L)

@@ -89,14 +89,20 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: DataFrame,
                 vecCol: String, idCol: String): DataFrame = {
     val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    // argmax via max_by partial+final aggregation, NOT a row_number
+    // window: after the broadcast join every doc's k candidate rows are
+    // co-located, so map-side combine collapses them to one row per doc
+    // BEFORE the exchange — the window formulation shuffled and sorted
+    // k× the corpus (vectors included) just to rank k rows. Tiebreak
+    // (-centroid_id) keeps equal-cosine assignment deterministic.
     df.select(col(idCol), col(vecCol))
       .join(broadcast(c))
-      .select(col(idCol), col(vecCol), col("centroid_id"),
-        cosine(col(vecCol), col("centv")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("cos").desc, col("centroid_id").asc)))
-      .filter(col("rank") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col("centroid_id").as("cid")),
+        struct(cosine(col(vecCol), col("centv")).as("cos"),
+          (-col("centroid_id")).as("nid"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol), col("best.cid").as("cell"))
   }
 
   /**

@@ -28,6 +28,41 @@ class AsOfSpec extends SparkSpec {
     assert(out.select($"asof_px").as[Double].collect().toSeq == Seq(2.0, 2.0))
   }
 
+  test("as-of attaches the matched row's NULL, never a stale older value") {
+    // latest quote at-or-before t=30 is (qt=20, px=NULL): the join must
+    // surface that NULL, not resurrect px=5.0 from qt=10
+    val trades = Seq((1L, "A", 30L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 10L, Some(5.0)), ("A", 20L, None))
+      .toDF("sym", "qt", "px")
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .select($"asof_px").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None),
+      s"stale value resurrected across a NULL: ${out.toSeq}")
+  }
+
+  test("as-of never mixes columns of different right rows") {
+    // latest row is (qt=20, a=3, b=NULL); per-column carry would emit the
+    // chimera (a=3, b=2) — a row that never existed
+    val trades = Seq((1L, "A", 30L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 10L, Some(1), Some(2)), ("A", 20L, Some(3), None))
+      .toDF("sym", "qt", "a", "b")
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", Seq("a", "b"))
+      .select($"asof_a", $"asof_b").as[(Option[Int], Option[Int])].collect()
+    assert(out.toSeq == Seq((Some(3), None)),
+      s"chimera row assembled from two right rows: ${out.toSeq}")
+  }
+
+  test("as-of tie among equal-time right rows is deterministic") {
+    val trades = Seq((1L, "A", 10L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 10L, 1.0), ("A", 10L, 2.0)).toDF("sym", "qt", "px")
+    val picks = (1 to 5).map { i =>
+      AsOf.join(trades, quotes.repartition(i), Seq("sym"), "t", "qt", Seq("px"))
+        .select($"asof_px").as[Double].head()
+    }
+    assert(picks.distinct.size == 1,
+      s"winner depends on partition layout: $picks")
+  }
+
   test("approx_count_distinct within HLL++ error of exact") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val row = li.agg(

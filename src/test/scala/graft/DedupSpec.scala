@@ -47,6 +47,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getInt(2) <= 3)) // bit_count → IntegerType
   }
 
+  test("simhash maxHamming=0 keeps its single-segment blocking exact") {
+    import spark.implicits._
+    // nSeg=1 means the segment is the WHOLE 64-bit fingerprint; a wrapped
+    // (1L << 64) mask would zero every segment value and cross-join the
+    // corpus. Identical docs must pair, near-but-unequal docs must not.
+    val df = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma DELTA x"), (4L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    graft.operators.OpCache.release()
+    assert(pairs == Set((1L, 2L)), s"exact-match blocking broken: $pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "text", "doc_id", maxHamming = -1)
+    }
+  }
+
   test("hamming distance of identical fingerprints is zero") {
     val df = Seq(("a b c d e", "a b c d e"), ("a b c d e", "x y z w q"))
       .toDF("t1", "t2")

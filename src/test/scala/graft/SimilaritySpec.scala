@@ -119,6 +119,26 @@ class SimilaritySpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("VectorMean is partition-order independent with empty/ragged input") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val vmean = udaf(graft.functions.Aggregators.VectorMean,
+      ExpressionEncoder[Seq[Float]]())
+    // empty vectors are ignored (not counted in the divisor); ragged
+    // vectors zero-pad — the answer must not depend on shuffle layout
+    val rows = Seq(
+      ("g", Seq.empty[Float]), ("g", Seq(1.0f, 2.0f)),
+      ("g", Seq(3.0f)), ("g", Seq.empty[Float]))
+    val results = (1 to 4).map { p =>
+      spark.createDataFrame(rows).toDF("g", "v").repartition(p)
+        .groupBy($"g").agg(vmean($"v").as("m"))
+        .select($"m").as[Seq[Double]].head()
+    }
+    assert(results.distinct.size == 1,
+      s"partition-dependent means: $results")
+    assert(results.head == Seq(2.0, 1.0), // (1+3)/2, (2+0)/2
+      s"empty vectors leaked into the divisor: ${results.head}")
+  }
+
   test("ivfAssign routes each vector to its nearest centroid") {
     val cents = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
