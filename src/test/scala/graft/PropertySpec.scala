@@ -95,6 +95,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals the brute-force latest-at-or-before on random data") {
+    import graft.operators.AsOf
+    // keys/timestamps drawn from small ranges → dense ties, NULL values
+    // mixed in → stresses exactly the carry/tiebreak edges
+    val rowGen = for {
+      k <- Gen.oneOf("k1", "k2", "k3")
+      t <- Gen.chooseNum(0L, 20L)
+      v <- Gen.option(Gen.chooseNum(1, 9))
+    } yield (k, t, v)
+    val rights = sample(rowGen, 60, 11L).zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+      .toDF("key", "rt", "v", "rid")
+    val lefts = sample(rowGen, 40, 12L).zipWithIndex
+      .map { case ((k, t, _), i) => (i.toLong, k, t) }
+      .toDF("lid", "key", "lt")
+    val got = AsOf.join(lefts, rights, Seq("key"), "lt", "rt", Seq("v", "rid"))
+      .select($"lid", $"asof_v", $"asof_rid")
+      .as[(Long, Option[Int], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: per left row, the right rows at-or-before, latest time,
+    // deterministic (v, rid)-lexicographic winner among exact time ties
+    // (None sorts below Some, matching SQL NULLS FIRST in the struct sort)
+    val rrows = rights.as[(String, Long, Option[Int], Long)].collect()
+    lefts.as[(Long, String, Long)].collect().foreach { case (lid, k, lt) =>
+      val cands = rrows.filter(r => r._1 == k && r._2 <= lt)
+      val expected = if (cands.isEmpty) (None, None) else {
+        val tm = cands.map(_._2).max
+        val atT = cands.filter(_._2 == tm)
+          .map(r => (r._3, r._4))
+          .maxBy { case (v, rid) => (v.getOrElse(Int.MinValue), rid) }
+        (atT._1, Some(atT._2))
+      }
+      assert(got(lid) == expected,
+        s"lid=$lid key=$k lt=$lt: got ${got(lid)}, expected $expected")
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1 for non-zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
     val vecs = sample(vecGen, 100, 6L).filter(_.exists(_ != 0.0f))
