@@ -88,10 +88,13 @@ final case class FactoryStep(
  * Fan-out node: sends the (immutable — deep-copy for free, unlike
  * `next_step.py:49`) current frame to every branch
  * (≙ `Hub`, `stepist/flow/steps/hub.py:5-14`). Before branching, the frame
- * is tagged with a `__hub_job_id` meta column `"<uuid>:<branchCount>"`
- * (≙ `Hub.update_meta`, `hub.py:12-14`) so a downstream [[ReducerStep]] can
+ * is tagged with a `__hub_job_id` meta column `"<hub>-<rowid>:<branchCount>"`
+ * (≙ `Hub.update_meta`, `hub.py:12-14` — but deterministic under plan
+ * recomputation, unlike a uuid) so a downstream [[ReducerStep]] can
  * count branch completeness. Branch results are merged into one FlowResult
- * (≙ dict-update merge, `next_step.py:51-54`).
+ * (≙ dict-update merge, `next_step.py:51-54`). Nesting a Hub under an
+ * unreduced Hub throws — the meta channel is single-valued, as in the
+ * reference.
  */
 final case class Hub(branches: Seq[FlowNode]) extends FlowNode {
   require(branches.nonEmpty, "Hub needs at least one branch")
@@ -135,6 +138,8 @@ final class App(val spark: SparkSession) {
 
   private val registry = mutable.LinkedHashMap.empty[String, FlowNode]
   private val persisted = mutable.ArrayBuffer.empty[DataFrame]
+  // per-hub ordinal, part of the deterministic job id (see the Hub case)
+  private val hubSeq = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Release every frame this app persisted (hub tags, barriers). Call after
     * terminal results are consumed — long-lived drivers at scale must not
@@ -199,7 +204,8 @@ final class App(val spark: SparkSession) {
     pending.groupBy(_._1).foreach { case (r, frames) =>
       val unioned = frames.map(_._2)
         .reduce(_.unionByName(_, allowMissingColumns = true))
-      acc += r.name -> runReducer(r, unioned)
+      // same public-output contract as terminal steps: meta never leaks
+      acc += r.name -> userView(runReducer(r, unioned))
     }
 
   /** Strip meta columns from user-visible output. */
@@ -230,23 +236,73 @@ final class App(val spark: SparkSession) {
         s.next.map(walk(_, out, acc)).getOrElse(Nil)
 
       case f: FactoryStep =>
+        // factory steps fire the same lifecycle signals as plain steps —
+        // StepStats must not show a registered, executing step as never run
+        graft.observe.Signals.fireBefore(f.name)
         val out = f.handler(in)
+        graft.observe.Signals.fireAfter(f.name)
         if (f.next.isEmpty) acc += f.name -> userView(out)
         f.next.map(walk(_, out, acc)).getOrElse(Nil)
 
       case h: Hub =>
+        // the hub meta channel is single-valued (exactly like the
+        // reference's meta_data['hub_job_id'], hub.py:12-14): a nested hub
+        // would silently clobber the outer fan-out's job id / branch index
+        // and break any downstream reducer's completeness count — refuse
+        // loudly instead
+        val metaPresent = in.columns.filter(isMeta)
+        if (metaPresent.nonEmpty)
+          throw new UnsupportedOperationException(
+            "nested Hub fan-out is not supported: the frame already carries " +
+              s"hub meta (${metaPresent.mkString(", ")}), which a second Hub " +
+              "would overwrite (the reference's hub_job_id meta key is " +
+              "single-valued too). Reduce the outer fan-out first.")
+        // a FactoryStep between a Hub and a ReducerStep makes (job, branch)
+        // non-unique; the reducer's dedup would keep ONE ARBITRARY expanded
+        // row — nondeterministic data loss. Fail at plan-build time.
+        h.branches.foreach { b =>
+          require(!factoryFeedsReducer(b),
+            "a FactoryStep inside a Hub branch that feeds a ReducerStep is " +
+              "not supported: the reducer keys arrivals by (job, branch), " +
+              "so a 1->N expansion would be silently collapsed to one row. " +
+              "Aggregate the expansion inside the branch before the reducer.")
+        }
         val n = h.branches.size
-        // uuid per row + branch count, ≙ hub.py:12-14. One uuid per *record*:
-        // each input row is its own hub job, its branch copies share the id.
+        // One job id per *record*; branch copies share it (≙ hub.py:12-14).
+        // The id is DETERMINISTIC (per-hub ordinal + monotonic row id), not
+        // uuid(): if the persisted tag frame is ever recomputed — executor
+        // loss, eviction, cleanup() between consuming two saved results —
+        // uuid() would regenerate DIFFERENT ids per branch action and the
+        // reducer's count-complete filter would silently drop every job.
+        // Re-evaluating the same plan reproduces monotonically_increasing_id
+        // exactly (same partition layout), so recompute is harmless.
+        val hid = hubSeq.incrementAndGet()
         val tagged = track(in
-          .withColumn(HubJobIdCol, concat(expr("uuid()"), lit(s":$n")))
-          .persist()) // branches must see the SAME uuids — and not recompute upstream
+          .withColumn(HubJobIdCol,
+            concat(lit(s"$hid-"), monotonically_increasing_id(), lit(s":$n")))
+          .persist()) // branches must share one materialization of upstream
         h.branches.zipWithIndex.flatMap { case (b, i) =>
           walk(b, tagged.withColumn(BranchCol, lit(i)), acc)
         }
 
       case r: ReducerStep => Seq(r -> in)
     }
+
+  /** True iff a FactoryStep occurs on some path from `node` that later
+    * reaches a ReducerStep (the unsupported expand-then-reduce shape). */
+  private def factoryFeedsReducer(node: FlowNode): Boolean = node match {
+    case f: FactoryStep => f.next.exists(reachesReducer)
+    case s: Step => s.next.exists(factoryFeedsReducer)
+    case h: Hub => h.branches.exists(factoryFeedsReducer)
+    case _: ReducerStep => false
+  }
+
+  private def reachesReducer(node: FlowNode): Boolean = node match {
+    case _: ReducerStep => true
+    case s: Step => s.next.exists(reachesReducer)
+    case f: FactoryStep => f.next.exists(reachesReducer)
+    case h: Hub => h.branches.exists(reachesReducer)
+  }
 
   /** Count-complete fan-in over the unioned branch frames. */
   private def runReducer(r: ReducerStep, in: DataFrame): DataFrame = {
@@ -284,6 +340,7 @@ final class App(val spark: SparkSession) {
       walk(b, in.withColumn(BranchCol, lit(i)), acc)
     }
     finishReducers(pending, acc)
+    graft.observe.Signals.fireFinished(acc.keySet.toSet)
     FlowResult(acc.toMap)
   }
 }

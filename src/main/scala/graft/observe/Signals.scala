@@ -35,12 +35,21 @@ object Signals {
   def removeListener(l: FlowListener): Unit = listeners.remove(l)
   def clearListeners(): Unit = listeners.clear()
 
-  private[graft] def fireBefore(step: String): Unit =
-    listeners.iterator().asScala.foreach(_.beforeStep(step))
-  private[graft] def fireAfter(step: String): Unit =
-    listeners.iterator().asScala.foreach(_.afterStep(step))
+  // a faulty observer must never abort the flow it observes (nor starve
+  // the listeners queued behind it) — log and continue
+  private def fireAll(f: FlowListener => Unit): Unit =
+    listeners.iterator().asScala.foreach { l =>
+      try f(l) catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] flow listener ${l.getClass.getName} " +
+            s"threw: $e (ignored)")
+      }
+    }
+
+  private[graft] def fireBefore(step: String): Unit = fireAll(_.beforeStep(step))
+  private[graft] def fireAfter(step: String): Unit = fireAll(_.afterStep(step))
   private[graft] def fireFinished(steps: Set[String]): Unit =
-    listeners.iterator().asScala.foreach(_.flowFinished(steps))
+    fireAll(_.flowFinished(steps))
 }
 
 /**
@@ -60,9 +69,15 @@ final class ExecutionStats extends QueryExecutionListener {
     actions.increment()
     totalExecMs.add(durationNs / 1000000L)
     _lastAction.set(System.currentTimeMillis())
-    val written = qe.executedPlan.metrics.get("numOutputRows")
-      .map(_.value).getOrElse(0L)
-    rowsWritten.add(written)
+    // count rows only for WRITE actions: the root node of a count()/
+    // collect() also reports numOutputRows (1 and K respectively), which
+    // would inflate a counter named rows_written with read-only actions
+    val isWrite = funcName == "save" || funcName == "insertInto" ||
+      funcName == "saveAsTable" ||
+      qe.executedPlan.getClass.getSimpleName.contains("Write")
+    if (isWrite)
+      rowsWritten.add(qe.executedPlan.metrics.get("numOutputRows")
+        .map(_.value).getOrElse(0L))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution,
@@ -125,6 +140,7 @@ final class StepStats(maxWindowMs: Long = 300000L) extends Signals.FlowListener 
   /** Executions of `step` in the trailing window / window seconds
     * (≙ `monitor_steps`' pop rate). `windowMs` ≤ `maxWindowMs`. */
   def ratePerSec(step: String, windowMs: Long = 60000L): Double = {
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
     val cutoff = System.currentTimeMillis() - math.min(windowMs, maxWindowMs)
     val n = stamps.iterator().asScala.count {
       case (s, t) => s == step && t >= cutoff
@@ -134,9 +150,10 @@ final class StepStats(maxWindowMs: Long = 300000L) extends Signals.FlowListener 
 }
 
 object StepStats {
-  /** Register a fresh per-step collector on the flow signal bus. */
-  def attach(): StepStats = {
-    val s = new StepStats()
+  /** Register a fresh per-step collector on the flow signal bus.
+    * `maxWindowMs` bounds the rate horizon (and stamp memory). */
+  def attach(maxWindowMs: Long = 300000L): StepStats = {
+    val s = new StepStats(maxWindowMs)
     Signals.addListener(s)
     s
   }

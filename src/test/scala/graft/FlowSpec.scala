@@ -142,4 +142,59 @@ class FlowSpec extends SparkSpec {
       app.step("s", identity, next = Some(Hub(leaf))), Seq(1).toDF("x"))
     assert(res("leaf").columns.toSeq == Seq("x")) // no __hub_* columns
   }
+
+  test("meta columns are hidden from reducer results too") {
+    val app = new App(spark)
+    // a handler that keeps its grouped input as-is would previously leak
+    // __hub_job_id into the FlowResult — terminal steps never do
+    val red = app.reducerStep("leaky_red", identity)
+    val b1 = app.step("lr_b1", df => df.withColumn("v", lit(1)), next = Some(red))
+    val b2 = app.step("lr_b2", df => df.withColumn("v", lit(2)), next = Some(red))
+    val res = app.run(
+      app.step("lr_src", identity, next = Some(Hub(b1, b2))), Seq(1).toDF("x"))
+    assert(!res("leaky_red").columns.exists(_.startsWith("__hub_")),
+      s"meta leaked: ${res("leaky_red").columns.toSeq}")
+  }
+
+  test("nested Hub under an unreduced Hub is rejected, not silently wrong") {
+    val app = new App(spark)
+    val inner = Hub(app.step("nh_i1", identity), app.step("nh_i2", identity))
+    val outer = Hub(app.step("nh_o1", identity, next = Some(inner)),
+      app.step("nh_o2", identity))
+    intercept[UnsupportedOperationException] {
+      app.run(app.step("nh_src", identity, next = Some(outer)), Seq(1).toDF("x"))
+    }
+  }
+
+  test("FactoryStep expansion feeding a reducer is rejected at build time") {
+    val app = new App(spark)
+    val red = app.reducerStep("ff_red", identity)
+    val expand = app.factoryStep("ff_expand",
+      df => df.select(explode(array(lit(1), lit(2))).as("e")), next = Some(red))
+    val hub = Hub(app.step("ff_b1", identity, next = Some(expand)),
+      app.step("ff_b2", identity, next = Some(red)))
+    val ex = intercept[IllegalArgumentException] {
+      app.run(app.step("ff_src", identity, next = Some(hub)), Seq(1).toDF("x"))
+    }
+    assert(ex.getMessage.contains("FactoryStep"), ex.getMessage)
+  }
+
+  test("hub job ids survive recomputation of the tagged frame") {
+    // uuid() would regenerate different ids when the persisted tag frame
+    // is evicted and re-evaluated, silently emptying the reducer output;
+    // the deterministic id must reproduce exactly
+    val app = new App(spark)
+    val red = app.reducerStep("rc_red", g => g.select(
+      (element_at($"job_list", 1).getField("v") +
+        element_at($"job_list", 2).getField("v")).as("s")))
+    val b1 = app.step("rc_b1", df => df.withColumn("v", $"x"), next = Some(red))
+    val b2 = app.step("rc_b2", df => df.withColumn("v", $"x" * 10), next = Some(red))
+    val res = app.run(
+      app.step("rc_src", identity, next = Some(Hub(b1, b2))),
+      Seq(1, 2, 3).toDF("x"))
+    app.cleanup() // evict the persisted tag frame BEFORE the action runs
+    val out = res("rc_red").as[Int].collect().sorted
+    assert(out.toSeq == Seq(11, 22, 33),
+      s"job ids diverged across recomputation: ${out.toSeq}")
+  }
 }
