@@ -28,19 +28,22 @@ object Dedup {
    * or a reproducible 100 TB pipeline run).
    */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keyed = df.withColumn("__fp", fingerprint(col(textCol)))
-    val winners = keyed.groupBy(col("__fp"))
+    // namespaced temp column (like streamingDedup) so a caller's own
+    // "__fp" survives untouched
+    val fp = "__graft_dedup_fp"
+    val keyed = df.withColumn(fp, fingerprint(col(textCol)))
+    val winners = keyed.groupBy(col(fp))
       .agg(min(col(idCol)).as(idCol))
     // join back on (fp, id): shuffle carries only the 2-column winner set.
-    keyed.join(winners, Seq("__fp", idCol), "left_semi").drop("__fp")
+    keyed.join(winners, Seq(fp, idCol), "left_semi").drop(fp)
   }
 
   /** Rows per duplicate-cluster of identical normalized text (cluster size
     * ≥ minSize), for corpus-duplication profiling. */
   def exactClusters(df: DataFrame, textCol: String, idCol: String,
                     minSize: Int = 2): DataFrame =
-    df.withColumn("__fp", fingerprint(col(textCol)))
-      .groupBy(col("__fp"))
+    df.withColumn("__graft_dedup_fp", fingerprint(col(textCol)))
+      .groupBy(col("__graft_dedup_fp"))
       .agg(count(lit(1)).as("cluster_size"), min(col(idCol)).as("min_id"))
       .filter(col("cluster_size") >= minSize)
       .select(col("min_id"), col("cluster_size"))
