@@ -163,6 +163,7 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
                             limitTimeoutMs: Option[Long] = None)
     extends StageBoundary {
   private var schemaJson: Option[String] = None
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   // file path -> exact row count from its footer (guarded by this);
   // entries drop when the file vanishes (flush/trim/external delete)
   private val fileRows = scala.collection.mutable.Map.empty[String, Long]
@@ -388,6 +389,59 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
   }
 
   /**
+   * Consume-on-read, automated: register a session-level listener that
+   * calls [[trimCommitted]] after every successful micro-batch of the
+   * consuming query, so a long-lived worker's boundary holds only the
+   * not-yet-committed files however many batches it processes — full
+   * parity with Redis BRPOP popping entries as it reads them
+   * (`stepist/flow/libs/simple_queue.py:62-66`), with zero manual trim
+   * calls. The consuming query is recognized by its FileStreamSource
+   * description carrying this boundary's qualified path, so unrelated
+   * queries on the session never trigger checkpoint reads. A trim
+   * failure is logged once and never fails the query: trimming is space
+   * reclamation, correctness lives in the checkpoint (and a later
+   * successful trim removes everything the failed one would have).
+   *
+   * Returns a handle; call `stop()` when the worker flow is torn down —
+   * the listener otherwise outlives the query (deliberately: a worker
+   * that restarts from the same checkpoint resumes auto-trimming with no
+   * re-registration). Safe to combine with manual [[trimCommitted]].
+   */
+  def autoTrim(spark: SparkSession, checkpointDir: String,
+               sourceIdx: Int = 0): AutoTrimHandle = {
+    val qualified = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(hadoopConf(spark)).makeQualified(p).toString
+    }
+    val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        // FileStreamSource describes itself as "FileStreamSource[<qualified
+        // base path>]" — stable across Spark 3.x/4.x; match either the
+        // qualified or the raw form so a caller-relative path still hits
+        val mine = e.progress.sources.exists { s =>
+          val d = s.description
+          d != null && (d.contains(qualified) || d.contains(path))
+        }
+        if (mine) {
+          try trimCommitted(spark, checkpointDir, sourceIdx)
+          catch {
+            case scala.util.control.NonFatal(ex) =>
+              if (warned.compareAndSet(false, true))
+                log.warn(s"autoTrim of '$path' failed; the queue grows " +
+                  "until a later trim succeeds", ex)
+          }
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    new AutoTrimHandle(spark, listener)
+  }
+
+  /**
    * Release consumed files by age: delete every data file whose
    * modification time is <= `upToEpochMs` and return how many were
    * removed. CLOCK CAVEAT: file mtimes come from the writer/filesystem
@@ -425,4 +479,12 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     p.getFileSystem(conf).delete(p, true)
     fileRows.clear()
   }
+}
+
+/** Deregistration handle for [[ParquetBoundary.autoTrim]]: `stop()`
+  * removes the listener from the session it was registered on. */
+final class AutoTrimHandle private[streaming] (
+    spark: SparkSession,
+    listener: org.apache.spark.sql.streaming.StreamingQueryListener) {
+  def stop(): Unit = spark.streams.removeListener(listener)
 }

@@ -232,6 +232,93 @@ class WorkerFlowSpec extends SparkSpec {
       "depth must keep exactly the pending file's rows")
   }
 
+  test("autoTrim keeps the boundary bounded across many micro-batches") {
+    // ≙ BRPOP consume-on-read with no manual trim calls: a long-lived
+    // worker's queue directory must hold only not-yet-committed files.
+    val dir = java.nio.file.Files.createTempDirectory("wf_autotrim").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    def dataFileCount = {
+      val d = new java.io.File(s"$dir/q")
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    }
+    b.write(Seq(0).toDF("x")) // pins the schema for readStream
+    val handle = b.autoTrim(spark, s"$dir/ck")
+    try {
+      val q = b.readStream(spark)
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+        .start()
+      try {
+        var maxSeen = 0
+        for (i <- 1 to 5) {
+          b.write(Seq(i).toDF("x"))
+          q.processAllAvailable()
+          // the trim runs on the async listener bus: wait for it to land
+          val deadline = System.nanoTime() + 10000000000L
+          while (dataFileCount > 1 && System.nanoTime() < deadline)
+            Thread.sleep(20)
+          maxSeen = math.max(maxSeen, dataFileCount)
+        }
+        assert(maxSeen <= 1,
+          s"boundary must stay ~one batch of files, peaked at $maxSeen")
+        assert(b.jobsCount(spark) == 0L,
+          "every committed batch's rows must have been trimmed away")
+      } finally q.stop()
+      // checkpoint restart across all that trimming stays exactly-once
+      b.write(Seq(99).toDF("x"))
+      b.readStream(spark).writeStream.format("parquet")
+        .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val out = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
+      assert(out.toSeq == Seq(0, 1, 2, 3, 4, 5, 99),
+        s"exactly-once violated under autoTrim: ${out.toSeq}")
+    } finally handle.stop()
+  }
+
+  test("trimCommitted survives a crash at either side of the commit") {
+    // Guards the checkpoint-format reading in trimCommitted
+    // (StreamingFlows.scala: commits/ -> offsets/ -> sources/) against
+    // Spark-version drift, behaviorally: a worker killed (a) mid-batch
+    // BEFORE the commit and (b) AFTER the commit but before any trim ran
+    // must, after a trim + checkpoint restart, still emit every row
+    // exactly once — i.e. the trim never deletes a file the restarted
+    // reader still needs.
+    val dir = java.nio.file.Files.createTempDirectory("wf_crashtrim").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1, 2).toDF("x"))
+    WorkerFlowSpec.crashArmed.set(true)
+    val poison = udf { (x: Int) =>
+      if (x == 2 && WorkerFlowSpec.crashArmed.getAndSet(false))
+        throw new RuntimeException("crash before the commit")
+      x
+    }
+    def startWorker() = b.readStream(spark).select(poison($"x").as("y"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start()
+    // (a) crash PRE-COMMIT: nothing is committed, so a trim issued while
+    // the worker is down must delete NOTHING — the replay needs the files
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      startWorker().awaitTermination()
+    }
+    assert(b.trimCommitted(spark, s"$dir/ck") == 0L,
+      "a pre-commit crash leaves nothing trimmable")
+    assert(b.jobsCount(spark) == 2L,
+      "the uncommitted batch's files must survive the trim")
+    // (b) restart replays, commits, and the worker "dies" post-commit
+    // with the trim never having run; trim now, enqueue more, restart
+    startWorker().awaitTermination()
+    assert(b.trimCommitted(spark, s"$dir/ck") >= 1L,
+      "post-commit the batch's files become trimmable")
+    b.write(Seq(3).toDF("x"))
+    startWorker().awaitTermination()
+    val out = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
+    assert(out.toSeq == Seq(1, 2, 3),
+      s"exactly-once violated across crash+trim+restart: ${out.toSeq}")
+  }
+
   test("trim(upToEpochMs) releases files by age") {
     val dir = java.nio.file.Files.createTempDirectory("wf_trimage").toString
     val b = new ParquetBoundary(s"$dir/q")
