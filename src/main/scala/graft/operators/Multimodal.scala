@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
  * absent from the reference (JSON-scalar records only,
  * `stepist/app.py:20,26`).
  *
- * The container has no image/audio codec libraries, so the codec itself is
- * STUBBED behind [[fakeDecode]] — a deterministic, content-derived fake that
- * exercises the real Spark-side contract: schema shape, binary handling,
- * partition-parallel per-row extraction, and batch-friendly signatures. The
- * real pipeline swaps `fakeDecode` for a JNI/Pandas-UDF codec with the SAME
- * column contract; nothing else changes.
+ * Image payloads (PNG/JPEG/GIF/BMP) decode for REAL in [[decodeBatched]]
+ * via the JDK's `javax.imageio` — no external libraries needed. Payloads no
+ * JDK reader claims (audio, video, exotic codecs — the container carries no
+ * libraries for those) fall back to a deterministic content-derived stub
+ * with the same output shape, so the batched contract — schema, binary
+ * handling, partition-parallel extraction, one codec call per batch — is
+ * exercised on genuine bytes where possible and never fails on the rest.
+ * The column-expression [[fakeDecode]] stays the pure-codegen variant for
+ * plans that only need stable pseudo-features.
  */
 object Multimodal {
 
@@ -69,13 +72,14 @@ object Multimodal {
   /**
    * Partition-batched decode — the Scala shape of a batched decode UDF
    * (Python's `mapInPandas` contract): rows stream through `mapPartitions`,
-   * are buffered into fixed-size batches, the (stub) codec is invoked once
-   * per BATCH, and decoded structs are emitted alongside the original
-   * columns. This is the plumbing a real JNI/native codec needs — batch
-   * amortizes per-call overhead (model load, FFI crossing) and bounds peak
-   * memory to `batchSize` payloads per task. The stub decodes to the same
-   * content-derived pseudo-features as [[fakeDecode]] (pinned in
-   * MultimodalSpec), so swapping in a real codec changes ONE function.
+   * are buffered into fixed-size batches, the codec is invoked once per
+   * BATCH, and decoded structs are emitted alongside the original columns.
+   * Batching amortizes per-call overhead (model load, FFI crossing) and
+   * bounds peak memory to `batchSize` payloads per task. Image payloads
+   * (PNG/JPEG/GIF/BMP) decode for real via `javax.imageio` to their actual
+   * width/height (`duration_s` 0.0 — a still image has no time axis);
+   * everything else falls back to the content-derived stub, which equals
+   * [[fakeDecode]] (pinned in MultimodalSpec).
    */
   def decodeBatched(df: DataFrame, payloadCol: String,
                     batchSize: Int = 64): DataFrame = {
@@ -89,9 +93,9 @@ object Multimodal {
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // one codec call per batch — the stub loops, a real codec would
-        // hand the whole Array[Array[Byte]] to native code at once
-        val decoded = Multimodal.stubCodecBatch(
+        // one codec call per batch — a native codec would hand the whole
+        // Array[Array[Byte]] across the FFI boundary at once
+        val decoded = Multimodal.codecBatch(
           batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray)
         batch.iterator.zip(decoded.iterator).map { case (r, d) =>
           Row.fromSeq(r.toSeq :+ Row(d._1, d._2, d._3))
@@ -101,22 +105,60 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  /** Stub batch codec: same content-derived pseudo-features as
-    * [[fakeDecode]] (xxhash64 with Spark's seed 42), computed JVM-side. */
+  /** Batch codec: real image decode where a JDK reader claims the bytes,
+    * content-derived stub otherwise — so one corrupt or exotic payload
+    * degrades to pseudo-features instead of failing the task. */
+  private[operators] def codecBatch(
+      payloads: Array[Array[Byte]]): Array[(Long, Long, Double)] =
+    payloads.map(p => decodeImage(p).getOrElse(stubDecodeOne(p)))
+
+  /** Real JDK-only image decode (`javax.imageio`: PNG/JPEG/GIF/BMP readers
+    * ship with the JDK). Full pixel decode of one payload; None when the
+    * magic bytes match no known format, no reader claims the stream, or
+    * the payload is corrupt — the caller then falls back to the stub. */
+  private[operators] def decodeImage(
+      bytes: Array[Byte]): Option[(Long, Long, Double)] =
+    if (!imageMagic(bytes)) None
+    else try {
+      imageioConfigured
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Option(img).map(i => (i.getWidth.toLong, i.getHeight.toLong, 0.0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Per-JVM, once: in-memory payloads must not round-trip through
+    * ImageIO's temp-FILE cache on executors (disk IO per image). */
+  private lazy val imageioConfigured: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic-number sniff for the formats the JDK decodes out of the box —
+    * keeps the non-image path at a 4-byte compare instead of an ImageIO
+    * reader probe per payload. */
+  private def imageMagic(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
+  /** Stub fallback: same content-derived pseudo-features as [[fakeDecode]]
+    * (xxhash64 with Spark's seed 42), computed JVM-side. */
+  private def stubDecodeOne(raw: Array[Byte]): (Long, Long, Double) = {
+    // NULL payloads are in-contract for the media pipeline (packMedia
+    // coalesces them to empty); decode must not NPE on one bad blob
+    val bytes = if (raw == null) Array.emptyByteArray else raw
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      bytes.length, 42L)
+    def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
+    (pmod(h, 1920L) + 1L,
+      pmod(h >> 16, 1080L) + 1L,
+      pmod(h >> 32, 600L).toDouble / 10.0)
+  }
+
+  /** Kept for spec parity: the stub applied to a whole batch. */
   private[operators] def stubCodecBatch(
       payloads: Array[Array[Byte]]): Array[(Long, Long, Double)] =
-    payloads.map { raw =>
-      // NULL payloads are in-contract for the media pipeline (packMedia
-      // coalesces them to empty); decode must not NPE on one bad blob
-      val bytes = if (raw == null) Array.emptyByteArray else raw
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        bytes.length, 42L)
-      def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
-      (pmod(h, 1920L) + 1L,
-        pmod(h >> 16, 1080L) + 1L,
-        pmod(h >> 32, 600L).toDouble / 10.0)
-    }
+    payloads.map(stubDecodeOne)
 
   /**
    * Frame-sampling stage for video-like payloads: emits `n` (frame_idx,

@@ -78,6 +78,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBatched(docs, "payload").columns.last == "decoded")
   }
 
+  test("decodeBatched really decodes PNG/JPEG payloads via javax.imageio") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 97 + y * 31) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      1 -> imageBytes(2, 2, "png"),
+      2 -> imageBytes(7, 3, "png"),
+      3 -> imageBytes(5, 4, "jpg"),
+      4 -> "definitely not an image".getBytes("UTF-8"))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.decodeBatched(df, "payload", batchSize = 2)
+      .select($"id", $"decoded.width", $"decoded.height", $"decoded.duration_s")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // real decode: actual pixel dimensions, no time axis
+    assert(out(1) == ((2L, 2L, 0.0)), s"2x2 png decoded to ${out(1)}")
+    assert(out(2) == ((7L, 3L, 0.0)), s"7x3 png decoded to ${out(2)}")
+    assert(out(3) == ((5L, 4L, 0.0)), s"5x4 jpeg decoded to ${out(3)}")
+    // a non-image payload falls back to the deterministic stub = fakeDecode
+    val stub = df.filter($"id" === 4)
+      .select(Multimodal.fakeDecode($"payload").as("d"))
+      .select($"d.width", $"d.height", $"d.duration_s").head()
+    assert(out(4) == ((stub.getLong(0), stub.getLong(1), stub.getDouble(2))))
+    // a corrupt payload with a valid magic number degrades to the stub
+    // instead of failing the task
+    val corrupt = imageBytes(2, 2, "png").take(10)
+    val corruptOut = Multimodal.decodeBatched(
+      Seq(9 -> corrupt).toDF("id", "payload"), "payload")
+      .select($"decoded.width").head().getLong(0)
+    assert(corruptOut >= 1L && corruptOut <= 1920L)
+  }
+
   test("multimodalRecords joins docs to embeddings with full contract") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
