@@ -34,10 +34,28 @@ object SparkEntry {
     * run on ONE core. A cheap round-robin shuffle of the small input
     * unlocks full parallelism — conditional, so a production multi-file
     * input that arrives pre-split is passed through untouched (no shuffle
-    * inserted at 100 TB where it would be the bottleneck). */
+    * inserted at 100 TB where it would be the bottleneck).
+    *
+    * The split count is ESTIMATED from the scan's file-listing metadata in
+    * the (already-computed) analyzed plan — `ceil(scanBytes /
+    * maxPartitionBytes)`, the same packing rule Spark's FilePartition
+    * applies — instead of `df.rdd.getNumPartitions`, which would force a
+    * full physical plan plus an RDD build per query just to read one
+    * number. A frame with no file scan underneath passes through: for
+    * scale, no-shuffle is the conservative default. */
   private def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val scanBytes = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.sizeInBytes
+    }
+    if (scanBytes.isEmpty) df
+    else {
+      val estSplits = scanBytes.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit)).sum
+      if (estSplits >= target) df else df.repartition(target)
+    }
   }
 
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the star-join
