@@ -10,14 +10,18 @@ import org.apache.spark.sql.SparkSession
  * Methodology: each query is forced end-to-end with a `noop` sink —
  * full computation of every output column, zero driver-side collection
  * (a `count()` would let Catalyst prune the projections being measured).
- * Each query runs once untimed (Janino codegen compile + JIT + parquet
- * footer caches), then `RUNS` timed repeats; the headline number is the
- * MEDIAN and the tail records per-query min/median/max, so a load-shared
- * driver machine's noise (r1→r2 showed 3× swings on identical code) is
- * distinguishable from a real regression. Steady-state throughput is the
- * metric that scales to cluster runs, where per-query compile cost
- * (hundreds of ms, fixed) amortizes over minutes of execution and what
- * matters is the per-row cost of the pipeline.
+ * Every query runs once untimed (Janino codegen compile + JIT + parquet
+ * footer caches), then the timed repeats are INTERLEAVED round-robin:
+ * the whole headline list runs `RUNS` times, rather than each query
+ * back-to-back — a transient load spike on a shared driver machine then
+ * lands on many queries' single runs instead of a majority of ONE
+ * query's runs (which in round 7 faked a 7× regression on unchanged
+ * code, median 2.99 s vs a re-run's 0.66 s). The headline number is the
+ * per-query MEDIAN; the `spread` tail records min/median/max, and the
+ * MIN is the load-immune floor to compare across rounds. Steady-state
+ * throughput is the metric that scales to cluster runs, where per-query
+ * compile cost (hundreds of ms, fixed) amortizes over minutes of
+ * execution and what matters is the per-row cost of the pipeline.
  */
 object Bench {
   /** Headline set: scan+agg, star join, window, event-time bucketing,
@@ -26,14 +30,18 @@ object Bench {
     * UDAF, plus the full curation tier (dedup pipeline, repetition
     * profiling, decontamination, sampling, PII redaction, quality filter,
     * mix planning/materialization, q87-q95) — the operators whose cost
-    * profile dominates a real corpus pipeline. q37 times the LSH ANN
-    * *plus* its recall gate (a brute-force pass), so q34 remains the
-    * clean brute-force signal. */
+    * profile dominates a real corpus pipeline. The approximate tier is
+    * fully covered: q37 times the LSH ANN *plus* its recall gate (a
+    * brute-force pass; q34 remains the clean brute-force signal), q33
+    * times simhash blocking *plus* its in-plan exact-Jaccard gate, q38
+    * the hyperplane-LSH embedding near-dup, and q60 IVF ANN *including*
+    * Lloyd centroid training. */
   private val headline = Seq(
     "q01_agg", "q02_filter_project", "q05_star_join", "q06_window_rank",
     "q16_json", "q23_events_window", "q26_flow_factory", "q29_token_stats",
-    "q31_quality_score", "q32_minhash_neardup", "q34_cosine_topk",
-    "q37_ann_lsh", "q28_dedup_exact", "q50_ngram_jaccard",
+    "q31_quality_score", "q32_minhash_neardup", "q33_simhash_pairs",
+    "q34_cosine_topk", "q37_ann_lsh", "q38_near_dup_embedding",
+    "q60_ivf_ann", "q28_dedup_exact", "q50_ngram_jaccard",
     "q86_cluster_resolve", "q51_sessionize", "q63_custom_udaf",
     "q87_dedup_pipeline", "q88_repetition_scores", "q89_decontaminate",
     "q90_stratified_sample", "q91_group_sample", "q92_pii_redact",
@@ -67,16 +75,30 @@ object Bench {
         graft.operators.OpCache.release()
     }
 
-    val results = headline.map { name =>
-      val times = try {
-        runOnce(name) // warmup: codegen compile + JIT + parquet footers
-        Seq.fill(RUNS)(runOnce(name)).sorted
-      } catch {
+    // warmup pass over the whole list first, then RUNS interleaved rounds:
+    // round-robin across queries, never a query back-to-back (see scaladoc)
+    val times = scala.collection.mutable.LinkedHashMap(
+      headline.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]): _*)
+    val failed = scala.collection.mutable.Set.empty[String]
+    headline.foreach { name =>
+      try runOnce(name)
+      catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          Seq(-1.0)
+          failed += name
       }
-      name -> times
+    }
+    for (_ <- 1 to RUNS; name <- headline if !failed(name)) {
+      try times(name) += runOnce(name)
+      catch {
+        case e: Throwable => // flaky mid-round: drop the query, keep the round
+          System.err.println(s"[bench] $name failed mid-round: ${e.getMessage}")
+          failed += name
+      }
+    }
+    val results = headline.map { name =>
+      val ts = times(name).sorted.toSeq
+      name -> (if (failed(name) || ts.isEmpty) Seq(-1.0) else ts)
     }
     def median(ts: Seq[Double]): Double = ts(ts.size / 2)
     val qs = results.map { case (k, ts) => "\"" + k + f"\":${median(ts)}%.3f" }
