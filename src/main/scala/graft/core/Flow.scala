@@ -275,7 +275,16 @@ final class App(val spark: SparkSession) {
         // uuid() would regenerate DIFFERENT ids per branch action and the
         // reducer's count-complete filter would silently drop every job.
         // Re-evaluating the same plan reproduces monotonically_increasing_id
-        // exactly (same partition layout), so recompute is harmless.
+        // when the hub input's partitions are stable (scan-rooted upstream).
+        // RESIDUAL HOLE: with a SHUFFLE directly upstream, reduce-side row
+        // order within a partition is not guaranteed across recomputation
+        // (nondeterministic fetch order), so in that narrow window branch
+        // copies can disagree on ids and the reducer drops those jobs. A
+        // content hash can't fix it (duplicate records must get distinct
+        // ids), and an RDD-materialize still recomputes through the same
+        // expression on block loss; the complete fix is a reliable-storage
+        // checkpoint of the tagged frame, which callers needing fan-out
+        // exactly-once across executor loss should insert upstream.
         val hid = hubSeq.incrementAndGet()
         val tagged = track(in
           .withColumn(HubJobIdCol,

@@ -71,9 +71,25 @@ final class ExecutionStats extends QueryExecutionListener {
     _lastAction.set(System.currentTimeMillis())
     // count rows only for WRITE actions: the root node of a count()/
     // collect() also reports numOutputRows (1 and K respectively), which
-    // would inflate a counter named rows_written with read-only actions
-    val isWrite = funcName == "save" || funcName == "insertInto" ||
-      funcName == "saveAsTable" ||
+    // would inflate a counter named rows_written with read-only actions.
+    // V1 writers report funcName save/insertInto/saveAsTable; V2 writers
+    // (DataFrameWriterV2, SQL INSERT/CTAS on a V2 catalog) report
+    // command/append/overwrite/... and execute as AppendDataExec /
+    // OverwriteByExpressionExec / ReplaceTableAsSelectExec — none of which
+    // carry "Write" in their simple names, so match the exec interfaces
+    // too. Non-write commands slipping through (DDL under funcName
+    // "command") contribute getOrElse(0), never inflating the counter.
+    val isWrite = (funcName match {
+      case "save" | "insertInto" | "saveAsTable" | "command" | "append" |
+           "overwrite" | "overwritePartitions" | "create" | "replace" |
+           "createOrReplace" => true
+      case _ => false
+    }) ||
+      qe.executedPlan.isInstanceOf[
+        org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec] ||
+      // V2 CTAS execs share a base trait that is private[sql]; their names
+      // ((Atomic)Create/ReplaceTableAsSelectExec) are the stable surface
+      qe.executedPlan.getClass.getSimpleName.endsWith("TableAsSelectExec") ||
       qe.executedPlan.getClass.getSimpleName.contains("Write")
     if (isWrite)
       rowsWritten.add(qe.executedPlan.metrics.get("numOutputRows")

@@ -27,12 +27,29 @@ object AsOf {
    * @param keyCols     equi-key column names present on both sides
    * @param leftTime    ordering column on `left`
    * @param rightTime   ordering column on `right`
-   * @param rightValues right columns to attach (null when nothing is ≤)
+   * @param rightValues right columns to attach (null when nothing is ≤).
+   *                    Must be ORDERABLE types: the carried struct enters
+   *                    the window ORDER BY as the equal-time determinism
+   *                    tiebreak, so a MapType column is rejected up front
+   *                    (with a clear error instead of an analysis failure).
+   *                    Float/double fields inherit SQL ordering quirks for
+   *                    the tiebreak only (NaN sorts largest, -0.0 < 0.0);
+   *                    WHICH row wins an exact-time tie can be affected,
+   *                    never whether a match is found or its field values.
    */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String,
            rightValues: Seq[String]): DataFrame = {
     require(rightValues.nonEmpty, "rightValues must name at least one column")
+    val unorderable = rightValues.flatMap(c =>
+      right.schema.fields.find(_.name == c).collect {
+        case f if !org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
+      })
+    require(unorderable.isEmpty,
+      "as-of join rightValues must be orderable (they form the equal-time " +
+        s"tiebreak sort key); not orderable: ${unorderable.mkString(", ")}. " +
+        "Wrap a map column in map_entries(...) on the right side first.")
     val leftCols = left.columns.toIndexedSeq
     // Right values travel as ONE struct per right row: carrying them as
     // separate columns with per-column last(ignoreNulls) would (a) let a

@@ -34,8 +34,14 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     @volatile var dead = false // its consuming query terminated (listener)
   }
   private val streams = mutable.ArrayBuffer.empty[Sub] // guarded by this
-  // sessions (by session UUID-ish identity) we already watch
-  private val watched = mutable.Set.empty[AnyRef] // guarded by this
+  // sessions we already watch -> the lifecycle listener registered on them
+  // (guarded by this). WEAK keys + weak-ref values: a discarded session
+  // (newSession per tenant/job on a long-lived driver) must not be pinned
+  // by this boundary, and the listener is kept alive by the session's own
+  // bus, not by this map.
+  private val watched = new java.util.WeakHashMap[SparkSession,
+    java.lang.ref.WeakReference[
+      org.apache.spark.sql.streaming.StreamingQueryListener]]()
   // active queries captured at start so termination can still reach their
   // sources (StreamingQueryManager.get returns null post-termination)
   private val activeWrappers =
@@ -52,12 +58,21 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     * reflective read keeps us off Spark's private internals surface.
     * Populated once the stream thread initializes, and it REMAINS readable
     * after termination — which is what lets the listener identify a dead
-    * query's subscribers. */
+    * query's subscribers. A reflection failure (Spark-internal rename)
+    * logs ONCE: it silently disables dead-subscriber pruning otherwise. */
   private def sourcesOf(q: AnyRef): Seq[AnyRef] = q match {
     case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
       try w.streamingQuery.getClass.getMethod("sources")
         .invoke(w.streamingQuery).asInstanceOf[Seq[AnyRef]]
-      catch { case _: ReflectiveOperationException => Nil }
+      catch {
+        case _: ReflectiveOperationException =>
+          if (InMemoryBoundary.reflectionWarned.compareAndSet(false, true))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "StreamExecution.sources is not reflectively readable on this " +
+                "Spark version; InMemoryBoundary dead-subscriber pruning is " +
+                "DISABLED — dead consumers will accumulate buffered rows")
+          Nil
+      }
     case _ => Nil
   }
 
@@ -67,13 +82,16 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
     * between two writes (e.g. a Trigger.AvailableNow drain), which no
     * poll-at-write scheme can observe. */
   private def ensureWatched(spark: SparkSession): Unit = synchronized {
-    if (!watched.contains(spark)) {
-      watched += spark
-      spark.streams.addListener(
+    if (!watched.containsKey(spark)) {
+      // the listener must not strongly capture the session (it sits in a
+      // weak-keyed map whose value must not pin its key): weak self-ref
+      val weakSession = new java.lang.ref.WeakReference(spark)
+      val listener =
         new org.apache.spark.sql.streaming.StreamingQueryListener {
           import org.apache.spark.sql.streaming.StreamingQueryListener._
           override def onQueryStarted(e: QueryStartedEvent): Unit = {
-            val q = spark.streams.get(e.id)
+            val sess = weakSession.get()
+            val q = if (sess == null) null else sess.streams.get(e.id)
             if (q != null) activeWrappers.put(e.id, q)
           }
           override def onQueryProgress(e: QueryProgressEvent): Unit = ()
@@ -86,8 +104,29 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
               }
             }
           }
-        })
+        }
+      watched.put(spark, new java.lang.ref.WeakReference(listener))
+      spark.streams.addListener(listener)
     }
+  }
+
+  /** Tear the boundary down: deregister every session listener, forget
+    * subscribers, drop buffered rows. A long-lived driver cycling many
+    * boundaries must not accumulate listeners on its sessions. The
+    * boundary stays usable afterwards (a later write/readStream re-arms
+    * it), matching [[flush]]'s reusability contract. */
+  def close(): Unit = synchronized {
+    val it = watched.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val sess = e.getKey
+      val l = if (e.getValue == null) null else e.getValue.get()
+      if (sess != null && l != null) sess.streams.removeListener(l)
+    }
+    watched.clear()
+    activeWrappers.clear()
+    streams.clear()
+    buf.clear()
   }
 
   /** Drop dead subscribers. Primary signal: the per-session listener in
@@ -149,4 +188,11 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
   override def jobsCount(spark: SparkSession): Long = synchronized(buf.size.toLong)
 
   override def flush(): Unit = synchronized { buf.clear() }
+}
+
+object InMemoryBoundary {
+  // once per JVM, not per boundary: a sources-reflection failure is
+  // Spark-version-wide, so one warning covers every boundary
+  private val reflectionWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -63,6 +63,23 @@ class AsOfSpec extends SparkSpec {
       s"winner depends on partition layout: $picks")
   }
 
+  test("as-of rejects unorderable right-value types with a clear error") {
+    // the carried struct enters the window ORDER BY (equal-time tiebreak),
+    // so a MapType right value must fail up front, not at analysis time
+    val trades = Seq((1L, "A", 10L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 5L, Map("k" -> 1.0))).toDF("sym", "qt", "props")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(trades, quotes, Seq("sym"), "t", "qt", Seq("props"))
+    }
+    assert(err.getMessage.contains("orderable") &&
+      err.getMessage.contains("props"), err.getMessage)
+    // the documented workaround keeps the payload joinable
+    val fixed = AsOf.join(trades,
+      quotes.withColumn("props", map_entries($"props")),
+      Seq("sym"), "t", "qt", Seq("props"))
+    assert(fixed.count() == 1)
+  }
+
   test("approx_count_distinct within HLL++ error of exact") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val row = li.agg(

@@ -428,6 +428,27 @@ class WorkerFlowSpec extends SparkSpec {
       s"only the well-formed job completes: ${out.mkString(",")}")
   }
 
+  test("InMemoryBoundary.close deregisters its session listener and empties the queue") {
+    val schema = Seq(1).toDF("x").schema
+    val b = new InMemoryBoundary(schema)
+    b.write(Seq(1).toDF("x"))
+    val q = b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_close").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    b.close()
+    assert(b.isEmpty(spark) && b.subscriberCount == 0)
+    // re-arm after close: the boundary is reusable like after a flush
+    b.write(Seq(7).toDF("x"))
+    assert(b.jobsCount(spark) == 1L)
+    val q2 = b.readStream(spark).writeStream.format("memory")
+      .queryName("imb_close2").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT * FROM imb_close2").as[Int].collect().toSeq == Seq(7))
+    } finally q2.stop()
+    b.close()
+  }
+
   test("InMemoryBoundary feeds every streaming subscriber, not just the last") {
     val schema = Seq(1).toDF("x").schema
     val b = new InMemoryBoundary(schema)
