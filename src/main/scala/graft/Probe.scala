@@ -9,12 +9,24 @@ import graft.functions.TextFunctions._
 import graft.operators.{Dedup, OpCache}
 
 /** Scratch profiler for operator stages (not part of the driver contract).
-  * Current focus: shuffle-byte comparison of the minhashLsh banding shapes
-  * — signature carried through the band explode (old) vs bare (id, band,
-  * bucket) triples with per-pair signature attach (current). */
+  *
+  * Modes:
+  *  - (no args) — shuffle-byte comparison of the minhashLsh banding shapes:
+  *    signature carried through the band explode (old) vs bare (id, band,
+  *    bucket) triples with per-pair signature attach (current).
+  *  - `scale <docs.parquet>` — dedup-tier scaling run (q32/q50/q86/q87
+  *    shapes) over an arbitrary documents table: wall time, shuffle bytes,
+  *    BLOCKING-stage candidate counts and output rows. Run it on
+  *    /root/testdata/sf0.1 (5k docs) and on the 50k-doc fixture from
+  *    tools/gen_scale_docs.py to measure one decade of growth — evidence
+  *    that candidates scale ~linearly (near-dup blocking), not
+  *    quadratically (all-pairs), recorded in SURVEY §6.
+  */
 object Probe {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private val shuffleWrite = new LongAdder
+
+  private def session(): SparkSession = {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,24 +38,81 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-
-    val shuffleWrite = new LongAdder
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
           shuffleWrite.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
+    spark
+  }
 
-    def measure(name: String)(df: => DataFrame): Unit = {
-      shuffleWrite.reset()
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      Thread.sleep(500) // let the listener bus drain task-end events
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
-        f"shuffle write ${shuffleWrite.sum() / 1048576.0}%.1f MiB")
-      OpCache.release()
-    }
+  private def measure(name: String)(df: => DataFrame): Unit = {
+    shuffleWrite.reset()
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    Thread.sleep(500) // let the listener bus drain task-end events
+    println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
+      f"shuffle write ${shuffleWrite.sum() / 1048576.0}%.1f MiB")
+    OpCache.release()
+  }
 
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("scale") =>
+      scaleRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"))
+    case _ => bandingRun()
+  }
+
+  /** Dedup-tier scaling measurement (see object doc). */
+  private def scaleRun(docsPath: String): Unit = {
+    val spark = session()
+    // the fixture is one unsplittable parquet file: spread it like the
+    // queries' parallelize() does so CPU-bound stages use every core
+    val docs = spark.read.parquet(docsPath).repartition(32)
+    println(s"[probe] scale run over $docsPath: ${docs.count()} docs")
+
+    // blocking-stage candidate counts (the scaling evidence): counted on
+    // exactly the frames the operators verify, via the private stages
+    val (_, mhCands) =
+      Dedup.minhashCandidates(docs, "text", "doc_id", 3, 64, 16)
+    println(s"[probe] minhash band-join candidates: ${mhCands.count()}")
+    OpCache.release()
+    val (_, ppCands) = Dedup.jaccardCandidates(docs, "text", "doc_id", 3, 0.6)
+    println(s"[probe] ppjoin prefix candidates: ${ppCands.count()}")
+    OpCache.release()
+
+    // output cardinalities
+    val lshOut = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    println(s"[probe] q32-shape lsh pairs (est>=0.5): ${lshOut.count()}")
+    OpCache.release()
+    val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.6)
+    println(s"[probe] q50-shape exact pairs (j>=0.6): ${pairs.count()}")
+    OpCache.release()
+
+    // timed end-to-end shapes (one warmup each, then the timed run)
+    def lsh() = Dedup.minhashLsh(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    def pp() = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.6)
+    def cc() = Dedup.resolveClusters(pp())
+    def keep() = Dedup.keepRepresentatives(docs, pp(), "doc_id")
+    measure("warmup q32 minhashLsh")(lsh())
+    measure("q32 minhashLsh")(lsh())
+    measure("warmup q50 ppjoin")(pp())
+    measure("q50 ppjoin")(pp())
+    measure("warmup q86 ppjoin+CC")(cc())
+    measure("q86 ppjoin+CC")(cc())
+    measure("warmup q87 full dedup")(keep())
+    measure("q87 full dedup")(keep())
+    spark.stop()
+  }
+
+  /** The pre-round-4 banding shape vs current, kept as the measurement
+    * baseline for the SURVEY §6 shuffle note. */
+  private def bandingRun(): Unit = {
+    val spark = session()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[probe] docs: ${docs.count()}")
 

@@ -105,6 +105,29 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.7): DataFrame = {
+    val (sigs, pairs) =
+      minhashCandidates(df, textCol, idCol, shingleK, numHashes, bands)
+    val withSigs = pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes)
+    withSigs.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      // ids are expected unique; on a dirty corpus with duplicate ids the
+      // attach joins would fan a pair out once per id occurrence — keep the
+      // one-row-per-pair contract regardless of input hygiene
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The blocking stage of [[minhashLsh]]: (persisted signatures as
+    * (id, sig), deduped candidate pairs from the band-bucket self-join).
+    * Exposed `private[graft]` so the scale probe counts exactly the
+    * candidate set the operator verifies — no duplicated logic to drift. */
+  private[graft] def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int,
+      numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The native signature expression reads the shingle-hash array exactly
@@ -129,18 +152,7 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
-    val withSigs = pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-    val est = size(filter(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-      b => b)).cast("double") / lit(numHashes)
-    withSigs.select(col("id_a"), col("id_b"), round(est, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      // ids are expected unique; on a dirty corpus with duplicate ids the
-      // attach joins would fan a pair out once per id occurrence — keep the
-      // one-row-per-pair contract regardless of input hygiene
-      .dropDuplicates("id_a", "id_b")
+    (sigs, pairs)
   }
 
   /**
@@ -240,6 +252,23 @@ object Dedup {
    */
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val (sets, cands) = jaccardCandidates(df, textCol, idCol, shingleK, threshold)
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The blocking stage of [[jaccardSelfJoin]]: (persisted shingle sets as
+    * (id, sh, len), candidate pairs surviving the prefix + position +
+    * length filters, pre-verify). Exposed `private[graft]` so the scale
+    * probe counts exactly the candidate set the operator verifies. */
+  private[graft] def jaccardCandidates(
+      df: DataFrame, textCol: String, idCol: String, shingleK: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     val sets = OpCache.track(df.select(col(idCol).as("id"),
         sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
@@ -264,13 +293,7 @@ object Dedup {
           .cast("double") >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(a, "id_a").join(b, "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    (sets, cands)
   }
 
   /**
