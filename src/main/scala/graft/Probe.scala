@@ -59,7 +59,81 @@ object Probe {
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("scale") =>
       scaleRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"))
+    case Some("dford") =>
+      dfOrderRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"))
     case _ => bandingRun()
+  }
+
+  /** Re-measure the Bayardo df-ascending canonical order against the
+    * hash order at a given corpus size. Round 7 measured df-order
+    * net-slower at sf0.1 (5k docs: halves candidates, but the two extra
+    * full-token-stream shuffles dominate); the round-8 scaling run showed
+    * hash-order prefix candidates growing ~n² on the near-uniform
+    * vocabulary, so the tradeoff may flip a decade up — this mode is the
+    * measurement. */
+  private def dfOrderRun(docsPath: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(docsPath).repartition(32)
+    println(s"[probe] df-order experiment over $docsPath: ${docs.count()} docs")
+    val threshold = 0.6
+
+    // Bayardo et al. WWW'07 order: rarest shingles first, so prefixes
+    // collide only on genuinely shared rare shingles. Costs one global df
+    // aggregation + one per-doc reorder of the (id, h) token stream.
+    def dfOrderedStage(): (DataFrame, DataFrame) = {
+      val tok = docs.select(col("doc_id").as("id"),
+        explode(shingleHashes(col("text"), 3)).as("h"))
+      val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      val sets = OpCache.track(tok.join(dfreq, "h")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("p"))
+        .select(col("id"),
+          transform(col("p"), x => x.getField("h")).as("sh"))
+        .withColumn("len", size(col("sh")))
+        .persist())
+      val p = (col("len") - ceil(col("len") * threshold - 1e-9) + 1).cast("int")
+      val prefix = sets.select(col("id"), col("len"),
+        posexplode(slice(col("sh"), lit(1), p)).as(Seq("pos", "h")))
+      val alpha = ceil((col("a.len") + col("b.len")) *
+        (threshold / (1 + threshold)) - 1e-9)
+      val cands = prefix.alias("a").join(prefix.alias("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          least(col("a.len"), col("b.len")).cast("double") >=
+            greatest(col("a.len"), col("b.len")) * threshold - 1e-9 &&
+          least(col("a.len") - col("a.pos"), col("b.len") - col("b.pos"))
+            .cast("double") >= alpha)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      (sets, cands)
+    }
+
+    def dfJoin(): DataFrame = {
+      val (sets, cands) = dfOrderedStage()
+      val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
+
+    val (_, hashCands) =
+      Dedup.jaccardCandidates(docs, "text", "doc_id", 3, threshold)
+    println(s"[probe] hash-order candidates: ${hashCands.count()}")
+    OpCache.release()
+    val (_, dfCands) = dfOrderedStage()
+    println(s"[probe] df-order candidates: ${dfCands.count()}")
+    OpCache.release()
+    println(s"[probe] df-order result pairs: ${dfJoin().count()}")
+    OpCache.release()
+    def hashJoin() =
+      Dedup.jaccardSelfJoin(docs, "text", "doc_id", 3, threshold)
+    measure("warmup hash-order ppjoin")(hashJoin())
+    measure("hash-order ppjoin")(hashJoin())
+    measure("warmup df-order ppjoin")(dfJoin())
+    measure("df-order ppjoin")(dfJoin())
+    spark.stop()
   }
 
   /** Dedup-tier scaling measurement (see object doc). */
