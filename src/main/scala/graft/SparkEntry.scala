@@ -53,7 +53,12 @@ object SparkEntry {
     }
     if (scanBytes.isEmpty) df
     else {
-      val estSplits = scanBytes.map(b => math.max(1L, (b + maxSplit - 1) / maxSplit)).sum
+      // 1 + (b-1)/maxSplit, not (b+maxSplit-1)/maxSplit: a relation with
+      // unknown stats reports sizeInBytes = Long.MaxValue, and the naive
+      // ceil would overflow negative — flipping the conservative
+      // no-shuffle default into repartitioning an arbitrarily large input
+      val estSplits = scanBytes.map(b =>
+        if (b <= 0L) 1L else 1L + (b - 1L) / maxSplit).sum
       if (estSplits >= target) df else df.repartition(target)
     }
   }

@@ -41,8 +41,13 @@ object AsOf {
            leftTime: String, rightTime: String,
            rightValues: Seq[String]): DataFrame = {
     require(rightValues.nonEmpty, "rightValues must name at least one column")
+    // resolve names the way Spark will (case-insensitively under the
+    // default conf): a differently-cased column must not slip past the
+    // guard only to fail analysis later with the opaque error this
+    // require exists to pre-empt
+    val resolver = right.sparkSession.sessionState.analyzer.resolver
     val unorderable = rightValues.flatMap(c =>
-      right.schema.fields.find(_.name == c).collect {
+      right.schema.fields.find(f => resolver(f.name, c)).collect {
         case f if !org.apache.spark.sql.catalyst.expressions.RowOrdering
           .isOrderable(f.dataType) => s"${f.name}: ${f.dataType.simpleString}"
       })

@@ -113,16 +113,31 @@ object Multimodal {
     payloads.map(p => decodeImage(p).getOrElse(stubDecodeOne(p)))
 
   /** Real JDK-only image decode (`javax.imageio`: PNG/JPEG/GIF/BMP readers
-    * ship with the JDK). Full pixel decode of one payload; None when the
-    * magic bytes match no known format, no reader claims the stream, or
-    * the payload is corrupt — the caller then falls back to the stub. */
+    * ship with the JDK). HEADER-ONLY: `reader.getWidth/getHeight(0)` parse
+    * actual dimensions from the stream without allocating the pixel
+    * buffer — a decompression-bomb payload (25000×25000 PNG ≈ 2.5 GB ARGB)
+    * must not OOM the executor when the decoded struct only carries dims.
+    * None when the magic bytes match no known format, no reader claims the
+    * stream, or the payload is corrupt — the caller falls back to the
+    * stub. */
   private[operators] def decodeImage(
       bytes: Array[Byte]): Option[(Long, Long, Double)] =
     if (!imageMagic(bytes)) None
     else try {
       imageioConfigured
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      Option(img).map(i => (i.getWidth.toLong, i.getHeight.toLong, 0.0))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            Some((reader.getWidth(0).toLong, reader.getHeight(0).toLong, 0.0))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-JVM, once: in-memory payloads must not round-trip through
@@ -155,10 +170,6 @@ object Multimodal {
       pmod(h >> 32, 600L).toDouble / 10.0)
   }
 
-  /** Kept for spec parity: the stub applied to a whole batch. */
-  private[operators] def stubCodecBatch(
-      payloads: Array[Array[Byte]]): Array[(Long, Long, Double)] =
-    payloads.map(stubDecodeOne)
 
   /**
    * Frame-sampling stage for video-like payloads: emits `n` (frame_idx,

@@ -414,31 +414,47 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       p.getFileSystem(hadoopConf(spark)).makeQualified(p).toString
     }
     val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // trims run OFF the session's shared listener bus: trimCommitted does
+    // directory listings + checkpoint reads + deletes, which on an object
+    // store cost seconds — blocking the bus would back up and drop events
+    // for EVERY listener on the session. One daemon thread, and at most
+    // one trim queued behind the running one (progress events that arrive
+    // mid-trim coalesce into the single pending slot: the next trim sees
+    // the newest commit anyway).
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+      val t = new Thread(r, s"graft-autotrim-${System.identityHashCode(this)}")
+      t.setDaemon(true); t
+    }
+    val pending = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(e: QueryProgressEvent): Unit = {
         // FileStreamSource describes itself as "FileStreamSource[<qualified
-        // base path>]" — stable across Spark 3.x/4.x; match either the
-        // qualified or the raw form so a caller-relative path still hits
+        // base path>]" — stable across Spark 3.x/4.x. Match the CLOSED
+        // bracket so a sibling path sharing this one as a prefix
+        // (/data/q vs /data/q2) never triggers foreign checkpoint reads;
+        // the raw form covers a caller-relative path.
         val mine = e.progress.sources.exists { s =>
           val d = s.description
-          d != null && (d.contains(qualified) || d.contains(path))
+          d != null && (d.contains(qualified + "]") || d.contains(path + "]"))
         }
-        if (mine) {
-          try trimCommitted(spark, checkpointDir, sourceIdx)
-          catch {
-            case scala.util.control.NonFatal(ex) =>
-              if (warned.compareAndSet(false, true))
-                log.warn(s"autoTrim of '$path' failed; the queue grows " +
-                  "until a later trim succeeds", ex)
+        if (mine && pending.compareAndSet(false, true)) {
+          exec.execute { () =>
+            try trimCommitted(spark, checkpointDir, sourceIdx)
+            catch {
+              case scala.util.control.NonFatal(ex) =>
+                if (warned.compareAndSet(false, true))
+                  log.warn(s"autoTrim of '$path' failed; the queue grows " +
+                    "until a later trim succeeds", ex)
+            } finally pending.set(false)
           }
         }
       }
     }
     spark.streams.addListener(listener)
-    new AutoTrimHandle(spark, listener)
+    new AutoTrimHandle(spark, listener, exec)
   }
 
   /**
@@ -482,9 +498,14 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
 }
 
 /** Deregistration handle for [[ParquetBoundary.autoTrim]]: `stop()`
-  * removes the listener from the session it was registered on. */
+  * removes the listener from the session it was registered on and shuts
+  * down the trim thread (an already-running trim completes). */
 final class AutoTrimHandle private[streaming] (
     spark: SparkSession,
-    listener: org.apache.spark.sql.streaming.StreamingQueryListener) {
-  def stop(): Unit = spark.streams.removeListener(listener)
+    listener: org.apache.spark.sql.streaming.StreamingQueryListener,
+    exec: java.util.concurrent.ExecutorService) {
+  def stop(): Unit = {
+    spark.streams.removeListener(listener)
+    exec.shutdown()
+  }
 }

@@ -58,7 +58,8 @@ def main() -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     })
     import os
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.dirname(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     pq.write_table(table, out)
     print(f"wrote {n} docs to {out}")
 
