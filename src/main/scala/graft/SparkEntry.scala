@@ -377,12 +377,15 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   /** Normalized-text SQL fragment matching TextFunctions.tokens semantics
-    * (lowercase, trim, whitespace-collapse). */
-  private val normSql = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
-  private val toksSql = """string_split_regex(trim(lower(text)), '\s+')"""
+    * (lowercase, trim, whitespace-collapse, NULL ≡ empty — the one
+    * NULL-text contract, identical on both engines). */
+  private val normSql =
+    """regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')"""
+  private val toksSql =
+    """string_split_regex(trim(lower(coalesce(text, ''))), '\s+')"""
 
   private def q28_dedup_exact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+    Dedup.exact(parallelize(t(s, dir, "documents")), "text", "doc_id")
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
@@ -651,7 +654,7 @@ object SparkEntry {
     * contains, join). */
   private def q47_array_fns(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
-    t(s, dir, "documents")
+    parallelize(t(s, dir, "documents"))
       .select(col("doc_id"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         concat_ws(",", slice(sort_array(array_distinct(toks)), 1, 3)).as("top3"),
@@ -742,9 +745,20 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
 
   /** Per-process round-trip scratch dir: two concurrent catalog runs (e.g.
-    * parallel Verify invocations) must not clobber each other's files. */
-  private lazy val roundTripBase: String =
-    java.nio.file.Files.createTempDirectory("graft_roundtrip_").toString
+    * parallel Verify invocations) must not clobber each other's files.
+    * Deleted on JVM exit — a long-lived driver invoking the catalog for
+    * months must not accumulate fixture-sized CSV/JSON dumps in /tmp. */
+  private lazy val roundTripBase: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(dir.toFile)
+    }, "graft-roundtrip-cleanup"))
+    dir.toString
+  }
   private def roundTripDir(name: String): String = s"$roundTripBase/$name"
 
   /** CSV sink + source round-trip: write orders as headered CSV, read back
@@ -1010,29 +1024,42 @@ object SparkEntry {
     * otherwise shuffle the fact table every run. The result must equal the
     * oracle's plain join over the original parquet. */
   private def q71_bucketed_join(s: SparkSession, dir: String): DataFrame = {
-    Seq("q71_li", "q71_o").foreach { tbl =>
+    // per-process table names: two concurrent Verify runs in one repo dir
+    // (same catalog/warehouse) must not overwrite each other's buckets
+    // mid-join; the pid suffix never surfaces in the query result
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val (liTbl, oTbl) = (s"q71_li_$pid", s"q71_o_$pid")
+    Seq(liTbl, oTbl).foreach { tbl =>
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = new java.io.File(s"spark-warehouse/$tbl")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete()
+      // a table dir left behind by a KILLED run isn't in the catalog, so
+      // the DROP misses it and saveAsTable would fail on the stale
+      // location — clean at the session's ACTUAL warehouse dir (only
+      // meaningful for a local-filesystem warehouse)
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      if (wh.getScheme == null || wh.getScheme == "file") {
+        val root = if (wh.getScheme == null) wh.toString else wh.getPath
+        val loc = new java.io.File(root, tbl)
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(rm)
+            f.delete()
+          }
+          rm(loc)
         }
-        rm(loc)
       }
     }
     operators.Layout.writeBucketed(
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
         col("l_discount")),
-      "q71_li", Seq("l_orderkey"), 8)
+      liTbl, Seq("l_orderkey"), 8)
     operators.Layout.writeBucketed(
       t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
         col("o_orderpriority")),
-      "q71_o", Seq("l_orderkey"), 8)
+      oTbl, Seq("l_orderkey"), 8)
     // force sort-merge (the shape that matters at 100 TB, where neither
     // side broadcasts) — bucketing then removes both join exchanges
-    operators.Layout.readTable(s, "q71_li").hint("merge")
-      .join(operators.Layout.readTable(s, "q71_o"), Seq("l_orderkey"))
+    operators.Layout.readTable(s, liTbl).hint("merge")
+      .join(operators.Layout.readTable(s, oTbl), Seq("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

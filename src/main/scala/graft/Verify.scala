@@ -2,12 +2,25 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failure contract: a query that throws leaves NO output dir (any stale
+  * dump from a previous run into the same outDir is deleted up front, so
+  * a regression can never be masked by yesterday's correct parquet), is
+  * listed in `_failures.json`, and is reported on stderr. The process
+  * still exits 0 — per-query errors are the driver's per-query gate, not
+  * a sweep abort. Fatal JVM errors (OOM) propagate and kill the sweep:
+  * results computed in a heap-exhausted JVM aren't trustworthy.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd+ args: restrict the dump to named queries (local dev)
     val only = args.drop(2).toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here " +
+        "would otherwise dump nothing and exit 0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,13 +30,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def rmTree(f: java.io.File): Unit = if (f.exists()) {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete()
+    }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // stale-dump guard: a query that fails during PLAN CONSTRUCTION
+      // (before the overwrite) must not leave last run's parquet behind
+      rmTree(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = String.valueOf(e.getMessage)
       }
       finally
         // operators persist reused intermediates; without a per-query
@@ -46,6 +68,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_failures.json"), fj)
+      System.err.println(s"[verify] ${failures.size} quer" +
+        s"${if (failures.size == 1) "y" else "ies"} failed: " +
+        failures.keys.mkString(", "))
+    }
     spark.stop()
   }
 }

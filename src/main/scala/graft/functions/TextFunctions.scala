@@ -17,7 +17,11 @@ object TextFunctions {
 
   /** Whitespace tokens of `text`, lowercased; empty array for blank input. */
   def tokens(text: Column): Column = {
-    val t = trim(lower(text))
+    // NULL text ≡ empty text (one explicit contract for the whole token
+    // surface): without the coalesce, NULL propagates through every
+    // downstream token op while the DuckDB oracles' coalesce(text, '')
+    // yields 0/false/empty — two engines, two NULL semantics
+    val t = trim(lower(coalesce(text, lit(""))))
     when(t === "", array().cast("array<string>"))
       .otherwise(split(t, "\\s+"))
   }
