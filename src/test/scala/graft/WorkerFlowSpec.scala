@@ -319,6 +319,35 @@ class WorkerFlowSpec extends SparkSpec {
       s"exactly-once violated across crash+trim+restart: ${out.toSeq}")
   }
 
+  test("trimCommitted sourceIdx targets the right source of a union consumer") {
+    // A worker draining TWO queues in one query has one offsets line and
+    // one sources/<idx>/ log per source; trimming boundary B with source
+    // A's index would delete the wrong queue's files. Pin the mapping.
+    val dir = java.nio.file.Files.createTempDirectory("wf_unionidx").toString
+    val b0 = new ParquetBoundary(s"$dir/q0")
+    val b1 = new ParquetBoundary(s"$dir/q1")
+    b0.write(Seq(1, 2).toDF("x"))
+    b1.write(Seq(10).toDF("x"))
+    def drain(): Unit = b0.readStream(spark).unionByName(b1.readStream(spark))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain()
+    // source 1 = second union leg: only b1's files become trimmable there
+    assert(b1.trimCommitted(spark, s"$dir/ck", sourceIdx = 1) >= 1L)
+    assert(b0.jobsCount(spark) == 2L,
+      "source 0's queue must be untouched by a sourceIdx=1 trim")
+    assert(b1.jobsCount(spark) == 0L)
+    assert(b0.trimCommitted(spark, s"$dir/ck", sourceIdx = 0) >= 1L)
+    assert(b0.jobsCount(spark) == 0L)
+    // exactly-once across per-source trims and a restart
+    b0.write(Seq(3).toDF("x"))
+    drain()
+    val out = spark.read.parquet(s"$dir/out").as[Int].collect().sorted
+    assert(out.toSeq == Seq(1, 2, 3, 10),
+      s"exactly-once violated across union trims: ${out.toSeq}")
+  }
+
   test("trim(upToEpochMs) releases files by age") {
     val dir = java.nio.file.Files.createTempDirectory("wf_trimage").toString
     val b = new ParquetBoundary(s"$dir/q")
