@@ -20,8 +20,16 @@ import org.apache.spark.sql.types.StructType
  * `limit`, if set, is the producer-side jobs_limit in rows: [[write]]
  * blocks while the buffer holds at least `limit` rows, until a consumer
  * [[flush]]es (≙ `adapters/simple_queue.py:24-29`).
+ *
+ * `unattachedTtlMs`: a [[readStream]] subscription whose query is NEVER
+ * started (abandoned frame, error path) would otherwise be fed every
+ * subsequent write forever — unobservable as dead, growing driver memory
+ * unboundedly. A subscriber not seen inside any running query within this
+ * TTL is dropped on the next write; start the query within the TTL (or
+ * re-subscribe).
  */
-final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
+final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None,
+                             unattachedTtlMs: Long = 600000L)
     extends StageBoundary {
   private val buf = mutable.ArrayBuffer.empty[Row] // guarded by this
   // every live streaming subscriber; each write feeds them all (a second
@@ -30,6 +38,7 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
   // write — otherwise a long-lived driver retains every subsequently
   // written row per dead consumer.
   private final class Sub(val stream: MemoryStream[Row]) {
+    val born = System.nanoTime()
     var attached = false // ever observed inside a running query's sources
     @volatile var dead = false // its consuming query terminated (listener)
   }
@@ -150,8 +159,12 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None)
       if (liveFor(s.stream.sparkSession).contains(s.stream)) s.attached = true
     }
     streams.filterInPlace { s =>
-      !s.dead &&
-        (!s.attached || liveFor(s.stream.sparkSession).contains(s.stream))
+      !s.dead && {
+        if (s.attached) liveFor(s.stream.sparkSession).contains(s.stream)
+        // never observed in a running query: keep only within the TTL —
+        // an abandoned subscription must not accumulate every future write
+        else System.nanoTime() - s.born <= unattachedTtlMs * 1000000L
+      }
     }
   }
 

@@ -62,7 +62,10 @@ object StreamingFlows {
   def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
                    rightTs: String, keys: Seq[String], maxDelay: String,
                    watermark: String = "30 seconds"): DataFrame = {
-    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    // keyless = pure time-interval join (every pair within the bound) —
+    // valid, state still evictable, just mind the output cardinality
+    val keyCond = keys.map(k => left(k) === right(k))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val joined = left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         keyCond &&
@@ -184,33 +187,73 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     catch { case _: java.io.IOException => false }
   }
 
+  /** The directory holds at least one data file right now. A trimmed-empty
+    * queue keeps its directory (trim deletes files, never the dir, and
+    * `_SUCCESS` markers survive), so "dir exists" alone does not mean
+    * "schema is inferable". */
+  private def hasDataFile(spark: SparkSession): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    try p.getFileSystem(hadoopConf(spark)).listStatus(p)
+      .exists(st => st.isFile && isDataFile(st.getPath.getName))
+    catch { case _: java.io.IOException => false }
+  }
+
+  private def pinnedSchema: Option[org.apache.spark.sql.types.StructType] =
+    synchronized(schemaJson).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   override def write(df: DataFrame): Unit = {
     awaitCapacity(df.sparkSession)
-    // plain var: pin-once under the lock so concurrent first writes can't
-    // race on which schema wins, and readers get a happens-before edge
-    synchronized { schemaJson = schemaJson.orElse(Some(df.schema.json)) }
+    // pin-once under the lock (concurrent first writes can't race on which
+    // schema wins; readers get a happens-before edge) — and REJECT a
+    // schema-divergent later append: parquet append has no cross-file
+    // check, so the corruption would otherwise surface as a decode error
+    // in some consumer batches later, far from the offending write
+    synchronized {
+      schemaJson match {
+        case None => schemaJson = Some(df.schema.json)
+        case Some(j) =>
+          val pinned = org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          def shape(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name, f.dataType)).toSet
+          require(shape(pinned) == shape(df.schema),
+            s"schema-divergent append to queue '$path': pinned " +
+              s"${pinned.simpleString}, got ${df.schema.simpleString}")
+      }
+    }
     df.write.mode("append").parquet(path)
   }
 
   override def read(spark: SparkSession): DataFrame = {
-    val pinned = synchronized(schemaJson)
-    // consumer-before-producer (or post-flush) must see an EMPTY queue,
-    // like InMemoryBoundary — not a PATH_NOT_FOUND crash
-    if (!dirExists(spark))
-      pinned.map(j => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.DataType.fromJson(j)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]))
-        .getOrElse(spark.emptyDataFrame)
-    else
-      // a concurrent trim()/flush() may delete a file between listing and
-      // scan; skip it (parity with readStream) rather than failing the drain
-      spark.read.option("ignoreMissingFiles", "true").parquet(path)
+    val pinned = pinnedSchema
+    def emptyFrame = pinned
+      .map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+      .getOrElse(spark.emptyDataFrame)
+    // consumer-before-producer, post-flush, or fully-trimmed must all see
+    // an EMPTY queue — not PATH_NOT_FOUND or a schema-inference crash
+    if (!dirExists(spark)) emptyFrame
+    else pinned match {
+      // explicit schema: no inference, so a drained (zero-data-file) dir
+      // reads as empty; ignoreMissingFiles covers a concurrent trim/flush
+      // deleting a file between listing and scan (parity with readStream)
+      case Some(s) =>
+        spark.read.schema(s).option("ignoreMissingFiles", "true").parquet(path)
+      case None =>
+        if (hasDataFile(spark))
+          spark.read.option("ignoreMissingFiles", "true").parquet(path)
+        else emptyFrame // fresh instance over a drained dir: nothing to infer
+    }
   }
 
   override def readStream(spark: SparkSession): DataFrame = {
-    val pinned = synchronized(schemaJson)
-    if (pinned.isEmpty && !dirExists(spark))
+    val pinned = pinnedSchema
+    // a fresh instance over a drained-but-existing dir has nothing to
+    // infer from either — same guidance as the missing-dir case, not an
+    // opaque schema-inference AnalysisException
+    if (pinned.isEmpty && !hasDataFile(spark))
       throw new IllegalStateException(
         s"cannot readStream from '$path': nothing has been written yet and " +
           "no schema is pinned — a streaming source needs a schema up " +
@@ -223,10 +266,7 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(hadoopConf(spark)).mkdirs(p)
     }
-    val schema = pinned
-      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .getOrElse(spark.read.parquet(path).schema)
+    val schema = pinned.getOrElse(spark.read.parquet(path).schema)
     spark.readStream
       .schema(schema)
       // consumer-side batch cap, complementing the producer-side jobsLimit
@@ -369,7 +409,11 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     }
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    val qualifiedDir = fs.makeQualified(dir).toUri.getPath
+    // full URI, not just the path component: an entry on a DIFFERENT
+    // filesystem with the same directory path (s3a://bucket/data/q vs
+    // file:/data/q) must be skipped, not passed to fs.delete where the
+    // Wrong-FS check would abort the whole trim mid-delete
+    val qualifiedDir = fs.makeQualified(dir).toUri
     victims.count { uri =>
       // only touch files directly inside this boundary's directory — the
       // consumer's checkpoint may track other sources' files too; an
@@ -378,8 +422,11 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
         catch { case _: java.net.URISyntaxException |
                      _: IllegalArgumentException => None }
       parsed.exists { vp =>
-        val parentOk = Option(vp.getParent)
-          .exists(p => fs.makeQualified(p).toUri.getPath == qualifiedDir)
+        val parentOk = Option(vp.getParent).exists { p =>
+          // makeQualified throws on a foreign-scheme path: not ours
+          try fs.makeQualified(p).toUri == qualifiedDir
+          catch { case _: IllegalArgumentException => false }
+        }
         parentOk && {
           fileRows.remove(fs.makeQualified(vp).toString)
           fs.delete(vp, false)
@@ -425,7 +472,12 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       val t = new Thread(r, s"graft-autotrim-${System.identityHashCode(this)}")
       t.setDaemon(true); t
     }
-    val pending = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // running trim + at most ONE queued behind it: an event that lands
+    // mid-trim must schedule a follow-up (its commit postdates what the
+    // running trim read — dropping it would leave the final micro-batch's
+    // files on disk until some future event), while a burst of events
+    // coalesces into that single follow-up slot
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -440,16 +492,18 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
           val d = s.description
           d != null && (d.contains(qualified + "]") || d.contains(path + "]"))
         }
-        if (mine && pending.compareAndSet(false, true)) {
-          exec.execute { () =>
-            try trimCommitted(spark, checkpointDir, sourceIdx)
-            catch {
-              case scala.util.control.NonFatal(ex) =>
-                if (warned.compareAndSet(false, true))
-                  log.warn(s"autoTrim of '$path' failed; the queue grows " +
-                    "until a later trim succeeds", ex)
-            } finally pending.set(false)
-          }
+        if (mine) {
+          if (inFlight.incrementAndGet() <= 2) {
+            exec.execute { () =>
+              try trimCommitted(spark, checkpointDir, sourceIdx)
+              catch {
+                case scala.util.control.NonFatal(ex) =>
+                  if (warned.compareAndSet(false, true))
+                    log.warn(s"autoTrim of '$path' failed; the queue grows " +
+                      "until a later trim succeeds", ex)
+              } finally inFlight.decrementAndGet()
+            }
+          } else inFlight.decrementAndGet() // burst: follow-up already queued
         }
       }
     }

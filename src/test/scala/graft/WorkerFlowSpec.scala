@@ -403,6 +403,50 @@ class WorkerFlowSpec extends SparkSpec {
     } finally { if (q1.isActive) q1.stop(); q2.stop() }
   }
 
+  test("a fully-drained queue reads as empty, not a schema-inference crash") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("wf_drained").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1, 2).toDF("x"))
+    b.readStream(spark).writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(b.trimCommitted(spark, s"$dir/ck") >= 1L)
+    // the dir still exists (trim deletes files, never the dir) but holds
+    // zero data files: read() must yield an empty frame with the pinned
+    // schema on BOTH a warm instance and a fresh one over the same path
+    assert(b.read(spark).isEmpty && b.read(spark).columns.toSeq == Seq("x"))
+    val fresh = new ParquetBoundary(s"$dir/q") // schemaJson not pinned
+    assert(fresh.read(spark).isEmpty)
+    // and a fresh consumer gets the crafted guidance, not an opaque
+    // inference AnalysisException
+    intercept[IllegalStateException] { fresh.readStream(spark) }
+  }
+
+  test("schema-divergent append to a queue is rejected at write time") {
+    val dir = java.nio.file.Files.createTempDirectory("wf_schema").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1).toDF("x"))
+    val err = intercept[IllegalArgumentException] {
+      b.write(Seq("oops").toDF("x")) // same name, different type
+    }
+    assert(err.getMessage.contains("schema-divergent"), err.getMessage)
+    assert(b.jobsCount(spark) == 1L, "the divergent batch must not land")
+    b.write(Seq(2).toDF("x")) // conforming appends still work
+    assert(b.jobsCount(spark) == 2L)
+  }
+
+  test("InMemoryBoundary drops a never-started subscription after its TTL") {
+    val schema = Seq(1).toDF("x").schema
+    val b = new InMemoryBoundary(schema, unattachedTtlMs = 200L)
+    b.readStream(spark) // abandoned: no query ever starts
+    assert(b.subscriberCount == 1)
+    Thread.sleep(400)
+    b.write(Seq(1).toDF("x")) // prune runs on write
+    assert(b.subscriberCount == 0,
+      "an abandoned subscription must not accumulate every future write")
+  }
+
   test("empty-queue reads: missing directory means empty, not a crash") {
     val dir = java.nio.file.Files.createTempDirectory("wf_empty").toString
     val b = new ParquetBoundary(s"$dir/q")
