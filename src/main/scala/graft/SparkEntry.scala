@@ -1415,6 +1415,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing (concatenation-offset bins): every doc is assigned
+    * the training bin its first token lands in, per id-mod shard — the
+    * concatenate-then-cut layout of packed pre-training datasets. Window
+    * partitioned by shard, so no global sort at any corpus size
+    * (Curate.packSequences). */
+  private def q97_pack_sequences(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    operators.Curate.packSequences(docs, "doc_id", "n_tokens",
+        budget = 2048L, shards = 8)
+      .select(col("doc_id"), col("n_tokens"), col("shard"), col("bin"),
+        col("bin_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact top-quality selection under a global token budget, decomposed
+    * by quality level so wholly-fitting levels never touch a per-doc
+    * window (Curate.selectByTokenBudget). The oracle runs the semantic
+    * definition — a global (quality DESC, doc_id) running-sum cutoff —
+    * so the plan decomposition is verified equivalent, not assumed. */
+  private def q98_token_budget(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    val docs = parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(txt).as("quality"),
+        TextFunctions.tokenCount(txt).cast("long").as("n_tokens"))
+    operators.Curate.selectByTokenBudget(docs, "quality", "n_tokens",
+        "doc_id", budget = 8000L)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1516,6 +1548,8 @@ object SparkEntry {
     "q94_mixing_rates" -> q94_mixing_rates _,
     "q95_materialize_mix" -> q95_materialize_mix _,
     "q96_curation_pipeline" -> q96_curation_pipeline _,
+    "q97_pack_sequences" -> q97_pack_sequences _,
+    "q98_token_budget" -> q98_token_budget _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2401,5 +2435,38 @@ object SparkEntry {
          |FROM rk2 JOIN q ON rk2.lang = q.stratum
          |WHERE rk2.sample_rank <= q.sample_n ORDER BY rk2.doc_id""".stripMargin
     },
+    // q97: concatenation-offset packing — per-shard running token sum,
+    // bin = floor(start / budget). DuckDB's window sum over BIGINT yields
+    // HUGEINT, hence the explicit casts.
+    "q97_pack_sequences" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens, CAST(doc_id % 8 AS BIGINT) AS shard,
+         |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+         |  FROM tok)
+         |SELECT doc_id, n_tokens, shard,
+         |  CAST(floor(strt / 2048.0) AS BIGINT) AS bin,
+         |  CAST(strt % 2048 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // q98: the SEMANTIC definition of top-quality-under-budget — a global
+    // (quality DESC, id) running-sum cutoff — verifying the Spark side's
+    // decomposed-by-level plan is exactly equivalent
+    "q98_token_budget" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, $qualityExprSql AS quality,
+         |    CAST(n_tok AS BIGINT) AS n_tokens
+         |  FROM (${qualityRawSql("doc_id")}) raw),
+         |c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM q)
+         |SELECT doc_id, quality, n_tokens FROM c
+         |WHERE cum <= 8000 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -138,6 +138,75 @@ object Curate {
   }
 
   /**
+   * Sequence packing by CONCATENATION OFFSET: lay each shard's documents
+   * out contiguously in id order and cut a bin boundary every `budget`
+   * tokens — a document belongs to the bin its first token lands in (the
+   * concatenate-then-cut layout packed pre-training datasets use; a doc
+   * crossing a boundary spills into the next bin's budget rather than
+   * splitting). Shards are `id mod shards` buckets, so each shard's
+   * running sum is an independent window partition: the sort parallelizes
+   * across shards and NO global single-partition window exists at any
+   * corpus size. Adds `shard`, `bin`, `bin_offset` (the doc's start
+   * offset inside its bin).
+   */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // start offset = running sum EXCLUDING the current doc; double division
+    // is exact here (token sums ≪ 2^53) and floor/mod agree across engines
+    val start = sum(col(tokenCol)).over(w) - col(tokenCol)
+    df.withColumn("shard", pmod(col(idCol), lit(shards)).cast("long"))
+      .withColumn("bin", floor(start / budget).cast("long"))
+      .withColumn("bin_offset", (start % budget).cast("long"))
+  }
+
+  /**
+   * Exact top-quality selection under a global token budget — keep the
+   * highest-`qualityCol` documents whose cumulative `tokenCol` fits
+   * `budget`, ties broken by id — WITHOUT a global single-partition sort.
+   * Semantically identical to `ORDER BY (quality DESC, id)` running-sum
+   * `<= budget`, but the plan decomposes by quality LEVEL (a scored corpus
+   * has few distinct levels):
+   *
+   *  1. one aggregation computes per-level token totals;
+   *  2. a window over that |levels|-row frame finds each level's starting
+   *     offset in the global order (trivially small);
+   *  3. levels that fit wholly keep every document with NO per-doc
+   *     ordering work at all — the 100 TB fast path;
+   *  4. only the single boundary level runs a per-doc running sum, and
+   *     that window is partitioned (one level), never global.
+   */
+  def selectByTokenBudget(df: DataFrame, qualityCol: String,
+                          tokenCol: String, idCol: String,
+                          budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val perLevel = df.groupBy(col(qualityCol).as("__tb_q"))
+      .agg(sum(col(tokenCol)).as("__tb_sum"))
+    val wLvl = Window.orderBy(col("__tb_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val levels = perLevel
+      .withColumn("__tb_cum", sum(col("__tb_sum")).over(wLvl))
+      .withColumn("__tb_start", col("__tb_cum") - col("__tb_sum"))
+      // a level starting at/after the budget contributes nothing
+      .filter(col("__tb_start") < budget)
+      .select(col("__tb_q"), col("__tb_start"), col("__tb_cum"))
+    val joined = df.join(broadcast(levels), col(qualityCol) === col("__tb_q"))
+    // fast path: wholly-fitting levels never touch a per-doc window
+    val whole = joined.filter(col("__tb_cum") <= budget)
+      .drop("__tb_q", "__tb_start", "__tb_cum")
+    val wDoc = Window.partitionBy(col(qualityCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined.filter(col("__tb_cum") > budget)
+      .withColumn("__tb_doc_cum", sum(col(tokenCol)).over(wDoc))
+      .filter(col("__tb_start") + col("__tb_doc_cum") <= budget)
+      .drop("__tb_q", "__tb_start", "__tb_cum", "__tb_doc_cum")
+    whole.unionByName(boundary)
+  }
+
+  /**
    * Data-mixing rate computation: given target mix weights per stratum
    * (summing to ~1), find the largest total corpus `T` achievable without
    * over-sampling any stratum — `T = min over strata of (count_s / w_s)` —

@@ -215,6 +215,47 @@ class CurateSpec extends SparkSpec {
     assert("ffffffff" < Curate.thresholdHex(1.0))
   }
 
+  test("packSequences: concatenation-offset bins, oversized docs included") {
+    import spark.implicits._
+    // one shard (ids all ≡ 0 mod 1): tokens 1000, 1000, 5000, 100 with
+    // budget 2048 → starts 0, 1000, 2000, 7000 → bins 0, 0, 0, 3. The
+    // 5000-token doc exceeds the budget but still gets the bin its first
+    // token lands in; the next doc starts after it (no silent split/drop).
+    val df = Seq((1L, 1000L), (2L, 1000L), (3L, 5000L), (4L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val rows = Curate.packSequences(df, "doc_id", "n_tokens", 2048L, 1)
+      .select(col("doc_id"), col("bin"), col("bin_offset"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((0L, 0L)))
+    assert(rows(2L) == ((0L, 1000L)))
+    assert(rows(3L) == ((0L, 2000L % 2048L)))
+    assert(rows(4L) == ((3L, 7000L % 2048L)))
+    // sharding: each shard's bins start at 0 independently
+    val sharded = Curate.packSequences(df, "doc_id", "n_tokens", 2048L, 2)
+    assert(sharded.filter(col("shard") === 1 && col("doc_id") === 1L)
+      .select(col("bin")).head().getLong(0) == 0L)
+  }
+
+  test("selectByTokenBudget equals the global running-sum definition") {
+    import spark.implicits._
+    // quality levels 1.0 (ids 1-3) and 0.5 (ids 4-6), 300 tokens each:
+    // level 1.0 totals 900, so the cutoff lands inside level 0.5 — the
+    // boundary level admits docs in id order while the running sum fits
+    val df = Seq(
+      (1L, 1.0, 300L), (2L, 1.0, 300L), (3L, 1.0, 300L),
+      (4L, 0.5, 300L), (5L, 0.5, 300L), (6L, 0.5, 300L))
+      .toDF("doc_id", "quality", "n_tokens")
+    def ids(budget: Long): Seq[Long] =
+      Curate.selectByTokenBudget(df, "quality", "n_tokens", "doc_id", budget)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(1000L) == Seq(1L, 2L, 3L)) // boundary level admits nothing
+    assert(ids(1200L) == Seq(1L, 2L, 3L, 4L)) // first doc of the next level
+    assert(ids(900L) == Seq(1L, 2L, 3L)) // exact fit is kept
+    assert(ids(899L) == Seq(1L, 2L)) // one under drops the last doc
+    assert(ids(0L).isEmpty)
+    assert(ids(10000L) == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // budget ≥ total
+  }
+
   test("materializeMix tolerates input columns named stratum / sample_n") {
     import spark.implicits._
     // the stratum column is literally called "stratum" AND the input
