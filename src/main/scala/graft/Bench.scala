@@ -46,7 +46,7 @@ object Bench {
     "q87_dedup_pipeline", "q88_repetition_scores", "q89_decontaminate",
     "q90_stratified_sample", "q91_group_sample", "q92_pii_redact",
     "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix",
-    "q96_curation_pipeline")
+    "q96_curation_pipeline", "q97_pack_sequences", "q98_token_budget")
 
   private val RUNS = 5
 

@@ -208,6 +208,33 @@ class PlanSpec extends SparkSpec {
       s"probe read files outside cell=$aCell: ${files.mkString(", ")}")
   }
 
+  test("q97 packing: the per-doc window is partitioned (no global sort)") {
+    val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // exactly one Window over the corpus, and its spec carries the shard
+    // partition key — an empty partition spec would single-partition the
+    // planet at 100 TB
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("shard")),
+      s"per-doc window must partition by shard:\n$plan")
+  }
+
+  test("q98 token budget: levels broadcast; corpus window only on the boundary level") {
+    val df = SparkEntry.queries("q98_token_budget")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |levels|-row frame must broadcast onto the corpus:\n$plan")
+    // the corpus-side per-doc window must carry the quality partition key;
+    // the only permissible empty-spec window is the one over the
+    // aggregated |levels|-row frame (its child is an Aggregate, not the
+    // corpus scan) — identified here by its window expression alias
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("__tb_doc_cum")).toSeq
+    assert(corpusWindows.nonEmpty &&
+      corpusWindows.forall(_.contains("windowspecdefinition(quality")),
+      s"per-doc running sum must be partitioned by quality level:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
