@@ -185,7 +185,10 @@ object Curate {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val perLevel = df.groupBy(col(qualityCol).as("__tb_q"))
       .agg(sum(col(tokenCol)).as("__tb_sum"))
-    val wLvl = Window.orderBy(col("__tb_q").desc)
+    // nulls sort LAST (lowest quality), explicitly — and the level join
+    // below is null-safe, so null-quality docs rank at the end instead of
+    // silently vanishing through a null === null mismatch
+    val wLvl = Window.orderBy(col("__tb_q").desc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val levels = perLevel
       .withColumn("__tb_cum", sum(col("__tb_sum")).over(wLvl))
@@ -193,7 +196,7 @@ object Curate {
       // a level starting at/after the budget contributes nothing
       .filter(col("__tb_start") < budget)
       .select(col("__tb_q"), col("__tb_start"), col("__tb_cum"))
-    val joined = df.join(broadcast(levels), col(qualityCol) === col("__tb_q"))
+    val joined = df.join(broadcast(levels), col(qualityCol) <=> col("__tb_q"))
     // fast path: wholly-fitting levels never touch a per-doc window
     val whole = joined.filter(col("__tb_cum") <= budget)
       .drop("__tb_q", "__tb_start", "__tb_cum")

@@ -162,8 +162,10 @@ final class InMemoryBoundary(schema: StructType, limit: Option[Long] = None,
       !s.dead && {
         if (s.attached) liveFor(s.stream.sparkSession).contains(s.stream)
         // never observed in a running query: keep only within the TTL —
-        // an abandoned subscription must not accumulate every future write
-        else System.nanoTime() - s.born <= unattachedTtlMs * 1000000L
+        // an abandoned subscription must not accumulate every future
+        // write. Compare in ms: ttl * 1e6 would overflow for a
+        // disable-the-TTL sentinel like Long.MaxValue
+        else (System.nanoTime() - s.born) / 1000000L <= unattachedTtlMs
       }
     }
   }

@@ -62,10 +62,14 @@ object StreamingFlows {
   def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame,
                    rightTs: String, keys: Seq[String], maxDelay: String,
                    watermark: String = "30 seconds"): DataFrame = {
-    // keyless = pure time-interval join (every pair within the bound) —
-    // valid, state still evictable, just mind the output cardinality
-    val keyCond = keys.map(k => left(k) === right(k))
-      .reduceOption(_ && _).getOrElse(lit(true))
+    // Spark rejects a stream-stream join with no equality predicate (the
+    // state store needs a key to co-partition both sides) — fail here
+    // with the requirement named, not at query start with empty.reduceLeft
+    require(keys.nonEmpty,
+      "intervalJoin requires at least one equi-key: stream-stream joins " +
+        "without an equality predicate are unsupported by Spark. Add a " +
+        "key column (or a constant bucket column on both sides).")
+    val keyCond = keys.map(k => left(k) === right(k)).reduce(_ && _)
     val joined = left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         keyCond &&
@@ -211,6 +215,12 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     // check, so the corruption would otherwise surface as a decode error
     // in some consumer batches later, far from the offending write
     synchronized {
+      // a crash-restarted (fresh) instance over a non-empty queue must
+      // validate against what's ALREADY ON DISK, not pin whatever its
+      // first write happens to carry — otherwise the divergent file the
+      // guard exists to stop lands anyway
+      if (schemaJson.isEmpty && hasDataFile(df.sparkSession))
+        schemaJson = Some(df.sparkSession.read.parquet(path).schema.json)
       schemaJson match {
         case None => schemaJson = Some(df.schema.json)
         case Some(j) =>

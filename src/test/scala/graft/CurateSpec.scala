@@ -256,6 +256,18 @@ class CurateSpec extends SparkSpec {
     assert(ids(10000L) == Seq(1L, 2L, 3L, 4L, 5L, 6L)) // budget ≥ total
   }
 
+  test("selectByTokenBudget ranks null quality last instead of dropping it") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0), 100L), (2L, None, 100L), (3L, Some(0.5), 100L))
+      .toDF("doc_id", "quality", "n_tokens")
+    def ids(b: Long): Seq[Long] =
+      Curate.selectByTokenBudget(df, "quality", "n_tokens", "doc_id", b)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(300L) == Seq(1L, 2L, 3L),
+      "a null-quality doc under budget must be admitted (last), not vanish")
+    assert(ids(200L) == Seq(1L, 3L)) // the budget cuts before the null level
+  }
+
   test("materializeMix tolerates input columns named stratum / sample_n") {
     import spark.implicits._
     // the stratum column is literally called "stratum" AND the input
