@@ -7,6 +7,16 @@ import graft.streaming.{ParquetBoundary, StreamingFlows, StreamingReducer}
 import graft.streaming.StreamingReducer.{Arrival, Completed}
 
 class StreamingSpec extends SparkSpec {
+
+  test("intervalJoin names the equi-key requirement up front") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("ts", "k")
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingFlows.intervalJoin(
+        df, "ts", df, "ts", Nil, "10 minutes")
+    }
+    assert(err.getMessage.contains("equi-key"), err.getMessage)
+  }
   import spark.implicits._
 
   test("streaming reducer emits exactly on count-complete, in branch order") {

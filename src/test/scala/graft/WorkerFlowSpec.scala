@@ -434,6 +434,14 @@ class WorkerFlowSpec extends SparkSpec {
     assert(b.jobsCount(spark) == 1L, "the divergent batch must not land")
     b.write(Seq(2).toDF("x")) // conforming appends still work
     assert(b.jobsCount(spark) == 2L)
+    // a crash-restarted producer (fresh instance, nothing pinned yet)
+    // must validate against what's already ON DISK, not pin its own
+    // first write and corrupt the queue anyway
+    val fresh = new ParquetBoundary(s"$dir/q")
+    intercept[IllegalArgumentException] { fresh.write(Seq("oops").toDF("x")) }
+    assert(fresh.jobsCount(spark) == 2L)
+    fresh.write(Seq(3).toDF("x")) // conforming write seeds + lands
+    assert(fresh.jobsCount(spark) == 3L)
   }
 
   test("InMemoryBoundary drops a never-started subscription after its TTL") {
