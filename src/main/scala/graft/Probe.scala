@@ -58,7 +58,8 @@ object Probe {
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("scale") =>
-      scaleRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"))
+      scaleRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"),
+        lshOnly = args.contains("lsh-only"))
     case Some("dford") =>
       dfOrderRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"))
     case _ => bandingRun()
@@ -136,8 +137,11 @@ object Probe {
     spark.stop()
   }
 
-  /** Dedup-tier scaling measurement (see object doc). */
-  private def scaleRun(docsPath: String): Unit = {
+  /** Dedup-tier scaling measurement (see object doc). `lshOnly` skips the
+    * exact-ppjoin shapes — at corpus sizes where the measured ~n² prefix
+    * collisions make them infeasible (SURVEY §6), the LSH tier is the one
+    * whose continued linearity is worth another decade of evidence. */
+  private def scaleRun(docsPath: String, lshOnly: Boolean = false): Unit = {
     val spark = session()
     // the fixture is one unsplittable parquet file: spread it like the
     // queries' parallelize() does so CPU-bound stages use every core
@@ -145,40 +149,53 @@ object Probe {
     println(s"[probe] scale run over $docsPath: ${docs.count()} docs")
 
     // blocking-stage candidate counts (the scaling evidence): counted on
-    // exactly the frames the operators verify, via the private stages
-    val (_, mhCands) =
-      Dedup.minhashCandidates(docs, "text", "doc_id", 3, 64, 16)
-    println(s"[probe] minhash band-join candidates: ${mhCands.count()}")
-    OpCache.release()
-    val (_, ppCands) = Dedup.jaccardCandidates(docs, "text", "doc_id", 3, 0.6)
-    println(s"[probe] ppjoin prefix candidates: ${ppCands.count()}")
-    OpCache.release()
+    // exactly the frames the operators verify, via the private stages.
+    // Both band widths: chance collisions per pair are constant for a
+    // FIXED banding, so they grow ~n² — widening rows-per-band (16 bands
+    // of 4 → 8 bands of 8) is the S-curve knob that crushes them while
+    // keeping near-dup (j≈0.95) recall ≈ 1 - (1 - 0.95^8)^8 ≈ 0.999.
+    for (bands <- Seq(16, 8)) {
+      val (_, mhCands) =
+        Dedup.minhashCandidates(docs, "text", "doc_id", 3, 64, bands)
+      println(s"[probe] minhash band-join candidates (64/$bands): " +
+        mhCands.count())
+      OpCache.release()
+    }
+    if (!lshOnly) {
+      val (_, ppCands) = Dedup.jaccardCandidates(docs, "text", "doc_id", 3, 0.6)
+      println(s"[probe] ppjoin prefix candidates: ${ppCands.count()}")
+      OpCache.release()
+    }
 
     // output cardinalities
     val lshOut = Dedup.minhashLsh(docs, "text", "doc_id",
       shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
     println(s"[probe] q32-shape lsh pairs (est>=0.5): ${lshOut.count()}")
     OpCache.release()
-    val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
-      shingleK = 3, threshold = 0.6)
-    println(s"[probe] q50-shape exact pairs (j>=0.6): ${pairs.count()}")
-    OpCache.release()
+    if (!lshOnly) {
+      val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleK = 3, threshold = 0.6)
+      println(s"[probe] q50-shape exact pairs (j>=0.6): ${pairs.count()}")
+      OpCache.release()
+    }
 
     // timed end-to-end shapes (one warmup each, then the timed run)
     def lsh() = Dedup.minhashLsh(docs, "text", "doc_id",
       shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
-    def pp() = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
-      shingleK = 3, threshold = 0.6)
-    def cc() = Dedup.resolveClusters(pp())
-    def keep() = Dedup.keepRepresentatives(docs, pp(), "doc_id")
     measure("warmup q32 minhashLsh")(lsh())
     measure("q32 minhashLsh")(lsh())
-    measure("warmup q50 ppjoin")(pp())
-    measure("q50 ppjoin")(pp())
-    measure("warmup q86 ppjoin+CC")(cc())
-    measure("q86 ppjoin+CC")(cc())
-    measure("warmup q87 full dedup")(keep())
-    measure("q87 full dedup")(keep())
+    if (!lshOnly) {
+      def pp() = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+        shingleK = 3, threshold = 0.6)
+      def cc() = Dedup.resolveClusters(pp())
+      def keep() = Dedup.keepRepresentatives(docs, pp(), "doc_id")
+      measure("warmup q50 ppjoin")(pp())
+      measure("q50 ppjoin")(pp())
+      measure("warmup q86 ppjoin+CC")(cc())
+      measure("q86 ppjoin+CC")(cc())
+      measure("warmup q87 full dedup")(keep())
+      measure("q87 full dedup")(keep())
+    }
     spark.stop()
   }
 
