@@ -132,6 +132,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences equals the sequential concatenation-offset fold") {
+    // random ids (sparse, unsorted input order) and token counts incl.
+    // oversized docs; single shard so the oracle fold is a plain scan
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 10000L),
+      Gen.chooseNum(1L, 3000L)), 300, 31L).distinctBy(_._1)
+    val budget = 1024L
+    val df = scala.util.Random.shuffle(rows).toDF("doc_id", "n_tokens")
+    val got = operators.Curate
+      .packSequences(df, "doc_id", "n_tokens", budget, shards = 1)
+      .select($"doc_id", $"bin", $"bin_offset")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var offset = 0L
+    rows.sortBy(_._1).foreach { case (id, tok) =>
+      assert(got(id) == ((offset / budget, offset % budget)),
+        s"doc $id at offset $offset: got ${got(id)}")
+      offset += tok
+    }
+  }
+
+  test("selectByTokenBudget equals the global sorted running-sum cutoff") {
+    // few quality levels (forces a boundary level), random token counts
+    val rows = sample(Gen.zip(Gen.chooseNum(0L, 5000L),
+        Gen.oneOf(0.2, 0.4, 0.6, 0.8, 1.0), Gen.chooseNum(1L, 500L)),
+      300, 37L).distinctBy(_._1)
+    val df = rows.toDF("doc_id", "quality", "n_tokens")
+    for (budget <- Seq(0L, 1000L, 10000L, 40000L, 1000000L)) {
+      val got = operators.Curate
+        .selectByTokenBudget(df, "quality", "n_tokens", "doc_id", budget)
+        .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      // oracle: global (quality desc, id) order, keep while the sum fits
+      var cum = 0L
+      val want = rows.sortBy(r => (-r._2, r._1)).takeWhile { r =>
+        cum += r._3; cum <= budget
+      }.map(_._1).sorted
+      assert(got == want,
+        s"budget $budget: got ${got.size} docs, want ${want.size}")
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1 for non-zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
     val vecs = sample(vecGen, 100, 6L).filter(_.exists(_ != 0.0f))
