@@ -1447,6 +1447,55 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Real-image decode under the driver gate: deterministic PNGs (built
+    * with the JDK encoder at plan-build time) flow through the batched
+    * decode path alongside a non-image payload; the verdict rows pin
+    * that every decoded dimension matches its constructed size and that
+    * the fallback stays in the stub's range. The oracle pins the
+    * expected verdict literally (javax.imageio has no DuckDB twin), so a
+    * decode regression flips `ok` and hash-mismatches — the q33
+    * accuracy-gate pattern applied to multimodal. */
+  private def q99_multimodal_decode(s: SparkSession, dir: String): DataFrame = {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    import s.implicits._
+    val media = Seq(
+      (1L, png(2, 2), 2L, 2L),
+      (2L, png(640, 480), 640L, 480L),
+      (3L, png(31, 17), 31L, 17L),
+      (4L, "definitely not an image".getBytes("UTF-8"), -1L, -1L))
+      .toDF("id", "payload", "want_w", "want_h")
+    val decoded = operators.Multimodal.decodeBatched(media, "payload")
+      .select(col("id"), col("want_w"), col("want_h"),
+        col("decoded.width").as("w"), col("decoded.height").as("h"))
+    val verdict = decoded.agg(
+      sum(when(col("want_w") > 0 &&
+        col("w") === col("want_w") && col("h") === col("want_h"), 1L)
+        .otherwise(0L)).as("n_decoded"),
+      sum(when(col("want_w") < 0 &&
+        col("w").between(1L, 1920L) && col("h").between(1L, 1080L), 1L)
+        .otherwise(0L)).as("n_fallback"))
+    verdict.select(explode(array(
+        struct(lit("imageio_decode_dims").as("metric"),
+          lit(3.0).as("bound"), (col("n_decoded") === 3L).as("ok")),
+        struct(lit("fallback_in_stub_range").as("metric"),
+          lit(1.0).as("bound"), (col("n_fallback") === 1L).as("ok")))))
+      .select(col("col.metric").as("metric"), col("col.bound").as("bound"),
+        col("col.ok").as("ok"))
+      .orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1550,6 +1599,7 @@ object SparkEntry {
     "q96_curation_pipeline" -> q96_curation_pipeline _,
     "q97_pack_sequences" -> q97_pack_sequences _,
     "q98_token_budget" -> q98_token_budget _,
+    "q99_multimodal_decode" -> q99_multimodal_decode _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2468,5 +2518,14 @@ object SparkEntry {
          |  FROM q)
          |SELECT doc_id, quality, n_tokens FROM c
          |WHERE cum <= 8000 ORDER BY doc_id""".stripMargin,
+    // q99 is an accuracy GATE (q33 pattern): the oracle pins the expected
+    // decode verdict literally; a javax.imageio regression flips ok and
+    // hash-mismatches.
+    "q99_multimodal_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('fallback_in_stub_range', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('imageio_decode_dims', CAST(3.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
   )
 }
