@@ -14,13 +14,14 @@ import graft.operators.{Dedup, OpCache}
   *  - (no args) — shuffle-byte comparison of the minhashLsh banding shapes:
   *    signature carried through the band explode (old) vs bare (id, band,
   *    bucket) triples with per-pair signature attach (current).
-  *  - `scale <docs.parquet>` — dedup-tier scaling run (q32/q50/q86/q87
-  *    shapes) over an arbitrary documents table: wall time, shuffle bytes,
-  *    BLOCKING-stage candidate counts and output rows. Run it on
-  *    /root/testdata/sf0.1 (5k docs) and on the 50k-doc fixture from
-  *    tools/gen_scale_docs.py to measure one decade of growth — evidence
-  *    that candidates scale ~linearly (near-dup blocking), not
-  *    quadratically (all-pairs), recorded in SURVEY §6.
+  *  - `scale [<docs.parquet>] [lsh-only]` — dedup-tier scaling run
+  *    (q32/q50/q86/q87 shapes) over an arbitrary documents table: wall
+  *    time, shuffle bytes, BLOCKING-stage candidate counts (both 64/16
+  *    and 64/8 bandings) and output rows. `lsh-only` skips the exact
+  *    ppjoin shapes for corpus sizes where their measured ~n² prefix
+  *    collisions make them infeasible. Run on /root/testdata/sf0.1 (5k),
+  *    the 50k and 500k fixtures from tools/gen_scale_docs.py for the
+  *    decade-over-decade growth evidence recorded in SURVEY §6.
   */
 object Probe {
 
@@ -56,13 +57,15 @@ object Probe {
     OpCache.release()
   }
 
-  def main(args: Array[String]): Unit = args.headOption match {
-    case Some("scale") =>
-      scaleRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"),
-        lshOnly = args.contains("lsh-only"))
-    case Some("dford") =>
-      dfOrderRun(args.lift(1).getOrElse("/tmp/graft_scale/documents_sf1.parquet"))
-    case _ => bandingRun()
+  def main(args: Array[String]): Unit = {
+    // flags and the optional docs path may come in any order
+    def pathArg = args.drop(1).filterNot(_ == "lsh-only").headOption
+      .getOrElse("/tmp/graft_scale/documents_sf1.parquet")
+    args.headOption match {
+      case Some("scale") => scaleRun(pathArg, lshOnly = args.contains("lsh-only"))
+      case Some("dford") => dfOrderRun(pathArg)
+      case _ => bandingRun()
+    }
   }
 
   /** Re-measure the Bayardo df-ascending canonical order against the

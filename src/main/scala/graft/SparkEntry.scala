@@ -1466,7 +1466,10 @@ object SparkEntry {
         x += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // a missing PNG writer must fail HERE, not surface later as a
+      // misattributed decode-regression verdict
+      require(javax.imageio.ImageIO.write(img, "png", bos),
+        "no PNG ImageWriter registered on this JVM")
       bos.toByteArray
     }
     import s.implicits._

@@ -138,7 +138,8 @@ class PropertySpec extends SparkSpec {
     val rows = sample(Gen.zip(Gen.chooseNum(0L, 10000L),
       Gen.chooseNum(1L, 3000L)), 300, 31L).distinctBy(_._1)
     val budget = 1024L
-    val df = scala.util.Random.shuffle(rows).toDF("doc_id", "n_tokens")
+    // seeded: a failing input ordering must be reproducible
+    val df = new scala.util.Random(31L).shuffle(rows).toDF("doc_id", "n_tokens")
     val got = operators.Curate
       .packSequences(df, "doc_id", "n_tokens", budget, shards = 1)
       .select($"doc_id", $"bin", $"bin_offset")
