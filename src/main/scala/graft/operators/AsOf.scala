@@ -63,8 +63,11 @@ object AsOf {
     // never existed. The struct itself is non-null for every right row,
     // so last(struct, ignoreNulls) picks exactly one real row — NULL
     // fields included.
-    // side ordinal 0 = right so it precedes left at equal times
-    val r = right.select(
+    // side ordinal 0 = right so it precedes left at equal times. A NULL
+    // rightTime can never satisfy rightTime <= leftTime — unfiltered it
+    // would sort FIRST (asc_nulls_first) and become the "match" for left
+    // rows that precede every real right row
+    val r = right.filter(col(rightTime).isNotNull).select(
       keyCols.map(col) :+ col(rightTime).as("__t") :+ lit(0).as("__side") :+
         struct(rightValues.map(col): _*).as("__rv"): _*)
     val l = left.select(

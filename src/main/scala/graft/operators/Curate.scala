@@ -45,7 +45,12 @@ object Curate {
 
   /** Keep each row iff its id hashes below `rate` — a deterministic,
     * partition-order-independent Bernoulli(rate) sample. Pure filter:
-    * no shuffle, reproducible across runs and cluster sizes. */
+    * no shuffle, reproducible across runs and cluster sizes.
+    *
+    * NULL-id contract (here and in [[stratifiedSample]]): a NULL id has no
+    * hash key, so null-id rows are DROPPED at rate < 1 (the rate-1.0 fast
+    * path passes the frame through untouched). Sampling keys are expected
+    * non-null — coalesce a nullable id before sampling on it. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     if (rate >= 1.0) df
     else df.filter(sampleKey(col(idCol)) < lit(thresholdHex(rate)))
@@ -223,15 +228,31 @@ object Curate {
    */
   def mixingRates(df: DataFrame, stratumCol: String,
                   targets: Map[String, Double]): DataFrame = {
-    val counts = df.groupBy(col(stratumCol).as("stratum"))
+    import df.sparkSession.implicits._
+    // requested strata union observed ones: a target stratum ABSENT from
+    // the corpus must surface as an (n_docs = 0, rate = 0) row that
+    // collapses T to 0 — the formula's honest answer (no corpus satisfies
+    // a mix demanding a stratum with zero rows) — instead of silently
+    // dropping the stratum and skewing the realized mix toward whatever
+    // is present. Shaped as broadcast anti-join + union (a full-outer
+    // join cannot broadcast and would drag a sort-merge join into every
+    // materializeMix plan).
+    val observed = df.groupBy(col(stratumCol).cast("string").as("stratum"))
       .agg(count(lit(1)).as("n_docs"))
+    val missing = targets.keys.toSeq.sorted.toDF("stratum")
+      .join(broadcast(observed.select(col("stratum"))), Seq("stratum"),
+        "left_anti")
+      .withColumn("n_docs", lit(0L))
+    val counts = observed.unionByName(missing)
       .withColumn("weight", caseOver(col("stratum"),
         targets.map { case (k, w) => k -> lit(w) }, lit(0.0)))
     val capacity = when(col("weight") > 0, col("n_docs") / col("weight"))
     val total = min(capacity).over(Window.partitionBy())
     counts
       .withColumn("rate", round(
-        when(col("weight") > 0,
+        // n_docs > 0 guard: a requested-but-absent stratum would divide
+        // by zero under ANSI; its rate is 0 by definition (and T is 0)
+        when(col("weight") > 0 && col("n_docs") > 0,
           least(lit(1.0), col("weight") * total / col("n_docs")))
           .otherwise(lit(0.0)), 6))
       .withColumn("sample_n", floor(col("rate") * col("n_docs")).cast("long"))

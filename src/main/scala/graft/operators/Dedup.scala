@@ -35,7 +35,13 @@ object Dedup {
     val winners = keyed.groupBy(col(fp))
       .agg(min(col(idCol)).as(idCol))
     // join back on (fp, id): shuffle carries only the 2-column winner set.
-    keyed.join(winners, Seq(fp, idCol), "left_semi").drop(fp)
+    // The trailing dropDuplicates guards a dirty corpus where the SAME
+    // (id, content) row was ingested twice (retry) — the semi join alone
+    // would keep both copies, defeating the dedup. Rows agreeing on
+    // (id, content) but differing elsewhere collapse to one arbitrarily;
+    // ids are expected unique per row, as in minhashLsh.
+    keyed.join(winners, Seq(fp, idCol), "left_semi")
+      .dropDuplicates(fp, idCol).drop(fp)
   }
 
   /** Rows per duplicate-cluster of identical normalized text (cluster size
@@ -450,8 +456,13 @@ object Dedup {
    */
   def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String,
                           idACol: String = "id_a",
-                          idBCol: String = "id_b"): DataFrame = {
-    val losers = resolveClusters(pairs, idACol, idBCol)
+                          idBCol: String = "id_b",
+                          maxRounds: Int = 50,
+                          strict: Boolean = false): DataFrame = {
+    // maxRounds/strict forward to the CC loop: a caller shipping a corpus
+    // can opt into failing on non-convergence instead of silently keeping
+    // several "representatives" of one under-contracted cluster
+    val losers = resolveClusters(pairs, idACol, idBCol, maxRounds, strict)
       .filter(!col("keep")).select(col("id"))
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
@@ -468,11 +479,20 @@ object Dedup {
     val keyed = OpCache.track(df.select(col(idCol).as("id"), col(vecCol).as("v"),
       (if (nBits == 0) lit(0L) else hyperplaneLshKey(col(vecCol), nBits)).as("bucket"))
       .persist())
-    val l = keyed.alias("l")
-    val r = keyed.alias("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        cosine(col("l.v"), col("r.v")).as("cos"))
+    // the [[minhashLsh]] slim-shuffle shape: the bucket self-join moves
+    // bare (id, bucket) pairs — NOT the embedding, which at 768 floats is
+    // ~3 KB/row on BOTH join sides — and the vectors attach per candidate
+    // pair afterwards, shipping each exactly twice per candidate
+    val banded = keyed.select(col("id"), col("bucket"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val cands = l.join(r,
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    cands
+      .join(keyed.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(keyed.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -83,6 +83,8 @@ object Multimodal {
    */
   def decodeBatched(df: DataFrame, payloadCol: String,
                     batchSize: Int = 64): DataFrame = {
+    // driver-side argument error, not a per-task Iterator.grouped failure
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     val outSchema = StructType(df.schema.fields :+
@@ -173,8 +175,10 @@ object Multimodal {
 
   /**
    * Frame-sampling stage for video-like payloads: emits `n` (frame_idx,
-   * frame_payload) rows per input via posexplode — the 1→N shape a real
-   * frame sampler has. Fake frames are content-derived slices.
+   * frame_fingerprint) rows per input via posexplode — the 1→N shape a
+   * real frame sampler has. The fingerprints are content-derived md5 hex
+   * strings standing in for frame payloads (a real sampler swaps in codec
+   * output at the same column contract).
    */
   def sampleFrames(df: DataFrame, payloadCol: String, n: Int): DataFrame =
     df.select(col("*"),

@@ -27,7 +27,14 @@ object Similarity {
   /**
    * Exact top-k neighbors by cosine for every query vector.
    * Ties break by ascending corpus id for determinism.
-   * Set `includeSelf = false` when querying the corpus against itself.
+   *
+   * `includeSelf = false` (the DEFAULT) excludes id-equal
+   * (query_id == corpus_id) pairs — the self-query convention, where a
+   * vector must not be its own nearest neighbor. When corpus and queries
+   * are DISTINCT tables whose id spaces may overlap numerically, pass
+   * `includeSelf = true`, or an unrelated corpus row sharing a query's id
+   * is silently dropped from its candidates. (Applies to [[lshTopK]] and
+   * [[ivfTopK]] identically.)
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int,

@@ -63,6 +63,20 @@ class AsOfSpec extends SparkSpec {
       s"winner depends on partition layout: $picks")
   }
 
+  test("a NULL rightTime row can never be the as-of match") {
+    // NULL sorts first ascending: unfiltered, the null-time quote would
+    // become the "latest at-or-before" for trades earlier than every real
+    // quote — violating rightTime <= leftTime
+    val trades = Seq((1L, "A", 5L), (2L, "A", 20L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", Some(10L), 1.0), ("A", None, 9.99))
+      .toDF("sym", "qt", "px")
+    val out = AsOf.join(trades, quotes, Seq("sym"), "t", "qt", Seq("px"))
+      .select($"trade_id", $"asof_px").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).isEmpty, s"null-time quote matched: ${out(1L)}")
+    assert(out(2L).contains(1.0))
+  }
+
   test("as-of rejects unorderable right-value types with a clear error") {
     // the carried struct enters the window ORDER BY (equal-time tiebreak),
     // so a MapType right value must fail up front, not at analysis time

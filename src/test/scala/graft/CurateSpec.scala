@@ -215,6 +215,22 @@ class CurateSpec extends SparkSpec {
     assert("ffffffff" < Curate.thresholdHex(1.0))
   }
 
+  test("mixingRates surfaces a target stratum absent from the corpus") {
+    import spark.implicits._
+    // requesting 50% "code" over an all-"en" corpus: no mix larger than 0
+    // satisfies the weights, so every rate collapses to 0 and the missing
+    // stratum appears as an explicit zero-row — never a silent 100%-en mix
+    val df = (1L to 10L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val rates = Curate.mixingRates(df, "lang",
+        Map("en" -> 0.5, "code" -> 0.5))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4)))).toMap
+    assert(rates.keySet == Set("en", "code"))
+    assert(rates("code") == ((0L, 0.0, 0L)))
+    assert(rates("en") == ((10L, 0.0, 0L)),
+      s"a missing target stratum must zero the whole mix: ${rates("en")}")
+  }
+
   test("packSequences: concatenation-offset bins, oversized docs included") {
     import spark.implicits._
     // one shard (ids all ≡ 0 mod 1): tokens 1000, 1000, 5000, 100 with

@@ -16,6 +16,14 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.exact(df, "text", "doc_id").select("doc_id")
       .as[Long].collect().sorted
     assert(out.toSeq == Seq(3L, 7L)) // 10 is a dup of 3 (case/space-insensitive)
+    // ingestion-retry hygiene: the SAME (id, content) row written twice
+    // must still dedup to one surviving row
+    val retried = Seq((3L, "hello world"), (3L, "hello world"), (9L, "other"))
+      .toDF("doc_id", "text")
+    val survivors = Dedup.exact(retried, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(3L, 9L),
+      s"duplicate (id, content) rows both survived: ${survivors.toSeq}")
   }
 
   test("minhash LSH finds the planted near-duplicate pairs") {
