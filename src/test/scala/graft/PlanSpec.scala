@@ -235,6 +235,19 @@ class PlanSpec extends SparkSpec {
       s"per-doc running sum must be partitioned by quality level:\n$plan")
   }
 
+  test("q38 embedding near-dup: the bucket self-join moves no vectors") {
+    // the slim-shuffle invariant (minhashLsh's measured shape): both
+    // sides of the bucket-equality join carry only (id, bucket) — a
+    // 768-dim embedding riding the join would ship ~3 KB/row twice
+    val df = SparkEntry.queries("q38_near_dup_embedding")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("bucket"))
+      .getOrElse(fail(s"no bucket join in plan:\n$plan"))
+    assert(!joinLine.contains("v#") && !joinLine.contains("embedding"),
+      s"embedding column must not ride the bucket join:\n$joinLine")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
