@@ -35,7 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         // second argument is the (foldable) lane count
         MinHashSignature(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())))
+          graft.functions.expressions.GraftExpressions.constInt(
+            exprs(1), "minhash_signature", "num_hashes"))))
     e.injectFunction((
       FunctionIdentifier("hyperplane_lsh_key"),
       new ExpressionInfo(classOf[HyperplaneLshKey].getName, "hyperplane_lsh_key"),
@@ -49,9 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "expectedNum" -> "2 or 3", "actualNum" -> exprs.length.toString,
               "docroot" -> ""))
         val seed = if (exprs.length > 2)
-          exprs(2).eval().asInstanceOf[Number].intValue() else 42
+          graft.functions.expressions.GraftExpressions.constInt(
+            exprs(2), "hyperplane_lsh_key", "seed")
+        else 42
         HyperplaneLshKey(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(), seed)
+          graft.functions.expressions.GraftExpressions.constInt(
+            exprs(1), "hyperplane_lsh_key", "n_bits"), seed)
       }))
   }
 }

@@ -40,10 +40,16 @@ object Aggregators {
     override def outputEncoder: Encoder[(Double, Double, Double)] =
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)
 
+    // Double.compare, not `>`: Java's > is false for NaN, which would
+    // silently DROP NaN inputs where SQL max/sort-desc (and the DuckDB
+    // oracle) rank NaN greater than every double
+    private def gt(a: Double, b: Double): Boolean =
+      java.lang.Double.compare(a, b) > 0
+
     private def insert(b: (Double, Double, Double), v: Double): (Double, Double, Double) =
-      if (v > b._1) (v, b._1, b._2)
-      else if (v > b._2) (b._1, v, b._2)
-      else if (v > b._3) (b._1, b._2, v)
+      if (gt(v, b._1)) (v, b._1, b._2)
+      else if (gt(v, b._2)) (b._1, v, b._2)
+      else if (gt(v, b._3)) (b._1, b._2, v)
       else b
   }
 

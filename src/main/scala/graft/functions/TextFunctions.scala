@@ -20,7 +20,12 @@ object TextFunctions {
     // NULL text ≡ empty text (one explicit contract for the whole token
     // surface): without the coalesce, NULL propagates through every
     // downstream token op while the DuckDB oracles' coalesce(text, '')
-    // yields 0/false/empty — two engines, two NULL semantics
+    // yields 0/false/empty — two engines, two NULL semantics.
+    // KNOWN QUIRK, shared bit-for-bit by the DuckDB oracle fragments
+    // (toksSql): trim strips only ASCII spaces in both engines, so text
+    // edged by tabs/newlines keeps an empty edge token from the split —
+    // "\thello" tokenizes as ["", "hello"]. Changing either side alone
+    // would break oracle parity; fix both together if it ever matters.
     val t = trim(lower(coalesce(text, lit(""))))
     when(t === "", array().cast("array<string>"))
       .otherwise(split(t, "\\s+"))
@@ -44,7 +49,9 @@ object TextFunctions {
   /** Count of non-overlapping occurrences of literal `word` as a token
     * (the Spark form of README.markdown:84-85's `text.count('python')`). */
   def wordOccurrences(text: Column, word: String): Column =
-    size(filter(tokens(text), t => t === lit(word.toLowerCase)))
+    // Locale.ROOT: the default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() under e.g. tr-TR ("I" -> dotless i)
+    size(filter(tokens(text), t => t === lit(word.toLowerCase(java.util.Locale.ROOT))))
 
   // --- Language ID -----------------------------------------------------
   // N-gram/stopword heuristic: score each candidate language by how many of
@@ -84,8 +91,12 @@ object TextFunctions {
     val prioritized = ordered.zipWithIndex.map { case (l, i) =>
       struct(langScore(text, l).as("s"), lit(-i).as("p"), lit(l).as("l"))
     }
-    when(greatest(ordered.map(langScore(text, _)): _*) <= 0, lit("und"))
-      .otherwise(array_max(array(prioritized: _*)).getField("l"))
+    // ONE evaluation of the five score subtrees: the guard reads the max
+    // struct's score field instead of re-running every langScore inside a
+    // separate greatest() (conditional placement defeats subexpression
+    // elimination, doubling the tokenize+intersect work per row)
+    val m = array_max(array(prioritized: _*))
+    when(m.getField("s") <= 0, lit("und")).otherwise(m.getField("l"))
   }
 
   // --- Quality scoring -------------------------------------------------

@@ -22,16 +22,34 @@ import org.apache.spark.unsafe.types.UTF8String
  * Cosine similarity of two float/double array columns, accumulated in
  * double precision left-to-right (bit-identical to the
  * `aggregate(zip_with(...))` formulation, so oracle parity is preserved).
- * Zero-norm input → 0.0. Arrays shorter on one side are truncated to the
- * common prefix (mirrors `zip_with` null-pad semantics by ignoring the
- * tail — callers use equal-length embeddings).
+ * Zero-norm input → 0.0. Length-mismatched arrays and arrays with a NULL
+ * element yield NULL — exactly as the HOF reference does (`zip_with`
+ * null-pads the shorter side and a null lane nulls the whole fold), so a
+ * ragged-embedding bug upstream surfaces as NULL, never as a plausible
+ * prefix similarity.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // non-null inputs can still yield NULL (ragged / null-element arrays)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   private def elemIsDouble(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -43,57 +61,50 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private lazy val leftIsDouble = elemIsDouble(left)
   private lazy val rightIsDouble = elemIsDouble(right)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    val xd = leftIsDouble
-    val yd = rightIsDouble
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
-      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
-    }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarity.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      // fresh names: this expression may occur several times in one
-      // generated method — fixed local names would collide and kill the
-      // whole method's codegen (silent interpreted fallback)
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      val denom = ctx.freshName("denom")
-      val xGet = if (elemIsDouble(left)) s"$x.getDouble($i)"
-                 else s"(double) $x.getFloat($i)"
-      val yGet = if (elemIsDouble(right)) s"$y.getDouble($i)"
-                 else s"(double) $y.getFloat($i)"
+      // one static call per row into the same helper interpreted eval
+      // uses (JIT inlines it); fresh name so the expression may occur
+      // several times in one generated method
+      val r = ctx.freshName("cosRes")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $xGet;
-         |  double $yi = $yGet;
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
-         |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |java.lang.Double $r = graft.functions.expressions.CosineSimilarity
+         |  .compute($x, $y, $leftIsDouble, $rightIsDouble);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Shared by interpreted eval and generated code. Boxed null when the
+    * lengths differ or any element in range is null — matching the
+    * `aggregate(zip_with)` reference, where a null-padded or null lane
+    * nulls the whole fold. */
+  def compute(x: ArrayData, y: ArrayData,
+              xd: Boolean, yd: Boolean): java.lang.Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+  }
 }
 
 /**
@@ -144,6 +155,7 @@ object RollingHash {
  */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
+  require(numHashes > 0, s"numHashes must be positive, got $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullIntolerant: Boolean = true
@@ -278,6 +290,17 @@ case class HyperplaneLshKey(child: Expression, nBits: Int, seed: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_lsh_key"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float|double> argument, got " +
+            t.simpleString)
+    }
+
   // lazy: at construction the child may still be an unresolved attribute
   private lazy val elemIsDouble: Boolean = child.dataType match {
     case ArrayType(DoubleType, _) => true
@@ -333,7 +356,10 @@ object HyperplaneLshKey {
     var key = 0L
     b = 0
     while (b < nBits) {
-      if (proj(b) >= 0) key |= (1L << b)
+      // !(x < 0), not (x >= 0): Spark SQL's `>= 0` is TRUE for NaN (NaN
+      // sorts greater than every double) while Java's >= is false — a
+      // NaN projection must land in the same bucket under both paths
+      if (!(proj(b) < 0)) key |= (1L << b)
       b += 1
     }
     key
@@ -360,6 +386,19 @@ object GraftExpressions {
     GraftColumnBridge.column(
       HyperplaneLshKey(GraftColumnBridge.expression(vec), nBits, seed))
 
+  /** Constant-integer SQL argument: a column reference or other
+    * non-foldable expression must fail with the requirement NAMED, not an
+    * unbound-attribute eval error from inside the parser. */
+  private[graft] def constInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable,
+      s"$fn: $arg must be a constant integer, got non-constant $e")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a constant integer, got $other")
+    }
+  }
+
   /** Expose as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -371,12 +410,13 @@ object GraftExpressions {
       exprs => SimHash64(exprs.head), "scala_udf")
     registry.createOrReplaceTempFunction("minhash_signature",
       exprs => MinHashSignature(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "scala_udf")
+        constInt(exprs(1), "minhash_signature", "num_hashes")), "scala_udf")
     registry.createOrReplaceTempFunction("hyperplane_lsh_key",
       exprs => HyperplaneLshKey(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
+        constInt(exprs(1), "hyperplane_lsh_key", "n_bits"),
         // optional 3rd arg; default seed mirrors the Scala API
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
+        if (exprs.length > 2)
+          constInt(exprs(2), "hyperplane_lsh_key", "seed")
         else 42), "scala_udf")
   }
 }

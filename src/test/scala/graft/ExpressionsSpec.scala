@@ -134,6 +134,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(f == d)
   }
 
+  test("native cosine matches the HOF on ragged and null-element arrays") {
+    import graft.functions.VectorFunctions
+    // ragged: zip_with null-pads -> HOF yields NULL; native must agree,
+    // never a plausible prefix similarity
+    val ragged = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(GraftExpressions.cosineSimilarity($"a", $"b").as("n"),
+        VectorFunctions.cosineHof($"a", $"b").as("h")).head()
+    assert(ragged.isNullAt(0) && ragged.isNullAt(1),
+      s"ragged arrays must yield NULL on both paths: $ragged")
+    // a null element nulls the whole fold on both paths
+    val nulled = Seq((Seq[java.lang.Float](1.0f, null, 2.0f),
+        Seq[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(GraftExpressions.cosineSimilarity($"a", $"b").as("n"),
+        VectorFunctions.cosineHof($"a", $"b").as("h")).head()
+    assert(nulled.isNullAt(0) && nulled.isNullAt(1),
+      s"null elements must yield NULL on both paths: $nulled")
+  }
+
+  test("native hyperplane key matches the HOF on NaN projections") {
+    import graft.functions.VectorFunctions
+    // a NaN element makes every projection NaN: SQL's `>= 0` is true for
+    // NaN, so both paths must set every bit
+    val row = Seq(Seq(Float.NaN, 1.0f)).toDF("v")
+      .select(GraftExpressions.hyperplaneLshKey($"v", 8, 42).as("n"),
+        VectorFunctions.hyperplaneLshKeyHof($"v", 8, 42).as("h")).head()
+    assert(row.getLong(0) == row.getLong(1),
+      s"NaN bucket diverged: native=${row.getLong(0)} hof=${row.getLong(1)}")
+    assert(row.getLong(0) == 255L, s"all 8 bits should set: ${row.getLong(0)}")
+  }
+
   test("GraftExtensions injects the native functions into a registry") {
     import org.apache.spark.sql.SparkSessionExtensions
     import org.apache.spark.sql.catalyst.FunctionIdentifier
