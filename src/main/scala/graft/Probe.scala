@@ -64,8 +64,45 @@ object Probe {
     args.headOption match {
       case Some("scale") => scaleRun(pathArg, lshOnly = args.contains("lsh-only"))
       case Some("dford") => dfOrderRun(pathArg)
+      case Some("ppsplit") => ppSplitRun(pathArg)
       case _ => bandingRun()
     }
+  }
+
+  /** Split the exact-Jaccard self-join (q50/q86/q87's shared dominant cost)
+    * into its stages: set construction, prefix-join blocking, and the
+    * per-candidate verify — so optimization effort lands on the stage that
+    * actually dominates at a given corpus size. */
+  private def ppSplitRun(docsPath: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(docsPath).repartition(32)
+    println(s"[probe] ppjoin stage split over $docsPath: ${docs.count()} docs")
+    for (round <- Seq("warmup", "timed")) {
+      measure(s"$round sets only") {
+        val (sets, _) = Dedup.jaccardCandidates(docs, "text", "doc_id", 3, 0.6)
+        sets
+      }
+      measure(s"$round sets+candidates") {
+        val (_, cands) = Dedup.jaccardCandidates(docs, "text", "doc_id", 3, 0.6)
+        cands
+      }
+      measure(s"$round full ppjoin")(
+        Dedup.jaccardSelfJoin(docs, "text", "doc_id", 3, 0.6))
+      // the pre-round-8 verify (array_intersect + array_union per pair),
+      // kept as the measurement baseline for the merge-scan kernel
+      measure(s"$round full ppjoin (intersect/union verify)") {
+        val (sets, cands) =
+          Dedup.jaccardCandidates(docs, "text", "doc_id", 3, 0.6)
+        val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+        cands.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          .filter(col("jaccard") >= 0.6)
+      }
+    }
+    spark.stop()
   }
 
   /** Re-measure the Bayardo df-ascending canonical order against the

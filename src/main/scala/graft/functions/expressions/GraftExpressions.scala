@@ -366,6 +366,81 @@ object HyperplaneLshKey {
   }
 }
 
+/**
+ * Set-intersection cardinality of two SORTED-ascending `array<long>`
+ * columns — a single merge scan, no hash table and no intersection/union
+ * array materialized. Drop-in for `size(array_intersect(a, b))` on sorted
+ * input (duplicate runs collapse to one, set semantics; a null element —
+ * which `sort_array` places FIRST ascending — counts once iff present in
+ * both), which lets exact-Jaccard verification compute
+ * `inter / (len_a + len_b - inter)` and skip `array_union`'s per-pair
+ * allocation entirely. PRECONDITION: both arrays sorted ascending with
+ * nulls first (`sort_array` output, the [[graft.operators.Dedup]] shingle
+ * sets); on unsorted input the result is undefined — this is a
+ * private-surface verification kernel, not a general SQL function.
+ */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_size"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> arguments, got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectSize.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.expressions.SortedIntersectSize.compute($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectSize {
+  /** Shared by interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var count = 0
+    // ascending sort places nulls first: count null∈both once, then the
+    // remainder of each array is non-null and getLong is safe
+    var xHadNull = false
+    while (i < nx && x.isNullAt(i)) { i += 1; xHadNull = true }
+    var yHadNull = false
+    while (j < ny && y.isNullAt(j)) { j += 1; yHadNull = true }
+    if (xHadNull && yHadNull) count += 1
+    while (i < nx && j < ny) {
+      val a = x.getLong(i)
+      val b = y.getLong(j)
+      if (a == b) {
+        count += 1
+        // collapse duplicate runs on both sides: set semantics, matching
+        // array_intersect's distinct output
+        i += 1; while (i < nx && x.getLong(i) == a) i += 1
+        j += 1; while (j < ny && y.getLong(j) == b) j += 1
+      } else if (a < b) i += 1
+      else j += 1
+    }
+    count
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -385,6 +460,11 @@ object GraftExpressions {
   def hyperplaneLshKey(vec: Column, nBits: Int, seed: Int): Column =
     GraftColumnBridge.column(
       HyperplaneLshKey(GraftColumnBridge.expression(vec), nBits, seed))
+
+  /** See [[SortedIntersectSize]] — sorted-input precondition applies. */
+  private[graft] def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SortedIntersectSize(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Constant-integer SQL argument: a column reference or other
     * non-foldable expression must fail with the requirement NAMED, not an

@@ -259,12 +259,22 @@ object Dedup {
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
     val (sets, cands) = jaccardCandidates(df, textCol, idCol, shingleK, threshold)
-    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("len").as("__len_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("len").as("__len_b"))
+    // verify kernel: the sets are sorted distinct hashes, so intersection
+    // size is ONE codegen'd merge scan (no hash table) and the union count
+    // is |A| + |B| - |A∩B| from the already-materialized lengths — same
+    // exact integer arithmetic as size(array_intersect)/size(array_union),
+    // without materializing either array per candidate pair
+    val inter = graft.functions.expressions.GraftExpressions
+      .sortedIntersectSize(col("sh_a"), col("sh_b"))
     cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("__inter", inter)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (col("__inter").cast("double") /
+          (col("__len_a") + col("__len_b") - col("__inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -166,6 +166,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(row.getLong(0) == 255L, s"all 8 bits should set: ${row.getLong(0)}")
   }
 
+  test("sorted intersect size matches size(array_intersect) on sorted input") {
+    // randomized sweep: sorted-ascending arrays with duplicate runs and
+    // empties (the documented precondition domain), plus the shapes the
+    // dedup tier actually feeds it (sorted DISTINCT shingle hashes)
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(500) {
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toLong).sorted
+      (arr(), arr())
+    } ++ Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 1L, 1L), Seq(1L)),          // dup run collapses to one
+      (Seq(1L, 2L, 3L), Seq(4L, 5L)),      // disjoint
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val diverged = cases.toDF("a", "b")
+      .select(GraftExpressions.sortedIntersectSize($"a", $"b").as("n"),
+        size(array_intersect($"a", $"b")).as("ref"))
+      .filter($"n" =!= $"ref").count()
+    assert(diverged == 0, s"$diverged cases diverged from array_intersect")
+    // nulls sort FIRST ascending: present in both → counts once, like
+    // array_intersect; present in one → not counted
+    val withNulls = Seq(
+      (Seq[java.lang.Long](null, 1L, 2L), Seq[java.lang.Long](null, 2L, 3L)),
+      (Seq[java.lang.Long](null, 1L), Seq[java.lang.Long](1L, 2L)))
+      .toDF("a", "b")
+      .select(GraftExpressions.sortedIntersectSize($"a", $"b").as("n"),
+        size(array_intersect($"a", $"b")).as("ref")).collect()
+    withNulls.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"null-element case diverged: $r"))
+    // interpreted path agrees with the codegen'd plan path
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    assert(graft.functions.expressions.SortedIntersectSize.compute(
+      ArrayData.toArrayData(Array(1L, 2L, 2L, 5L)),
+      ArrayData.toArrayData(Array(2L, 3L, 5L))) == 2)
+  }
+
   test("GraftExtensions injects the native functions into a registry") {
     import org.apache.spark.sql.SparkSessionExtensions
     import org.apache.spark.sql.catalyst.FunctionIdentifier
