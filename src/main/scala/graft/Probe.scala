@@ -168,8 +168,22 @@ object Probe {
     OpCache.release()
     println(s"[probe] df-order result pairs: ${dfJoin().count()}")
     OpCache.release()
-    def hashJoin() =
-      Dedup.jaccardSelfJoin(docs, "text", "doc_id", 3, threshold)
+    // BOTH orders verify with array_intersect/array_union here: the
+    // df-ordered arrays violate the merge-scan kernel's sorted-ascending
+    // precondition, and timing hash-order with the faster kernel would
+    // conflate canonical-order cost with verify-kernel cost — this mode
+    // isolates ORDERING only
+    def hashJoin() = {
+      val (sets, cands) =
+        Dedup.jaccardCandidates(docs, "text", "doc_id", 3, threshold)
+      val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     measure("warmup hash-order ppjoin")(hashJoin())
     measure("hash-order ppjoin")(hashJoin())
     measure("warmup df-order ppjoin")(dfJoin())

@@ -91,12 +91,16 @@ object TextFunctions {
     val prioritized = ordered.zipWithIndex.map { case (l, i) =>
       struct(langScore(text, l).as("s"), lit(-i).as("p"), lit(l).as("l"))
     }
-    // ONE evaluation of the five score subtrees: the guard reads the max
-    // struct's score field instead of re-running every langScore inside a
-    // separate greatest() (conditional placement defeats subexpression
-    // elimination, doubling the tokenize+intersect work per row)
-    val m = array_max(array(prioritized: _*))
-    when(m.getField("s") <= 0, lit("und")).otherwise(m.getField("l"))
+    // ONE unconditional evaluation of the five score subtrees: the "und"
+    // fallback is a sentinel ELEMENT, not a when() guard — a conditional
+    // guard re-evaluates the max (subexpression elimination skips CaseWhen
+    // branch values not common to every branch), doubling the
+    // tokenize+intersect work per row. The sentinel's (s=0, p=1) outranks
+    // any real language at score<=0 (p=1 beats every real p in 0..-4 on the
+    // score tie at 0, and beats negative scores outright) and loses to any
+    // real score>0 — exactly the old `max score <= 0 => und` semantics.
+    val sentinel = struct(lit(0).as("s"), lit(1).as("p"), lit("und").as("l"))
+    array_max(array(prioritized :+ sentinel: _*)).getField("l")
   }
 
   // --- Quality scoring -------------------------------------------------

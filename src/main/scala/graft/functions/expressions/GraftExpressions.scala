@@ -22,11 +22,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * Cosine similarity of two float/double array columns, accumulated in
  * double precision left-to-right (bit-identical to the
  * `aggregate(zip_with(...))` formulation, so oracle parity is preserved).
- * Zero-norm input → 0.0. Length-mismatched arrays and arrays with a NULL
- * element yield NULL — exactly as the HOF reference does (`zip_with`
- * null-pads the shorter side and a null lane nulls the whole fold), so a
- * ragged-embedding bug upstream surfaces as NULL, never as a plausible
- * prefix similarity.
+ * Zero-norm input → 0.0 (even for length-mismatched inputs — the HOF's
+ * zero-denom guard short-circuits first); otherwise length-mismatched
+ * arrays and arrays with a NULL element yield NULL — exactly as the HOF
+ * reference does (`zip_with` null-pads the shorter side and a null lane
+ * nulls the whole fold), so a ragged-embedding bug upstream surfaces as
+ * NULL, never as a plausible prefix similarity.
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -85,25 +86,42 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Shared by interpreted eval and generated code. Boxed null when the
-    * lengths differ or any element in range is null — matching the
-    * `aggregate(zip_with)` reference, where a null-padded or null lane
-    * nulls the whole fold. */
+  /** Shared by interpreted eval and generated code. Mirrors the HOF
+    * reference EXACTLY, including its edge-case precedence: the norms are
+    * per-array (each over its own full length), a zero denom yields 0.0
+    * even for length-mismatched inputs (the HOF's `when(denom === 0.0)`
+    * short-circuits before the null-padded dot is touched), and otherwise
+    * a null element or a length mismatch nulls the result (null norm /
+    * null-padded `zip_with` lane nulls the fold). */
   def compute(x: ArrayData, y: ArrayData,
               xd: Boolean, yd: Boolean): java.lang.Double = {
-    val n = x.numElements()
-    if (y.numElements() != n) return null
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var na = 0.0
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
-      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    while (i < nx) {
+      if (x.isNullAt(i)) return null
+      val v = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      na += v * v; i += 1
+    }
+    var nb = 0.0
+    var j = 0
+    while (j < ny) {
+      if (y.isNullAt(j)) return null
+      val v = if (yd) y.getDouble(j) else y.getFloat(j).toDouble
+      nb += v * v; j += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+    if (denom == 0.0) return java.lang.Double.valueOf(0.0)
+    if (nx != ny) return null
+    var dot = 0.0
+    i = 0
+    while (i < nx) {
+      val xi = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      dot += xi * yi; i += 1
+    }
+    java.lang.Double.valueOf(dot / denom)
   }
 }
 
@@ -466,6 +484,20 @@ object GraftExpressions {
     GraftColumnBridge.column(SortedIntersectSize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Arity guard for the SQL builders: a wrong-arity call must fail with
+    * the standard WRONG_NUM_ARGS analysis error, not an
+    * IndexOutOfBoundsException from inside the builder lambda. */
+  private[graft] def checkArity(fn: String, exprs: Seq[Expression],
+                                min: Int, max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> fn,
+          "expectedNum" -> (if (min == max) min.toString else s"$min or $max"),
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""))
+
   /** Constant-integer SQL argument: a column reference or other
     * non-foldable expression must fail with the requirement NAMED, not an
     * unbound-attribute eval error from inside the parser. */
@@ -483,20 +515,25 @@ object GraftExpressions {
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      exprs => { checkArity("cosine_similarity", exprs, 2, 2)
+        CosineSimilarity(exprs(0), exprs(1)) }, "scala_udf")
     registry.createOrReplaceTempFunction("rolling_hash",
-      exprs => RollingHash(exprs.head), "scala_udf")
+      exprs => { checkArity("rolling_hash", exprs, 1, 1)
+        RollingHash(exprs.head) }, "scala_udf")
     registry.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64(exprs.head), "scala_udf")
+      exprs => { checkArity("simhash64", exprs, 1, 1)
+        SimHash64(exprs.head) }, "scala_udf")
     registry.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0),
-        constInt(exprs(1), "minhash_signature", "num_hashes")), "scala_udf")
+      exprs => { checkArity("minhash_signature", exprs, 2, 2)
+        MinHashSignature(exprs(0),
+          constInt(exprs(1), "minhash_signature", "num_hashes")) }, "scala_udf")
     registry.createOrReplaceTempFunction("hyperplane_lsh_key",
-      exprs => HyperplaneLshKey(exprs(0),
-        constInt(exprs(1), "hyperplane_lsh_key", "n_bits"),
-        // optional 3rd arg; default seed mirrors the Scala API
-        if (exprs.length > 2)
-          constInt(exprs(2), "hyperplane_lsh_key", "seed")
-        else 42), "scala_udf")
+      exprs => { checkArity("hyperplane_lsh_key", exprs, 2, 3)
+        HyperplaneLshKey(exprs(0),
+          constInt(exprs(1), "hyperplane_lsh_key", "n_bits"),
+          // optional 3rd arg; default seed mirrors the Scala API
+          if (exprs.length > 2)
+            constInt(exprs(2), "hyperplane_lsh_key", "seed")
+          else 42) }, "scala_udf")
   }
 }

@@ -152,6 +152,17 @@ class ExpressionsSpec extends SparkSpec {
         VectorFunctions.cosineHof($"a", $"b").as("h")).head()
     assert(nulled.isNullAt(0) && nulled.isNullAt(1),
       s"null elements must yield NULL on both paths: $nulled")
+    // zero-norm + ragged: the HOF's zero-denom guard short-circuits BEFORE
+    // the null-padded dot — 0.0, not NULL, on both paths
+    val zeroRagged = Seq(
+      (Seq.empty[Float], Seq(1.0f)),
+      (Seq(0.0f, 0.0f), Seq(0.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(GraftExpressions.cosineSimilarity($"a", $"b").as("n"),
+        VectorFunctions.cosineHof($"a", $"b").as("h")).collect()
+    zeroRagged.foreach(r => assert(!r.isNullAt(0) && r.getDouble(0) == 0.0 &&
+      !r.isNullAt(1) && r.getDouble(1) == 0.0,
+      s"zero-norm ragged must be 0.0 on both paths: $r"))
   }
 
   test("native hyperplane key matches the HOF on NaN projections") {
@@ -231,5 +242,15 @@ class ExpressionsSpec extends SparkSpec {
     val shCol = Seq(Seq(1L, 2L, 3L)).toDF("a")
       .select(GraftExpressions.simhash64($"a")).as[Long].head()
     assert(sh == shCol)
+    // wrong arity fails with the named WRONG_NUM_ARGS analysis error, not
+    // an IndexOutOfBoundsException from inside the builder lambda
+    for (bad <- Seq("minhash_signature(array(1L))", "cosine_similarity(array(1.0F))",
+        "rolling_hash()", "simhash64()", "hyperplane_lsh_key(array(1.0F))")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"SELECT $bad"))
+      assert(e.getMessage.contains("requires") ||
+        e.getCondition != null && e.getCondition.startsWith("WRONG_NUM_ARGS"),
+        s"$bad: expected WRONG_NUM_ARGS, got ${e.getMessage}")
+    }
   }
 }
