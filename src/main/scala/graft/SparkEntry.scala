@@ -1499,6 +1499,17 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** C4-style duplicate-span removal: every 4-token span occurring twice+
+    * corpus-wide is removed except its first occurrence, and each doc's
+    * text is rebuilt from the surviving spans
+    * (Dedup.removeDuplicateSpans). The oracle groups by span TEXT where
+    * the operator groups by a 2-lane xxhash64 key, so the compare also
+    * certifies the key is collision-free on this corpus. */
+  private def q100_span_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", window = 4, minCount = 2)
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1603,6 +1614,7 @@ object SparkEntry {
     "q97_pack_sequences" -> q97_pack_sequences _,
     "q98_token_budget" -> q98_token_budget _,
     "q99_multimodal_decode" -> q99_multimodal_decode _,
+    "q100_span_dedup" -> q100_span_dedup _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2530,5 +2542,34 @@ object SparkEntry {
         |  ('imageio_decode_dims', CAST(3.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q100: C4-style span dedup — keep-first = row_number over
+    // (doc_id, spanIdx) ≡ the Spark side's min(struct(id, sidx)); the
+    // oracle partitions by span TEXT, certifying the operator's hashed
+    // key collision-free on this corpus
+    "q100_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+        |    END AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        CAST(ceil(len(toks) / 4.0) AS BIGINT) AS nc FROM d),
+        |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS cidx FROM n),
+        |ch AS (SELECT doc_id, cidx,
+        |         array_to_string(toks[cidx*4 + 1 : cidx*4 + 4], ' ') AS span
+        |       FROM c),
+        |s AS (SELECT doc_id, cidx, span,
+        |        count(*) OVER (PARTITION BY span) AS cnt,
+        |        row_number() OVER (PARTITION BY span
+        |          ORDER BY doc_id, cidx) AS rn
+        |      FROM ch),
+        |k AS (SELECT doc_id, cidx, span FROM s WHERE cnt < 2 OR rn = 1),
+        |r AS (SELECT doc_id, string_agg(span, ' ' ORDER BY cidx) AS text_clean,
+        |        count(*) AS n_kept FROM k GROUP BY doc_id)
+        |SELECT n.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  n.nc AS n_spans, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
   )
 }

@@ -505,4 +505,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /**
+   * C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup the
+   * corpus at span granularity; RefinedWeb line-dedup is the same op at
+   * line granularity): the text of every document is cut into
+   * fixed-`window`-token non-overlapping spans, any span whose content
+   * occurs `minCount`+ times CORPUS-WIDE is removed from every document
+   * except the first occurrence (minimum (id, spanIdx)), and each
+   * document's text is rebuilt from its surviving spans. No stepist
+   * counterpart (such cleaning would be user Python inside a handler).
+   *
+   * Output: (idCol, text_clean, n_spans, n_kept) — one row per input
+   * document, documents whose every span was removed keep their row with
+   * empty text, so corpus accounting never loses rows.
+   *
+   * Scale shape: the corpus-wide occurrence count aggregates bare
+   * (key128, id, spanIdx) triples — span TEXT never enters that shuffle
+   * (PlanSpec-gated). Removed-span index sets group by id into one small
+   * array per AFFECTED document (only docs containing a removed copy),
+   * then join back to the scan; the rebuild is a per-row indexed `filter`
+   * over the span array, so document text moves at most once (not at all
+   * when the corpus is bucketed by id). The span key is two independent
+   * xxhash64 lanes (~128 bits): at 10¹¹ spans a single 64-bit key would
+   * see birthday collisions, which here would remove a non-duplicate
+   * span.
+   */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           window: Int, minCount: Int = 2): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(minCount >= 2, s"minCount must be at least 2, got $minCount")
+    val toks = split(trim(col(textCol)), "\\s+")
+    // sequence(0, -1) would yield [0, -1] (negative-step default), so the
+    // empty document must short-circuit BEFORE sequence sees it
+    val nSpans = ceil(size(toks) / lit(window.toDouble)).cast("int")
+    val spansExpr = when(length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSpans - 1),
+        g => array_join(slice(toks, g * window + 1, lit(window)), " ")))
+    val spansCol = "__graft_span_arr"
+    val chunked = OpCache.track(
+      df.withColumn(spansCol, spansExpr).persist())
+    val slim = chunked.select(col(idCol).as("id"),
+        posexplode(col(spansCol)).as(Seq("sidx", "span")))
+      .select(col("id"), col("sidx"),
+        xxhash64(col("span")).as("k1"),
+        xxhash64(col("span"), lit(1L)).as("k2"))
+    val dups = slim.groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("id"), col("sidx"))).as("keep"))
+      .filter(col("cnt") >= minCount)
+      .select(col("k1"), col("k2"), col("keep"))
+    // only NON-keeper occurrences of duplicated spans survive this join:
+    // one small (id, sidx) pair per removed copy, grouped into a per-doc
+    // index array. Docs with no removed span never appear — the left join
+    // below leaves their index set null and the rebuild keeps everything.
+    val removedSets = slim.join(dups, Seq("k1", "k2"))
+      .filter(!(col("id") === col("keep.id") && col("sidx") === col("keep.sidx")))
+      .groupBy(col("id"))
+      .agg(collect_set(col("sidx")).as("rm"))
+      .select(col("id").as("__graft_span_rmid"), col("rm").as("__graft_span_rm"))
+    val rm = col("__graft_span_rm")
+    chunked.join(removedSets,
+        chunked(idCol) === col("__graft_span_rmid"), "left")
+      .select(col(idCol),
+        array_join(filter(col(spansCol),
+          (_, i) => !coalesce(array_contains(rm, i), lit(false))), " ")
+          .as("text_clean"),
+        size(col(spansCol)).cast("long").as("n_spans"),
+        (size(col(spansCol)) -
+          when(rm.isNull, 0).otherwise(size(rm))).cast("long").as("n_kept"))
+  }
 }

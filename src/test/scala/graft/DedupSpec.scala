@@ -218,4 +218,70 @@ class DedupSpec extends SparkSpec {
       threshold = 0.999, nBits = 6).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
+
+  test("removeDuplicateSpans keeps first occurrences, empties hollowed docs") {
+    // W=2 spans: d1 [a b | c d], d2 [a b | x y], d3 [x y | a b], d4 "", d5
+    // one short trailing span. "a b" keeper (1,0) → removes (2,0), (3,1);
+    // "x y" keeper (2,1) → removes (3,0). d3 loses everything but KEEPS
+    // its row with empty text.
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "x y a b"),
+      (4L, "   "), (5L, "q r s"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "text", "doc_id", window = 2)
+      .orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d", 2L, 2L),
+      (2L, "x y", 2L, 1L),
+      (3L, "", 2L, 0L),
+      (4L, "", 0L, 0L),
+      (5L, "q r s", 2L, 2L)), s"got $out")
+    OpCache.release()
+    // minCount=4: "a b" peaks at 3 occurrences, so every span falls
+    // under the bar — nothing is removed, and whitespace still
+    // normalizes through the rebuild
+    val loose = Dedup.removeDuplicateSpans(df, "text", "doc_id",
+        window = 2, minCount = 4)
+      .orderBy($"doc_id").select($"text_clean").as[String].collect().toSeq
+    assert(loose == Seq("a b c d", "a b x y", "x y a b", "", "q r s"),
+      s"got $loose")
+    OpCache.release()
+  }
+
+  test("removeDuplicateSpans matches a brute-force oracle on random soup") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("ox", "elm", "fig", "gnu", "yak")
+    val w = 3
+    val corpus = (1L to 60L).map { id =>
+      id -> Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    // brute force, sequentially: count spans corpus-wide, keep first
+    val spansOf = corpus.map { case (id, text) =>
+      id -> text.split("\\s+").filter(_.nonEmpty).grouped(w)
+        .map(_.mkString(" ")).toVector
+    }.toMap
+    val counts = spansOf.values.flatten
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val firstAt = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    spansOf.toSeq.sortBy(_._1).foreach { case (id, ss) =>
+      ss.zipWithIndex.foreach { case (s, i) =>
+        if (!firstAt.contains(s)) firstAt(s) = (id, i)
+      }
+    }
+    val expected = corpus.map { case (id, _) =>
+      val ss = spansOf(id)
+      val kept = ss.zipWithIndex.collect {
+        case (s, i) if counts(s) < 2 || firstAt(s) == ((id, i)) => s
+      }
+      (id, kept.mkString(" "), ss.size.toLong, kept.size.toLong)
+    }
+    val got = Dedup.removeDuplicateSpans(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", window = w)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == expected, s"first diff: ${
+      got.zip(expected).find { case (g, e) => g != e }}")
+    OpCache.release()
+  }
 }

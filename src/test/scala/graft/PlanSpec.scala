@@ -248,6 +248,23 @@ class PlanSpec extends SparkSpec {
       s"embedding column must not ride the bucket join:\n$joinLine")
   }
 
+  test("q100 span dedup: the corpus-wide span count shuffles no text") {
+    // the corpus-wide occurrence count must aggregate bare
+    // (key128, id, sidx) triples — the span strings (and the full span
+    // ARRAY, which is the whole document) staying in their scan
+    // partitions is the operator's entire 100 TB story
+    val df = SparkEntry.queries("q100_span_dedup")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val keyExchanges = plan.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(k1"))
+    assert(keyExchanges.nonEmpty, s"no span-key exchange found:\n$plan")
+    keyExchanges.foreach(b =>
+      assert(!b.contains("span#") && !b.contains("__graft_span_arr") &&
+        !b.contains("text#"),
+        s"span text must not enter the key shuffle:\n$b"))
+    assert(!plan.contains("CartesianProduct"), "span dedup must never go cartesian")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
