@@ -46,7 +46,8 @@ object Bench {
     "q87_dedup_pipeline", "q88_repetition_scores", "q89_decontaminate",
     "q90_stratified_sample", "q91_group_sample", "q92_pii_redact",
     "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix",
-    "q96_curation_pipeline", "q97_pack_sequences", "q98_token_budget")
+    "q96_curation_pipeline", "q97_pack_sequences", "q98_token_budget",
+    "q99_multimodal_decode", "q100_span_dedup")
 
   private val RUNS = 5
 
@@ -106,8 +107,22 @@ object Bench {
     val spread = results.map { case (k, ts) =>
       "\"" + k + f"""\":{"min":${ts.head}%.3f,"median":${median(ts)}%.3f,"max":${ts.last}%.3f}"""
     }.mkString("{", ",", "}")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"spread":$spread}""")
-    spark.stop()
+    // Two outputs for two consumers. The driver captures only the LAST
+    // ~2000 chars of stdout and JSON-parses what it finds there, so the
+    // stdout line must be (a) last and (b) short: medians + explicit
+    // `failed` list, no spread (round 9's single fat line overflowed the
+    // window and parsed as null). The full record INCLUDING per-query
+    // min/median/max spread goes to bench_full.json for the plan audit.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"failed":$failedJson}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"failed":$failedJson,"spread":$spread}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "/root/repo/bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    spark.stop() // stop BEFORE the result line: Spark shutdown chatter on
+    println(compact) // stdout would land after it and re-pollute the tail
   }
 }

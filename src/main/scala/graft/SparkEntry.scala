@@ -850,10 +850,9 @@ object SparkEntry {
     ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = ns.read.parquet(s"$dir/events.parquet")
     // file-stream sources take a DIRECTORY; glob-filter to the events table
-    val agg = ns.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val agg = sources.Tables.normalizeTs(ns.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))

@@ -11,6 +11,12 @@ import java.nio.file.{Files, Paths}
   * still exits 0 — per-query errors are the driver's per-query gate, not
   * a sweep abort. Fatal JVM errors (OOM) propagate and kill the sweep:
   * results computed in a heap-exhausted JVM aren't trustworthy.
+  *
+  * Completeness contract: `_report.json` always carries exactly one
+  * {status: ok|err} entry per swept registered query, and the final
+  * stdout line prints registered/swept/dumped/failed counts — an
+  * artifact built only from the dump dirs can silently shrink when a
+  * query breaks at plan time; the count line cannot.
   */
 object Verify {
   def main(args: Array[String]): Unit = {
@@ -76,6 +82,26 @@ object Verify {
         s"${if (failures.size == 1) "y" else "ies"} failed: " +
         failures.keys.mkString(", "))
     }
+    // Complete accounting, one row per REGISTERED query (not just the ones
+    // that produced output): a downstream artifact built only from the dump
+    // dirs silently shrinks when a query breaks at plan time — round 9's
+    // CORRECTNESS file read 92/92 "all green" while 8 queries were broken.
+    // _report.json always has exactly SparkEntry.queries.size entries, and
+    // the one-line stdout summary makes registered != dumped unmissable.
+    val swept = SparkEntry.queries.keys
+      .filter(name => only.isEmpty || only(name)).toSeq
+    val report = swept.map { name =>
+      val st = failures.get(name) match {
+        case Some(err) => s"""{"status": "err", "error": ${q(err)}}"""
+        case None      => """{"status": "ok"}"""
+      }
+      s"${q(name)}: $st"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_report.json"), report)
+    println(s"[verify] registered=${SparkEntry.queries.size} " +
+      s"swept=${swept.size} dumped=${swept.size - failures.size} " +
+      s"failed=${failures.size}" +
+      (if (failures.isEmpty) "" else s" (${failures.keys.mkString(", ")})"))
     spark.stop()
   }
 }

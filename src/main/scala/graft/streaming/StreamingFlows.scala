@@ -355,6 +355,21 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     }
+    // Fail-loud format probe: this method parses Spark's HDFSMetadataLog
+    // files (offsets/, sources/<i>/) directly, and every one of them
+    // declares its serialization version on line 1 ("v1" since Spark 2.1,
+    // still v1 in 4.1). If a Spark upgrade ever bumps it, trimming must
+    // ABORT with a clear message — a silent no-trim would look like a
+    // space leak, and a misparse could delete unprocessed queue files.
+    def checkLogVersion(lines: Vector[String], what: String): Vector[String] = {
+      val v = lines.headOption.getOrElse("<empty>").trim
+      if (v != "v1") throw new IllegalStateException(
+        s"trimCommitted: unsupported $what metadata-log version '$v' " +
+          "(this parser understands v1). Spark's checkpoint format has " +
+          "drifted — update StreamingFlows.trimCommitted before trusting " +
+          "it to delete queue files.")
+      lines
+    }
     // metadata-log filenames are "<batchId>" or "<batchId>.compact"
     def batchId(name: String): Option[Long] =
       try Some(name.stripSuffix(".compact").toLong)
@@ -371,7 +386,7 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
       val offFile = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(ck, "offsets"), maxCommitted.toString)
       val offLines =
-        try readLines(offFile).drop(2)
+        try checkLogVersion(readLines(offFile), "offsets").drop(2)
         catch { case _: java.io.FileNotFoundException => return 0L }
       if (sourceIdx >= offLines.size) return 0L
       val line = offLines(sourceIdx).trim
@@ -401,7 +416,7 @@ final class ParquetBoundary(path: String, limit: Option[Long] = None,
     }
     val victims = scala.collection.mutable.LinkedHashSet.empty[String]
     toRead.foreach { st =>
-      readLines(st.getPath).foreach { line =>
+      checkLogVersion(readLines(st.getPath), "file-source").foreach { line =>
         if (line.startsWith("{")) {
           // a torn line (driver died mid-append to the metadata log) must
           // skip, not wedge trimming forever

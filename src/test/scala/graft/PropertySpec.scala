@@ -172,6 +172,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicateSpans equals the sequential keep-first oracle") {
+    import graft.operators.Dedup
+    // tiny vocab → heavy span sharing; lengths 0-20 include empty docs
+    // (the sequence() short-circuit) and sub-window tails
+    val docGen = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+    val docs = sample(docGen, 150, 41L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    // seeded shuffle: the min-(id, sidx) keeper must be corpus order,
+    // not input order — a failing ordering stays reproducible
+    val df = new scala.util.Random(41L).shuffle(docs).toDF("doc_id", "text")
+    for (window <- Seq(2, 3); minCount <- Seq(2, 3)) {
+      val got = Dedup.removeDuplicateSpans(df, "text", "doc_id", window, minCount)
+        .select($"doc_id", $"text_clean", $"n_spans", $"n_kept")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // oracle: exact span text (not hashes), corpus-wide counts, keep the
+      // lexicographically-first (id, sidx) occurrence of each duplicate
+      def spansOf(t: String): Seq[String] =
+        if (t.trim.isEmpty) Seq.empty
+        else t.trim.split("\\s+").toSeq.grouped(window).map(_.mkString(" ")).toSeq
+      val all = docs.flatMap { case (id, t) =>
+        spansOf(t).zipWithIndex.map { case (s, i) => (s, id, i) } }
+      val counts = all.groupBy(_._1).view.mapValues(_.size).toMap
+      val keeper = all.groupBy(_._1).view
+        .mapValues(_.map(o => (o._2, o._3)).min).toMap
+      assert(got.size == docs.size) // no-span docs keep their row
+      docs.foreach { case (id, t) =>
+        val sp = spansOf(t)
+        val kept = sp.zipWithIndex.filter { case (s, i) =>
+          counts(s) < minCount || keeper(s) == ((id, i)) }
+        val want = (kept.map(_._1).mkString(" "), sp.size.toLong, kept.size.toLong)
+        assert(got(id) == want,
+          s"window=$window minCount=$minCount doc=$id '$t': " +
+            s"got ${got(id)}, want $want")
+      }
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1 for non-zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
     val vecs = sample(vecGen, 100, 6L).filter(_.exists(_ != 0.0f))

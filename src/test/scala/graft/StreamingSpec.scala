@@ -111,9 +111,8 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val agg = StreamingFlows.windowedCounts(stream, "ts", "1 hour",
       keyCols = Seq("event_type"))
     val q = agg.writeStream.format("memory").queryName("win_out")
@@ -124,8 +123,8 @@ class StreamingSpec extends SparkSpec {
     val n = spark.sql("SELECT * FROM win_out").count()
     assert(n > 0)
     // cross-check a closed window's count against the batch query
-    val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val batch = graft.sources.Tables.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type")).count()
     val streamed = spark.sql("SELECT window, event_type, n FROM win_out")
     val joined = streamed.join(batch,

@@ -232,6 +232,32 @@ class WorkerFlowSpec extends SparkSpec {
       "depth must keep exactly the pending file's rows")
   }
 
+  test("trimCommitted aborts loudly on an unknown checkpoint log version") {
+    // Spark-version guard: trimCommitted parses HDFSMetadataLog files
+    // directly ("v1" since Spark 2.1). If an upgrade ever bumps the
+    // serialization version, trimming must throw with a clear message —
+    // not silently no-trim (space leak) or misparse (data loss).
+    val dir = java.nio.file.Files.createTempDirectory("wf_ckver").toString
+    val b = new ParquetBoundary(s"$dir/q")
+    b.write(Seq(1).toDF("x"))
+    def writeLog(rel: String, lines: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$dir/ck/$rel")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, lines.mkString("\n"))
+    }
+    val meta = """{"batchWatermarkMs":0,"batchTimestampMs":0,"conf":{}}"""
+    writeLog("commits/0", Seq("v1", "{}"))
+    writeLog("offsets/0", Seq("v2", meta, """{"logOffset":0}"""))
+    val e = intercept[IllegalStateException](b.trimCommitted(spark, s"$dir/ck"))
+    assert(e.getMessage.contains("v2") && e.getMessage.contains("v1"),
+      s"message must name both versions: ${e.getMessage}")
+    // a drifted SOURCE log must abort the same way
+    writeLog("offsets/0", Seq("v1", meta, """{"logOffset":0}"""))
+    writeLog("sources/0/0", Seq("v3", """{"path":"file:/none","batchId":0}"""))
+    val e2 = intercept[IllegalStateException](b.trimCommitted(spark, s"$dir/ck"))
+    assert(e2.getMessage.contains("v3"))
+  }
+
   test("autoTrim keeps the boundary bounded across many micro-batches") {
     // ≙ BRPOP consume-on-read with no manual trim calls: a long-lived
     // worker's queue directory must hold only not-yet-committed files.
