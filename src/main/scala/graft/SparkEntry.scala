@@ -1509,6 +1509,43 @@ object SparkEntry {
         "text", "doc_id", window = 4, minCount = 2)
       .orderBy(col("doc_id"))
 
+  /** Incremental ingestion, exact: the stored corpus snapshot is
+    * doc_id % 10 != 0; the incoming crawl batch (doc_id % 10 == 0) is
+    * deduped in-batch, then against the snapshot — only never-seen content
+    * survives. Runs the Bloom pre-filter path (so the codegen'd
+    * might_contain + two-path union + exact anti-join correction is under
+    * the driver gate); the oracle recomputes the definition directly. */
+  private def q101_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val inBatch = Dedup.exact(docs.filter(isBatch), "text", "doc_id")
+    Dedup.dedupAgainst(inBatch, docs.filter(!isBatch), "text", "doc_id",
+        bloomItems = 100000L, bloomFpp = 0.01)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental ingestion, near-dup: bipartite MinHash+LSH banding of the
+    * crawl batch against the stored snapshot (no self-pairs on either
+    * side), exact-Jaccard verified — the pairs a pipeline uses to drop
+    * batch docs that near-duplicate stored content. Bounded to
+    * doc_id < 2000 like q32 so the oracle's bipartite exact join stays
+    * cheap at every SF; scale evidence lives with the operator (slim
+    * banding, SURVEY §6). */
+  private def q102_incremental_neardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents").filter(col("doc_id") < 2000))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val cands = Dedup.minhashLshAgainst(docs.filter(isBatch),
+        docs.filter(!isBatch), "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b"))
+    Dedup.ngramJaccard(docs, cands, "text", "doc_id", shingleK = 3)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1614,6 +1651,8 @@ object SparkEntry {
     "q98_token_budget" -> q98_token_budget _,
     "q99_multimodal_decode" -> q99_multimodal_decode _,
     "q100_span_dedup" -> q100_span_dedup _,
+    "q101_incremental_dedup" -> q101_incremental_dedup _,
+    "q102_incremental_neardup" -> q102_incremental_neardup _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2570,5 +2609,32 @@ object SparkEntry {
         |  n.nc AS n_spans, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
         |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    // the Bloom pre-filter is pure shuffle optimization (false positives
+    // corrected by the exact anti-join), so the oracle is the plain
+    // definition: in-batch winners whose content the snapshot lacks
+    "q101_incremental_dedup" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 10 = 0
+         |  AND doc_id IN (
+         |    SELECT min(doc_id) FROM documents
+         |    WHERE doc_id % 10 = 0 GROUP BY md5($normSql))
+         |  AND md5($normSql) NOT IN (
+         |    SELECT md5($normSql) FROM documents WHERE doc_id % 10 != 0)
+         |ORDER BY doc_id""".stripMargin,
+    "q102_incremental_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents WHERE doc_id < 2000),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok)
+         |SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         |ORDER BY batch_id, corpus_id""".stripMargin,
   )
 }

@@ -460,6 +460,50 @@ object SortedIntersectSize {
 }
 
 /** Column-level entry points + SQL registration. */
+/**
+ * Membership probe of a long column against a pre-built Bloom filter
+ * (`org.apache.spark.util.sketch.BloomFilter`, Spark's own treeAggregate-
+ * built sketch) — the codegen'd pre-filter of the incremental-dedup path
+ * ([[graft.operators.Dedup.dedupAgainst]]): rows the filter rejects are
+ * DEFINITELY unseen and bypass the anti-join shuffle entirely; only the
+ * maybe-seen sliver (true duplicates + fpp false positives) shuffles.
+ * The filter object rides the expression into the task binary (broadcast
+ * once per stage); no per-row driver involvement. False positives are
+ * corrected downstream by the exact anti-join, so fpp trades shuffle
+ * volume, never correctness.
+ */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a bigint argument, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the filter is a plan-time object, not a child expression: stash it in
+    // the codegen references array (one slot per stage, not per row)
+    val ref = ctx.addReferenceObj("graftBloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -478,6 +522,11 @@ object GraftExpressions {
   def hyperplaneLshKey(vec: Column, nBits: Int, seed: Int): Column =
     GraftColumnBridge.column(
       HyperplaneLshKey(GraftColumnBridge.expression(vec), nBits, seed))
+
+  def bloomMightContainLong(bloom: org.apache.spark.util.sketch.BloomFilter,
+                            c: Column): Column =
+    GraftColumnBridge.column(
+      BloomMightContainLong(GraftColumnBridge.expression(c), bloom))
 
   /** See [[SortedIntersectSize]] — sorted-input precondition applies. */
   private[graft] def sortedIntersectSize(a: Column, b: Column): Column =

@@ -44,6 +44,109 @@ object Dedup {
       .dropDuplicates(fp, idCol).drop(fp)
   }
 
+  /**
+   * Incremental (cross-snapshot) exact dedup: drop `batch` rows whose
+   * normalized content already exists in `corpus` — the continuous-
+   * ingestion path of a long-lived corpus: each incoming crawl batch is
+   * checked against what is already stored WITHOUT reprocessing the store.
+   * Output: the batch rows that are genuinely new (original columns).
+   *
+   * Scale shape (100 TB store, TB-scale batch):
+   *  - The corpus side reduces to DISTINCT fingerprints BEFORE the join —
+   *    partial aggregation makes the corpus shuffle carry one 32-byte md5
+   *    per distinct content, not per row; the corpus TEXT is scanned for
+   *    fingerprinting but never shuffled. In production the fingerprints
+   *    come from a bucketed store written at ingest (then the corpus side
+   *    is a zero-exchange scan; this operator accepts any frame).
+   *  - With `bloomItems > 0`, a Bloom filter over the corpus's 64-bit
+   *    fingerprints is built in one distributed pass
+   *    (`DataFrameStatFunctions.bloomFilter`, treeAggregate) and applied to
+   *    the batch scan as a codegen'd pre-filter
+   *    ([[graft.functions.expressions.BloomMightContainLong]]): rows it
+   *    rejects are DEFINITELY new and never enter the anti-join shuffle —
+   *    only true dups + an fpp sliver of false positives shuffle, and the
+   *    exact anti-join corrects the false positives, so fpp trades shuffle
+   *    volume, never correctness. At 1e9 corpus docs / 1% fpp the filter
+   *    is ~1.1 GiB (task-binary broadcast); past broadcastable size, skip
+   *    the Bloom and rely on the bucketed-store anti-join.
+   *
+   * The anti-join key is the 128-bit md5 fingerprint (64-bit keys see
+   * birthday collisions from ~2^32 distinct contents — a collision here
+   * would silently DROP a new document); the 64-bit lane is used only
+   * inside the Bloom, where a collision costs shuffle, not data.
+   */
+  def dedupAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
+                   idCol: String, bloomItems: Long = 0L,
+                   bloomFpp: Double = 0.01): DataFrame = {
+    val fp = "__graft_dedup_fp"
+    val corpusFps = corpus.select(fingerprint(col(textCol)).as(fp)).distinct()
+    val keyed = batch.withColumn(fp, fingerprint(col(textCol)))
+    val deduped =
+      if (bloomItems <= 0L) keyed.join(corpusFps, Seq(fp), "left_anti")
+      else {
+        val bloom = corpus.stat.bloomFilter(
+          fingerprint64(col(textCol)), bloomItems, bloomFpp)
+        val maybeSeen = graft.functions.expressions.GraftExpressions
+          .bloomMightContainLong(bloom, fingerprint64(col(textCol)))
+        // two-path union: the batch scan is read twice (cheap, codegen'd
+        // filters), the JOIN sees only the maybe-seen sliver
+        keyed.filter(!maybeSeen)
+          .unionByName(keyed.filter(maybeSeen)
+            .join(corpusFps, Seq(fp), "left_anti"))
+      }
+    deduped.drop(fp)
+  }
+
+  /**
+   * Incremental near-dup candidates: MinHash+LSH banding of `batch`
+   * against `corpus` (bipartite — no corpus self-pairs, no batch
+   * self-pairs), verified by signature-agreement estimated Jaccard.
+   * Output: (batch_id, corpus_id, est_jaccard). Compose with
+   * [[ngramJaccard]] over the union frame for exact verification, and
+   * anti-join the surviving batch ids to drop near-dups of stored content.
+   *
+   * Scale shape: same slim banding as [[minhashLsh]] — both sides shuffle
+   * bare (id, band, bucket) triples; signatures attach per candidate pair.
+   * In production the corpus's signatures and band buckets are precomputed
+   * at ingest and stored bucketed by (band, bucket), making the candidate
+   * join a zero-exchange lookup on the corpus side; this operator accepts
+   * any two frames and recomputes both (the fixture-scale form).
+   */
+  def minhashLshAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
+                        idCol: String, shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    def sigsOf(df: DataFrame): DataFrame = OpCache.track(df
+      .select(col(idCol).as("id"),
+        minhashSignatureFromHashes(
+          shingleHashes(col(textCol), shingleK), numHashes).as("sig"))
+      .persist())
+    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val bSigs = sigsOf(batch)
+    val cSigs = sigsOf(corpus)
+    val cands = bandsOf(bSigs).alias("l")
+      .join(bandsOf(cSigs).alias("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    val withSigs = cands
+      .join(bSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")), "batch_id")
+      .join(cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes)
+    withSigs.select(col("batch_id"), col("corpus_id"),
+        round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("batch_id", "corpus_id")
+  }
+
   /** Rows per duplicate-cluster of identical normalized text (cluster size
     * ≥ minSize), for corpus-duplication profiling. */
   def exactClusters(df: DataFrame, textCol: String, idCol: String,

@@ -284,4 +284,75 @@ class DedupSpec extends SparkSpec {
       got.zip(expected).find { case (g, e) => g != e }}")
     OpCache.release()
   }
+
+  test("dedupAgainst drops exactly the already-stored content, bloom on or off") {
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  ALPHA beta   GAMMA "), // normalizes to stored doc 1 → dropped
+      (11L, "brand new content"),
+      (12L, "delta epsilon"),         // byte-identical to stored doc 2 → dropped
+      (13L, "another new doc")).toDF("doc_id", "text")
+    // bloomItems=0 (plain anti-join), a sane bloom, and a DEGENERATE
+    // 1-item bloom (saturated → ~every row "maybe seen") must all agree:
+    // the bloom only routes rows, the anti-join decides
+    for (bloomItems <- Seq(0L, 1000L, 1L)) {
+      val out = Dedup.dedupAgainst(batch, corpus, "text", "doc_id", bloomItems)
+      assert(out.columns.toSeq == batch.columns.toSeq,
+        s"schema must be the batch schema, got ${out.columns.toSeq}")
+      val kept = out.select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(11L, 13L),
+        s"bloomItems=$bloomItems kept ${kept.toSeq}")
+    }
+  }
+
+  test("dedupAgainst equals the brute-force set difference on random splits") {
+    // small vocab → frequent cross-split content collisions
+    val rng = new scala.util.Random(53L)
+    val vocab = Array("a", "b", "c", "d")
+    val rows = (0L until 200L).map(id => (id,
+      Seq.fill(2 + rng.nextInt(3))(vocab(rng.nextInt(vocab.length)))
+        .mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val corpus = df.filter($"doc_id" % 3 === 0)
+    val batch = df.filter($"doc_id" % 3 =!= 0)
+    def norm(t: String) = t.trim.toLowerCase.split("\\s+").mkString(" ")
+    val stored = rows.filter(_._1 % 3 == 0).map(r => norm(r._2)).toSet
+    val want = rows.filter(r => r._1 % 3 != 0 && !stored(norm(r._2)))
+      .map(_._1).sorted
+    for (bloomItems <- Seq(0L, 500L)) {
+      val kept = Dedup.dedupAgainst(batch, corpus, "text", "doc_id", bloomItems)
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == want, s"bloomItems=$bloomItems: got ${kept.size}, " +
+        s"want ${want.size}")
+    }
+  }
+
+  test("minhashLshAgainst pairs batch docs with their stored near-duplicates only") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val corpus = Seq(
+      (100L, base),                                  // near-dup target
+      (101L, base),                                  // second copy: corpus self-pair bait
+      (102L, "completely unrelated corpus words here entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, base.replace("w16", "w16x")),           // j≈0.79 vs base (shingles)
+      (201L, base),                                  // exact copy → j=1
+      (202L, "fresh batch only content nothing shared"),
+      (203L, "fresh batch only content nothing shared")) // batch self-pair bait
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshAgainst(batch, corpus, "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    OpCache.release()
+    // bipartite: every pair is (batch, corpus); the 100-101 and 202-203
+    // self-pairs must NOT appear in any orientation
+    assert(pairs.forall { case (b, c) => b >= 200L && c < 200L },
+      s"non-bipartite pair leaked: $pairs")
+    assert(pairs.contains((201L, 100L)) && pairs.contains((201L, 101L)),
+      s"exact cross-copy missed: $pairs")
+    assert(pairs.contains((200L, 100L)), s"near-dup missed: $pairs")
+    assert(!pairs.exists(_._1 == 202L) && !pairs.exists(_._1 == 203L),
+      s"unrelated batch doc paired: $pairs")
+  }
 }

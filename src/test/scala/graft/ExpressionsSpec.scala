@@ -253,4 +253,36 @@ class ExpressionsSpec extends SparkSpec {
         s"$bad: expected WRONG_NUM_ARGS, got ${e.getMessage}")
     }
   }
+
+  test("bloom_might_contain_long: no false negatives, codegen matches interpreted") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bloom = BloomFilter.create(1000, 0.01)
+    val inserted = (0L until 500L).map(_ * 7L)
+    inserted.foreach(bloom.putLong)
+    val probes = (0L until 4000L).toDF("x") // covers every inserted key (max 3493)
+    val got = probes
+      .select($"x", GraftExpressions.bloomMightContainLong(bloom, $"x").as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    // Bloom contract: every inserted key answers true (false negatives are
+    // a correctness bug; false positives are only shuffle overhead)
+    inserted.foreach(k => assert(got(k), s"false negative on $k"))
+    // at 1% fpp the non-inserted probes must be mostly rejected — a
+    // stuck-true filter (or a broken reference hookup) trips this
+    val nonInserted = (0L until 4000L).filterNot(k => k % 7 == 0 && k / 7 < 500)
+    val fp = nonInserted.count(got(_))
+    assert(fp < nonInserted.size / 10, s"$fp/${nonInserted.size} false positives")
+    // interpreted eval (no codegen) must agree exactly with the codegen path
+    val expr = graft.functions.expressions.BloomMightContainLong(
+      org.apache.spark.sql.catalyst.expressions.Literal(42L), bloom)
+    assert(expr.eval(null) == got(42L))
+    // nulls propagate (nullIntolerant), non-long input fails analysis
+    val withNull = Seq[java.lang.Long](1L, null).toDF("x")
+      .select(GraftExpressions.bloomMightContainLong(bloom, $"x"))
+      .collect().map(_.isNullAt(0)).toSeq
+    assert(withNull == Seq(false, true))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("s").toDF("x")
+        .select(GraftExpressions.bloomMightContainLong(bloom, $"x")).collect()
+    }
+  }
 }

@@ -265,6 +265,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "span dedup must never go cartesian")
   }
 
+  test("q101 incremental dedup: bloom pre-filter routes around the anti-join") {
+    // the operator's 100 TB story: rows the corpus Bloom rejects are
+    // definitely-new and bypass the anti-join entirely (union of two
+    // paths); the join itself is LeftAnti on the 128-bit fingerprint and
+    // nothing ever goes cartesian
+    val df = SparkEntry.queries("q101_incremental_dedup")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("bloom_might_contain_long"),
+      s"bloom pre-filter missing from plan:\n${plan.take(3000)}")
+    assert(plan.contains("LeftAnti"), s"anti-join missing:\n${plan.take(3000)}")
+    assert(plan.contains("Union"), s"two-path union missing:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"),
+      "incremental dedup must never go cartesian")
+  }
+
+  test("q102 incremental near-dup: banded bipartite join ships no signatures") {
+    // both banded sides carry bare (id, band, bucket) triples — the
+    // 64-long signature attaches per candidate pair, never rides the
+    // candidate join (same slim shape as q32, gated for the bipartite form)
+    val df = SparkEntry.queries("q102_incremental_neardup")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("band") && l.contains("bucket"))
+      .getOrElse(fail(s"no band-bucket join in plan:\n$plan"))
+    assert(!joinLine.contains("sig#") && !joinLine.contains("text#"),
+      s"signature/text must not ride the candidate join:\n$joinLine")
+    assert(!plan.contains("CartesianProduct"))
+    graft.operators.OpCache.release()
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
