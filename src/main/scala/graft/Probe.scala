@@ -22,6 +22,9 @@ import graft.operators.{Dedup, OpCache}
   *    collisions make them infeasible. Run on /root/testdata/sf0.1 (5k),
   *    the 50k and 500k fixtures from tools/gen_scale_docs.py for the
   *    decade-over-decade growth evidence recorded in SURVEY §6.
+  *  - `incr [<docs.parquet>]` — incremental-dedup tier: ad-hoc vs
+  *    stored-fingerprint/prebuilt-Bloom forms of `dedupAgainst` (shuffle
+  *    cut of the Bloom route) plus the q100 span-dedup shape.
   */
 object Probe {
 
@@ -65,8 +68,52 @@ object Probe {
       case Some("scale") => scaleRun(pathArg, lshOnly = args.contains("lsh-only"))
       case Some("dford") => dfOrderRun(pathArg)
       case Some("ppsplit") => ppSplitRun(pathArg)
+      case Some("incr") => incrRun(pathArg)
       case _ => bandingRun()
     }
+  }
+
+  /** Incremental-tier scaling: the Bloom route's shuffle cut on
+    * [[Dedup.dedupAgainst]] (the broadcast threshold is forced off, so the
+    * anti-join is the sort-merge shape it takes at 100 TB where neither
+    * side broadcasts), plus the q100 span-dedup shape — the two newest
+    * operators' entries in the SURVEY §6 measured-decades table. */
+  private def incrRun(docsPath: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(docsPath).repartition(32)
+    val n = docs.count()
+    println(s"[probe] incremental run over $docsPath: $n docs")
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    // ad-hoc form: corpus fingerprinted + bloom rebuilt inside every call
+    def adhoc(bloomItems: Long) =
+      Dedup.dedupAgainst(batch, corpus, "text", "doc_id", bloomItems)
+    println(s"[probe] kept (no bloom) = ${adhoc(0L).count()}, " +
+      s"kept (bloom) = ${adhoc(n).count()}") // must agree — bloom only routes
+    measure("warmup adhoc")(adhoc(0L))
+    measure("adhoc dedupAgainst no-bloom")(adhoc(0L))
+    measure("adhoc dedupAgainst bloom rebuilt per call")(adhoc(n))
+    // production form: the snapshot's fingerprint STORE is materialized at
+    // ingest and its Bloom built once; each batch pays only its own path
+    val store = java.nio.file.Files.createTempDirectory("fps").toString
+    corpus.select(fingerprint(col("text")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(store)
+    val storedFps = spark.read.parquet(store)
+    val bloom = Dedup.corpusBloom(corpus, "text", n)
+    def stored(b: Option[org.apache.spark.util.sketch.BloomFilter]) =
+      Dedup.dedupAgainstFingerprints(batch, "text", storedFps, b)
+    measure("warmup stored")(stored(None))
+    measure("stored-fps anti-join, no bloom")(stored(None))
+    measure("stored-fps anti-join + prebuilt bloom")(stored(Some(bloom)))
+    measure("stored-fps anti-join, no bloom (2)")(stored(None))
+    measure("stored-fps anti-join + prebuilt bloom (2)")(stored(Some(bloom)))
+    def spans() =
+      Dedup.removeDuplicateSpans(docs, "text", "doc_id", window = 4)
+    measure("warmup span dedup")(spans())
+    measure("q100-shape span dedup")(spans())
+    measure("q100-shape span dedup (2)")(spans())
+    spark.stop()
   }
 
   /** Split the exact-Jaccard self-join (q50/q86/q87's shared dominant cost)

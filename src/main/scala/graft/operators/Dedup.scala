@@ -78,22 +78,49 @@ object Dedup {
   def dedupAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
                    idCol: String, bloomItems: Long = 0L,
                    bloomFpp: Double = 0.01): DataFrame = {
+    val fps = corpus.select(fingerprint(col(textCol)).as("fp")).distinct()
+    val bloom =
+      if (bloomItems <= 0L) None
+      else Some(corpusBloom(corpus, textCol, bloomItems, bloomFpp))
+    dedupAgainstFingerprints(batch, textCol, fps, bloom)
+  }
+
+  /** Per-snapshot Bloom over the corpus's 64-bit fingerprint lane — build
+    * ONCE per snapshot (one distributed pass) and reuse for every incoming
+    * batch; rebuilding per batch costs more than it routes around
+    * (measured, SURVEY §6). */
+  def corpusBloom(corpus: DataFrame, textCol: String, expectedItems: Long,
+                  fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    corpus.stat.bloomFilter(fingerprint64(col(textCol)), expectedItems, fpp)
+
+  /**
+   * The production form of [[dedupAgainst]]: dedup a batch against a
+   * snapshot's FINGERPRINT STORE — a one-column (`fp`: md5 hex) frame,
+   * written at ingest (bucketed by `fp` for a zero-exchange store side) —
+   * plus an optional pre-built per-snapshot Bloom ([[corpusBloom]]). The
+   * corpus text is never touched on the per-batch path; with the Bloom,
+   * definitely-new batch rows skip the anti-join shuffle too.
+   */
+  def dedupAgainstFingerprints(batch: DataFrame, textCol: String,
+      corpusFps: DataFrame,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : DataFrame = {
+    require(corpusFps.columns.length == 1,
+      s"corpusFps must be a single fingerprint column, " +
+        s"got ${corpusFps.columns.toSeq}")
     val fp = "__graft_dedup_fp"
-    val corpusFps = corpus.select(fingerprint(col(textCol)).as(fp)).distinct()
+    val fps = corpusFps.toDF(fp)
     val keyed = batch.withColumn(fp, fingerprint(col(textCol)))
-    val deduped =
-      if (bloomItems <= 0L) keyed.join(corpusFps, Seq(fp), "left_anti")
-      else {
-        val bloom = corpus.stat.bloomFilter(
-          fingerprint64(col(textCol)), bloomItems, bloomFpp)
+    val deduped = bloom match {
+      case None => keyed.join(fps, Seq(fp), "left_anti")
+      case Some(b) =>
         val maybeSeen = graft.functions.expressions.GraftExpressions
-          .bloomMightContainLong(bloom, fingerprint64(col(textCol)))
+          .bloomMightContainLong(b, fingerprint64(col(textCol)))
         // two-path union: the batch scan is read twice (cheap, codegen'd
         // filters), the JOIN sees only the maybe-seen sliver
         keyed.filter(!maybeSeen)
-          .unionByName(keyed.filter(maybeSeen)
-            .join(corpusFps, Seq(fp), "left_anti"))
-      }
+          .unionByName(keyed.filter(maybeSeen).join(fps, Seq(fp), "left_anti"))
+    }
     deduped.drop(fp)
   }
 
