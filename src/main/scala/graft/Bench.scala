@@ -47,7 +47,8 @@ object Bench {
     "q90_stratified_sample", "q91_group_sample", "q92_pii_redact",
     "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix",
     "q96_curation_pipeline", "q97_pack_sequences", "q98_token_budget",
-    "q99_multimodal_decode", "q100_span_dedup", "q101_incremental_dedup")
+    "q99_multimodal_decode", "q100_span_dedup", "q101_incremental_dedup",
+    "q103_perplexity")
 
   private val RUNS = 5
 

@@ -1546,6 +1546,26 @@ object SparkEntry {
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
+  /** CCNet-style LM quality score: an add-one bigram model trained on the
+    * English slice scores every document's cross-entropy/perplexity —
+    * the standard head/middle/tail quality dial. The oracle recomputes
+    * the smoothed model and both scores from the definition. */
+  private def q103_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    operators.TextProfile.bigramPerplexity(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** BM25 relevance ranking for a literal query — the retrieval sweep a
+    * curation pipeline runs for corpus audits and targeted
+    * decontamination. Scores ordered by doc for a deterministic hash;
+    * ranking is the score column. */
+  private def q104_bm25(s: SparkSession, dir: String): DataFrame =
+    operators.Rank.bm25(parallelize(t(s, dir, "documents")), "text", "doc_id",
+        Seq("spark", "data", "query"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1653,6 +1673,8 @@ object SparkEntry {
     "q100_span_dedup" -> q100_span_dedup _,
     "q101_incremental_dedup" -> q101_incremental_dedup _,
     "q102_incremental_neardup" -> q102_incremental_neardup _,
+    "q103_perplexity" -> q103_perplexity _,
+    "q104_bm25" -> q104_bm25 _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2636,5 +2658,56 @@ object SparkEntry {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |      len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    // add-one bigram LM over the en slice; the CASE guard mirrors
+    // tokens('') = [] (toksSql alone yields [''] on empty text)
+    "q103_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+         |  FROM tok WHERE len(w) >= 2),
+         |uni AS (
+         |  SELECT u.w AS w, count(*) AS c1
+         |  FROM (SELECT unnest(w) AS w FROM tok WHERE lang = 'en') u
+         |  GROUP BY 1),
+         |bi AS (SELECT g, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |    ln((coalesce(bi.c2, 0) + 1)::DOUBLE /
+         |       (coalesce(uni.c1, 0) + v.v)) AS logp
+         |  FROM bg LEFT JOIN bi USING (g)
+         |  LEFT JOIN uni ON string_split(bg.g, ' ')[1] = uni.w
+         |  CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    round(-avg(logp), 4) AS cross_entropy,
+         |    round(exp(-avg(logp)), 2) AS perplexity
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  a.cross_entropy, a.perplexity
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q104_bm25" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM tok),
+         |m AS (
+         |  SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM (
+         |    SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tok) x
+         |  WHERE t IN ('spark', 'data', 'query') GROUP BY doc_id, t),
+         |dfs AS (SELECT t, count(*) AS df FROM m GROUP BY t)
+         |SELECT m.doc_id, round(sum(
+         |  ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (m.tf * (1.2 + 1)) /
+         |  (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl))), 4) AS score
+         |FROM m JOIN dfs d USING (t) CROSS JOIN stats s
+         |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
   )
 }

@@ -67,4 +67,53 @@ object TextProfile {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared")) // per-doc grams are distinct
   }
+
+  /**
+   * CCNet-style LM quality score (Wenzek et al. 2020, "CCNet: Extracting
+   * High Quality Monolingual Datasets from Web Crawl Data" — public): an
+   * add-one-smoothed bigram language model is trained on a REFERENCE slice
+   * (CCNet uses Wikipedia; pass any clean corpus) and every document is
+   * scored by per-bigram cross-entropy and perplexity under it — low
+   * perplexity ≈ reference-like prose, high ≈ boilerplate/gibberish; a
+   * curation pipeline thresholds or buckets on it (CCNet's head/middle/
+   * tail). P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V), V = reference vocab size.
+   *
+   * Distributed shape: the model is two count tables bounded by the
+   * reference VOCABULARY (not its size) — unigram counts and observed-
+   * bigram counts — built with map-side-combined aggs; scoring explodes
+   * each document's bigrams and equi-joins the counts (broadcast when the
+   * model fits — a word model does; shuffle on the gram key otherwise).
+   * Only (id, gram) pairs move; document text never shuffles. Docs with
+   * fewer than 2 tokens have no bigram and are emitted with n_bigrams=0
+   * and NULL scores rather than dropped (corpus accounting keeps rows).
+   */
+  def bigramPerplexity(docs: DataFrame, reference: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    def toks(df: DataFrame) = df.withColumn("__toks",
+      TextFunctions.tokens(col(textCol)))
+    def bigrams(df: DataFrame) = toks(df)
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(
+        TextFunctions.shingles(col(textCol), 2)).as("g"))
+    val refToks = toks(reference)
+      .select(explode(col("__toks")).as("w"))
+    val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams(reference).groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    // vocab size rides an in-plan 1-row broadcast, no driver action
+    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val scored = bigrams(docs)
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .join(bi, Seq("g"), "left")
+      .join(uni, col("w1") === uni("w"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("__v"))).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("logp")), 4).as("cross_entropy"),
+        round(exp(-avg(col("logp"))), 2).as("perplexity"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
 }

@@ -295,6 +295,28 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("q103/q104 text scoring: document text never enters a shuffle") {
+    // perplexity shuffles (id, gram) pairs and vocab-bounded count tables;
+    // bm25 shuffles only query-term (id, term, dl, tf) rows — in both, the
+    // text column must die in its scan stage or the operator is quadratic
+    // in shipped bytes at corpus scale
+    for (q <- Seq("q103_perplexity", "q104_bm25")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // RoundRobin = the fixture wrapper's parallelize() spreading the one
+      // unsplittable test file — input spread, not an operator shuffle (on
+      // splittable storage it's metadata-only); every KEYED exchange must
+      // be text-free
+      plan.split("\n\n")
+        .filter(b => b.contains("Exchange") &&
+          !b.contains("RoundRobinPartitioning"))
+        .foreach(b =>
+          assert(!b.contains("text#") && !b.contains("__toks"),
+            s"$q ships text through a shuffle:\n$b"))
+      assert(!plan.contains("CartesianProduct"), s"$q went cartesian")
+    }
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)

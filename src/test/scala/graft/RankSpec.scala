@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Rank
+
+/** BM25 against a hand-computed oracle (Lucene idf form) — checks df
+  * counting, per-doc tf grouping, length normalization, and query-term
+  * dedup, not just plumbing. */
+class RankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark data spark"),
+    (2L, "data"),
+    (3L, "other words here")).toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed formula") {
+    val got = Rank.bm25(docs, "text", "doc_id", Seq("spark", "data"))
+      .as[(Long, Double)].collect().toMap
+    // N=3, dl = (3,1,3), avgdl = 7/3; df: spark→1, data→2
+    val avgdl = 7.0 / 3
+    def idf(df: Int) = math.log(1 + (3 - df + 0.5) / (df + 0.5))
+    def w(tf: Int, dl: Int, df: Int) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(got.keySet == Set(1L, 2L), s"doc 3 matches no term: $got")
+    assert(got(1L) == r4(w(2, 3, 1) + w(1, 3, 2)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == r4(w(1, 1, 2)), s"doc 2: ${got(2L)}")
+    // a repeated/re-cased query term must not double-count
+    val deduped = Rank.bm25(docs, "text", "doc_id", Seq("spark", "SPARK ", "data"))
+      .as[(Long, Double)].collect().toMap
+    assert(deduped == got, s"dedup broken: $deduped vs $got")
+    intercept[IllegalArgumentException](Rank.bm25(docs, "text", "doc_id", Nil))
+  }
+
+  test("bigramPerplexity scores under the add-one model, keeps no-bigram docs") {
+    val reference = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b"),  // seen bigram: P = (2+1)/(2+2)
+      (2L, "b a"),  // rarer: P = (1+1)/(2+2)
+      (3L, "c d"),  // fully unseen: P = (0+1)/(0+2)
+      (4L, "a"),    // no bigram
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.operators.TextProfile
+      .bigramPerplexity(score, reference, "text", "doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def ce(p: Double) = BigDecimal(-math.log(p))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ppl(p: Double) = BigDecimal(1 / p)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, Some(ce(0.75)), Some(ppl(0.75)))))
+    assert(out(2L) == ((1L, Some(ce(0.5)), Some(ppl(0.5)))))
+    assert(out(3L) == ((1L, Some(ce(0.5)), Some(ppl(0.5)))))
+    assert(out(4L) == ((0L, None, None)), "1-token doc must survive with nulls")
+    assert(out(5L) == ((0L, None, None)), "empty doc must survive with nulls")
+  }
+}
