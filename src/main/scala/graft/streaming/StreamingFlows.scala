@@ -96,6 +96,30 @@ object StreamingFlows {
       .dropDuplicatesWithinWatermark(fp)
       .drop(fp)
   }
+
+  /**
+   * Streaming form of the incremental-ingestion dedup
+   * ([[graft.operators.Dedup.dedupAgainstFingerprints]]): drop arriving
+   * rows whose normalized content the snapshot's fingerprint store already
+   * holds. Stream-static LEFT ANTI join — natively supported by Structured
+   * Streaming, stateless on the stream side (no watermark needed: the
+   * static side is the state). The static frame is re-planned per
+   * micro-batch, so a store path re-read picks up snapshot compactions;
+   * pair with [[streamingDedup]] upstream to also collapse duplicates
+   * WITHIN the stream's watermark horizon. Scale shape: identical to the
+   * batch form — the store ships fingerprints only, never text.
+   */
+  def streamingDedupAgainst(stream: DataFrame, corpusFps: DataFrame,
+                            textCol: String): DataFrame = {
+    require(corpusFps.columns.length == 1,
+      s"corpusFps must be a single fingerprint column, " +
+        s"got ${corpusFps.columns.toSeq}")
+    val fp = "__graft_dedup_fp"
+    stream
+      .withColumn(fp, graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .join(corpusFps.toDF(fp), Seq(fp), "left_anti")
+      .drop(fp)
+  }
 }
 
 /**

@@ -218,6 +218,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against a snapshot drops stored content, keeps new") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the snapshot's fingerprint store (one fp column, as written at ingest)
+    val storeFps = Seq("alpha beta", "gamma delta").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    val kept = StreamingFlows.streamingDedupAgainst(
+      input.toDF().toDF("id", "text"), storeFps, "text")
+    val q = kept.writeStream.format("memory").queryName("sda_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "  ALPHA   beta "), // normalizes to stored content → dropped
+        (2L, "brand new doc"),
+        (3L, "gamma delta"))     // stored verbatim → dropped
+      q.processAllAvailable()
+      input.addData((4L, "another new one"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sda_out").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(2L, 4L), s"got ${ids.toSeq}")
+    } finally q.stop()
+    intercept[IllegalArgumentException](StreamingFlows.streamingDedupAgainst(
+      input.toDF().toDF("id", "text"), Seq((1L, "x")).toDF("a", "b"), "text"))
+  }
+
   test("ParquetBoundary: write side feeds both batch and streaming readers") {
     val dir = java.nio.file.Files.createTempDirectory("boundary").toString
     val b = new ParquetBoundary(s"$dir/stage")
