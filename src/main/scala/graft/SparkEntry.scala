@@ -1566,6 +1566,56 @@ object SparkEntry {
         Seq("spark", "data", "query"))
       .orderBy(col("doc_id"))
 
+  /** ORC sink + source round-trip over supplier (completes the columnar
+    * connector pair next to parquet; CSV/JSON cover the text formats in
+    * q54/q55). Written with an explicit read schema and aggregated — the
+    * result must equal the oracle's direct-parquet aggregate, proving the
+    * round-trip lossless for longs/doubles/strings. */
+  private def q105_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = roundTripDir("graft_q105_orc")
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").orc(tmp)
+    s.read
+      .schema("s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE")
+      .orc(tmp)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s_acctbal")), 2).as("total_bal"),
+        min(col("s_suppkey")).as("min_key"),
+        max(col("s_suppkey")).as("max_key"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** CCNet-style normalization (lowercase → NFKD accent strip → whitespace
+    * collapse) via the native codegen `normalize_text` expression — the
+    * standard dedup-preprocessing transform (Wenzek et al. 2020). The
+    * fixture is ASCII so the oracle's `strip_accents` agrees exactly; the
+    * unicode edges (accent strip, compatibility folds, combining marks)
+    * are pinned in ExpressionsSpec. */
+  private def q106_normalize_text(s: SparkSession, dir: String): DataFrame =
+    parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("norm_text"))
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** fastText-style hashed linear quality classifier (Joulin et al. 2016):
+    * unigram+bigram features → closed-form hashed weights → mean →
+    * sigmoid, fused into ONE codegen'd pass by the native
+    * `hashed_ngram_score` expression (no per-feature array, no HOF
+    * lambda). The oracle recomputes the identical arithmetic from the
+    * definition. Blank documents have no features → NULL score/accept. */
+  private def q109_hash_classifier(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        greatest(size(toks) * 2 - 1, lit(0)).cast("long").as("n_feats"),
+        round(TextFunctions.hashedQualityScore(col("text")), 4).as("score"))
+      .withColumn("accept", col("score") >= 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1675,6 +1725,9 @@ object SparkEntry {
     "q102_incremental_neardup" -> q102_incremental_neardup _,
     "q103_perplexity" -> q103_perplexity _,
     "q104_bm25" -> q104_bm25 _,
+    "q105_orc_roundtrip" -> q105_orc_roundtrip _,
+    "q106_normalize_text" -> q106_normalize_text _,
+    "q109_hash_classifier" -> q109_hash_classifier _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2709,5 +2762,45 @@ object SparkEntry {
          |  (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl))), 4) AS score
          |FROM m JOIN dfs d USING (t) CROSS JOIN stats s
          |GROUP BY m.doc_id ORDER BY m.doc_id""".stripMargin,
+    // The ORC write/read halves happen Spark-side; the oracle checks the
+    // round-tripped aggregate against the direct parquet aggregate.
+    "q105_orc_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(s_acctbal), 2) AS total_bal,
+        | min(s_suppkey) AS min_key, max(s_suppkey) AS max_key
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // strip_accents ≡ the expression's NFKD+mark-strip on this ASCII
+    // fixture; the unicode divergences (compatibility folds) are pinned
+    // engine-side in ExpressionsSpec, not oracle-checked.
+    "q106_normalize_text" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(strip_accents(lower(coalesce(text, ''))),
+        |                        '\s+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, len(norm_text)::BIGINT AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q109_hash_classifier" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, list_concat(w,
+         |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS feats
+         |  FROM tok),
+         |sc AS (
+         |  SELECT doc_id, len(feats) AS n_feats,
+         |    CASE WHEN len(feats) = 0 THEN NULL ELSE
+         |      list_sum(list_transform(feats, t ->
+         |        (list_sum(list_transform(range(1, len(t) + 1),
+         |           i -> ascii(t[i]) * i)) % 997) / 997.0 - 0.5)) / len(feats)
+         |    END AS m
+         |  FROM f)
+         |SELECT doc_id, n_feats::BIGINT AS n_feats,
+         |  round(1.0 / (1.0 + exp(-4.0 * m)), 4) AS score,
+         |  (round(1.0 / (1.0 + exp(-4.0 * m)), 4) >= 0.5) AS accept
+         |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

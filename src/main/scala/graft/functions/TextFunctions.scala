@@ -245,4 +245,24 @@ object TextFunctions {
         .otherwise(transform(
           sequence(lit(1), size(grams) - (w - 1)),
           i => array_min(slice(grams, i, lit(w))))))
+
+  // --- Normalization & learned-style scoring ---------------------------
+
+  /** CCNet-style normalization (lowercase, NFKD accent strip, whitespace
+    * collapse) via the native codegen [[expressions.NormalizeText]]
+    * expression — the canonical dedup-preprocessing transform. NULL ≡ empty
+    * (same contract as [[tokens]]). */
+  def normalizeText(text: Column): Column =
+    graft.functions.expressions.GraftExpressions
+      .normalizeText(coalesce(text, lit("")))
+
+  /** fastText-style linear quality score in (0, 1): `sigmoid(4 · mean
+    * unigram+bigram feature weight)` over whitespace tokens, the hashed
+    * linear-classifier shape (weights closed-form — see
+    * [[expressions.HashedNgramScore]]). NULL for featureless (blank) text. */
+  def hashedQualityScore(text: Column): Column = {
+    val raw = graft.functions.expressions.GraftExpressions
+      .hashedNgramScore(tokens(text))
+    lit(1.0) / (lit(1.0) + exp(raw * lit(-4.0)))
+  }
 }

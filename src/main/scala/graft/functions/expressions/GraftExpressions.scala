@@ -504,6 +504,154 @@ case class BloomMightContainLong(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * CCNet-style text normalization (Wenzek et al. 2020, "CCNet: Extracting
+ * High Quality Monolingual Datasets from Web Crawl Data" — public): the
+ * canonical dedup-preprocessing transform. Lowercase → unicode NFKD
+ * decomposition with combining marks stripped (café → cafe; compatibility
+ * forms fold too: ﬁ → fi) → whitespace runs collapsed to one space →
+ * trimmed. One codegen'd call per row; the regex Patterns are compiled
+ * once per JVM, not per row. Deliberately does NOT drop punctuation or
+ * digits — that is a corpus-policy choice layered on top with built-in
+ * `regexp_replace`, while this expression is the locale-independent
+ * unicode part Spark has no built-in for.
+ */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(v: Any): Any =
+    NormalizeText.normalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.NormalizeText.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeText {
+  // compiled once; java.util.regex.Pattern is thread-safe (Matcher is not,
+  // but matcher() allocates per call)
+  private val Marks = java.util.regex.Pattern.compile("\\p{M}+")
+  private val Spaces = java.util.regex.Pattern.compile("\\s+")
+
+  /** Shared by interpreted eval and generated code. */
+  def normalize(s: UTF8String): UTF8String = {
+    val lowered = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val decomposed = java.text.Normalizer
+      .normalize(lowered, java.text.Normalizer.Form.NFKD)
+    val stripped = Marks.matcher(decomposed).replaceAll("")
+    UTF8String.fromString(
+      Spaces.matcher(stripped).replaceAll(" ").strip())
+  }
+}
+
+/**
+ * fastText-style linear text score (Joulin et al. 2016, "Bag of Tricks for
+ * Efficient Text Classification" — public): the mean weight of a
+ * document's unigram + adjacent-bigram features under a deterministic
+ * hashed weight table, the shape of every fast quality/domain classifier a
+ * curation pipeline runs at scale (DCLM, fastText langid). The "table" is
+ * closed-form — `w(feature) = (Σ_i codepoint(c_i)·i mod 997)/997 − 0.5`
+ * over the feature string's 1-based code points — so both engines can
+ * recompute it exactly (no model artifact to ship), while keeping the real
+ * classifier's dataflow: feature extraction and weight lookup fused in ONE
+ * codegen'd pass over the token array, no per-feature array materialized,
+ * no interpreted HOF lambda. Swapping the closed form for learned weights
+ * is a one-method change (`weight`), the plan shape is identical.
+ *
+ * Returns the mean feature weight in [−0.5, 0.5]; empty array → null
+ * (no features ⇒ no evidence — callers layer the sigmoid/threshold with
+ * built-ins). A null token element is skipped as a unigram and voids the
+ * bigrams it touches, matching the SQL formulation where `a || '_' || b`
+ * is NULL if either side is.
+ */
+case class HashedNgramScore(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // a non-null array with zero usable features still yields NULL
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_ngram_score"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    HashedNgramScore.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("ngramScore")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.expressions.HashedNgramScore.compute($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedNgramScore {
+  private final val Mod = 997L
+
+  /** Positional code-point sum weight — the closed-form "learned" weight. */
+  def weight(s: String): Double = {
+    var sum = 0L
+    var i = 0 // char offset
+    var pos = 1L // 1-based CODE POINT position (matches SQL's t[i])
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += cp.toLong * pos
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    (sum % Mod).toDouble / Mod - 0.5
+  }
+
+  /** Shared by interpreted eval and generated code. Boxed so the codegen
+    * null-out contract works for the no-features case. Accumulation order
+    * is ALL unigrams left-to-right, then all bigrams — the same element
+    * order as the SQL `list_concat(w, bigrams)` formulation, so the
+    * floating-point sum is bit-identical to the oracle's. */
+  def compute(tokens: ArrayData): java.lang.Double = {
+    val n = tokens.numElements()
+    var sum = 0.0
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        sum += weight(tokens.getUTF8String(i).toString); count += 1
+      }
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      if (!tokens.isNullAt(i - 1) && !tokens.isNullAt(i)) {
+        sum += weight(tokens.getUTF8String(i - 1).toString + "_" +
+          tokens.getUTF8String(i).toString)
+        count += 1
+      }
+      i += 1
+    }
+    if (count == 0) null else java.lang.Double.valueOf(sum / count)
+  }
+}
+
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -527,6 +675,13 @@ object GraftExpressions {
                             c: Column): Column =
     GraftColumnBridge.column(
       BloomMightContainLong(GraftColumnBridge.expression(c), bloom))
+
+  def normalizeText(c: Column): Column =
+    GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c)))
+
+  def hashedNgramScore(tokens: Column): Column =
+    GraftColumnBridge.column(
+      HashedNgramScore(GraftColumnBridge.expression(tokens)))
 
   /** See [[SortedIntersectSize]] — sorted-input precondition applies. */
   private[graft] def sortedIntersectSize(a: Column, b: Column): Column =
@@ -576,6 +731,12 @@ object GraftExpressions {
       exprs => { checkArity("minhash_signature", exprs, 2, 2)
         MinHashSignature(exprs(0),
           constInt(exprs(1), "minhash_signature", "num_hashes")) }, "scala_udf")
+    registry.createOrReplaceTempFunction("normalize_text",
+      exprs => { checkArity("normalize_text", exprs, 1, 1)
+        NormalizeText(exprs.head) }, "scala_udf")
+    registry.createOrReplaceTempFunction("hashed_ngram_score",
+      exprs => { checkArity("hashed_ngram_score", exprs, 1, 1)
+        HashedNgramScore(exprs.head) }, "scala_udf")
     registry.createOrReplaceTempFunction("hyperplane_lsh_key",
       exprs => { checkArity("hyperplane_lsh_key", exprs, 2, 3)
         HyperplaneLshKey(exprs(0),

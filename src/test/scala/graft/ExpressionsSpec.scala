@@ -285,4 +285,63 @@ class ExpressionsSpec extends SparkSpec {
         .select(GraftExpressions.bloomMightContainLong(bloom, $"x")).collect()
     }
   }
+
+  test("normalize_text: unicode accents, compatibility folds, whitespace, SQL") {
+    val rows = Seq(
+      "  Café   au\tLAIT \n",  // accents + mixed whitespace + case
+      "ﬁn de siècle",     // U+FB01 LATIN SMALL LIGATURE FI → "fi" (NFKD)
+      "á combining",     // a + COMBINING ACUTE → "a"
+      "",                       // empty stays empty
+      "   \t  ").toDF("t")      // all-whitespace collapses to empty
+      .select(GraftExpressions.normalizeText($"t").as("n"))
+      .as[String].collect().toSeq
+    assert(rows == Seq("cafe au lait", "fin de siecle", "a combining", "", ""))
+    // null propagates (nullIntolerant), SQL surface agrees, interpreted
+    // eval (no codegen) matches the codegen path
+    GraftExpressions.registerAll(spark)
+    assert(spark.sql("SELECT normalize_text('  Äß  X ')").as[String].head()
+      == "aß x") // NFKD does NOT fold ß (not a decomposition) — pinned
+    val nulls = Seq[String](null).toDF("t")
+      .select(GraftExpressions.normalizeText($"t"))
+      .collect().map(_.isNullAt(0)).toSeq
+    assert(nulls == Seq(true))
+    val expr = graft.functions.expressions.NormalizeText(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "Crème BRÛLÉE", org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).toString == "creme brulee")
+  }
+
+  test("hashed_ngram_score: definition arithmetic, null/empty edges, SQL") {
+    import graft.functions.expressions.HashedNgramScore
+    // closed-form weight: w("ab") = ((97·1 + 98·2) mod 997)/997 − 0.5
+    assert(HashedNgramScore.weight("ab") == ((97 + 98 * 2) % 997) / 997.0 - 0.5)
+    // one token → exactly that unigram weight; two tokens → mean of
+    // (u1, u2, bigram "a_b") in that order
+    val one = Seq(Seq("ab")).toDF("t")
+      .select(GraftExpressions.hashedNgramScore($"t")).as[Double].head()
+    assert(one == HashedNgramScore.weight("ab"))
+    val two = Seq(Seq("ab", "cd")).toDF("t")
+      .select(GraftExpressions.hashedNgramScore($"t")).as[Double].head()
+    val expected = (HashedNgramScore.weight("ab") + HashedNgramScore.weight("cd") +
+      HashedNgramScore.weight("ab_cd")) / 3.0
+    assert(two == expected)
+    // empty array → null; a null ELEMENT is skipped and voids its bigrams
+    val edge = Seq(
+      (1, Seq.empty[String]),
+      (2, Seq("ab", null, "cd"))).toDF("id", "t")
+      .orderBy($"id")
+      .select(GraftExpressions.hashedNgramScore($"t"))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getDouble(0) ==
+      (HashedNgramScore.weight("ab") + HashedNgramScore.weight("cd")) / 2.0)
+    // null input propagates; SQL surface + interpreted eval agree
+    GraftExpressions.registerAll(spark)
+    assert(spark.sql("SELECT hashed_ngram_score(array('ab'))")
+      .as[Double].head() == HashedNgramScore.weight("ab"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2)).toDF("t")
+        .select(GraftExpressions.hashedNgramScore($"t")).collect()
+    }
+  }
 }
