@@ -48,7 +48,8 @@ object Bench {
     "q93_quality_filter", "q94_mixing_rates", "q95_materialize_mix",
     "q96_curation_pipeline", "q97_pack_sequences", "q98_token_budget",
     "q99_multimodal_decode", "q100_span_dedup", "q101_incremental_dedup",
-    "q103_perplexity")
+    "q102_incremental_neardup", "q103_perplexity", "q104_bm25",
+    "q107_rrf_fusion", "q108_semdedup", "q109_hash_classifier")
 
   private val RUNS = 5
 

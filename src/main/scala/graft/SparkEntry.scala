@@ -1600,6 +1600,68 @@ object SparkEntry {
       .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
       .orderBy(col("doc_id"))
 
+  /** Hybrid retrieval: a lexical BM25 top-50 and a dense cosine top-50
+    * (query = the vec_id-0 embedding) fused by reciprocal-rank fusion
+    * (k=60) — the standard two-retriever RAG-prep consensus, fused on
+    * ranks so no score calibration is needed. Both lists rank on
+    * round-4 scores with id tiebreaks (the q34 convention) so the two
+    * engines can never disagree on a rank. */
+  private def q107_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    val sparse = operators.Rank.bm25(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", Seq("spark", "data", "query"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= 50)
+      .select(col("doc_id").as("id"), col("rank"))
+    val e = t(s, dir, "embeddings")
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dense = e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q0))
+      .select(col("vec_id").as("id"),
+        round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos_r"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_r").desc, col("id"))))
+      .filter(col("rank") <= 50)
+      .select(col("id"), col("rank"))
+    operators.Rank.rrfFuse(Seq(sparse, dense), "id")
+      .select(col("id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(20)
+  }
+
+  /** SemDeDup accuracy gate (q33/q37/q60 pattern): cluster-then-compare
+    * semantic dedup is verified in-plan against the exact all-pairs
+    * threshold graph at the same tau. Recall < 1 is the paper's own
+    * approximation (cross-cluster duplicates are never compared);
+    * spurious drops must be structurally zero (the sem pair graph is a
+    * subgraph of the exact graph, so a doc dropped by sem is non-minimal
+    * in its exact component too). The oracle pins the verdict rows. */
+  private def q108_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val sem = Dedup.semDedupPairs(e, "embedding", "vec_id", k = 8, tau = 0.45)
+      .select(col("id_a"), col("id_b"))
+    val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id",
+        threshold = 0.45, nBits = 0)
+      .select(col("id_a"), col("id_b"))
+    val semDropped = Dedup.resolveClusters(sem)
+      .filter(!col("keep")).select(col("id"))
+    val exactDropped = Dedup.resolveClusters(exact)
+      .filter(!col("keep")).select(col("id"))
+    val recall = exactDropped
+      .join(semDropped.withColumn("hit", lit(1)), Seq("id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("v"))
+      .select(lit("semdedup_recall_of_exact").as("metric"),
+        lit(0.5).as("bound"),
+        // empty exact-dup set would make recall NULL; surface false
+        coalesce(col("v") >= 0.5, lit(false)).as("ok"))
+    val spurious = semDropped.join(exactDropped, Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("semdedup_spurious_drops").as("metric"),
+        lit(0.0).as("bound"), (col("n") === 0).as("ok"))
+    recall.unionByName(spurious).orderBy(col("metric"))
+  }
+
   /** fastText-style hashed linear quality classifier (Joulin et al. 2016):
     * unigram+bigram features → closed-form hashed weights → mean →
     * sigmoid, fused into ONE codegen'd pass by the native
@@ -1727,6 +1789,8 @@ object SparkEntry {
     "q104_bm25" -> q104_bm25 _,
     "q105_orc_roundtrip" -> q105_orc_roundtrip _,
     "q106_normalize_text" -> q106_normalize_text _,
+    "q107_rrf_fusion" -> q107_rrf_fusion _,
+    "q108_semdedup" -> q108_semdedup _,
     "q109_hash_classifier" -> q109_hash_classifier _,
   )
 
@@ -2780,6 +2844,47 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, norm_text, len(norm_text)::BIGINT AS n_chars_norm
         |FROM n ORDER BY doc_id""".stripMargin,
+    "q107_rrf_fusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM tok),
+         |m AS (
+         |  SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM (
+         |    SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tok) x
+         |  WHERE t IN ('spark', 'data', 'query') GROUP BY doc_id, t),
+         |dfs AS (SELECT t, count(*) AS df FROM m GROUP BY t),
+         |bm AS (
+         |  SELECT m.doc_id AS id, round(sum(
+         |    ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (m.tf * (1.2 + 1)) /
+         |    (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl))), 4) AS score
+         |  FROM m JOIN dfs d USING (t) CROSS JOIN stats s GROUP BY m.doc_id),
+         |sr AS (SELECT id, rank FROM (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank
+         |  FROM bm) WHERE rank <= 50),
+         |e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |dr AS (SELECT id, rank FROM (
+         |  SELECT e.vec_id AS id, row_number() OVER (
+         |    ORDER BY round(${cosSql("qv.q", "e.v")}, 4) DESC, e.vec_id) AS rank
+         |  FROM e, qv WHERE e.vec_id <> 0) WHERE rank <= 50),
+         |u AS (
+         |  SELECT id, 1.0 / (60 + rank)::DOUBLE AS c FROM sr
+         |  UNION ALL SELECT id, 1.0 / (60 + rank)::DOUBLE FROM dr)
+         |SELECT id, round(sum(c), 6) AS rrf FROM u
+         |GROUP BY id ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // q108 is an accuracy GATE (q33/q60 pattern): Spark verifies SemDeDup
+    // against the exact all-pairs threshold graph in-plan and emits
+    // (metric, bound, ok); the oracle pins the expected verdict literally,
+    // so a clustering/recall regression (ok=false) hash-mismatches.
+    "q108_semdedup" ->
+      """SELECT * FROM (VALUES
+        |  ('semdedup_recall_of_exact', CAST(0.5 AS DOUBLE), TRUE),
+        |  ('semdedup_spurious_drops', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     "q109_hash_classifier" ->
       s"""WITH tok AS (
          |  SELECT doc_id,

@@ -637,6 +637,66 @@ object Dedup {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication" — public): semantic
+   * duplicate PAIRS via cluster-then-compare. The corpus is k-means
+   * clustered in embedding space ([[Similarity.trainCentroids]] +
+   * [[Similarity.ivfAssign]] — centroids broadcast, corpus never shuffles
+   * for the assignment) and cosine similarity is computed only WITHIN each
+   * cluster; pairs at or above `tau` are semantic duplicates. This is the
+   * published scale escape from the quadratic all-pairs comparison: work
+   * per cluster is (n/k)² instead of n² corpus-wide, and the within-cell
+   * self-join shuffles bare (id, cell) pairs — vectors attach per
+   * candidate afterwards (the [[embeddingNearDup]] slim shape).
+   *
+   * Deviation from the paper, documented: the paper keeps the member with
+   * the LOWEST cosine to the cluster centroid; downstream
+   * [[resolveClusters]]/[[keepRepresentatives]] keep the minimum id —
+   * deterministic under re-clustering, which matters more in an
+   * incremental pipeline than the paper's heuristic. Recall vs the exact
+   * threshold graph is inherently < 1 (cross-cluster duplicates are never
+   * compared — the paper's own approximation); precision is structurally 1
+   * (every emitted pair passed the exact cosine test). Both are gated
+   * in-plan by q108's verdict rows.
+   */
+  def semDedupPairs(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int, tau: Double, iters: Int = 2,
+                    probes: Int = 2): DataFrame = {
+    val centroids = Similarity.trainCentroids(df, vecCol, idCol, k, iters)
+    // soft assignment ([[Similarity.ivfAssignMulti]]): a pair is compared
+    // iff the two probe sets intersect — recovers the boundary-straddling
+    // near-dups hard assignment structurally misses (measured on the
+    // fixture: recall of the exact threshold graph 3/7 hard → 6/7 at
+    // probes = 2), at probes× assignment cost. probes = 1 is the paper's
+    // hard assignment.
+    val assigned = OpCache.track(
+      Similarity.ivfAssignMulti(df, centroids, vecCol, idCol, probes)
+        .persist())
+    val slim = assigned.select(col(idCol).as("id"), col("cell"))
+    val cands = slim.alias("l").join(slim.alias("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct() // a pair may share several probed cells
+    val vecs = assigned.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .dropDuplicates("id")
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** The full SemDeDup decision: cluster, compare within clusters, resolve
+    * duplicate components, keep one representative per component (minimum
+    * id) — the corpus that ships. Composes [[semDedupPairs]] with
+    * [[keepRepresentatives]]; the anti-join moves only loser ids. */
+  def semDedup(df: DataFrame, vecCol: String, idCol: String,
+               k: Int, tau: Double, iters: Int = 2,
+               probes: Int = 2): DataFrame =
+    keepRepresentatives(df,
+      semDedupPairs(df, vecCol, idCol, k, tau, iters, probes), idCol)
+
+  /**
    * C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedup the
    * corpus at span granularity; RefinedWeb line-dedup is the same op at
    * line granularity): the text of every document is cut into

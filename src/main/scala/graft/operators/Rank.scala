@@ -65,4 +65,32 @@ object Rank {
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 4).as("score"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09 — public):
+   * combines any number of ranked lists into one consensus ranking,
+   * `rrf(d) = Σ_lists 1/(k + rank_list(d))`, the standard way to fuse a
+   * lexical (BM25) and a dense (embedding ANN) retriever without score
+   * calibration — ranks are comparable across retrievers, raw scores are
+   * not. A document absent from a list contributes nothing for it
+   * (full-outer union semantics).
+   *
+   * Input: one `(idCol, rank)` frame per retriever, ranks 1-based.
+   * Output: `(idCol, rrf)` — callers order/limit (round before ordering:
+   * two engines' last-ULP sums must not flip a rank).
+   *
+   * Distributed shape: each input is a top-N list (N rows, not corpus
+   * rows), so the union + groupBy moves N·lists 16-byte rows — the
+   * expensive retrieval stages upstream already did the corpus-scale work.
+   */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String = "rank",
+              k: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    ranked
+      .map(_.select(col(idCol),
+        (lit(1.0) / (lit(k.toDouble) + col(rankCol))).as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf"))
+  }
 }

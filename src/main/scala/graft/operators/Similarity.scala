@@ -113,6 +113,47 @@ object Similarity {
   }
 
   /**
+   * Soft (multi-probe) IVF assignment: every vector is assigned to its
+   * `probes` NEAREST centroids, one output row per (vector, cell). The
+   * corpus-side analog of [[ivfTopK]]'s query-side nProbe: two vectors are
+   * ever compared iff their probe sets intersect, so raising `probes`
+   * recovers neighbors that straddle a cell boundary (the dominant recall
+   * loss of hard assignment) at `probes`× the assignment cost.
+   *
+   * Shape: `probes` rounds of the [[ivfAssign]] broadcast-join +
+   * `max_by` partial/final aggregation, each excluding the cells already
+   * chosen (tracked in a ≤`probes`-element array per row) — every round
+   * collapses the k candidate rows per vector map-side before its
+   * exchange, so each round moves the corpus once and vectors never fan
+   * out k×. `probes` is a compile-time-small constant (2-4), not data.
+   */
+  def ivfAssignMulti(df: DataFrame, centroids: DataFrame, vecCol: String,
+                     idCol: String, probes: Int): DataFrame = {
+    require(probes >= 1, s"probes must be at least 1, got $probes")
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    var out = ivfAssign(df, centroids, vecCol, idCol)
+    var acc = out.withColumn("cells", array(col("cell")))
+    for (_ <- 2 to probes) {
+      // same argmax trick as ivfAssign, over the not-yet-chosen cells;
+      // a row with fewer than `probes` reachable centroids (k < probes)
+      // simply drops out of later rounds
+      acc = acc.join(broadcast(c))
+        .filter(!array_contains(col("cells"), col("centroid_id")))
+        .groupBy(col(idCol))
+        .agg(max_by(
+          struct(col(vecCol).as("v"), col("cells").as("cs"),
+            col("centroid_id").as("cid")),
+          struct(cosine(col(vecCol), col("centv")).as("cos"),
+            (-col("centroid_id")).as("nid"))).as("best"))
+        .select(col(idCol), col("best.v").as(vecCol),
+          array_append(col("best.cs"), col("best.cid")).as("cells"),
+          col("best.cid").as("cell"))
+      out = out.unionByName(acc.select(col(idCol), col(vecCol), col("cell")))
+    }
+    out
+  }
+
+  /**
    * Lloyd-refined IVF centroids (k-means on cosine geometry): seed with a
    * deterministic hash-ordered corpus sample, then alternate assignment
    * ([[ivfAssign]] — centroids broadcast, corpus never shuffled for the

@@ -355,4 +355,63 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(_._1 == 202L) && !pairs.exists(_._1 == 203L),
       s"unrelated batch doc paired: $pairs")
   }
+
+  test("semDedupPairs emits a verified subgraph of the exact threshold graph") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tau = 0.45
+    val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id",
+        threshold = tau, nBits = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semDedupPairs(e, "embedding", "vec_id", k = 8, tau = tau)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)].collect()
+    OpCache.release()
+    // precision is structural: every emitted pair passed the exact cosine
+    // test, so it must be in the exact graph and at/above tau
+    sem.foreach { case (a, b, c) =>
+      assert(c >= tau, s"pair ($a,$b) below tau: $c")
+      assert(exact.contains((a, b)), s"pair ($a,$b) not in exact graph")
+    }
+    // the fixture has semantic dups at this tau — a silently-empty sem
+    // graph would pass the subgraph check while finding nothing
+    assert(sem.nonEmpty, "no semantic duplicates found at tau=0.45")
+  }
+
+  test("semDedup soft assignment: probes=2 finds at least the probes=1 pairs") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val hard = Dedup.semDedupPairs(e, "embedding", "vec_id",
+        k = 8, tau = 0.45, probes = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val soft = Dedup.semDedupPairs(e, "embedding", "vec_id",
+        k = 8, tau = 0.45, probes = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    OpCache.release()
+    // every pair sharing its primary cell also shares a probe-set cell
+    assert(hard.subsetOf(soft),
+      s"soft assignment lost hard pairs: ${hard.diff(soft)}")
+    // measured on this fixture: soft strictly improves boundary recall
+    assert(soft.size > hard.size,
+      s"probes=2 found nothing beyond hard assignment (${soft.size} pairs)")
+  }
+
+  test("ivfAssignMulti: per-id probe cells are distinct, first probe = hard") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val multi = Similarity.ivfAssignMulti(e, cents, "embedding", "vec_id",
+        probes = 2)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect()
+    val hard = Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    OpCache.release()
+    val byId = multi.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    byId.foreach { case (id, cells) =>
+      assert(cells.size <= 2 && cells.distinct.size == cells.size,
+        s"id $id probed cells $cells")
+      assert(cells.contains(hard(id)),
+        s"id $id multi-assign lost its hard cell ${hard(id)}: $cells")
+    }
+    // sanity: nearly all ids get a second probe (k=8 > probes)
+    assert(byId.values.count(_.size == 2) > byId.size / 2,
+      "second probe missing for most ids")
+  }
 }

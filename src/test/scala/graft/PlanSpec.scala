@@ -248,6 +248,29 @@ class PlanSpec extends SparkSpec {
       s"embedding column must not ride the bucket join:\n$joinLine")
   }
 
+  test("q108 semdedup: the within-cell candidate join moves no vectors") {
+    // same slim-shuffle invariant as q38: both sides of the cell-equality
+    // self-join carry bare (id, cell) — the embeddings attach per
+    // surviving candidate pair afterwards, never ride the candidate join.
+    // Inspect semDedupPairs' own plan (q108's final frame is downstream of
+    // resolveClusters' eager materialization, which truncates the lineage
+    // to a bare RDD scan and hides the candidate join).
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = graft.operators.Dedup.semDedupPairs(
+      e, "embedding", "vec_id", k = 8, tau = 0.45)
+    val plan = pairs.queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+    val cellJoin = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("cell#") &&
+        !l.contains("LeftAnti"))
+      .getOrElse(fail(s"no cell-keyed candidate join in plan:\n$plan"))
+    assert(!cellJoin.contains("embedding") && !cellJoin.contains("v#"),
+      s"embedding must not ride the candidate join:\n$cellJoin")
+    assert(!plan.contains("CartesianProduct"),
+      "semdedup must never go cartesian")
+    graft.operators.OpCache.release()
+  }
+
   test("q100 span dedup: the corpus-wide span count shuffles no text") {
     // the corpus-wide occurrence count must aggregate bare
     // (key128, id, sidx) triples — the span strings (and the full span

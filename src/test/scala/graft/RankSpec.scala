@@ -55,4 +55,24 @@ class RankSpec extends SparkSpec {
     assert(out(4L) == ((0L, None, None)), "1-token doc must survive with nulls")
     assert(out(5L) == ((0L, None, None)), "empty doc must survive with nulls")
   }
+
+  test("rrfFuse sums reciprocal ranks with absent-list docs contributing 0") {
+    val listA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val listB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val got = Rank.rrfFuse(Seq(listA, listB), "id", k = 60)
+      .as[(Long, Double)].collect().toMap
+    // doc 2 is in both lists; 1, 3, 4 each in exactly one
+    assert(got(1L) == 1.0 / 61)
+    assert(got(2L) == 1.0 / 62 + 1.0 / 61)
+    assert(got(3L) == 1.0 / 63)
+    assert(got(4L) == 1.0 / 62)
+    // consensus property: the doc ranked in BOTH lists outscores every
+    // single-list doc here — the reason rank fusion needs no calibration
+    assert(got(2L) > got(1L) && got(2L) > got(4L))
+    // single-list fusion degenerates to the reciprocal rank itself
+    val single = Rank.rrfFuse(Seq(listB), "id").as[(Long, Double)]
+      .collect().toMap
+    assert(single == Map(2L -> 1.0 / 61, 4L -> 1.0 / 62))
+    intercept[IllegalArgumentException](Rank.rrfFuse(Nil, "id"))
+  }
 }
