@@ -25,6 +25,9 @@ import graft.operators.{Dedup, OpCache}
   *  - `incr [<docs.parquet>]` — incremental-dedup tier: ad-hoc vs
   *    stored-fingerprint/prebuilt-Bloom forms of `dedupAgainst` (shuffle
   *    cut of the Bloom route) plus the q100 span-dedup shape.
+  *  - `sem [n...]` — SemDeDup-tier scaling over synthetic embeddings
+  *    (default decades 2k/20k/200k), hard vs soft assignment; candidate
+  *    counts are the (n/k)² control recorded in SURVEY §6.
   */
 object Probe {
 
@@ -69,6 +72,9 @@ object Probe {
       case Some("dford") => dfOrderRun(pathArg)
       case Some("ppsplit") => ppSplitRun(pathArg)
       case Some("incr") => incrRun(pathArg)
+      case Some("sem") =>
+        semRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+          else Seq(2000L, 20000L, 200000L))
       case _ => bandingRun()
     }
   }
@@ -113,6 +119,59 @@ object Probe {
     measure("warmup span dedup")(spans())
     measure("q100-shape span dedup")(spans())
     measure("q100-shape span dedup (2)")(spans())
+    spark.stop()
+  }
+
+  /** SemDeDup-tier scaling: [[Dedup.semDedupPairs]] over synthetic
+    * deterministic embeddings at decade-over-decade corpus sizes, hard
+    * (probes=1) vs soft (probes=2) assignment. Embeddings are generated
+    * in-plan from id hashes (64 dims, near-orthogonal in expectation), with
+    * ~1% planted exact copies (id % 97 == 0 copies id−1) so tau=0.9 has a
+    * known positive set of ~n/97 pairs. Reports wall, shuffle bytes, the
+    * BLOCKING-stage candidate count (the (n/k)² control — the number that
+    * must NOT grow quadratically in n at fixed cell size), and found
+    * pairs. k scales as n/256 (fixed ~256-vector mean cell), the knob that
+    * holds per-cell work constant as the corpus grows. */
+  private def semRun(sizes: Seq[Long]): Unit = {
+    val spark = session()
+    val dim = 64
+    def vecOf(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(xxhash64(seed * dim + j), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float"))
+    for (n <- sizes) {
+      val k = math.max(8, (n / 256).toInt)
+      // partition count must scale with the candidate volume (~2n²/k
+      // pairs × ~300 B of attached vectors): at a fixed 32 partitions the
+      // 200k decade is ~1 GB of join-sort buffer per task and 32
+      // concurrent tasks OOM a default heap — exactly the knob a real
+      // cluster run sizes first (SURVEY §6)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n / 1000L).toString)
+      val emb = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(97)) === 0 && col("id") > 0,
+          vecOf(col("id") - 1)).otherwise(vecOf(col("id"))).as("embedding"))
+        .repartition(32)
+      val planted = (n - 1) / 97 // ids 97, 194, … pair with id−1
+      def pairs(probes: Int) = Dedup.semDedupPairs(emb, "embedding", "id",
+        k = k, tau = 0.9, probes = probes)
+      // candidate count at the blocking stage: same assignment, no verify
+      val cents = graft.operators.Similarity
+        .trainCentroids(emb, "embedding", "id", k)
+      val assigned = graft.operators.Similarity
+        .ivfAssignMulti(emb, cents, "embedding", "id", probes = 2)
+        .select(col("id"), col("cell"))
+      val cands = assigned.alias("l").join(assigned.alias("r"),
+          col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+        .select(col("l.id"), col("r.id")).distinct().count()
+      OpCache.release()
+      println(f"[probe] sem n=$n k=$k planted=$planted " +
+        f"candidates=$cands (n²=${n * n}, ratio=${cands.toDouble / n / n}%.2e)")
+      for (p <- Seq(1, 2)) {
+        val found = pairs(p).count(); OpCache.release()
+        measure(f"semdedup n=$n probes=$p (found=$found)")(pairs(p))
+      }
+    }
     spark.stop()
   }
 

@@ -1678,6 +1678,37 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-based mixing rates over the (skewed) language strata —
+    * T = 2 upweights rare languages toward (not to) uniform, the standard
+    * multilingual rebalancing rule. The binding stratum samples at 1.0. */
+  private def q110_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.temperatureRates(t(s, dir, "documents"), "lang",
+        temperature = 2.0)
+      .orderBy(col("stratum"))
+
+  /** Vocabulary coverage: the top-30 tokens by corpus frequency with each
+    * prefix's cumulative share of all token occurrences — the statistic
+    * behind vocabulary-size/tokenizer decisions (how much of the corpus
+    * do the k most frequent words cover). Top-30 via TakeOrdered (never a
+    * full-vocab single-partition window); the cumulative sum then runs
+    * over 30 rows. */
+  private def q111_vocab_coverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = parallelize(t(s, dir, "documents"))
+      .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("tot"))
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    counts
+      .orderBy(col("n").desc, col("tok")).limit(30)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(total))
+      .withColumn("cum_share", round(
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) / col("tot"), 6))
+      .select(col("tok"), col("n"), col("rank"), col("cum_share"))
+      .orderBy(col("rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1792,6 +1823,8 @@ object SparkEntry {
     "q107_rrf_fusion" -> q107_rrf_fusion _,
     "q108_semdedup" -> q108_semdedup _,
     "q109_hash_classifier" -> q109_hash_classifier _,
+    "q110_temperature_mix" -> q110_temperature_mix _,
+    "q111_vocab_coverage" -> q111_vocab_coverage _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2907,5 +2940,45 @@ object SparkEntry {
          |  round(1.0 / (1.0 + exp(-4.0 * m)), 4) AS score,
          |  (round(1.0 / (1.0 + exp(-4.0 * m)), 4) >= 0.5) AS accept
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // the cross-stratum sums are windowed ORDER BY stratum (frame
+    // unbounded-unbounded) on BOTH sides so the double accumulation order
+    // is pinned engine-independently
+    "q110_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang::VARCHAR AS stratum, count(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, n_docs,
+        |    pow(n_docs::DOUBLE / sum(n_docs) OVER (ORDER BY stratum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        |      0.5) AS raw
+        |  FROM c),
+        |n AS (
+        |  SELECT stratum, n_docs, raw / sum(raw) OVER (ORDER BY stratum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS weight
+        |  FROM w),
+        |r AS (
+        |  SELECT stratum, n_docs, weight,
+        |    round(least(1.0, weight * min(n_docs / weight) OVER (
+        |      ORDER BY stratum ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      UNBOUNDED FOLLOWING) / n_docs), 6) AS rate
+        |  FROM n)
+        |SELECT stratum, n_docs, round(weight, 6) AS weight, rate,
+        |  CAST(floor(rate * n_docs) AS BIGINT) AS sample_n
+        |FROM r ORDER BY stratum""".stripMargin,
+    "q111_vocab_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(w) AS tok FROM (
+         |    SELECT CASE WHEN trim(coalesce(text, '')) = ''
+         |           THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |    FROM documents)),
+         |c AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(n)::DOUBLE AS t FROM c),
+         |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok)
+         |  AS rank FROM c)
+         |SELECT tok, n, rank,
+         |  round(sum(n) OVER (ORDER BY rank) / tot.t, 6) AS cum_share
+         |FROM r, tot WHERE rank <= 30 ORDER BY rank""".stripMargin,
   )
 }

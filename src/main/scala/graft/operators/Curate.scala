@@ -226,6 +226,50 @@ object Curate {
    * the mix. The global min runs on the aggregated per-stratum frame
    * (|strata| rows), so the empty-frame window is not a scale concern.
    */
+  /**
+   * Temperature-based mixing rates (the standard multilingual/multi-domain
+   * rebalancing rule — Arivazhagan et al. 2019 §4.2, also GPT-3's dataset
+   * weighting): target share of stratum i ∝ p_i^(1/T) where p_i is its
+   * observed corpus share. T = 1 keeps the natural distribution, T → ∞
+   * approaches uniform; 1 < T < ∞ upweights rare strata without flattening
+   * completely. The weights then bind exactly like [[mixingRates]]: the
+   * stratum with the least headroom (min n_i/w_i) is sampled at rate 1.0
+   * and every other stratum downsamples to honor the target proportions.
+   *
+   * Output: (stratum, n_docs, weight, rate, sample_n); feed `rate` to
+   * [[stratifiedSample]] or [[materializeMix]].
+   *
+   * Scale shape: one count aggregate to |strata| rows; the windows that
+   * normalize weights and find the binding stratum touch only those rows
+   * (single-partition by design — |strata| is policy-sized, not
+   * data-sized).
+   */
+  def temperatureRates(df: DataFrame, stratumCol: String,
+                       temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val counts = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy()
+    // deterministic accumulation order for the two cross-stratum sums:
+    // a windowed sum over an UNORDERED tiny frame could sum in any
+    // partition-arrival order and diverge from the oracle's in the last
+    // ULP — ordering by stratum pins both engines to the same fold
+    val ordered = all.orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val share = col("n_docs").cast("double") / sum(col("n_docs")).over(ordered)
+    val weighted = counts
+      .withColumn("raw", pow(share, lit(1.0 / temperature)))
+      .withColumn("weight", col("raw") / sum(col("raw")).over(ordered))
+    val capacity = col("n_docs") / col("weight") // weight > 0: n_docs >= 1
+    weighted
+      .withColumn("rate", round(
+        least(lit(1.0), col("weight") * min(capacity).over(ordered) /
+          col("n_docs")), 6))
+      .withColumn("sample_n", floor(col("rate") * col("n_docs")).cast("long"))
+      .select(col("stratum"), col("n_docs"), round(col("weight"), 6).as("weight"),
+        col("rate"), col("sample_n"))
+  }
+
   def mixingRates(df: DataFrame, stratumCol: String,
                   targets: Map[String, Double]): DataFrame = {
     import df.sparkSession.implicits._

@@ -304,4 +304,23 @@ class CurateSpec extends SparkSpec {
     assert(sizes == Map("a" -> 200L, "b" -> 200L), sizes.toString)
     out.unpersist()
   }
+
+  test("temperatureRates: rare strata upweight, binding stratum at rate 1.0") {
+    import spark.implicits._
+    val df = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "stratum")
+    // T=2: weights ∝ sqrt(p) → (sqrt(.8), sqrt(.2))/norm = (2/3, 1/3);
+    // capacities 8/(2/3)=12, 2/(1/3)=6 → b binds at rate 1, a halves
+    val got = Curate.temperatureRates(df, "stratum", temperature = 2.0)
+      .orderBy($"stratum")
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(got == Seq(("a", 8L, 0.666667, 0.5, 4L),
+      ("b", 2L, 0.333333, 1.0, 2L)), got.toString)
+    // T=1 is the natural distribution: every stratum keeps everything
+    val natural = Curate.temperatureRates(df, "stratum", temperature = 1.0)
+      .select($"rate").as[Double].collect()
+    assert(natural.forall(_ == 1.0), natural.mkString(","))
+    intercept[IllegalArgumentException](
+      Curate.temperatureRates(df, "stratum", temperature = 0.0))
+  }
 }
