@@ -49,7 +49,8 @@ object Bench {
     "q96_curation_pipeline", "q97_pack_sequences", "q98_token_budget",
     "q99_multimodal_decode", "q100_span_dedup", "q101_incremental_dedup",
     "q102_incremental_neardup", "q103_perplexity", "q104_bm25",
-    "q107_rrf_fusion", "q108_semdedup", "q109_hash_classifier")
+    "q107_rrf_fusion", "q108_semdedup", "q109_hash_classifier",
+    "q112_pq_ann")
 
   private val RUNS = 5
 

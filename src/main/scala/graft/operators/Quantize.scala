@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine
+
+/**
+ * Product quantization for embedding columns (Jégou, Douze & Schmid 2011,
+ * "Product Quantization for Nearest Neighbor Search" — public): each
+ * d-dim vector is cut into `m` contiguous subvectors, each subvector is
+ * vector-quantized against its own `ksub`-codeword codebook, and the
+ * vector is stored as `m` small integer codes — at d=64 floats (256 B)
+ * and m=4/ksub=16 that is 4 codes of 4 bits: a 100 TB embedding store
+ * compresses to ~1.6 TB of codes plus a KB-sized codebook, and ANN
+ * search runs on codes without touching raw vectors (asymmetric distance
+ * computation, [[pqScores]]). North-star operator: the reference has no
+ * vector type at all (`stepist/app.py:20`).
+ *
+ * Geometry note: assignment and scoring use COSINE against codewords
+ * (max similarity), consistent with every other operator in the
+ * similarity tier ([[Similarity]], [[Dedup.embeddingNearDup]]); the
+ * paper's L2 formulation is equivalent on the unit-ish fixture norms and
+ * the choice is pinned by q112's recall/reconstruction verdicts.
+ *
+ * Scale shape: ONE corpus pass regardless of `m` — vectors explode to
+ * (id, sub, subvec) rows, the codebook (m·ksub rows) broadcasts, and the
+ * per-(id, sub) argmax collapses map-side exactly like
+ * [[Similarity.ivfAssign]]; codes regroup to one row per id. Training
+ * reuses the Lloyd loop per subspace over a caller-sized sample (the
+ * paper trains on a sample too — pass the full frame only when it is
+ * small).
+ */
+object Quantize {
+
+  /** (id, sub, subvec) exploded view — sub is 0-based, slices contiguous. */
+  private def subvectors(df: DataFrame, vecCol: String, idCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col(vecCol), s * subDim + 1, lit(subDim))))
+      .as(Seq("sub", "subvec")))
+
+  /**
+   * Per-subspace Lloyd-trained codebooks: (sub, code, codeword) with
+   * `code` in [0, ksub). Requires `dim % m == 0` (checked at plan build
+   * from the first row's length is NOT possible plan-side — pass the real
+   * dim). Each subspace trains independently ([[Similarity.trainCentroids]]
+   * over its slice); codewords are re-coded 0..ksub-1 by centroid id so
+   * codes are dense and deterministic.
+   */
+  def trainCodebook(train: DataFrame, vecCol: String, idCol: String,
+                    dim: Int, m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val slice_ = train.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
+      Similarity.trainCentroids(slice_, "subvec", idCol, ksub, iters)
+        .withColumn("code", (row_number().over(
+          Window.partitionBy().orderBy(col("centroid_id"))) - 1).cast("int"))
+        .select(lit(s).as("sub"), col("code"), col("subvec").as("codeword"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Encode: (idCol, codes array<int>) — codes(s) is the argmax-cosine
+   * codeword of subspace s. One corpus pass: explode → broadcast-join
+   * codebook on `sub` → map-side `max_by` per (id, sub) → regroup.
+   * Tiebreak (-code) keeps equal-similarity assignment deterministic.
+   */
+  def encode(df: DataFrame, codebook: DataFrame, vecCol: String,
+             idCol: String, m: Int, subDim: Int): DataFrame =
+    subvectors(df, vecCol, idCol, m, subDim)
+      .join(broadcast(codebook), Seq("sub"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(col("code"),
+        struct(cosine(col("subvec"), col("codeword")).as("cos"),
+          (-col("code")).as("nc"))).as("code"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Decode: rebuild the approximate vector by concatenating codewords in
+    * subspace order. Output (idCol, vecCol) with the reconstruction. */
+  def decode(codes: DataFrame, codebook: DataFrame, vecCol: String,
+             idCol: String): DataFrame =
+    codes.select(col(idCol), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(codebook), Seq("sub", "code"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("sub"), col("codeword")))),
+        x => x.getField("codeword"))).as(vecCol))
+
+  /**
+   * Asymmetric distance computation (ADC) scores: each query scores every
+   * CODE by summing its per-subspace query×codeword similarities — raw
+   * corpus vectors are never read at query time. The per-query lookup
+   * table (m·ksub partial similarities) is an in-plan broadcast join;
+   * scores group by (query, id) with map-side combine. Returns
+   * (query_id, corpus_id, score) — rank/top-k is the caller's.
+   */
+  def pqScores(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+               vecCol: String, idCol: String, m: Int,
+               subDim: Int): DataFrame = {
+    val lut = subvectors(queries, vecCol, idCol, m, subDim)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        cosine(col("subvec"), col("codeword")).as("part"))
+    codes.select(col(idCol).as("corpus_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("part")).as("score"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{OpCache, Quantize}
+
+/** Product quantization mechanics against a hand-built codebook (exact,
+  * no training), plus a trained-codebook structural check on the fixture. */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two subspaces of dim 2, each with the two axis codewords
+  private def cb = Seq(
+    (0, 0, Seq(1f, 0f)), (0, 1, Seq(0f, 1f)),
+    (1, 0, Seq(1f, 0f)), (1, 1, Seq(0f, 1f)))
+    .toDF("sub", "code", "codeword")
+
+  private def vecs = Seq(
+    (1L, Seq(0.9f, 0.1f, 0.2f, 0.8f)), // nearest codewords: (0, 1)
+    (2L, Seq(0.1f, 0.9f, 0.7f, 0.3f))) // nearest codewords: (1, 0)
+    .toDF("vec_id", "embedding")
+
+  test("encode picks the per-subspace argmax codeword, decode concatenates") {
+    val codes = Quantize.encode(vecs, cb, "embedding", "vec_id",
+        m = 2, subDim = 2)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes == Map(1L -> Seq(0, 1), 2L -> Seq(1, 0)), codes.toString)
+    val rec = Quantize.decode(
+        Quantize.encode(vecs, cb, "embedding", "vec_id", m = 2, subDim = 2),
+        cb, "embedding", "vec_id")
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(rec == Map(1L -> Seq(1f, 0f, 0f, 1f), 2L -> Seq(0f, 1f, 1f, 0f)),
+      rec.toString)
+  }
+
+  test("ADC scores rank each query's own code combination first") {
+    val codes = Quantize.encode(vecs, cb, "embedding", "vec_id",
+      m = 2, subDim = 2)
+    val scores = Quantize.pqScores(codes, cb, vecs, "embedding", "vec_id",
+        m = 2, subDim = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(scores.length == 4) // 2 queries × 2 corpus codes
+    val best = scores.groupBy(_._1).view
+      .mapValues(_.maxBy(_._3)._2).toMap
+    assert(best == Map(1L -> 1L, 2L -> 2L),
+      s"self not top-1 by ADC: $best (scores ${scores.toSeq})")
+    // ADC score vs its own reconstruction is the sum of per-sub cosines —
+    // bounded by m; sanity that parts actually summed (2 subspaces)
+    assert(scores.forall { case (_, _, s) => s > 0 && s <= 2.0 + 1e-9 })
+  }
+
+  test("trained codebook: dense per-subspace codes, reconstruction sane") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbT = Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val bySub = cbT.select($"sub", $"code").as[(Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(bySub.keySet == Set(0, 1, 2, 3), s"missing subspace: ${bySub.keySet}")
+    bySub.foreach { case (s, codes) =>
+      assert(codes == codes.indices.toSeq, // dense 0..n-1, Lloyd may drop cells
+        s"subspace $s codes not dense: $codes")
+      assert(codes.size <= 8, s"subspace $s has ${codes.size} > ksub codes")
+    }
+    val recon = Quantize.decode(
+        Quantize.encode(e, cbT, "embedding", "vec_id", m = 4, subDim = 16),
+        cbT, "recv", "vec_id")
+      .join(e, Seq("vec_id"))
+      .agg(avg(graft.functions.VectorFunctions.cosine($"recv", $"embedding")))
+      .as[Double].head()
+    OpCache.release()
+    assert(recon > 0.3, f"mean reconstruction cosine $recon%.3f too low")
+  }
+}
