@@ -1746,6 +1746,30 @@ object SparkEntry {
     rec.unionByName(rc).orderBy(col("metric"))
   }
 
+  /** IVF-PQ composed ANN gate: coarse cells prune the scan, product codes
+    * score it — the at-scale shape where raw vectors are never read at
+    * query time. Recall compounds both approximations; verdict vs exact
+    * brute force, oracle pins the row. */
+  private def q113_ivfpq_ann(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (m, subDim) = (16, 4)
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 10)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = m, ksub = 16)
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    val exact = Similarity.bruteForceTopK(e, queries, "embedding", "vec_id",
+        k = 10)
+      .select(col("query_id"), col("corpus_id"))
+    val approx = operators.Quantize.ivfPqTopK(e, queries, cents, cb,
+        "embedding", "vec_id", m, subDim, k = 10, nProbe = 3)
+      .select(col("query_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "corpus_id"), "left_outer")
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+        .as("v"))
+      .select(lit("ivfpq_recall_at_10").as("metric"), lit(0.15).as("bound"),
+        coalesce(col("v") >= 0.15, lit(false)).as("ok"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1863,6 +1887,7 @@ object SparkEntry {
     "q110_temperature_mix" -> q110_temperature_mix _,
     "q111_vocab_coverage" -> q111_vocab_coverage _,
     "q112_pq_ann" -> q112_pq_ann _,
+    "q113_ivfpq_ann" -> q113_ivfpq_ann _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3025,6 +3050,11 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('pq_recall_at_10', CAST(0.2 AS DOUBLE), TRUE),
         |  ('pq_reconstruction_mean_cosine', CAST(0.7 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    "q113_ivfpq_ann" ->
+      """SELECT * FROM (VALUES
+        |  ('ivfpq_recall_at_10', CAST(0.15 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
   )

@@ -104,15 +104,72 @@ object Quantize {
   def pqScores(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
                vecCol: String, idCol: String, m: Int,
                subDim: Int): DataFrame = {
-    val lut = subvectors(queries, vecCol, idCol, m, subDim)
-      .withColumnRenamed(idCol, "query_id")
-      .join(broadcast(codebook), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        cosine(col("subvec"), col("codeword")).as("part"))
+    val lut = queryLut(codebook, queries, vecCol, idCol, m, subDim)
     codes.select(col(idCol).as("corpus_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("sub", "code"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("part")).as("score"))
+  }
+
+  /** Per-query ADC lookup table: (query_id, sub, code, part) — m·ksub
+    * partial similarities per query, the KB-sized frame every ADC scan
+    * broadcasts. */
+  private def queryLut(codebook: DataFrame, queries: DataFrame,
+                       vecCol: String, idCol: String, m: Int,
+                       subDim: Int): DataFrame =
+    subvectors(queries, vecCol, idCol, m, subDim)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        cosine(col("subvec"), col("codeword")).as("part"))
+
+  /**
+   * IVF-PQ top-k — the composed at-scale ANN shape (coarse quantizer
+   * prunes, product codes score): corpus vectors are assigned to IVF
+   * cells ([[Similarity.ivfAssign]]) and PQ-encoded ONCE; each query
+   * probes its `nProbe` nearest cells and ADC-scores only the codes
+   * inside them. At 100 TB the (cell, codes) table is written
+   * partitioned by `cell` — the probe join becomes partition pruning at
+   * the scan, raw vectors are never read at query time, and the scanned
+   * bytes are (corpus/cells)·nProbe·m bytes of codes. Recall compounds
+   * the two approximations (cell pruning × code quantization) — gated by
+   * q113's verdict against exact brute force.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, vecCol: String, idCol: String,
+                m: Int, subDim: Int, k: Int, nProbe: Int = 2,
+                includeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Similarity.ivfAssign(corpus, centroids, vecCol, idCol)
+      .select(col(idCol), col("cell"))
+    val codes = encode(corpus, codebook, vecCol, idCol, m, subDim)
+      .join(assigned, Seq(idCol))
+    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(c))
+      .select(col("query_id"), col("centroid_id"),
+        cosine(col("qv"), col("centv")).as("ccos"))
+      .withColumn("prank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("ccos").desc, col("centroid_id").asc)))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val lut = queryLut(codebook, queries, vecCol, idCol, m, subDim)
+    val cand = codes.join(broadcast(probes), Seq("cell"))
+    val filtered = if (includeSelf) cand
+      else cand.filter(col(idCol) =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    filtered
+      .select(col("query_id"), col(idCol).as("corpus_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("part")).as("score"))
+      // a (query, doc) pair can arrive via several probed cells only if
+      // assignment were soft; hard ivfAssign gives exactly one cell, so
+      // no dropDuplicates is needed before ranking
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

@@ -271,6 +271,33 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("q111 vocab coverage: top-k is TakeOrdered, never a full-vocab window") {
+    // the global window runs AFTER the limit(30): a row_number over the
+    // whole vocabulary would drag every distinct token into one partition
+    val df = SparkEntry.queries("q111_vocab_coverage")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-30 must plan as TakeOrderedAndProject:\n$plan")
+    // window input must be bounded by the take: the Window node appears
+    // ABOVE the TakeOrdered in the tree (earlier line = closer to root)
+    val lines = plan.linesIterator.toSeq
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    val tIdx = lines.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(wIdx >= 0 && tIdx > wIdx,
+      s"window must consume the TakeOrdered output, not the full vocab:\n$plan")
+  }
+
+  test("q112 PQ: codebook and LUT joins broadcast, nothing goes cartesian") {
+    val df = SparkEntry.queries("q112_pq_ann")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!plan.contains("CartesianProduct"), "PQ must never go cartesian")
+    // every codebook/LUT attach is a KB-sized broadcast — a sort-merge
+    // join on (sub, code) would shuffle the exploded corpus needlessly
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook joins must broadcast:\n${plan.take(3000)}")
+    graft.operators.OpCache.release()
+  }
+
   test("q100 span dedup: the corpus-wide span count shuffles no text") {
     // the corpus-wide occurrence count must aggregate bare
     // (key128, id, sidx) triples — the span strings (and the full span
