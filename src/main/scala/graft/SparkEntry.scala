@@ -1770,6 +1770,17 @@ object SparkEntry {
         coalesce(col("v") >= 0.15, lit(false)).as("ok"))
   }
 
+  /** Deterministic contrastive negative sampling: every 50th document
+    * anchors 3 pseudo-random negatives via md5-prefix bucket draws —
+    * reproducible on any cluster, no RNG state, oracle recomputes the
+    * identical draws from the definition. */
+  private def q114_negative_sampling(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    operators.Curate.sampleNegatives(docs, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0), k = 3)
+      .orderBy(col("anchor_id"), col("neg_rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1888,6 +1899,7 @@ object SparkEntry {
     "q111_vocab_coverage" -> q111_vocab_coverage _,
     "q112_pq_ann" -> q112_pq_ann _,
     "q113_ivfpq_ann" -> q113_ivfpq_ann _,
+    "q114_negative_sampling" -> q114_negative_sampling _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3057,5 +3069,26 @@ object SparkEntry {
         |  ('ivfpq_recall_at_10', CAST(0.15 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    "q114_negative_sampling" ->
+      """WITH cands AS (
+        |  SELECT doc_id AS cand_id,
+        |    substr(md5(doc_id::VARCHAR), 1, 1) AS bucket
+        |  FROM documents),
+        |draws AS (
+        |  SELECT doc_id AS anchor_id, r AS neg_rank,
+        |    substr(md5(doc_id::VARCHAR || '#' || r::VARCHAR), 1, 1) AS bucket
+        |  FROM documents, (SELECT unnest([1, 2, 3]) AS r)
+        |  WHERE doc_id % 50 = 0),
+        |j AS (
+        |  SELECT anchor_id, neg_rank, cand_id,
+        |    md5(anchor_id::VARCHAR || '#' || neg_rank::VARCHAR || '#' ||
+        |        cand_id::VARCHAR) AS h
+        |  FROM draws JOIN cands USING (bucket)
+        |  WHERE cand_id <> anchor_id)
+        |SELECT anchor_id, neg_rank, cand_id AS neg_id FROM (
+        |  SELECT j.*, row_number() OVER (
+        |    PARTITION BY anchor_id, neg_rank ORDER BY h, cand_id) AS rn
+        |  FROM j)
+        |WHERE rn = 1 ORDER BY anchor_id, neg_rank""".stripMargin,
   )
 }

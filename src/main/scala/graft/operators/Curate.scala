@@ -270,6 +270,52 @@ object Curate {
         col("rate"), col("sample_n"))
   }
 
+  /**
+   * Deterministic negative sampling for contrastive training pairs: every
+   * anchor draws `k` pseudo-random negatives from the corpus with no RNG
+   * state and no driver coordination — the same negatives on every run,
+   * any cluster size (the reproducibility contract all Curate sampling
+   * keeps). Candidates hash into 16^`hexChars` md5-prefix buckets; draw r
+   * of anchor a probes bucket md5(a#r) and takes the candidate minimizing
+   * md5(a#r#cand) inside it — per-draw hash ranking, so different anchors
+   * sharing a bucket still draw different negatives.
+   *
+   * Output: (anchor_id, neg_rank, neg_id), neg_rank in 1..k. A draw whose
+   * bucket contains no candidate other than the anchor yields no row
+   * (possible only in toy corpora; at any real size every bucket is
+   * populated).
+   *
+   * Scale shape: anchors×k explode, then an equi-join on the bucket key —
+   * each draw touches corpus/16^hexChars candidates, so `hexChars` is the
+   * work knob (2 hex chars = 1/256 of the corpus per draw); the per-draw
+   * argmin is a window over exactly that bucket slice. No cross join, no
+   * global sort, no dense-index build.
+   */
+  def sampleNegatives(df: DataFrame, idCol: String, anchors: DataFrame,
+                      k: Int, hexChars: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars in [1,8], got $hexChars")
+    val cands = df.select(col(idCol).as("cand_id"),
+      substring(md5(col(idCol).cast("string")), 1, hexChars).as("bucket"))
+    val draws = anchors.select(col(idCol).as("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(1), lit(k))).as("neg_rank"))
+      .withColumn("bucket", substring(md5(concat(
+        col("anchor_id").cast("string"), lit("#"),
+        col("neg_rank").cast("string"))), 1, hexChars))
+    val w = Window.partitionBy(col("anchor_id"), col("neg_rank"))
+      .orderBy(col("h"), col("cand_id"))
+    draws.join(cands, Seq("bucket"))
+      .filter(col("cand_id") =!= col("anchor_id"))
+      .withColumn("h", md5(concat(
+        col("anchor_id").cast("string"), lit("#"),
+        col("neg_rank").cast("string"), lit("#"),
+        col("cand_id").cast("string"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("neg_rank"), col("cand_id").as("neg_id"))
+  }
+
   def mixingRates(df: DataFrame, stratumCol: String,
                   targets: Map[String, Double]): DataFrame = {
     import df.sparkSession.implicits._

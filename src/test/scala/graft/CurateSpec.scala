@@ -323,4 +323,26 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curate.temperatureRates(df, "stratum", temperature = 0.0))
   }
+
+  test("sampleNegatives: deterministic, partition-order-free, never the anchor") {
+    import spark.implicits._
+    val ids = (0L until 400L).toDF("doc_id")
+    val anchors = ids.filter(col("doc_id") % 40 === 0)
+    def run(parts: Int) =
+      Curate.sampleNegatives(ids.repartition(parts), "doc_id", anchors, k = 3)
+        .as[(Long, Int, Long)].collect().toSet
+    val a = run(4)
+    assert(a == run(13), "negatives depend on partition layout")
+    // every anchor draws all 3 ranks (400 docs / 16 buckets ≈ 25 per
+    // bucket — no empty-bucket draws at this size)
+    val byAnchor = a.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(byAnchor.size == 10 && byAnchor.values.forall(_ == Seq(1, 2, 3)),
+      byAnchor.toString)
+    assert(a.forall { case (anc, _, neg) => anc != neg },
+      "anchor drew itself as a negative")
+    // distinct draws mostly differ (per-draw hash ranking, not per-bucket min)
+    assert(a.map(_._3).size > 10, s"negatives collapsed: $a")
+    intercept[IllegalArgumentException](
+      Curate.sampleNegatives(ids, "doc_id", anchors, k = 0))
+  }
 }
