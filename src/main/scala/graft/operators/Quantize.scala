@@ -43,24 +43,52 @@ object Quantize {
 
   /**
    * Per-subspace Lloyd-trained codebooks: (sub, code, codeword) with
-   * `code` in [0, ksub). Requires `dim % m == 0` (checked at plan build
-   * from the first row's length is NOT possible plan-side — pass the real
-   * dim). Each subspace trains independently ([[Similarity.trainCentroids]]
-   * over its slice); codewords are re-coded 0..ksub-1 by centroid id so
-   * codes are dense and deterministic.
+   * `code` in [0, ksub), dense per subspace (Lloyd cells can drop out —
+   * standard behavior without re-seeding).
+   *
+   * ALL `m` subspaces train in ONE joint Lloyd loop over the exploded
+   * (id, sub, subvec) frame keyed by (sub, code): each iteration is a
+   * single broadcast-join + map-side-argmax pass and one (sub, code)
+   * re-estimation aggregate, regardless of m — the per-subspace
+   * formulation (m independent loops) costs m× the corpus passes per
+   * iteration and m·iters× the fixed job overhead, which dominated the
+   * bench at small scale and would dominate scheduler load at large.
+   * Seeding is the per-subspace analog of [[Similarity.trainCentroids]]:
+   * the ksub hash-ordered subvectors of each subspace (deterministic,
+   * decorrelated from id order). Each round materializes a KB-sized
+   * codebook with lineage truncation ([[OpCache]] — release after use).
    */
   def trainCodebook(train: DataFrame, vecCol: String, idCol: String,
                     dim: Int, m: Int, ksub: Int, iters: Int = 2): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val vmean = udaf(graft.functions.Aggregators.VectorMean,
+      ExpressionEncoder[Seq[Float]]())
     val subDim = dim / m
-    (0 until m).map { s =>
-      val slice_ = train.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("subvec"))
-      Similarity.trainCentroids(slice_, "subvec", idCol, ksub, iters)
-        .withColumn("code", (row_number().over(
-          Window.partitionBy().orderBy(col("centroid_id"))) - 1).cast("int"))
-        .select(lit(s).as("sub"), col("code"), col("subvec").as("codeword"))
-    }.reduce(_ unionByName _)
+    val sv = subvectors(train, vecCol, idCol, m, subDim)
+    val seedW = Window.partitionBy(col("sub"))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    var cb = OpCache.materialize(sv
+      .withColumn("rn", row_number().over(seedW))
+      .filter(col("rn") <= ksub)
+      .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
+        col("subvec").as("codeword")))
+    for (_ <- 0 until iters) {
+      val assigned = sv.join(broadcast(cb), Seq("sub"))
+        .groupBy(col(idCol), col("sub"))
+        .agg(max_by(struct(col("subvec").as("v"), col("code").as("c")),
+          struct(cosine(col("subvec"), col("codeword")).as("cos"),
+            (-col("code")).as("nc"))).as("best"))
+        .select(col("sub"), col("best.v").as("subvec"), col("best.c").as("code"))
+      cb = OpCache.materialize(assigned
+        .groupBy(col("sub"), col("code"))
+        .agg(vmean(col("subvec")).as("cw"))
+        .select(col("sub"), col("code"),
+          transform(col("cw"), x => x.cast("float")).as("codeword")))
+    }
+    // dense re-code per subspace after possible cell dropout
+    cb.withColumn("code", (row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("code"))) - 1).cast("int"))
   }
 
   /**
