@@ -1781,6 +1781,26 @@ object SparkEntry {
       .orderBy(col("anchor_id"), col("neg_rank"))
   }
 
+  /** Symmetric per-vector int8 quantization (the 4× embedding-store
+    * compression tier next to q112's 32× PQ): codes, scale, and the
+    * reconstruction cosine are exact integer/double arithmetic both
+    * engines reproduce bit-for-bit — oracle-checked, not verdict-gated. */
+  private def q115_int8_quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val scale = operators.Quantize.int8Scale(col("embedding"))
+    val codes = operators.Quantize.int8Codes(col("embedding"))
+    e.select(col("vec_id"), col("embedding"), scale.as("scale"),
+        codes.as("codes"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+        array_max(col("codes")).as("max_code"),
+        array_min(col("codes")).as("min_code"),
+        round(VectorFunctions.cosine(
+          operators.Quantize.int8Reconstruct(col("codes"), col("scale")),
+          transform(col("embedding"), x => x.cast("double"))), 4)
+          .as("recon_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1900,6 +1920,7 @@ object SparkEntry {
     "q112_pq_ann" -> q112_pq_ann _,
     "q113_ivfpq_ann" -> q113_ivfpq_ann _,
     "q114_negative_sampling" -> q114_negative_sampling _,
+    "q115_int8_quantize" -> q115_int8_quantize _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3090,5 +3111,26 @@ object SparkEntry {
         |    PARTITION BY anchor_id, neg_rank ORDER BY h, cand_id) AS rn
         |  FROM j)
         |WHERE rn = 1 ORDER BY anchor_id, neg_rank""".stripMargin,
+    "q115_int8_quantize" ->
+      s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id, v, scale,
+         |    CASE WHEN scale = 0
+         |      THEN list_transform(v, x -> 0)
+         |      ELSE list_transform(v,
+         |        x -> CAST(floor(x / scale + 0.5) AS INT)) END AS codes
+         |  FROM s),
+         |r AS (
+         |  SELECT vec_id, v, scale, codes,
+         |    list_transform(codes, c -> c * scale) AS recon
+         |  FROM q)
+         |SELECT vec_id, round(scale, 6) AS scale_r,
+         |  list_max(codes) AS max_code, list_min(codes) AS min_code,
+         |  round(${cosSql("v", "recon")}, 4) AS recon_cos
+         |FROM r ORDER BY vec_id""".stripMargin,
   )
 }

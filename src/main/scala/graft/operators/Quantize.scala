@@ -33,6 +33,29 @@ import graft.functions.VectorFunctions.cosine
  */
 object Quantize {
 
+  /**
+   * Symmetric per-vector int8 scalar quantization — the standard 4×
+   * embedding-store compression (scale = |x|max/127, code = round(x/scale)
+   * toward +∞ via floor(·+0.5) so both engines round identically; a zero
+   * vector quantizes to all-zero codes). Exact integer arithmetic both
+   * sides, so unlike PQ this tier is ORACLE-checked, not verdict-gated.
+   */
+  def int8Scale(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(transform(vec, x => abs(x))).cast("double") / 127.0
+
+  def int8Codes(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = int8Scale(vec)
+    when(s === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") / s + 0.5).cast("int")))
+  }
+
+  /** Dequantize: codes × scale (double lanes, for exact oracle parity). */
+  def int8Reconstruct(codes: org.apache.spark.sql.Column,
+                      scale: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(codes, c => c.cast("double") * scale)
+
   /** (id, sub, subvec) exploded view — sub is 0-based, slices contiguous. */
   private def subvectors(df: DataFrame, vecCol: String, idCol: String,
                          m: Int, subDim: Int): DataFrame =

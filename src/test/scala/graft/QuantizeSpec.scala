@@ -69,4 +69,34 @@ class QuantizeSpec extends SparkSpec {
     OpCache.release()
     assert(recon > 0.3, f"mean reconstruction cosine $recon%.3f too low")
   }
+
+  test("int8 quantization: codes bounded, max magnitude hits 127, zero-vector safe") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // scale 1/127 ⇒ codes (64, -127, 32)
+      (2L, Seq(0.0f, 0.0f, 0.0f)))   // zero vector ⇒ all-zero codes
+      .toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+        Quantize.int8Codes($"embedding").as("codes"),
+        Quantize.int8Scale($"embedding").as("scale"))
+      .as[(Long, Seq[Int], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // floor(0.5·127 + 0.5) = floor(64.0) = 64; floor(-127 + 0.5) = -127
+    assert(out(1L)._1 == Seq(64, -127, 32), out(1L).toString)
+    assert(out(1L)._2 == 1.0 / 127.0)
+    assert(out(2L)._1 == Seq(0, 0, 0) && out(2L)._2 == 0.0)
+    // every fixture code stays in the int8 range and reconstruction is tight
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val stats = e.select(
+        array_max(Quantize.int8Codes($"embedding")).as("mx"),
+        array_min(Quantize.int8Codes($"embedding")).as("mn"),
+        graft.functions.VectorFunctions.cosine(
+          Quantize.int8Reconstruct(Quantize.int8Codes($"embedding"),
+            Quantize.int8Scale($"embedding")),
+          transform($"embedding", x => x.cast("double"))).as("c"))
+      .agg(max($"mx"), min($"mn"), min($"c"))
+      .as[(Int, Int, Double)].head()
+    assert(stats._1 <= 127 && stats._2 >= -127, stats.toString)
+    assert(stats._3 > 0.99,
+      f"worst int8 reconstruction cosine ${stats._3}%.4f below 0.99")
+  }
 }
