@@ -1801,6 +1801,35 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Corpus diversity report: distinct-1/distinct-2 ratios (unique
+    * n-grams / total n-grams, Li et al. 2016's distinct-n) per source —
+    * the metric behind "is this slice templated/repetitive" curation
+    * calls. Shuffles bare (source, gram) pairs; text dies in its scan. */
+  private def q116_distinct_ngrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val toks = TextFunctions.tokens(col("text"))
+    val uni = docs.select(col("source"), explode(toks).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("g")).as("d_tok"))
+    val bi = docs
+      .select(col("source"), toks.as("w"))
+      .select(col("source"), explode(
+        when(size(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("w")) - 2),
+            i => concat(element_at(col("w"), i + 1), lit(" "),
+              element_at(col("w"), i + 2))))).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bi"), countDistinct(col("g")).as("d_bi"))
+    uni.join(bi, Seq("source"), "left_outer")
+      .select(col("source"), col("n_tok"), col("d_tok"),
+        round(col("d_tok").cast("double") / col("n_tok"), 6).as("distinct_1"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("d_bi"), lit(0L)).as("d_bi"),
+        round(col("d_bi").cast("double") / col("n_bi"), 6).as("distinct_2"))
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1921,6 +1950,7 @@ object SparkEntry {
     "q113_ivfpq_ann" -> q113_ivfpq_ann _,
     "q114_negative_sampling" -> q114_negative_sampling _,
     "q115_int8_quantize" -> q115_int8_quantize _,
+    "q116_distinct_ngrams" -> q116_distinct_ngrams _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3132,5 +3162,24 @@ object SparkEntry {
          |  list_max(codes) AS max_code, list_min(codes) AS min_code,
          |  round(${cosSql("v", "recon")}, 4) AS recon_cos
          |FROM r ORDER BY vec_id""".stripMargin,
+    "q116_distinct_ngrams" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |uni AS (
+         |  SELECT source, count(*) AS n_tok, count(DISTINCT g) AS d_tok
+         |  FROM (SELECT source, unnest(w) AS g FROM tok) GROUP BY source),
+         |bi AS (
+         |  SELECT source, count(*) AS n_bi, count(DISTINCT g) AS d_bi
+         |  FROM (SELECT source, unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS g FROM tok) GROUP BY source)
+         |SELECT u.source, u.n_tok, u.d_tok,
+         |  round(u.d_tok::DOUBLE / u.n_tok, 6) AS distinct_1,
+         |  coalesce(b.n_bi, 0) AS n_bi, coalesce(b.d_bi, 0) AS d_bi,
+         |  round(b.d_bi::DOUBLE / b.n_bi, 6) AS distinct_2
+         |FROM uni u LEFT JOIN bi b USING (source)
+         |ORDER BY source""".stripMargin,
   )
 }

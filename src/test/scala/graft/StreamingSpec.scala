@@ -243,6 +243,39 @@ class StreamingSpec extends SparkSpec {
       input.toDF().toDF("id", "text"), Seq((1L, "x")).toDF("a", "b"), "text"))
   }
 
+  test("streaming quality gate: the native classifier scores a live stream") {
+    // the fastText-style classifier + normalization expressions are
+    // stateless codegen'd columns — they must compose with Structured
+    // Streaming micro-batches exactly like any built-in, and agree with
+    // the batch scores bit-for-bit
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("id", "text")
+      .withColumn("norm", graft.functions.TextFunctions.normalizeText($"text"))
+      .withColumn("score",
+        round(graft.functions.TextFunctions.hashedQualityScore($"text"), 4))
+    val q = scored.writeStream.format("memory").queryName("sqg_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "  Some   GOOD text "), (2L, "zz"))
+      q.processAllAvailable()
+      input.addData((3L, "  Some   GOOD text ")) // same content, later batch
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, norm, score FROM sqg_out")
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      assert(rows.map(_._2).toSeq ==
+        Seq("some good text", "zz", "some good text"))
+      // streaming scores equal the batch formulation on identical input
+      val batch = Seq((1L, "  Some   GOOD text "), (2L, "zz"))
+        .toDF("id", "text")
+        .select($"id", round(
+          graft.functions.TextFunctions.hashedQualityScore($"text"), 4))
+        .as[(Long, Double)].collect().toMap
+      assert(rows.take(2).forall { case (id, _, s) => s == batch(id) })
+      assert(rows(0)._3 == rows(2)._3, "same content scored differently")
+    } finally q.stop()
+  }
+
   test("ParquetBoundary: write side feeds both batch and streaming readers") {
     val dir = java.nio.file.Files.createTempDirectory("boundary").toString
     val b = new ParquetBoundary(s"$dir/stage")
