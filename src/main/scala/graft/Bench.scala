@@ -50,7 +50,7 @@ object Bench {
     "q99_multimodal_decode", "q100_span_dedup", "q101_incremental_dedup",
     "q102_incremental_neardup", "q103_perplexity", "q104_bm25",
     "q107_rrf_fusion", "q108_semdedup", "q109_hash_classifier",
-    "q112_pq_ann", "q113_ivfpq_ann")
+    "q112_pq_ann", "q113_ivfpq_ann", "q116_distinct_ngrams")
 
   private val RUNS = 5
 

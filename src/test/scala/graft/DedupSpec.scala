@@ -393,6 +393,34 @@ class DedupSpec extends SparkSpec {
       s"probes=2 found nothing beyond hard assignment (${soft.size} pairs)")
   }
 
+  test("semDedup ships exactly one representative per duplicate component") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Dedup.semDedupPairs(e, "embedding", "vec_id", k = 8, tau = 0.45)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val kept = Dedup.semDedup(e, "embedding", "vec_id", k = 8, tau = 0.45)
+      .select($"vec_id").as[Long].collect().toSet
+    OpCache.release()
+    // losers = every paired id except each component's minimum; with the
+    // fixture's simple components, union-find by hand
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val losers = members.filter(id => find(id) != id)
+    val total = e.count()
+    assert(kept.size == total - losers.size,
+      s"kept ${kept.size}, expected ${total - losers.size}")
+    assert(losers.forall(!kept.contains(_)), "a loser survived semDedup")
+    assert(members.filter(id => find(id) == id).forall(kept.contains),
+      "a component representative was dropped")
+  }
+
   test("ivfAssignMulti: per-id probe cells are distinct, first probe = hard") {
     import graft.operators.Similarity
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
