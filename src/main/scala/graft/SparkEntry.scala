@@ -1830,6 +1830,15 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Ordered funnel over the events fixture: first view → first click
+    * strictly after it → first purchase strictly after that, per user —
+    * sequential-first-match product-analytics semantics, one row per
+    * user with the stage timestamps and the stage count reached. */
+  private def q117_funnel(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1951,6 +1960,7 @@ object SparkEntry {
     "q114_negative_sampling" -> q114_negative_sampling _,
     "q115_int8_quantize" -> q115_int8_quantize _,
     "q116_distinct_ngrams" -> q116_distinct_ngrams _,
+    "q117_funnel" -> q117_funnel _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3181,5 +3191,22 @@ object SparkEntry {
          |  round(b.d_bi::DOUBLE / b.n_bi, 6) AS distinct_2
          |FROM uni u LEFT JOIN bi b USING (source)
          |ORDER BY source""".stripMargin,
+    "q117_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+        |s1 AS (
+        |  SELECT u, min(CASE WHEN t = 'view' THEN ts END) AS ts1
+        |  FROM e GROUP BY u),
+        |s2 AS (
+        |  SELECT s1.u, s1.ts1,
+        |    min(CASE WHEN e.t = 'click' AND e.ts > s1.ts1 THEN e.ts END) AS ts2
+        |  FROM s1 LEFT JOIN e ON e.u = s1.u GROUP BY s1.u, s1.ts1),
+        |s3 AS (
+        |  SELECT s2.u, s2.ts1, s2.ts2,
+        |    min(CASE WHEN e.t = 'purchase' AND e.ts > s2.ts2 THEN e.ts END) AS ts3
+        |  FROM s2 LEFT JOIN e ON e.u = s2.u GROUP BY s2.u, s2.ts1, s2.ts2)
+        |SELECT u AS user_id, ts1, ts2, ts3,
+        |  CASE WHEN ts3 IS NOT NULL THEN 3 WHEN ts2 IS NOT NULL THEN 2
+        |       WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed
+        |FROM s3 ORDER BY user_id""".stripMargin,
   )
 }
