@@ -1605,23 +1605,27 @@ object SparkEntry {
     * (k=60) — the standard two-retriever RAG-prep consensus, fused on
     * ranks so no score calibration is needed. Both lists rank on
     * round-4 scores with id tiebreaks (the q34 convention) so the two
-    * engines can never disagree on a rank. */
+    * engines can never disagree on a rank. Both top-50s take the q111
+    * shape — orderBy+limit (TakeOrderedAndProject) FIRST, then
+    * row_number over the 50 survivors — never a partition-less window
+    * over the whole corpus; the ordering is total, so the results are
+    * identical. */
   private def q107_rrf_fusion(s: SparkSession, dir: String): DataFrame = {
+    val sw = Window.orderBy(col("score").desc, col("doc_id"))
     val sparse = operators.Rank.bm25(parallelize(t(s, dir, "documents")),
         "text", "doc_id", Seq("spark", "data", "query"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= 50)
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .withColumn("rank", row_number().over(sw))
       .select(col("doc_id").as("id"), col("rank"))
     val e = t(s, dir, "embeddings")
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dw = Window.orderBy(col("cos_r").desc, col("id"))
     val dense = e.filter(col("vec_id") =!= 0)
       .join(broadcast(q0))
       .select(col("vec_id").as("id"),
         round(VectorFunctions.cosine(col("qv"), col("embedding")), 4).as("cos_r"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cos_r").desc, col("id"))))
-      .filter(col("rank") <= 50)
+      .orderBy(col("cos_r").desc, col("id")).limit(50)
+      .withColumn("rank", row_number().over(dw))
       .select(col("id"), col("rank"))
     operators.Rank.rrfFuse(Seq(sparse, dense), "id")
       .select(col("id"), round(col("rrf"), 6).as("rrf"))

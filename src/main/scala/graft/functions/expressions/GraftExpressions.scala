@@ -567,8 +567,14 @@ object NormalizeText {
  * Returns the mean feature weight in [−0.5, 0.5]; empty array → null
  * (no features ⇒ no evidence — callers layer the sigmoid/threshold with
  * built-ins). A null token element is skipped as a unigram and voids the
- * bigrams it touches, matching the SQL formulation where `a || '_' || b`
- * is NULL if either side is.
+ * bigrams it touches — the NUMERATOR matches the SQL formulation where
+ * `a || '_' || b` is NULL if either side is, but the mean's DENOMINATOR
+ * intentionally counts only the usable features (a `len(feats)`-style
+ * denominator would dilute the score by treating null-voided features as
+ * zero-weight evidence). [[graft.functions.TextFunctions.tokens]] never
+ * emits null elements, so the two formulations agree on every
+ * engine-produced token array; only a user-supplied array containing
+ * nulls can observe the difference.
  */
 case class HashedNgramScore(child: Expression) extends UnaryExpression {
 

@@ -288,8 +288,11 @@ object Curate {
    * Scale shape: anchors×k explode, then an equi-join on the bucket key —
    * each draw touches corpus/16^hexChars candidates, so `hexChars` is the
    * work knob (2 hex chars = 1/256 of the corpus per draw); the per-draw
-   * argmin is a window over exactly that bucket slice. No cross join, no
-   * global sort, no dense-index build.
+   * argmin is a `min_by` aggregate, so candidates collapse MAP-SIDE
+   * (partial aggregation) before the (anchor, draw) exchange — only one
+   * row per (anchor, draw, input partition) shuffles, not the whole
+   * bucket slice (PlanSpec-gated). No window, no cross join, no global
+   * sort, no dense-index build.
    */
   def sampleNegatives(df: DataFrame, idCol: String, anchors: DataFrame,
                       k: Int, hexChars: Int = 1): DataFrame = {
@@ -303,17 +306,18 @@ object Curate {
       .withColumn("bucket", substring(md5(concat(
         col("anchor_id").cast("string"), lit("#"),
         col("neg_rank").cast("string"))), 1, hexChars))
-    val w = Window.partitionBy(col("anchor_id"), col("neg_rank"))
-      .orderBy(col("h"), col("cand_id"))
     draws.join(cands, Seq("bucket"))
       .filter(col("cand_id") =!= col("anchor_id"))
       .withColumn("h", md5(concat(
         col("anchor_id").cast("string"), lit("#"),
         col("neg_rank").cast("string"), lit("#"),
         col("cand_id").cast("string"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("anchor_id"), col("neg_rank"), col("cand_id").as("neg_id"))
+      // min_by over the (h, cand_id) struct ≡ rank-1 of ORDER BY h, cand_id,
+      // but combines map-side where a row_number window would first shuffle
+      // every bucket candidate to one task per (anchor, draw)
+      .groupBy(col("anchor_id"), col("neg_rank"))
+      .agg(min_by(col("cand_id"),
+        struct(col("h"), col("cand_id"))).as("neg_id"))
   }
 
   def mixingRates(df: DataFrame, stratumCol: String,

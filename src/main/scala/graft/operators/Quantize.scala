@@ -11,8 +11,9 @@ import graft.functions.VectorFunctions.cosine
  * d-dim vector is cut into `m` contiguous subvectors, each subvector is
  * vector-quantized against its own `ksub`-codeword codebook, and the
  * vector is stored as `m` small integer codes — at d=64 floats (256 B)
- * and m=4/ksub=16 that is 4 codes of 4 bits: a 100 TB embedding store
- * compresses to ~1.6 TB of codes plus a KB-sized codebook, and ANN
+ * and the shipped m=16/ksub=16 configuration that is 16 codes of 4 bits
+ * (8 B, 32×): a 100 TB embedding store compresses to ~3 TB of codes
+ * plus a KB-sized codebook, and ANN
  * search runs on codes without touching raw vectors (asymmetric distance
  * computation, [[pqScores]]). North-star operator: the reference has no
  * vector type at all (`stepist/app.py:20`).

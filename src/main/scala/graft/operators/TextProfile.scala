@@ -81,30 +81,50 @@ object TextProfile {
    * Distributed shape: the model is two count tables bounded by the
    * reference VOCABULARY (not its size) — unigram counts and observed-
    * bigram counts — built with map-side-combined aggs; scoring explodes
-   * each document's bigrams and equi-joins the counts (broadcast when the
-   * model fits — a word model does; shuffle on the gram key otherwise).
-   * Only (id, gram) pairs move; document text never shuffles. Docs with
-   * fewer than 2 tokens have no bigram and are emitted with n_bigrams=0
-   * and NULL scores rather than dropped (corpus accounting keeps rows).
+   * each document's bigrams and equi-joins the counts. The join keys are
+   * two independent xxhash64 lanes of the gram (~128 bits — the
+   * [[Dedup.removeDuplicateSpans]] trick), NOT the gram string: the
+   * doc-side frame is corpus-token-sized, so keying it by 16 hash bytes
+   * instead of a 15-30 byte UTF-8 bigram roughly halves the scoring
+   * shuffle with no semantic change (collision odds at 10¹¹ grams are
+   * negligible; measured delta in SURVEY §6). Gram strings never leave
+   * their scan. Set `broadcastModel` when the reference slice is
+   * policy-sized (a hinted broadcast removes the scoring shuffle
+   * entirely); leave it off for corpus-scale references — AQE still
+   * converts small model tables at runtime. Docs with fewer than 2
+   * tokens have no bigram and are emitted with n_bigrams=0 and NULL
+   * scores rather than dropped (corpus accounting keeps rows).
    */
   def bigramPerplexity(docs: DataFrame, reference: DataFrame,
-                       textCol: String, idCol: String): DataFrame = {
+                       textCol: String, idCol: String,
+                       broadcastModel: Boolean = false): DataFrame = {
     def toks(df: DataFrame) = df.withColumn("__toks",
       TextFunctions.tokens(col(textCol)))
     def bigrams(df: DataFrame) = toks(df)
       .filter(size(col("__toks")) >= 2)
       .select(col(idCol), explode(
         TextFunctions.shingles(col(textCol), 2)).as("g"))
-    val refToks = toks(reference)
+    // hash at the explode site: strings die inside their own scan stage,
+    // so the model-build exchanges are hash-keyed too (grouping by the
+    // 128-bit pair ≡ grouping by the string at negligible collision odds)
+    def hpair(c: org.apache.spark.sql.Column, p: String) =
+      Seq(xxhash64(c).as(s"${p}1"), xxhash64(c, lit(1L)).as(s"${p}2"))
+    def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val uniH = hint(toks(reference)
       .select(explode(col("__toks")).as("w"))
-    val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val bi = bigrams(reference).groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      .select(hpair(col("w"), "u"): _*)
+      .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("c1")))
+    val biH = hint(bigrams(reference)
+      .select(hpair(col("g"), "b"): _*)
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2")))
     // vocab size rides an in-plan 1-row broadcast, no driver action
-    val vocab = uni.agg(count(lit(1)).as("__v"))
+    val vocab = uniH.agg(count(lit(1)).as("__v"))
     val scored = bigrams(docs)
       .withColumn("w1", substring_index(col("g"), " ", 1))
-      .join(bi, Seq("g"), "left")
-      .join(uni, col("w1") === uni("w"), "left")
+      .select(Seq(col(idCol)) ++ hpair(col("g"), "b") ++
+        hpair(col("w1"), "u"): _*)
+      .join(biH, Seq("b1", "b2"), "left")
+      .join(uniH, Seq("u1", "u2"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /

@@ -367,6 +367,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q114 negative sampling: per-draw argmin is a partial-agg min_by, no window") {
+    // each (anchor, draw) sees corpus/16^hexChars bucket candidates; a
+    // row_number window would shuffle ALL of them to one task before
+    // rank-1 selection — min_by must combine map-side so only one row per
+    // (anchor, draw, partition) reaches the exchange
+    val df = SparkEntry.queries("q114_negative_sampling")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("partial_min_by"),
+      s"per-draw argmin must partially aggregate before the exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window should survive in the sampling plan:\n$plan")
+  }
+
+  test("q103 perplexity: scoring join is keyed on hash lanes, not gram strings") {
+    // the doc-side frame is corpus-token-sized; its shuffle key must be
+    // the two 8-byte xxhash64 lanes, never the raw bigram string
+    val df = SparkEntry.queries("q103_perplexity")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    plan.split("\n\n")
+      .filter(b => b.contains("Exchange") && !b.contains("RoundRobinPartitioning"))
+      .foreach(b => assert(!b.contains("hashpartitioning(g#")
+        && !b.contains("hashpartitioning(w#"),
+        s"shuffle keyed on a gram/word string:\n$b"))
+    assert(plan.contains("xxhash64"),
+      s"hash-lane keys missing from the perplexity plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
