@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, OpCache}
+import graft.operators.{Dedup, OpCache, TextProfile}
 
 /** Scratch profiler for operator stages (not part of the driver contract).
   *
@@ -72,6 +72,8 @@ object Probe {
       case Some("dford") => dfOrderRun(pathArg)
       case Some("ppsplit") => ppSplitRun(pathArg)
       case Some("incr") => incrRun(pathArg)
+      case Some("ppl") => pplRun(args.drop(1).headOption
+        .getOrElse("/tmp/graft_scale/documents_50k_bigvocab.parquet"))
       case Some("sem") =>
         semRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(2000L, 20000L, 200000L))
@@ -402,6 +404,55 @@ object Probe {
     measure("old: sig through explode (2)")(oldShape())
     measure("new: bare triples + pair attach (2)")(
       Dedup.minhashLsh(docs, "text", "doc_id"))
+    spark.stop()
+  }
+
+  /** Perplexity scoring-join key width: the retired string-keyed form vs
+    * the current two-xxhash64-lane form of [[TextProfile.bigramPerplexity]]
+    * (q103), on a REALISTIC-vocab corpus (gen_scale_docs.py with the
+    * big-vocab arg — bigram strings ~21 chars; the 31-word soup would
+    * understate string key widths ~2×). The broadcast threshold is forced
+    * off (session()), so both run the sort-merge shape they take when the
+    * reference model is corpus-scale; the third form measures the
+    * `broadcastModel` escape for policy-sized references. */
+  private def pplRun(docsPath: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(docsPath).repartition(32)
+    val ref = docs.filter(col("lang") === "en")
+    println(s"[probe] perplexity run over $docsPath: ${docs.count()} docs, " +
+      s"${ref.count()} reference")
+    // retired form: scoring + model-build exchanges keyed on gram STRINGS
+    def oldForm: DataFrame = {
+      def toksd(df: DataFrame) = df.withColumn("__toks", tokens(col("text")))
+      def bigrams(df: DataFrame) = toksd(df)
+        .filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+      val refToks = toksd(ref).select(explode(col("__toks")).as("w"))
+      val uni = refToks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val bi = bigrams(ref).groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      val vocab = uni.agg(count(lit(1)).as("__v"))
+      val scored = bigrams(docs)
+        .withColumn("w1", substring_index(col("g"), " ", 1))
+        .join(bi, Seq("g"), "left")
+        .join(uni, col("w1") === uni("w"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("__v"))).as("logp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(col("logp")), 4).as("cross_entropy"),
+          round(exp(-avg(col("logp"))), 2).as("perplexity"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+    }
+    def current = TextProfile.bigramPerplexity(docs, ref, "text", "doc_id")
+    measure("warmup")(current)
+    measure("perplexity string-keyed (retired)")(oldForm)
+    measure("perplexity hash-lane keyed (current)")(current)
+    measure("perplexity hash-lane + broadcast model")(
+      TextProfile.bigramPerplexity(docs, ref, "text", "doc_id",
+        broadcastModel = true))
     spark.stop()
   }
 }

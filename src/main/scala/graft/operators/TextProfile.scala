@@ -83,13 +83,15 @@ object TextProfile {
    * bigram counts — built with map-side-combined aggs; scoring explodes
    * each document's bigrams and equi-joins the counts. The join keys are
    * two independent xxhash64 lanes of the gram (~128 bits — the
-   * [[Dedup.removeDuplicateSpans]] trick), NOT the gram string: the
-   * doc-side frame is corpus-token-sized, so keying it by 16 hash bytes
-   * instead of a 15-30 byte UTF-8 bigram roughly halves the scoring
-   * shuffle with no semantic change (collision odds at 10¹¹ grams are
-   * negligible; measured delta in SURVEY §6). Gram strings never leave
-   * their scan. Set `broadcastModel` when the reference slice is
-   * policy-sized (a hinted broadcast removes the scoring shuffle
+   * [[Dedup.removeDuplicateSpans]] trick), NOT the gram string — with no
+   * semantic change (collision odds at 10¹¹ grams are negligible). The
+   * measured win (SURVEY §6, 50k docs, realistic vocab) is CPU, not
+   * bytes: −18% wall time from fixed-width key partitioning/compare in
+   * the sort-merge stages, while COMPRESSED shuffle bytes grow ~11%
+   * because Zipf-distributed gram strings lz4-compress and random hash
+   * lanes do not. Gram strings never leave their scan. The byte lever is
+   * `broadcastModel` — set it when the reference slice is policy-sized
+   * (measured −67% shuffle bytes: the scoring joins stop exchanging
    * entirely); leave it off for corpus-scale references — AQE still
    * converts small model tables at runtime. Docs with fewer than 2
    * tokens have no bigram and are emitted with n_bigrams=0 and NULL

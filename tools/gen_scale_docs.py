@@ -31,9 +31,27 @@ VOCAB = [
 LANGS = ["en"] * 41 + ["de"] * 15 + ["es"] * 15 + ["fr"] * 15 + ["zh"] * 14
 
 
+def big_vocab(size: int) -> list:
+    """Deterministic pseudo-English vocabulary with realistic word lengths
+    (5-12 chars, mean ~7.5 like English prose) — for measurements where the
+    shuffle-byte cost of STRING keys matters (Probe ppl); the 31-word soup
+    above would make every bigram ~9 bytes and understate real key widths."""
+    rng = random.Random(7)
+    syl = ["ba", "con", "de", "fi", "gra", "jo", "ku", "lem", "mo", "nar",
+           "po", "qui", "ru", "sta", "ter", "ul", "ver", "wo", "xa", "zen"]
+    words = set()
+    while len(words) < size:
+        words.add("".join(rng.choice(syl) for _ in range(rng.randint(3, 5))))
+    return sorted(words)
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_scale/documents_sf1.parquet"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
+    vocab_n = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    global VOCAB
+    if vocab_n:
+        VOCAB = big_vocab(vocab_n)
     rng = random.Random(42)
     texts = []
     for _ in range(n):
