@@ -28,10 +28,15 @@ import graft.operators.{Dedup, OpCache, TextProfile}
   *  - `sem [n...]` — SemDeDup-tier scaling over synthetic embeddings
   *    (default decades 2k/20k/200k), hard vs soft assignment; candidate
   *    counts are the (n/k)² control recorded in SURVEY §6.
+  *  - `ppl [<docs.parquet>]` — perplexity scoring-join key width:
+  *    string keys vs xxhash64 lanes vs broadcastModel (SURVEY §6).
+  *  - `pqstore [n]` — IVF-PQ code-store static pruning: files/bytes
+  *    scanned by the pruned serving path vs a full scan (SURVEY §6).
   */
 object Probe {
 
   private val shuffleWrite = new LongAdder
+  private val inputRead = new LongAdder
 
   private def session(): SparkSession = {
     val spark = SparkSession.builder()
@@ -47,19 +52,23 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           shuffleWrite.add(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          inputRead.add(t.taskMetrics.inputMetrics.bytesRead)
+        }
     })
     spark
   }
 
   private def measure(name: String)(df: => DataFrame): Unit = {
     shuffleWrite.reset()
+    inputRead.reset()
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     Thread.sleep(500) // let the listener bus drain task-end events
     println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s, " +
-      f"shuffle write ${shuffleWrite.sum() / 1048576.0}%.1f MiB")
+      f"shuffle write ${shuffleWrite.sum() / 1048576.0}%.1f MiB, " +
+      f"input read ${inputRead.sum() / 1048576.0}%.1f MiB")
     OpCache.release()
   }
 
@@ -74,6 +83,8 @@ object Probe {
       case Some("incr") => incrRun(pathArg)
       case Some("ppl") => pplRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_50k_bigvocab.parquet"))
+      case Some("pqstore") => pqStoreRun(args.drop(1).headOption
+        .map(_.toLong).getOrElse(100000L))
       case Some("sem") =>
         semRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(2000L, 20000L, 200000L))
@@ -404,6 +415,87 @@ object Probe {
     measure("old: sig through explode (2)")(oldShape())
     measure("new: bare triples + pair attach (2)")(
       Dedup.minhashLsh(docs, "text", "doc_id"))
+    spark.stop()
+  }
+
+  /** IVF-PQ code-store pruning: files/bytes scanned by the statically
+    * pruned serving path ([[graft.operators.Quantize.ivfPqTopKFromStore]])
+    * vs an unpruned store scoring and vs the ad-hoc recompute path, over
+    * n synthetic 64-dim vectors with cells sized n/1000 (the SURVEY §6
+    * sizing rule). Centroids/codebook are parqueted to /tmp and read back
+    * so measure()'s OpCache.release can't invalidate them between runs.
+    * Query vectors come from `range` (zero input bytes), so scan metrics
+    * isolate the STORE's read: 5 queries × nProbe=2 probe ≤ 10 of the
+    * ~n/1000 cells. */
+  private def pqStoreRun(n: Long): Unit = {
+    val spark = session()
+    // session() forces broadcast off for the self-join probes; here the
+    // probe frame is queries×nProbe rows — policy-sized at ANY corpus
+    // scale — so the honest at-scale shape lets it broadcast (DPP's
+    // reuse-broadcast mode depends on it)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val dim = 64
+    val (m, subDim) = (16, 4)
+    val cells = math.max(16, (n / 1000).toInt)
+    val e = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sin(col("id") * i).cast("float")).as("embedding"))
+      .repartition(32)
+    val tmp = java.nio.file.Files.createTempDirectory("pqstore").toString
+    graft.operators.Similarity.trainCentroids(e, "embedding", "vec_id", cells)
+      .write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    graft.operators.Quantize.trainCodebook(e, "embedding", "vec_id", dim, m, 16)
+      .write.mode("overwrite").parquet(s"$tmp/cb")
+    OpCache.release()
+    val cents = spark.read.parquet(s"$tmp/cents")
+    val cb = spark.read.parquet(s"$tmp/cb")
+    graft.operators.Quantize.writeCodeStore(e, cents, cb, "embedding",
+      "vec_id", m, subDim, s"$tmp/store")
+    OpCache.release()
+    val store = graft.operators.Quantize.readCodeStore(spark, s"$tmp/store")
+    println(s"[probe] code store at $tmp/store: n=$n cells=$cells " +
+      s"rows=${store.count()}")
+    val queries = e.filter(pmod(col("vec_id"), lit(n / 5)) === 0)
+    def storePath = graft.operators.Quantize.ivfPqTopKFromStore(
+      spark, s"$tmp/store", queries, cents, cb, "embedding", "vec_id", m,
+      subDim, k = 10, nProbe = 2)
+    // post-execution scan metrics: numFiles/filesSize on the STORE scan
+    // reflect files actually selected after pruning — the executed-plan
+    // proof that the read is confined to the probed cells
+    def scanReport(label: String)(df: DataFrame): Unit = {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val t0 = System.nanoTime()
+      df.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case r: ReusedExchangeExec => walk(r.child)
+        case s: FileSourceScanExec => Seq(s)
+        case other => (other.children ++ other.subqueries).flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.mkString(",").contains("/store"))
+      val files = scans.flatMap(_.metrics.get("numFiles").map(_.value)).sum
+      val bytes = scans.flatMap(_.metrics.get("filesSize").map(_.value)).sum
+      println(f"[probe] $label: $secs%.2f s, store files read $files " +
+        f"of $cells, file bytes ${bytes / 1048576.0}%.2f MiB")
+    }
+    // baseline materializes EVERY column (a groupBy(cell) baseline would
+    // column-prune the codes away and understate the full-scan bytes)
+    measure("full store scan, all columns")(store)
+    measure("store path ivfPqTopKFromStore (5 queries, nProbe=2)")(storePath)
+    scanReport("store path scan, static pruning")(storePath)
+    scanReport("unpruned store scoring (same query, full scan)")(
+      graft.operators.Quantize.ivfPqTopKFromCodes(store, queries, cents, cb,
+        "embedding", "vec_id", m, subDim, k = 10, nProbe = 2))
+    measure("ad-hoc recompute ivfPqTopK (5 queries, nProbe=2)")(
+      graft.operators.Quantize.ivfPqTopK(e, queries, cents, cb,
+        "embedding", "vec_id", m, subDim, k = 10, nProbe = 2))
     spark.stop()
   }
 

@@ -1843,6 +1843,64 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  /** IVF-PQ code-store equivalence gate: the cell-partitioned store
+    * (assign + encode ONCE at write; probe-time scan statically pruned
+    * to the probed cells' partitions — the at-scale serving shape) must
+    * answer exactly like the ad-hoc recompute path. Gate 1 compares the
+    * full candidate score sets to 1e-9 (same codes, same LUT — only FP
+    * summation order can differ), which also proves pruning loses no
+    * candidate; gate 2 compares deterministic top-10 sets ranked on
+    * round-6 scores with id tiebreaks. The oracle pins the verdict rows. */
+  private def q118_ivfpq_code_store(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val (m, subDim) = (16, 4)
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 10)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = m, ksub = 16)
+    val store = roundTripDir("graft_q118_codestore")
+    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+      m, subDim, store)
+    val queries = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+    def scoresOf(codes: DataFrame) = operators.Quantize.ivfPqScores(
+      codes, queries, cents, cb, "embedding", "vec_id", m, subDim, nProbe = 3)
+    // the store side goes through the PRUNED scan (the serving path), so
+    // this gate also proves static pruning loses no candidate
+    val storeScores = scoresOf(operators.Quantize.prunedCodeStore(
+      s, store, queries, cents, "embedding", "vec_id", nProbe = 3))
+    val adhocScores = {
+      val assigned = Similarity.ivfAssign(e, cents, "embedding", "vec_id")
+        .select(col("vec_id"), col("cell"))
+      val codes = operators.Quantize.encode(e, cb, "embedding", "vec_id",
+        m, subDim).join(assigned, Seq("vec_id"))
+      scoresOf(codes)
+    }
+    val a = adhocScores.select(col("query_id"), col("corpus_id"),
+      col("score").as("sa"))
+    val b = storeScores.select(col("query_id"), col("corpus_id"),
+      col("score").as("sb"))
+    val scoresEq = a.join(b, Seq("query_id", "corpus_id"), "full_outer")
+      .agg(coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
+        abs(col("sa") - col("sb")) > 1e-9, 1).otherwise(0)), lit(0)).as("bad"))
+      .select(lit("ivfpq_store_scores_equal").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+    def topk(scored: DataFrame, marker: String) = scored
+      .withColumn("rr", round(col("score"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rr").desc, col("corpus_id").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("corpus_id"), col("rank"),
+        lit(1).as(marker))
+    val topkEq = topk(a.withColumnRenamed("sa", "score"), "ina")
+      .join(topk(b.withColumnRenamed("sb", "score"), "inb"),
+        Seq("query_id", "corpus_id", "rank"), "full_outer")
+      .agg(coalesce(sum(when(col("ina").isNull || col("inb").isNull, 1)
+        .otherwise(0)), lit(0)).as("bad"))
+      .select(lit("ivfpq_store_topk_equal").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+    scoresEq.unionByName(topkEq).orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -1965,6 +2023,7 @@ object SparkEntry {
     "q115_int8_quantize" -> q115_int8_quantize _,
     "q116_distinct_ngrams" -> q116_distinct_ngrams _,
     "q117_funnel" -> q117_funnel _,
+    "q118_ivfpq_code_store" -> q118_ivfpq_code_store _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3212,5 +3271,15 @@ object SparkEntry {
         |  CASE WHEN ts3 IS NOT NULL THEN 3 WHEN ts2 IS NOT NULL THEN 2
         |       WHEN ts1 IS NOT NULL THEN 1 ELSE 0 END AS stages_completed
         |FROM s3 ORDER BY user_id""".stripMargin,
+    // q118 is a self-equivalence GATE (q112/q113 pattern): Spark verifies
+    // the cell-partitioned code store answers exactly like the ad-hoc
+    // recompute path and emits (metric, bound, ok); the oracle pins the
+    // verdict rows.
+    "q118_ivfpq_code_store" ->
+      """SELECT * FROM (VALUES
+        |  ('ivfpq_store_scores_equal', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('ivfpq_store_topk_equal', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
   )
 }

@@ -181,24 +181,76 @@ object Quantize {
    * prunes, product codes score): corpus vectors are assigned to IVF
    * cells ([[Similarity.ivfAssign]]) and PQ-encoded ONCE; each query
    * probes its `nProbe` nearest cells and ADC-scores only the codes
-   * inside them. At 100 TB the (cell, codes) table is written
-   * partitioned by `cell` — the probe join becomes partition pruning at
-   * the scan, raw vectors are never read at query time, and the scanned
-   * bytes are (corpus/cells)·nProbe·m bytes of codes. Recall compounds
-   * the two approximations (cell pruning × code quantization) — gated by
-   * q113's verdict against exact brute force.
+   * inside them. This is the ad-hoc form (encode in-plan); at 100 TB use
+   * [[writeCodeStore]] + [[readCodeStore]] + [[ivfPqTopKFromCodes]] —
+   * the cell-partitioned store turns the probe join into dynamic
+   * partition pruning at the scan (path equivalence gated by q118).
+   * Recall compounds the two approximations (cell pruning × code
+   * quantization) — gated by q113's verdict against exact brute force.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
                 codebook: DataFrame, vecCol: String, idCol: String,
                 m: Int, subDim: Int, k: Int, nProbe: Int = 2,
-                includeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                includeSelf: Boolean = false): DataFrame =
+    ivfPqTopKFromCodes(assembleCodes(corpus, centroids, codebook, vecCol,
+        idCol, m, subDim),
+      queries, centroids, codebook, vecCol, idCol, m, subDim, k, nProbe,
+      includeSelf)
+
+  /** The (idCol, codes, cell) frame both the ad-hoc path and the store
+    * writer share: one IVF assignment pass + one PQ encode pass. */
+  private def assembleCodes(corpus: DataFrame, centroids: DataFrame,
+                            codebook: DataFrame, vecCol: String,
+                            idCol: String, m: Int, subDim: Int): DataFrame = {
     val assigned = Similarity.ivfAssign(corpus, centroids, vecCol, idCol)
       .select(col(idCol), col("cell"))
-    val codes = encode(corpus, codebook, vecCol, idCol, m, subDim)
+    encode(corpus, codebook, vecCol, idCol, m, subDim)
       .join(assigned, Seq(idCol))
+  }
+
+  /**
+   * Materialize the IVF-PQ code store PARTITIONED BY CELL — the at-scale
+   * deployment shape the ad-hoc [[ivfPqTopK]] recomputes per query
+   * batch: raw vectors are assigned and encoded ONCE at ingest; the
+   * (id, codes, cell) table is written with one parquet directory per
+   * cell so every probe-time scan is pruned to the nProbe probed
+   * partitions — (corpus/cells)·nProbe·m bytes of codes, never the raw
+   * vectors, never the unprobed cells. Serve with [[ivfPqTopKFromStore]]
+   * ([[prunedCodeStore]] applies the probed cells as a LITERAL partition
+   * filter — see its scaladoc for why static pruning beats relying on
+   * DPP here); pruning is execution-gated in PlanSpec and the scanned
+   * bytes are measured in SURVEY §6. Reference analog: stepist's staged
+   * materialized boundaries between steps
+   * (`stepist/flow/workers/adapters/simple_queue.py:90-92`) — encode
+   * once, serve many.
+   */
+  def writeCodeStore(corpus: DataFrame, centroids: DataFrame,
+                     codebook: DataFrame, vecCol: String, idCol: String,
+                     m: Int, subDim: Int, path: String): Unit =
+    assembleCodes(corpus, centroids, codebook, vecCol, idCol, m, subDim)
+      // co-locate each cell before the partitioned write: without this,
+      // EVERY write task appends a file to EVERY cell directory —
+      // tasks×cells tiny files whose footer overhead dominates probe-time
+      // reads (measured 2×, SURVEY §6). One write-time shuffle buys one
+      // file per cell; at 100 TB size spark.sql.shuffle.partitions so a
+      // cell's codes fit a task comfortably (codes are m bytes/vector)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read a [[writeCodeStore]] layout back. Partition discovery re-infers
+    * `cell` from the directory names (int). */
+  def readCodeStore(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** (query_id, cell) probe pairs: each query's nProbe nearest centroids
+    * by cosine, deterministic centroid-id tiebreak. */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         vecCol: String, idCol: String,
+                         nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(broadcast(c))
       .select(col("query_id"), col("centroid_id"),
         cosine(col("qv"), col("centv")).as("ccos"))
@@ -206,22 +258,91 @@ object Quantize {
         .orderBy(col("ccos").desc, col("centroid_id").asc)))
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("centroid_id").as("cell"))
+  }
+
+  /**
+   * Statically pruned view of a [[writeCodeStore]] layout for one query
+   * batch: the probed cell ids — query METADATA bounded by
+   * |queries|·nProbe, not corpus data — are collected to the driver and
+   * applied as a literal partition filter, so the scan reads ONLY the
+   * probed `cell=` directories (execution-gated in PlanSpec, measured in
+   * SURVEY §6). Static pruning is deliberate: Spark's dynamic partition
+   * pruning inserts its filter only when a cost model approves broadcast
+   * reuse and silently degrades to `dynamicpruningexpression(true)`
+   * otherwise (observed on this exact shape) — a store whose whole point
+   * is bounded probe-time I/O must not gamble its scan on that.
+   */
+  def prunedCodeStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, centroids: DataFrame,
+                      vecCol: String, idCol: String,
+                      nProbe: Int): DataFrame = {
+    val store = readCodeStore(spark, path)
+    val cellType = store.schema("cell").dataType
+    val cells = probeCells(queries, centroids, vecCol, idCol, nProbe)
+      .select(col("cell").cast(cellType)).distinct()
+      .collect().map(_.get(0)).toSeq
+    store.filter(col("cell").isInCollection(cells))
+  }
+
+  /** ADC candidate scores over an (idCol, codes, cell) frame — the shared
+    * probe-side core of [[ivfPqTopK]] and the store path: probe the
+    * nProbe nearest cells per query, score ONLY the codes inside them.
+    * Returns (query_id, corpus_id, score) before ranking. */
+  def ivfPqScores(codes: DataFrame, queries: DataFrame, centroids: DataFrame,
+                  codebook: DataFrame, vecCol: String, idCol: String,
+                  m: Int, subDim: Int, nProbe: Int,
+                  includeSelf: Boolean = false): DataFrame = {
+    val probes = probeCells(queries, centroids, vecCol, idCol, nProbe)
     val lut = queryLut(codebook, queries, vecCol, idCol, m, subDim)
-    val cand = codes.join(broadcast(probes), Seq("cell"))
+    // probes must compare as the store's partition-column type (int after
+    // directory re-inference) or the cell equi-join silently casts and
+    // partition pruning is lost
+    val cand = codes.join(
+      broadcast(probes.withColumn("cell",
+        col("cell").cast(codes.schema("cell").dataType))),
+      Seq("cell"))
     val filtered = if (includeSelf) cand
       else cand.filter(col(idCol) =!= col("query_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("corpus_id").asc)
     filtered
       .select(col("query_id"), col(idCol).as("corpus_id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("part")).as("score"))
-      // a (query, doc) pair can arrive via several probed cells only if
-      // assignment were soft; hard ivfAssign gives exactly one cell, so
-      // no dropDuplicates is needed before ranking
+  }
+
+  /** Top-k over an assembled or store-read (idCol, codes, cell) frame —
+    * [[ivfPqTopK]] ≡ assembleCodes + this; the store path is
+    * [[prunedCodeStore]] + this (see [[ivfPqTopKFromStore]]; equivalence
+    * oracle-gated by q118). */
+  def ivfPqTopKFromCodes(codes: DataFrame, queries: DataFrame,
+                         centroids: DataFrame, codebook: DataFrame,
+                         vecCol: String, idCol: String, m: Int, subDim: Int,
+                         k: Int, nProbe: Int = 2,
+                         includeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    // a (query, doc) pair can arrive via several probed cells only if
+    // assignment were soft; hard ivfAssign gives exactly one cell, so
+    // no dropDuplicates is needed before ranking
+    ivfPqScores(codes, queries, centroids, codebook, vecCol, idCol, m,
+        subDim, nProbe, includeSelf)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** The at-scale serving path: statically pruned store scan + ADC top-k.
+    * Identical results to the ad-hoc [[ivfPqTopK]] at the same models
+    * (q118 oracle gate); reads only the probed cells' partitions. */
+  def ivfPqTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame,
+                         centroids: DataFrame, codebook: DataFrame,
+                         vecCol: String, idCol: String, m: Int, subDim: Int,
+                         k: Int, nProbe: Int = 2,
+                         includeSelf: Boolean = false): DataFrame =
+    ivfPqTopKFromCodes(
+      prunedCodeStore(spark, path, queries, centroids, vecCol, idCol, nProbe),
+      queries, centroids, codebook, vecCol, idCol, m, subDim, k, nProbe,
+      includeSelf)
 }

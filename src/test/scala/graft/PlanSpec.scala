@@ -208,6 +208,60 @@ class PlanSpec extends SparkSpec {
       s"probe read files outside cell=$aCell: ${files.mkString(", ")}")
   }
 
+  test("IVF-PQ code store: a probe reads only its probed cells' partitions") {
+    // the 100 TB claim on writeCodeStore: serving through prunedCodeStore
+    // turns the probe list into a LITERAL partition filter, so the scan
+    // reads only the probed cell= directories. (DPP was tried first and
+    // silently degraded to dynamicpruningexpression(true) on this shape —
+    // hence the static design; this gate is execution-level so any such
+    // regression is caught, not just planned around.)
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      emb, "embedding", "vec_id", k = 8)
+    val cb = graft.operators.Quantize.trainCodebook(
+      emb, "embedding", "vec_id", dim = 64, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_store").toString
+    graft.operators.Quantize.writeCodeStore(
+      emb, cents, cb, "embedding", "vec_id", 4, 16, dir)
+    // ONE query, nProbe=2 of 8 cells: the probed subset is provably
+    // strict, so an unpruned execution cannot pass by accident
+    val queries = emb.filter(col("vec_id") === 0)
+    val topk = graft.operators.Quantize.ivfPqTopKFromStore(
+      spark, dir, queries, cents, cb,
+      "embedding", "vec_id", 4, 16, k = 5, nProbe = 2)
+    val plan = topk.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val partLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(partLines.contains("cell") && partLines.contains("IN ("),
+      s"probed cells must appear as a literal partition filter:\n$plan")
+    // EXECUTION-level proof: the store scan's numFiles metric reflects
+    // files selected after pruning — 2 probed cells of 8 ⇒ 2 files
+    assert(topk.collect().nonEmpty, "store-path top-k returned no rows")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val storeScans = walk(topk.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString(",").contains("pq_store"))
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    val readFiles = storeScans.flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    assert(storeScans.nonEmpty, "store scan not found in executed plan")
+    // ≤2: a probed centroid can own zero corpus rows (no directory);
+    // < total: the unprobed cells must never be touched
+    assert(readFiles <= 2 && readFiles < totalFiles,
+      s"probe must read only its ≤2 probed cells' files: " +
+        s"read $readFiles of $totalFiles")
+    graft.operators.OpCache.release()
+  }
+
   test("q97 packing: the per-doc window is partitioned (no global sort)") {
     val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
