@@ -761,6 +761,28 @@ object SparkEntry {
   }
   private def roundTripDir(name: String): String = s"$roundTripBase/$name"
 
+  /** Drop a catalog table AND its warehouse directory: a table dir left
+    * behind by a KILLED run isn't in the catalog, so the DROP misses it
+    * and saveAsTable would fail on the stale location — clean at the
+    * session's ACTUAL warehouse dir (only meaningful for a
+    * local-filesystem warehouse). Queries use per-process table names so
+    * two concurrent runs in one repo dir can't clobber each other. */
+  private def dropLocalTable(s: SparkSession, tbl: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+    if (wh.getScheme == null || wh.getScheme == "file") {
+      val root = if (wh.getScheme == null) wh.toString else wh.getPath
+      val loc = new java.io.File(root, tbl)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+  }
+
   /** CSV sink + source round-trip: write orders as headered CSV, read back
     * with an explicit schema, aggregate — the result must equal the oracle's
     * direct-parquet aggregate (lossless round-trip of longs/doubles). */
@@ -1028,25 +1050,7 @@ object SparkEntry {
     // mid-join; the pid suffix never surfaces in the query result
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val (liTbl, oTbl) = (s"q71_li_$pid", s"q71_o_$pid")
-    Seq(liTbl, oTbl).foreach { tbl =>
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      // a table dir left behind by a KILLED run isn't in the catalog, so
-      // the DROP misses it and saveAsTable would fail on the stale
-      // location — clean at the session's ACTUAL warehouse dir (only
-      // meaningful for a local-filesystem warehouse)
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      if (wh.getScheme == null || wh.getScheme == "file") {
-        val root = if (wh.getScheme == null) wh.toString else wh.getPath
-        val loc = new java.io.File(root, tbl)
-        if (loc.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(rm)
-            f.delete()
-          }
-          rm(loc)
-        }
-      }
-    }
+    Seq(liTbl, oTbl).foreach(dropLocalTable(s, _))
     operators.Layout.writeBucketed(
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
         col("l_discount")),
@@ -1901,6 +1905,39 @@ object SparkEntry {
     scoresEq.unionByName(topkEq).orderBy(col("metric"))
   }
 
+  /** BM25 materialized-index equivalence gate: the term-bucketed inverted
+    * index (tokenize ONCE at ingest; query-time scan bucket-pruned by the
+    * term filter — the standing-search-service shape) must score exactly
+    * like the q104 scan-time path. Both run the shared scoring formula,
+    * so the gate pins the index CONTENT (tf/dl/df per term) and the
+    * bucketed round-trip. The oracle pins the verdict rows. */
+  private def q119_bm25_index(s: SparkSession, dir: String): DataFrame = {
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q119_idx_$pid"
+    Seq(tbl, s"${tbl}_stats").foreach(dropLocalTable(s, _))
+    val docs = parallelize(t(s, dir, "documents"))
+    operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
+    val (index, stats) = operators.Rank.readIndex(s, tbl)
+    val terms = Seq("spark", "data", "query")
+    val a = operators.Rank.bm25(docs, "text", "doc_id", terms)
+      .select(col("doc_id"), col("score").as("sa"))
+    val b = operators.Rank.bm25FromIndex(index, stats, "doc_id", terms)
+      .select(col("doc_id"), col("score").as("sb"))
+    val joined = a.join(b, Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
+          abs(col("sa") - col("sb")) > 1e-9, 1).otherwise(0)), lit(0))
+          .as("bad"),
+        count(lit(1)).as("n"))
+    joined.select(
+        lit("bm25_index_equals_scan").as("metric"), lit(0.0).as("bound"),
+        (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("bm25_index_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2024,6 +2061,7 @@ object SparkEntry {
     "q116_distinct_ngrams" -> q116_distinct_ngrams _,
     "q117_funnel" -> q117_funnel _,
     "q118_ivfpq_code_store" -> q118_ivfpq_code_store _,
+    "q119_bm25_index" -> q119_bm25_index _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3279,6 +3317,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('ivfpq_store_scores_equal', CAST(0.0 AS DOUBLE), TRUE),
         |  ('ivfpq_store_topk_equal', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q119 is a self-equivalence GATE (q118 pattern): the term-bucketed
+    // inverted index must score exactly like the scan-time BM25.
+    "q119_bm25_index" ->
+      """SELECT * FROM (VALUES
+        |  ('bm25_index_equals_scan', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('bm25_index_nonempty', CAST(1.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
   )

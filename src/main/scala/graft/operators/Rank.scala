@@ -29,41 +29,112 @@ object Rank {
    * are a 1-row in-plan broadcast; per-term document frequencies are a
    * |query|-row broadcast. Document text never shuffles, so the operator
    * is a single scan of the corpus plus query-sized joins — linear at
-   * 100 TB. For a standing search service, materialize the exploded
-   * (term, id, tf, dl) frame once as an inverted index bucketed by term;
-   * this operator is the scan-time form.
+   * 100 TB. This is the scan-time form; a standing search service
+   * materializes the index once with [[writeIndex]] and serves with
+   * [[bm25FromIndex]] (identical scores, q119-gated).
    */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
            queryTerms: Seq[String], k1: Double = 1.2,
            b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    // normalize like the corpus tokens (lowercase) and dedupe: a repeated
-    // query term must not double-count its contribution
-    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
-    val toks = docs.select(col(idCol),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-    // corpus stats: one row, broadcast in-plan (no driver action)
-    val stats = toks.agg(count(lit(1)).as("__n"),
-      avg(size(col("__toks"))).as("__avgdl"))
+    val terms = normalizeTerms(queryTerms)
+    val toks = tokenized(docs, textCol, idCol)
     val matches = toks
-      .select(col(idCol), size(col("__toks")).as("__dl"),
-        explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(terms: _*)) // pre-shuffle: query terms only
-      .groupBy(col(idCol), col("__t"))
-      .agg(first(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
-    val dfs = matches.groupBy(col("__t"))
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*)) // pre-shuffle: query terms only
+      .groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    scoreMatches(matches, corpusStats(toks), idCol, k1, b)
+  }
+
+  /** Lowercase, trim, dedupe — a repeated query term must not
+    * double-count its contribution. */
+  private def normalizeTerms(queryTerms: Seq[String]): Seq[String] = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+  }
+
+  private def tokenized(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+
+  /** Corpus stats: one (n_docs, avgdl) row, broadcast in-plan. */
+  private def corpusStats(toks: DataFrame): DataFrame =
+    toks.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("__toks"))).as("avgdl"))
+
+  /** The one BM25 scoring formula both the scan path and the index path
+    * run — shared so the two can never drift (q119 gates the identity).
+    * `matches` is (idCol, term, dl, tf) restricted to query terms. */
+  private def scoreMatches(matches: DataFrame, stats: DataFrame,
+                           idCol: String, k1: Double, b: Double): DataFrame = {
+    val dfs = matches.groupBy(col("term"))
       .agg(count(lit(1)).as("__df")) // one row per matching query term
     matches
-      .join(broadcast(dfs), Seq("__t"))
+      .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol),
-        (log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)) *
-          (col("__tf") * (lit(k1) + 1.0)) /
-          (col("__tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        (log(lit(1.0) +
+            (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
           .as("__s"))
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 4).as("score"))
+  }
+
+  /**
+   * Materialize the standing-search-service form: the inverted index
+   * (term, idCol, tf, dl) — one row per (document, distinct term) — and
+   * the 1-row (n_docs, avgdl) stats frame. Write the index bucketed by
+   * `term` ([[writeIndex]]): a query's `term IN (...)` filter then prunes
+   * to the matching hash buckets at the scan (SelectedBucketsCount,
+   * PlanSpec-gated) and the corpus text is never re-tokenized at query
+   * time — tokenize once at ingest, serve many, exactly the
+   * [[graft.operators.Quantize.writeCodeStore]] contract for ANN.
+   * Reference analog: stepist's materialized stage boundaries
+   * (`stepist/flow/workers/adapters/simple_queue.py:90-92`).
+   */
+  def buildIndex(docs: DataFrame, textCol: String,
+                 idCol: String): (DataFrame, DataFrame) = {
+    val toks = tokenized(docs, textCol, idCol)
+    val index = toks
+      .select(col(idCol), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"))
+    (index, corpusStats(toks))
+  }
+
+  /** Write [[buildIndex]]'s frames: the index as a `term`-bucketed,
+    * sorted table; the stats as `<table>_stats`. */
+  def writeIndex(docs: DataFrame, textCol: String, idCol: String,
+                 table: String, buckets: Int): Unit = {
+    val (index, stats) = buildIndex(docs, textCol, idCol)
+    Layout.writeBucketed(index, table, Seq("term"), buckets)
+    stats.write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
+  }
+
+  /** (index, stats) back from [[writeIndex]]. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+                table: String): (DataFrame, DataFrame) =
+    (spark.table(table), spark.table(s"${table}_stats"))
+
+  /**
+   * BM25 off a materialized index: filter the index to the query terms
+   * (bucket-pruned scan), then the SAME scoring formula as [[bm25]] —
+   * bit-identical scores, no tokenization anywhere in the plan
+   * (PlanSpec-gated; equivalence oracle-gated by q119).
+   */
+  def bm25FromIndex(index: DataFrame, stats: DataFrame, idCol: String,
+                    queryTerms: Seq[String], k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val terms = normalizeTerms(queryTerms)
+    scoreMatches(index.filter(col("term").isin(terms: _*)), stats, idCol,
+      k1, b)
   }
 
   /**

@@ -262,6 +262,35 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("BM25 index path: no tokenization in the plan, term filter prunes buckets") {
+    // the standing-search-service claim: query-time work must be a
+    // bucket-pruned index scan + query-sized joins — if tokenize/explode
+    // reappears, the index isn't being used; if every bucket is read,
+    // the term filter lost its pruning
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_bm25_idx_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    graft.operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
+    val (index, stats) = graft.operators.Rank.readIndex(spark, tbl)
+    val scored = graft.operators.Rank.bm25FromIndex(index, stats, "doc_id",
+      Seq("spark", "data"))
+    val plan = scored.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("split(") && !plan.contains("explode"),
+      s"index path must not re-tokenize the corpus:\n$plan")
+    val bucketLine = plan.linesIterator
+      .filter(_.contains("SelectedBucketsCount")).mkString("\n")
+    assert(bucketLine.contains("SelectedBucketsCount"),
+      s"term filter should prune index buckets:\n$plan")
+    val counts = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(bucketLine).get
+    assert(counts.group(1).toInt < counts.group(2).toInt,
+      s"term filter read every bucket: $bucketLine")
+  }
+
   test("q97 packing: the per-doc window is partitioned (no global sort)") {
     val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
