@@ -1938,6 +1938,16 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Per-stage funnel conversion report (q117's natural companion): users
+    * reaching each stage, conversion rate from the previous stage, and
+    * the exact median seconds between consecutive stage completions —
+    * the product-analytics summary the per-user funnel frame exists
+    * for. */
+  private def q120_funnel_conversion(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.conversion(events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      .orderBy(col("stage_idx"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2062,6 +2072,7 @@ object SparkEntry {
     "q117_funnel" -> q117_funnel _,
     "q118_ivfpq_code_store" -> q118_ivfpq_code_store _,
     "q119_bm25_index" -> q119_bm25_index _,
+    "q120_funnel_conversion" -> q120_funnel_conversion _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3327,5 +3338,37 @@ object SparkEntry {
         |  ('bm25_index_nonempty', CAST(1.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    "q120_funnel_conversion" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+        |s1 AS (
+        |  SELECT u, min(CASE WHEN t = 'view' THEN ts END) AS ts1
+        |  FROM e GROUP BY u),
+        |s2 AS (
+        |  SELECT s1.u, s1.ts1,
+        |    min(CASE WHEN e.t = 'click' AND e.ts > s1.ts1 THEN e.ts END) AS ts2
+        |  FROM s1 LEFT JOIN e ON e.u = s1.u GROUP BY s1.u, s1.ts1),
+        |s3 AS (
+        |  SELECT s2.u, s2.ts1, s2.ts2,
+        |    min(CASE WHEN e.t = 'purchase' AND e.ts > s2.ts2 THEN e.ts END) AS ts3
+        |  FROM s2 LEFT JOIN e ON e.u = s2.u GROUP BY s2.u, s2.ts1, s2.ts2),
+        |a AS (
+        |  SELECT count(*) AS n_total,
+        |    count(ts1) AS n1, count(ts2) AS n2, count(ts3) AS n3,
+        |    quantile_cont(epoch(ts2) - epoch(ts1), 0.5) AS med2,
+        |    quantile_cont(epoch(ts3) - epoch(ts2), 0.5) AS med3
+        |  FROM s3)
+        |SELECT 1 AS stage_idx, 'view' AS stage, n1 AS n_users,
+        |  round(CASE WHEN n_total > 0 THEN n1::DOUBLE / n_total
+        |    ELSE 0 END, 6) AS rate_from_prev,
+        |  CAST(NULL AS DOUBLE) AS median_gap_s FROM a
+        |UNION ALL
+        |SELECT 2, 'click', n2,
+        |  round(CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 ELSE 0 END, 6),
+        |  round(med2, 3) FROM a
+        |UNION ALL
+        |SELECT 3, 'purchase', n3,
+        |  round(CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 ELSE 0 END, 6),
+        |  round(med3, 3) FROM a
+        |ORDER BY stage_idx""".stripMargin,
   )
 }

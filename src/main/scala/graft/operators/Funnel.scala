@@ -39,7 +39,7 @@ object Funnel {
       val prev = s"ts${i - 1}"
       val stageEv = ev.filter(col("__t") === stage)
         .select(col("__u"), col("__ts").as("__sts"))
-      val keep = acc.columns.map(col)
+      val keep = acc.columns.toIndexedSeq.map(col)
       acc = acc.join(stageEv, Seq("__u"), "left_outer")
         .groupBy(keep: _*)
         .agg(min(when(col("__sts") > col(prev), col("__sts"))).as(s"ts$i"))
@@ -52,5 +52,46 @@ object Funnel {
     acc.select(col("__u").as(userCol) +:
       stages.indices.map(i => col(s"ts${i + 1}")) :+
       completed.as("stages_completed"): _*)
+  }
+
+  /**
+   * Per-stage conversion metrics over [[funnel]]'s per-user frame — the
+   * aggregate that frame exists for: one row per stage with the users
+   * reaching it, the conversion rate from the previous stage (stage 1
+   * converts from ALL users with any event), and the EXACT median
+   * seconds from the previous stage's completion (linear-interpolated
+   * percentile, the cross-engine-stable definition; null for stage 1,
+   * which has no predecessor).
+   *
+   * Distributed shape: the funnel cascade stays user-keyed; this adds
+   * ONE global aggregate over the per-user frame (all counts and
+   * per-stage medians in a single pass — medians over completed-stage
+   * gaps only, stage count is policy-sized) and explodes the 1-row
+   * result into |stages| rows driver-free.
+   */
+  def conversion(df: DataFrame, userCol: String, typeCol: String,
+                 tsCol: String, stages: Seq[String]): DataFrame = {
+    val f = funnel(df, userCol, typeCol, tsCol, stages)
+    val gaps = stages.indices.tail.map { i =>
+      expr(s"percentile(cast(ts${i + 1} as double) - " +
+        s"cast(ts$i as double), 0.5)").as(s"med${i + 1}")
+    }
+    val counts = count(lit(1)).as("n_total") +:
+      stages.indices.map(i => count(col(s"ts${i + 1}")).as(s"n${i + 1}"))
+    val one = f.agg(counts.head, counts.tail ++ gaps: _*)
+    val stageRows = stages.indices.map { i =>
+      val n = col(s"n${i + 1}").cast("double")
+      val prev = if (i == 0) col("n_total").cast("double")
+        else col(s"n$i").cast("double")
+      struct(
+        lit(i + 1).as("stage_idx"),
+        lit(stages(i)).as("stage"),
+        col(s"n${i + 1}").cast("long").as("n_users"),
+        round(when(prev > 0, n / prev).otherwise(lit(0.0)), 6)
+          .as("rate_from_prev"),
+        (if (i == 0) lit(null).cast("double")
+         else round(col(s"med${i + 1}"), 3)).as("median_gap_s"))
+    }
+    one.select(explode(array(stageRows: _*)).as("s")).select(col("s.*"))
   }
 }

@@ -46,4 +46,34 @@ class FunnelSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Funnel.funnel(ev, "user_id", "event_type", "ts", Seq("view", "view")))
   }
+
+  test("conversion: hand-traced counts, rates, and exact median gaps") {
+    val ev = Seq(
+      // user 1: full funnel, view→click 60 s, click→purchase 60 s
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-01 00:01:00")),
+      (1L, "purchase", ts("2024-01-01 00:02:00")),
+      // user 2: view→click 180 s, stalls there
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 00:03:00")),
+      // user 3: view only
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      // user 4: no funnel event → counts toward n_total only
+      (4L, "error", ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.conversion(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy($"stage_idx").collect()
+    assert(got.length == 3)
+    val view = got(0); val click = got(1); val purchase = got(2)
+    assert(view.getLong(2) == 3 && click.getLong(2) == 2 &&
+      purchase.getLong(2) == 1)
+    assert(view.getDouble(3) == 0.75)     // 3 of 4 users saw a view
+    assert(click.getDouble(3) == 0.666667) // 2 of 3 viewers clicked
+    assert(purchase.getDouble(3) == 0.5)   // 1 of 2 clickers purchased
+    assert(view.isNullAt(4), "stage 1 has no predecessor gap")
+    // median of {60, 180} interpolates to 120; purchase gap is the lone 60
+    assert(click.getDouble(4) == 120.0)
+    assert(purchase.getDouble(4) == 60.0)
+  }
 }
