@@ -1948,6 +1948,17 @@ object SparkEntry {
         "ts", Seq("view", "click", "purchase"))
       .orderBy(col("stage_idx"))
 
+  /** Offset-robust exact substring dedup: every ≥5-token passage that
+    * repeats anywhere in the corpus is reported as a removable [start,
+    * end) token range in every non-first document — at ARBITRARY
+    * offsets, the duplicates q100's fixed window grid misses when a copy
+    * straddles a chunk boundary. The oracle recomputes the stride-1
+    * window definition and the interval merge from scratch. */
+  private def q121_substring_spans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSubstringSpans(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", minTokens = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2073,6 +2084,7 @@ object SparkEntry {
     "q118_ivfpq_code_store" -> q118_ivfpq_code_store _,
     "q119_bm25_index" -> q119_bm25_index _,
     "q120_funnel_conversion" -> q120_funnel_conversion _,
+    "q121_substring_spans" -> q121_substring_spans _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3370,5 +3382,37 @@ object SparkEntry {
         |  round(CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 ELSE 0 END, 6),
         |  round(med3, 3) FROM a
         |ORDER BY stage_idx""".stripMargin,
+    "q121_substring_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+        |    END AS w
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos, w
+        |  FROM d WHERE len(w) >= 5),
+        |sh AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(w[pos + 1 : pos + 5], ' ') AS s
+        |  FROM win),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY s) AS cnt,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        |  FROM sh),
+        |rem AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+        |m AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 5) OVER (
+        |      PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS ni
+        |  FROM rem),
+        |i AS (SELECT doc_id, pos, sum(ni) OVER (
+        |        PARTITION BY doc_id ORDER BY pos) AS isl FROM m)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end
+        |FROM i GROUP BY doc_id, isl
+        |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

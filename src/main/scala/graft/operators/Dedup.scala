@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
@@ -765,5 +766,101 @@ object Dedup {
         size(col(spansCol)).cast("long").as("n_spans"),
         (size(col(spansCol)) -
           when(rm.isNull, 0).otherwise(size(rm))).cast("long").as("n_kept"))
+  }
+
+  /**
+   * Offset-robust exact duplicate-substring spans (the unaligned tier the
+   * fixed-grid [[removeDuplicateSpans]] cannot provide; public algorithm:
+   * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+   * Better" — suffix-array min-length duplicate removal, realized here at
+   * token granularity with stride-1 windows): every document emits a
+   * `minTokens`-token window at EVERY offset, so a duplicated passage of
+   * ≥ minTokens tokens is caught wherever it starts — including copies
+   * that straddle the aligned tier's window grid or start mid-window.
+   * All but the corpus-first occurrence (minimum (id, pos)) of each
+   * window content are removable; each document's removable positions
+   * merge into maximal [start, end) token ranges (overlapping and
+   * contiguous ranges coalesce).
+   *
+   * Output: (idCol, span_start, span_end) token indices, end exclusive —
+   * one row per maximal removable range; documents with nothing to
+   * remove emit no row. Strip with [[stripSpans]].
+   *
+   * Scale shape: stride-1 windows cost `minTokens`× the aligned tier's
+   * row count — one slim (k1, k2, id, pos) quad per corpus TOKEN
+   * (~28 B) — so this is the thorough pass a pipeline runs after (not
+   * instead of) the cheap aligned sweep. Window text never shuffles: the
+   * group key is the 128-bit double-xxhash64 lane pair (the
+   * [[removeDuplicateSpans]] trick; a 64-bit key would birthday-collide
+   * at 10¹¹ windows and remove non-duplicate text). The interval merge
+   * is a per-document window over that document's REMOVABLE positions
+   * only — duplicate-bounded, not corpus-bounded.
+   */
+  def duplicateSubstringSpans(df: DataFrame, textCol: String, idCol: String,
+                              minTokens: Int): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive, got $minTokens")
+    val L = minTokens
+    val toks = split(trim(col(textCol)), "\\s+")
+    val wins = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("__id"), toks.as("__w"))
+      .filter(size(col("__w")) >= L)
+      .select(col("__id"), posexplode(
+          transform(sequence(lit(0), size(col("__w")) - L),
+            p => array_join(slice(col("__w"), p + 1, lit(L)), " ")))
+        .as(Seq("pos", "__sh")))
+      .select(col("__id"), col("pos"),
+        xxhash64(col("__sh")).as("k1"),
+        xxhash64(col("__sh"), lit(1L)).as("k2"))
+    val dups = wins.groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("__id"), col("pos"))).as("keep"))
+      .filter(col("cnt") >= 2)
+      .select(col("k1"), col("k2"), col("keep"))
+    val removable = wins.join(dups, Seq("k1", "k2"))
+      .filter(!(col("__id") === col("keep.__id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("__id"), col("pos"))
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    removable
+      // classic gap-and-island merge of [pos, pos+L) intervals: a new
+      // island starts when this window begins past every earlier
+      // window's end (contiguous ranges coalesce — pos == prev end
+      // continues the island)
+      .withColumn("__pme", max(col("pos") + lit(L))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("pos") > coalesce(col("__pme"), lit(-1)), 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(L)).cast("long").as("span_end"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Rebuild text with the given token ranges removed — the companion
+    * consumer of [[duplicateSubstringSpans]]'s span frame. Output
+    * (idCol, text_clean, n_tokens, n_kept); every input document keeps
+    * its row (whitespace-normalized text when nothing was removed), so
+    * corpus accounting never loses rows. The span sets group to one
+    * small array per AFFECTED document; text moves at most once. */
+  def stripSpans(df: DataFrame, spans: DataFrame, textCol: String,
+                 idCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val spanSets = spans.groupBy(col(idCol).as("__graft_ss_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__graft_ss"))
+    val ss = col("__graft_ss")
+    val toksCol = when(length(trim(col(textCol))) === 0,
+      array().cast("array<string>")).otherwise(toks)
+    df.join(spanSets, df(idCol) === col("__graft_ss_id"), "left")
+      .withColumn("__kept", filter(toksCol, (_, i) =>
+        ss.isNull || !exists(ss, s =>
+          i >= s.getField("span_start") && i < s.getField("span_end"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as("text_clean"),
+        size(toksCol).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"))
   }
 }

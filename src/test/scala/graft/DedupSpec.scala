@@ -285,6 +285,84 @@ class DedupSpec extends SparkSpec {
     OpCache.release()
   }
 
+  test("duplicateSubstringSpans catches grid-straddling copies the aligned tier misses") {
+    // the same 5-token passage P sits at offset 3 of doc 1 and offset 2
+    // of doc 2 — no fixed window grid aligns on it
+    val df = Seq(
+      (1L, "a1 a2 a3 P1 P2 P3 P4 P5 a9 a10"),
+      (2L, "b1 b2 P1 P2 P3 P4 P5 b8 b9 b10")).toDF("doc_id", "text")
+    // aligned tier, window=5: chunk strings never match → removes nothing
+    val aligned = Dedup.removeDuplicateSpans(df, "text", "doc_id",
+        window = 5).orderBy($"doc_id")
+      .select($"n_kept").as[Long].collect().toSeq
+    assert(aligned == Seq(2L, 2L), s"aligned tier should miss this: $aligned")
+    OpCache.release()
+    // offset-robust tier: doc 2's copy (corpus-later) is the removable one
+    val spans = Dedup.duplicateSubstringSpans(df, "text", "doc_id",
+        minTokens = 5).orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((2L, 2L, 7L)), s"got $spans")
+    // stripping the span leaves doc 2's own tokens; doc 1 is untouched
+    val stripped = Dedup.stripSpans(df,
+        Dedup.duplicateSubstringSpans(df, "text", "doc_id", minTokens = 5),
+        "text", "doc_id")
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(stripped == Seq(
+      (1L, "a1 a2 a3 P1 P2 P3 P4 P5 a9 a10", 10L, 10L),
+      (2L, "b1 b2 b8 b9 b10", 10L, 5L)), s"got $stripped")
+  }
+
+  test("duplicateSubstringSpans matches a brute-force oracle with planted offset dups") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("ox", "elm", "fig", "gnu", "yak", "ash", "koi")
+    val L = 3
+    val base = (1L to 40L).map { id =>
+      id -> Vector.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+    }.toMap
+    // plant unaligned copies: splice a 4-7-token slice of one doc into
+    // another at a random offset (the failure mode this operator exists
+    // for), on top of whatever chance repeats the 7-word soup produces
+    val corpus = base.map { case (id, w) =>
+      if (id % 5 == 0 && base(1L + (id % 37)).size >= 7) {
+        val src = base(1L + (id % 37))
+        val from = rnd.nextInt(src.size - 6)
+        val slice = src.slice(from, from + 4 + rnd.nextInt(4))
+        val at = rnd.nextInt(w.size + 1)
+        id -> (w.take(at) ++ slice ++ w.drop(at))
+      } else id -> w
+    }
+    // brute force from the definition, on STRINGS (no hashing): every
+    // stride-1 window, canonical min (id, pos), coverage union, merge
+    val occs = corpus.toSeq.flatMap { case (id, w) =>
+      if (w.size >= L) (0 to w.size - L).map(p =>
+        (w.slice(p, p + L).mkString(" "), id, p))
+      else Nil
+    }
+    val removable = occs.groupBy(_._1).values.flatMap { os =>
+      if (os.size >= 2) os.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3))
+      else Nil
+    }
+    val expected = removable.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      val merged = sorted.foldLeft(Vector.empty[(Int, Int)]) { (acc, p) =>
+        acc.lastOption match {
+          case Some((s, e)) if p <= e => acc.init :+ (s, math.max(e, p + L))
+          case _ => acc :+ (p, p + L)
+        }
+      }
+      merged.map { case (s, e) => (id, s.toLong, e.toLong) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Dedup.duplicateSubstringSpans(
+        corpus.toSeq.map { case (id, w) => (id, w.mkString(" ")) }
+          .toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = L)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(expected.nonEmpty, "fixture must contain planted duplicates")
+    assert(got == expected, s"first diff: ${
+      got.zipAll(expected, null, null).find { case (g, e) => g != e }}")
+  }
+
   test("dedupAgainst drops exactly the already-stored content, bloom on or off") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
       (3L, "zeta eta theta")).toDF("doc_id", "text")

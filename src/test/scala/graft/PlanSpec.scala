@@ -398,6 +398,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "span dedup must never go cartesian")
   }
 
+  test("q121 substring spans: window strings die in their scan, merge window is per-doc") {
+    // stride-1 windows are corpus-TOKEN-many, so only the bare
+    // (k1, k2, id, pos) quads may shuffle; the interval merge must be a
+    // doc-partitioned window, never a global sort
+    val df = SparkEntry.queries("q121_substring_spans")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val keyExchanges = plan.split("\n\n").filter(b =>
+      b.contains("Exchange") && b.contains("hashpartitioning(k1"))
+    assert(keyExchanges.nonEmpty, s"no window-key exchange found:\n$plan")
+    keyExchanges.foreach(b =>
+      assert(!b.contains("__sh") && !b.contains("text#"),
+        s"window text must not enter the key shuffle:\n$b"))
+    // simple mode prints the window spec inline: every Window must be
+    // partitioned by the doc id, never an empty (global) partition spec
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val windows = simple.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__id")),
+      s"interval-merge windows must partition by doc:\n${windows.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q101 incremental dedup: bloom pre-filter routes around the anti-join") {
     // the operator's 100 TB story: rows the corpus Bloom rejects are
     // definitely-new and bypass the anti-join entirely (union of two
