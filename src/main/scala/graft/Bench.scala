@@ -50,7 +50,9 @@ object Bench {
     "q99_multimodal_decode", "q100_span_dedup", "q101_incremental_dedup",
     "q102_incremental_neardup", "q103_perplexity", "q104_bm25",
     "q107_rrf_fusion", "q108_semdedup", "q109_hash_classifier",
-    "q112_pq_ann", "q113_ivfpq_ann", "q116_distinct_ngrams")
+    "q112_pq_ann", "q113_ivfpq_ann", "q114_negative_sampling",
+    "q116_distinct_ngrams", "q117_funnel", "q118_ivfpq_code_store",
+    "q119_bm25_index", "q120_funnel_conversion", "q121_substring_spans")
 
   private val RUNS = 5
 

@@ -32,6 +32,9 @@ import graft.operators.{Dedup, OpCache, TextProfile}
   *    string keys vs xxhash64 lanes vs broadcastModel (SURVEY §6).
   *  - `pqstore [n]` — IVF-PQ code-store static pruning: files/bytes
   *    scanned by the pruned serving path vs a full scan (SURVEY §6).
+  *  - `substr [docs.parquet...]` — offset-robust substring-dedup
+  *    scaling (q121 shape vs the aligned q100 shape) across fixture
+  *    decades (SURVEY §6).
   */
 object Probe {
 
@@ -85,6 +88,10 @@ object Probe {
         .getOrElse("/tmp/graft_scale/documents_50k_bigvocab.parquet"))
       case Some("pqstore") => pqStoreRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(100000L))
+      case Some("substr") => substrRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k.parquet",
+          "/tmp/graft_scale/documents_500k.parquet"))
       case Some("sem") =>
         semRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(2000L, 20000L, 200000L))
@@ -496,6 +503,30 @@ object Probe {
     measure("ad-hoc recompute ivfPqTopK (5 queries, nProbe=2)")(
       graft.operators.Quantize.ivfPqTopK(e, queries, cents, cb,
         "embedding", "vec_id", m, subDim, k = 10, nProbe = 2))
+    spark.stop()
+  }
+
+  /** Offset-robust substring dedup scaling (the q121 stride-1 shape)
+    * against the aligned q100 shape on the same corpus, decade over
+    * decade — quantifies the documented `minTokens`× row-count premium
+    * the thorough pass costs over the cheap aligned sweep, and checks
+    * both stay linear. */
+  private def substrRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    paths.foreach { path =>
+      val docs = spark.read.parquet(path).repartition(32)
+      println(s"[probe] substring-dedup run over $path: ${docs.count()} docs")
+      measure("warmup")(
+        Dedup.duplicateSubstringSpans(docs, "text", "doc_id", minTokens = 5))
+      measure("aligned removeDuplicateSpans (window=4)")(
+        Dedup.removeDuplicateSpans(docs, "text", "doc_id", window = 4))
+      measure("stride-1 duplicateSubstringSpans (minTokens=5)")(
+        Dedup.duplicateSubstringSpans(docs, "text", "doc_id", minTokens = 5))
+      measure("stride-1 + stripSpans rebuild")(
+        Dedup.stripSpans(docs,
+          Dedup.duplicateSubstringSpans(docs, "text", "doc_id", minTokens = 5),
+          "text", "doc_id"))
+    }
     spark.stop()
   }
 
