@@ -52,7 +52,8 @@ object Bench {
     "q107_rrf_fusion", "q108_semdedup", "q109_hash_classifier",
     "q112_pq_ann", "q113_ivfpq_ann", "q114_negative_sampling",
     "q116_distinct_ngrams", "q117_funnel", "q118_ivfpq_code_store",
-    "q119_bm25_index", "q120_funnel_conversion", "q121_substring_spans")
+    "q119_bm25_index", "q120_funnel_conversion", "q121_substring_spans",
+    "q122_substring_contamination", "q123_split_assign")
 
   private val RUNS = 5
 

@@ -1959,6 +1959,31 @@ object SparkEntry {
         "text", "doc_id", minTokens = 5)
       .orderBy(col("doc_id"), col("span_start"))
 
+  /** Offset-robust decontamination: the fraction of each training doc
+    * literally covered by ≥4-token eval passages at ANY offset — the
+    * exact-substring companion to q89's distinct-n-gram overlap report
+    * (a copy that q89's gram counting flags weakly, this measures as
+    * coverage). Eval slice = doc_id % 50 == 7. */
+  private def q122_substring_contamination(s: SparkSession,
+                                           dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val isEval = pmod(col("doc_id"), lit(50)) === 7
+    Dedup.substringContamination(docs.filter(!isEval), docs.filter(isEval),
+        "text", "doc_id", minTokens = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic 80/10/10 train/val/test split assignment — the
+    * reproducible sharding every training run needs; same doc → same
+    * split on any cluster, any run. One scan, zero shuffles (beyond the
+    * presentation sort); the train split is bit-identical to the 0.8
+    * deterministic sample (CurateSpec-gated). */
+  private def q123_split_assign(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("split"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2085,6 +2110,8 @@ object SparkEntry {
     "q119_bm25_index" -> q119_bm25_index _,
     "q120_funnel_conversion" -> q120_funnel_conversion _,
     "q121_substring_spans" -> q121_substring_spans _,
+    "q122_substring_contamination" -> q122_substring_contamination _,
+    "q123_split_assign" -> q123_split_assign _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3414,5 +3441,38 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end
         |FROM i GROUP BY doc_id, isl
         |ORDER BY doc_id, span_start""".stripMargin,
+    "q122_substring_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(coalesce(text, '')), '\s+')
+        |    END AS w
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, len(w) - 3 AS n_windows,
+        |    unnest(range(0, len(w) - 3)) AS pos, w
+        |  FROM d WHERE len(w) >= 4 AND doc_id % 50 != 7),
+        |ts AS (
+        |  SELECT doc_id, n_windows,
+        |    array_to_string(w[pos + 1 : pos + 4], ' ') AS s
+        |  FROM tw),
+        |es AS (
+        |  SELECT DISTINCT array_to_string(w[pos + 1 : pos + 4], ' ') AS s
+        |  FROM (SELECT unnest(range(0, len(w) - 3)) AS pos, w
+        |        FROM d WHERE len(w) >= 4 AND doc_id % 50 = 7)),
+        |c AS (
+        |  SELECT doc_id, max(n_windows) AS n_windows, count(*) AS n_contam
+        |  FROM ts WHERE s IN (SELECT s FROM es) GROUP BY doc_id)
+        |SELECT doc_id, n_windows, n_contam,
+        |  round(n_contam::DOUBLE / n_windows, 4) AS contam_frac
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q123_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'cccccccc'
+        |       THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR), 1, 8) < 'e6666666'
+        |       THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

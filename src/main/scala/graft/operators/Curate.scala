@@ -55,6 +55,40 @@ object Curate {
     if (rate >= 1.0) df
     else df.filter(sampleKey(col(idCol)) < lit(thresholdHex(rate)))
 
+  /**
+   * Deterministic train/validation/test split assignment: each row gets
+   * the split whose cumulative [0, 1) md5 interval contains its
+   * [[sampleKey]] — the reproducible, partition-order-free sharding
+   * every training run needs (same row → same split on any cluster, any
+   * run, any input order). Because splits are nested prefixes of one
+   * hash line, growing a split re-buckets ONLY rows near the moved
+   * boundary, and the first split is bit-identical to
+   * [[deterministicSample]] at the same rate (CurateSpec-gated).
+   * Weights must sum to 1 (±1e-9). Pure per-row expression — one scan,
+   * zero shuffles at any corpus size; NULL ids follow the
+   * [[deterministicSample]] contract (no hash key → last split's ELSE
+   * branch would catch them, so we null the label instead: callers
+   * coalesce a nullable id before splitting on it).
+   */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "assignSplits needs at least one split")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct, got ${splits.map(_._1)}")
+    require(splits.forall(_._2 >= 0), s"split weights must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val key = sampleKey(col(idCol))
+    val label = splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), c), els) =>
+          when(key < lit(thresholdHex(c)), lit(name)).otherwise(els)
+      }
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(label))
+  }
+
   /** CASE WHEN key = k THEN v ... ELSE default END, branches in sorted key
     * order (deterministic expression tree regardless of Map iteration). */
   private def caseOver(key: Column, mapping: Map[String, Column],

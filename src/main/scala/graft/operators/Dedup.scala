@@ -796,22 +796,33 @@ object Dedup {
    * is a per-document window over that document's REMOVABLE positions
    * only — duplicate-bounded, not corpus-bounded.
    */
+  /** Stride-1 window hashes: one (__id, pos, k1, k2, __nw) row per token
+    * offset — the shared front end of [[duplicateSubstringSpans]] and
+    * [[substringContamination]]. Window STRINGS die inside this select;
+    * only the 128-bit lane pair leaves. `__nw` is the doc's window count
+    * (n_tokens − L + 1), constant per doc. */
+  private def strideWindows(df: DataFrame, textCol: String, idCol: String,
+                            L: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("__id"), toks.as("__w"))
+      .filter(size(col("__w")) >= L)
+      .select(col("__id"), (size(col("__w")) - (L - 1)).as("__nw"),
+        posexplode(
+          transform(sequence(lit(0), size(col("__w")) - L),
+            p => array_join(slice(col("__w"), p + 1, lit(L)), " ")))
+        .as(Seq("pos", "__sh")))
+      .select(col("__id"), col("__nw"), col("pos"),
+        xxhash64(col("__sh")).as("k1"),
+        xxhash64(col("__sh"), lit(1L)).as("k2"))
+  }
+
   def duplicateSubstringSpans(df: DataFrame, textCol: String, idCol: String,
                               minTokens: Int): DataFrame = {
     require(minTokens > 0, s"minTokens must be positive, got $minTokens")
     val L = minTokens
-    val toks = split(trim(col(textCol)), "\\s+")
-    val wins = df
-      .filter(length(trim(col(textCol))) > 0)
-      .select(col(idCol).as("__id"), toks.as("__w"))
-      .filter(size(col("__w")) >= L)
-      .select(col("__id"), posexplode(
-          transform(sequence(lit(0), size(col("__w")) - L),
-            p => array_join(slice(col("__w"), p + 1, lit(L)), " ")))
-        .as(Seq("pos", "__sh")))
-      .select(col("__id"), col("pos"),
-        xxhash64(col("__sh")).as("k1"),
-        xxhash64(col("__sh"), lit(1L)).as("k2"))
+    val wins = strideWindows(df, textCol, idCol, L)
+      .select(col("__id"), col("pos"), col("k1"), col("k2"))
     val dups = wins.groupBy(col("k1"), col("k2"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("__id"), col("pos"))).as("keep"))
@@ -837,6 +848,40 @@ object Dedup {
       .agg(min(col("pos")).cast("long").as("span_start"),
         (max(col("pos")) + lit(L)).cast("long").as("span_end"))
       .select(col("__id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /**
+   * Offset-robust benchmark decontamination: for each TRAINING document,
+   * the count of its stride-1 `minTokens`-token window positions whose
+   * content appears VERBATIM anywhere in the eval corpus — the exact
+   * substring form of the contamination check
+   * ([[TextProfile.contaminationReport]] is the distinct-n-gram overlap
+   * form; this one is position-level, so `contam_frac` = the fraction of
+   * the document literally covered by eval text, at any offset). Emits
+   * only contaminated docs (n_contam ≥ 1); threshold/drop downstream.
+   *
+   * Output: (idCol, n_windows, n_contam, contam_frac).
+   *
+   * Scale shape: eval corpora are policy-sized, so the distinct eval
+   * window-hash set is a slim (k1, k2) frame that broadcasts into a
+   * semi-join against the training windows — training text never
+   * shuffles, and the per-doc aggregate combines map-side. The 128-bit
+   * lane pair keeps a hash collision from flagging a clean document.
+   */
+  def substringContamination(train: DataFrame, eval: DataFrame,
+                             textCol: String, idCol: String,
+                             minTokens: Int): DataFrame = {
+    require(minTokens > 0, s"minTokens must be positive, got $minTokens")
+    val tw = strideWindows(train, textCol, idCol, minTokens)
+    val evalKeys = strideWindows(eval, textCol, idCol, minTokens)
+      .select(col("k1"), col("k2")).distinct()
+    tw.join(evalKeys, Seq("k1", "k2"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(max(col("__nw")).cast("long").as("n_windows"),
+        count(lit(1)).as("n_contam"))
+      .select(col("__id").as(idCol), col("n_windows"), col("n_contam"),
+        round(col("n_contam").cast("double") / col("n_windows"), 4)
+          .as("contam_frac"))
   }
 
   /** Rebuild text with the given token ranges removed — the companion

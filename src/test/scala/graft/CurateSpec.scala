@@ -324,6 +324,39 @@ class CurateSpec extends SparkSpec {
       Curate.temperatureRates(df, "stratum", temperature = 0.0))
   }
 
+  test("assignSplits: a partition of the corpus, nested with deterministicSample") {
+    val df = spark.range(1, 2001).withColumnRenamed("id", "doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Curate.assignSplits(df, "doc_id", splits)
+    // every row gets exactly one non-null split; the realized sizes track
+    // the weights (hash noise bounded)
+    val counts = assigned.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L && !counts.contains(null))
+    assert(math.abs(counts("train") - 1600L) < 100,
+      s"train share off: $counts")
+    assert(math.abs(counts("val") - 200L) < 60, s"val share off: $counts")
+    // the first split IS deterministicSample at the same rate — resizing
+    // later splits can never reshuffle a stable train set
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = ids(assigned.filter(col("split") === "train"))
+    assert(train == ids(Curate.deterministicSample(df, "doc_id", 0.8)))
+    // partition-order independence
+    assert(ids(Curate.assignSplits(df.repartition(13), "doc_id", splits)
+      .filter(col("split") === "train")) == train)
+    // null ids get a null label, not a silent last-split assignment
+    val withNull = Curate.assignSplits(
+      df.select(when(col("doc_id") === 1L, lit(null).cast("long"))
+        .otherwise(col("doc_id")).as("doc_id")), "doc_id", splits)
+    assert(withNull.filter(col("doc_id").isNull)
+      .select("split").collect().head.isNullAt(0))
+    intercept[IllegalArgumentException](
+      Curate.assignSplits(df, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Curate.assignSplits(df, "doc_id", Seq("a" -> 0.5, "a" -> 0.5)))
+  }
+
   test("sampleNegatives: deterministic, partition-order-free, never the anchor") {
     import spark.implicits._
     val ids = (0L until 400L).toDF("doc_id")

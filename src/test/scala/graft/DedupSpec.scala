@@ -363,6 +363,23 @@ class DedupSpec extends SparkSpec {
       got.zipAll(expected, null, null).find { case (g, e) => g != e }}")
   }
 
+  test("substringContamination counts eval-covered window positions at any offset") {
+    val train = Seq(
+      // P1..P4 from the eval doc sits at offset 2 — two 3-token windows
+      // of this doc ([2,5) and [3,6)... with L=3 windows at pos 2 and 3
+      (1L, "t1 t2 P1 P2 P3 P4 t7 t8"),
+      (2L, "clean doc with nothing shared"),
+      // the eval passage split across unrelated tokens — no 3-window match
+      (3L, "P1 P2 x P3 P4 y z")).toDF("doc_id", "text")
+    val eval = Seq((100L, "e1 P1 P2 P3 P4 e6")).toDF("doc_id", "text")
+    val got = Dedup.substringContamination(train, eval, "text", "doc_id",
+        minTokens = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: windows at pos 2 ("P1 P2 P3") and 3 ("P2 P3 P4") match eval
+    // windows; 6 windows total (8 tokens, L=3) → frac 2/6
+    assert(got == Seq((1L, 6L, 2L, 0.3333)), s"got $got")
+  }
+
   test("dedupAgainst drops exactly the already-stored content, bloom on or off") {
     val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
       (3L, "zeta eta theta")).toDF("doc_id", "text")
