@@ -35,6 +35,9 @@ import graft.operators.{Dedup, OpCache, TextProfile}
   *  - `substr [docs.parquet...]` — offset-robust substring-dedup
   *    scaling (q121 shape vs the aligned q100 shape) across fixture
   *    decades (SURVEY §6).
+  *  - `bm25idx [docs.parquet...]` — BM25 scan path (re-tokenize per
+  *    query) vs materialized term-bucketed index path across fixture
+  *    decades (SURVEY §6).
   */
 object Probe {
 
@@ -89,6 +92,10 @@ object Probe {
       case Some("pqstore") => pqStoreRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(100000L))
       case Some("substr") => substrRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k.parquet",
+          "/tmp/graft_scale/documents_500k.parquet"))
+      case Some("bm25idx") => bm25IdxRun(
         if (args.length > 1) args.drop(1).toSeq
         else Seq("/tmp/graft_scale/documents_50k.parquet",
           "/tmp/graft_scale/documents_500k.parquet"))
@@ -503,6 +510,37 @@ object Probe {
     measure("ad-hoc recompute ivfPqTopK (5 queries, nProbe=2)")(
       graft.operators.Quantize.ivfPqTopK(e, queries, cents, cb,
         "embedding", "vec_id", m, subDim, k = 10, nProbe = 2))
+    spark.stop()
+  }
+
+  /** BM25 serving cost: the scan-time form (re-tokenizes the corpus per
+    * query) vs the materialized term-bucketed index ([[graft.operators.Rank.writeIndex]]
+    * once, [[graft.operators.Rank.bm25FromIndex]] per query), decade
+    * over decade — the tokenize-once-serve-many claim priced. The
+    * index build is reported separately: it amortizes over every query
+    * a standing search service answers. */
+  private def bm25IdxRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    val terms = Seq("spark", "data", "query")
+    paths.foreach { path =>
+      val docs = spark.read.parquet(path).repartition(32)
+      println(s"[probe] bm25 index run over $path: ${docs.count()} docs")
+      val tbl = s"probe_bm25_${System.nanoTime()}"
+      val t0 = System.nanoTime()
+      graft.operators.Rank.writeIndex(docs, "text", "doc_id", tbl,
+        buckets = 16)
+      println(f"[probe] index build+write (once, amortized): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val (idx, stats) = graft.operators.Rank.readIndex(spark, tbl)
+      measure("warmup")(
+        graft.operators.Rank.bm25FromIndex(idx, stats, "doc_id", terms))
+      measure("scan-path bm25 (re-tokenizes the corpus)")(
+        graft.operators.Rank.bm25(docs, "text", "doc_id", terms))
+      measure("index-path bm25 (bucket-pruned index scan)")(
+        graft.operators.Rank.bm25FromIndex(idx, stats, "doc_id", terms))
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stats")
+    }
     spark.stop()
   }
 
