@@ -53,7 +53,8 @@ object Bench {
     "q112_pq_ann", "q113_ivfpq_ann", "q114_negative_sampling",
     "q116_distinct_ngrams", "q117_funnel", "q118_ivfpq_code_store",
     "q119_bm25_index", "q120_funnel_conversion", "q121_substring_spans",
-    "q122_substring_contamination", "q123_split_assign")
+    "q122_substring_contamination", "q123_split_assign",
+    "q124_approx_percentile")
 
   private val RUNS = 5
 

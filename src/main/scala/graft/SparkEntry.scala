@@ -1984,6 +1984,28 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Approximate-percentile sketch gate (q44's HLL companion, completing
+    * the sketch family): percentile_approx's bounded-error quantile
+    * summary — the mergeable per-partition sketch a 100 TB profile job
+    * uses where exact percentiles would shuffle every value — verified
+    * in-plan against the exact percentile at p50/p95. The oracle pins
+    * the verdict rows; the accuracy knob's error bound is the gate. */
+  private def q124_approx_percentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val one = li.agg(
+      expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
+        .as("apx"),
+      expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ext"))
+    def gate(i: Int, name: String) = one.select(
+      lit(s"approx_${name}_rel_err").as("metric"),
+      lit(0.01).as("bound"),
+      coalesce(
+        abs(element_at(col("apx"), i) - element_at(col("ext"), i)) /
+          abs(element_at(col("ext"), i)) <= 0.01,
+        lit(false)).as("ok"))
+    gate(1, "p50").unionByName(gate(2, "p95")).orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2112,6 +2134,7 @@ object SparkEntry {
     "q121_substring_spans" -> q121_substring_spans _,
     "q122_substring_contamination" -> q122_substring_contamination _,
     "q123_split_assign" -> q123_split_assign _,
+    "q124_approx_percentile" -> q124_approx_percentile _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3474,5 +3497,14 @@ object SparkEntry {
         |       THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q124 is an accuracy GATE (q44 HLL pattern): Spark verifies the
+    // percentile_approx sketch against the exact percentile in-plan and
+    // emits (metric, bound, ok); the oracle pins the verdict rows.
+    "q124_approx_percentile" ->
+      """SELECT * FROM (VALUES
+        |  ('approx_p50_rel_err', CAST(0.01 AS DOUBLE), TRUE),
+        |  ('approx_p95_rel_err', CAST(0.01 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
   )
 }

@@ -276,6 +276,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming split assignment equals the batch labels per document") {
+    // assignSplits is a stateless hash expression: an arriving stream
+    // must shard documents into the SAME train/val/test splits the batch
+    // pass computes — the property that lets an incremental ingest keep
+    // a stable split without reprocessing the corpus
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = graft.operators.Curate.assignSplits(
+      input.toDF().toDF("doc_id"), "doc_id", splits)
+    val q = labeled.writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    try {
+      input.addData(1L to 200L: _*)
+      q.processAllAvailable()
+      input.addData(201L to 400L: _*) // later batch, same hash line
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, split FROM split_out")
+        .as[(Long, String)].collect().toMap
+      val batch = graft.operators.Curate.assignSplits(
+          spark.range(1, 401).withColumnRenamed("id", "doc_id"),
+          "doc_id", splits)
+        .as[(Long, String)].collect().toMap
+      assert(streamed.size == 400 && streamed == batch)
+    } finally q.stop()
+  }
+
   test("ParquetBoundary: write side feeds both batch and streaming readers") {
     val dir = java.nio.file.Files.createTempDirectory("boundary").toString
     val b = new ParquetBoundary(s"$dir/stage")
