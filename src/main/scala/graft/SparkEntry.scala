@@ -1992,10 +1992,12 @@ object SparkEntry {
     * the verdict rows; the accuracy knob's error bound is the gate. */
   private def q124_approx_percentile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val one = li.agg(
+    // materialize the 1-row aggregate: both gate rows select from it, and
+    // without this the sketch AND the exact percentile recompute per row
+    val one = operators.OpCache.materialize(li.agg(
       expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
         .as("apx"),
-      expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ext"))
+      expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ext")))
     def gate(i: Int, name: String) = one.select(
       lit(s"approx_${name}_rel_err").as("metric"),
       lit(0.01).as("bound"),
