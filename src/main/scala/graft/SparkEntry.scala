@@ -1878,10 +1878,15 @@ object SparkEntry {
         m, subDim).join(assigned, Seq("vec_id"))
       scoresOf(codes)
     }
-    val a = adhocScores.select(col("query_id"), col("corpus_id"),
-      col("score").as("sa"))
-    val b = storeScores.select(col("query_id"), col("corpus_id"),
-      col("score").as("sb"))
+    // materialize both candidate-score frames: the scores gate AND the
+    // top-k gate select from them, and each is the expensive end of a
+    // full assign/encode (or store-scan) pipeline — one pass, not two
+    val a = operators.OpCache.materialize(
+      adhocScores.select(col("query_id"), col("corpus_id"),
+        col("score").as("sa")))
+    val b = operators.OpCache.materialize(
+      storeScores.select(col("query_id"), col("corpus_id"),
+        col("score").as("sb")))
     val scoresEq = a.join(b, Seq("query_id", "corpus_id"), "full_outer")
       .agg(coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
         abs(col("sa") - col("sb")) > 1e-9, 1).otherwise(0)), lit(0)).as("bad"))
@@ -1923,12 +1928,15 @@ object SparkEntry {
       .select(col("doc_id"), col("score").as("sa"))
     val b = operators.Rank.bm25FromIndex(index, stats, "doc_id", terms)
       .select(col("doc_id"), col("score").as("sb"))
-    val joined = a.join(b, Seq("doc_id"), "full_outer")
-      .agg(
-        coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
-          abs(col("sa") - col("sb")) > 1e-9, 1).otherwise(0)), lit(0))
-          .as("bad"),
-        count(lit(1)).as("n"))
+    // materialized: both verdict rows select from this 1-row aggregate,
+    // which would otherwise re-run the two BM25 pipelines per row
+    val joined = operators.OpCache.materialize(
+      a.join(b, Seq("doc_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
+            abs(col("sa") - col("sb")) > 1e-9, 1).otherwise(0)), lit(0))
+            .as("bad"),
+          count(lit(1)).as("n")))
     joined.select(
         lit("bm25_index_equals_scan").as("metric"), lit(0.0).as("bound"),
         (col("bad") === 0).as("ok"))
