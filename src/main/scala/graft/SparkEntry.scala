@@ -1651,10 +1651,13 @@ object SparkEntry {
     val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id",
         threshold = 0.45, nBits = 0)
       .select(col("id_a"), col("id_b"))
-    val semDropped = Dedup.resolveClusters(sem)
-      .filter(!col("keep")).select(col("id"))
-    val exactDropped = Dedup.resolveClusters(exact)
-      .filter(!col("keep")).select(col("id"))
+    // materialized: recall AND spurious-drop rows both read these, and
+    // each is a full connected-components resolution — one pass each
+    val semDropped = operators.OpCache.materialize(Dedup.resolveClusters(sem)
+      .filter(!col("keep")).select(col("id")))
+    val exactDropped = operators.OpCache.materialize(
+      Dedup.resolveClusters(exact)
+        .filter(!col("keep")).select(col("id")))
     val recall = exactDropped
       .join(semDropped.withColumn("hit", lit(1)), Seq("id"), "left_outer")
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
@@ -1729,7 +1732,10 @@ object SparkEntry {
     val (m, subDim) = (16, 4)
     val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
       dim = 64, m = m, ksub = 16)
-    val codes = operators.Quantize.encode(e, cb, "embedding", "vec_id", m, subDim)
+    // materialized: the reconstruction gate AND the ADC recall gate both
+    // read the codes — encode once, not per verdict row
+    val codes = operators.OpCache.materialize(
+      operators.Quantize.encode(e, cb, "embedding", "vec_id", m, subDim))
     val rec = operators.Quantize.decode(codes, cb, "recv", "vec_id")
       .join(e, Seq("vec_id"))
       .agg(avg(VectorFunctions.cosine(col("recv"), col("embedding"))).as("v"))
