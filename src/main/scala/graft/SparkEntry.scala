@@ -1651,13 +1651,14 @@ object SparkEntry {
     val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id",
         threshold = 0.45, nBits = 0)
       .select(col("id_a"), col("id_b"))
-    // materialized: recall AND spurious-drop rows both read these, and
-    // each is a full connected-components resolution — one pass each
-    val semDropped = operators.OpCache.materialize(Dedup.resolveClusters(sem)
-      .filter(!col("keep")).select(col("id")))
-    val exactDropped = operators.OpCache.materialize(
+    // lazily persisted: recall AND spurious-drop rows both read these,
+    // and each is a full connected-components resolution (persist, not
+    // the RDD materialize — see q118's note)
+    val semDropped = operators.OpCache.track(Dedup.resolveClusters(sem)
+      .filter(!col("keep")).select(col("id")).persist())
+    val exactDropped = operators.OpCache.track(
       Dedup.resolveClusters(exact)
-        .filter(!col("keep")).select(col("id")))
+        .filter(!col("keep")).select(col("id")).persist())
     val recall = exactDropped
       .join(semDropped.withColumn("hit", lit(1)), Seq("id"), "left_outer")
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
@@ -1732,10 +1733,12 @@ object SparkEntry {
     val (m, subDim) = (16, 4)
     val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
       dim = 64, m = m, ksub = 16)
-    // materialized: the reconstruction gate AND the ADC recall gate both
-    // read the codes — encode once, not per verdict row
-    val codes = operators.OpCache.materialize(
-      operators.Quantize.encode(e, cb, "embedding", "vec_id", m, subDim))
+    // lazily persisted: the reconstruction gate AND the ADC recall gate
+    // both read the codes — encode once, not per verdict row (persist,
+    // not the RDD materialize — see q118's note)
+    val codes = operators.OpCache.track(
+      operators.Quantize.encode(e, cb, "embedding", "vec_id", m, subDim)
+        .persist())
     val rec = operators.Quantize.decode(codes, cb, "recv", "vec_id")
       .join(e, Seq("vec_id"))
       .agg(avg(VectorFunctions.cosine(col("recv"), col("embedding"))).as("v"))
@@ -1884,15 +1887,17 @@ object SparkEntry {
         m, subDim).join(assigned, Seq("vec_id"))
       scoresOf(codes)
     }
-    // materialize both candidate-score frames: the scores gate AND the
+    // lazily persist both candidate-score frames: the scores gate AND the
     // top-k gate select from them, and each is the expensive end of a
-    // full assign/encode (or store-scan) pipeline — one pass, not two
-    val a = operators.OpCache.materialize(
+    // full assign/encode (or store-scan) pipeline. persist (Tungsten
+    // cache), NOT OpCache.materialize — the RDD round-trip's Row
+    // conversion measured slower than the recompute on these row counts
+    val a = operators.OpCache.track(
       adhocScores.select(col("query_id"), col("corpus_id"),
-        col("score").as("sa")))
-    val b = operators.OpCache.materialize(
+        col("score").as("sa")).persist())
+    val b = operators.OpCache.track(
       storeScores.select(col("query_id"), col("corpus_id"),
-        col("score").as("sb")))
+        col("score").as("sb")).persist())
     val scoresEq = a.join(b, Seq("query_id", "corpus_id"), "full_outer")
       .agg(coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
         abs(col("sa") - col("sb")) > 1e-9, 1).otherwise(0)), lit(0)).as("bad"))
