@@ -54,7 +54,7 @@ object Bench {
     "q116_distinct_ngrams", "q117_funnel", "q118_ivfpq_code_store",
     "q119_bm25_index", "q120_funnel_conversion", "q121_substring_spans",
     "q122_substring_contamination", "q123_split_assign",
-    "q124_approx_percentile")
+    "q124_approx_percentile", "q125_semdedup_store")
 
   private val RUNS = 5
 

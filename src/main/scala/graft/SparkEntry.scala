@@ -2027,6 +2027,43 @@ object SparkEntry {
     gate(1, "p50").unionByName(gate(2, "p95")).orderBy(col("metric"))
   }
 
+  /** SemDeDup store equivalence gate (q118/q119 pattern for the
+    * semantic-dedup tier): the cell-BUCKETED assigned corpus — assign
+    * once at ingest; the within-cell self-join reads co-located buckets
+    * so nothing ever shuffles on `cell` (PlanSpec-gated) — must emit
+    * exactly the pairs the in-plan assignment path emits at the same
+    * centroids. The oracle pins the verdict rows. */
+  private def q125_semdedup_store(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q125_sem_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeAssignedCorpus(e, cents, "embedding", "vec_id", probes = 2,
+      tbl, buckets = 8)
+    val store = Dedup.semDedupPairsFromStore(s, tbl, "embedding", "vec_id",
+        tau = 0.45)
+      .select(col("id_a"), col("id_b"), lit(1).as("ins"))
+    val adhoc = Dedup.semDedupPairsAssigned(
+        Similarity.ivfAssignMulti(e, cents, "embedding", "vec_id", 2),
+        "embedding", "vec_id", tau = 0.45)
+      .select(col("id_a"), col("id_b"), lit(1).as("ina"))
+    // 1-row agg read by both verdict rows → materialize (q119 pattern)
+    val joined = operators.OpCache.materialize(
+      adhoc.join(store, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("semdedup_store_pairs_equal").as("metric"), lit(0.0).as("bound"),
+        (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("semdedup_store_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2156,6 +2193,7 @@ object SparkEntry {
     "q122_substring_contamination" -> q122_substring_contamination _,
     "q123_split_assign" -> q123_split_assign _,
     "q124_approx_percentile" -> q124_approx_percentile _,
+    "q125_semdedup_store" -> q125_semdedup_store _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3525,6 +3563,14 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('approx_p50_rel_err', CAST(0.01 AS DOUBLE), TRUE),
         |  ('approx_p95_rel_err', CAST(0.01 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q125 is a self-equivalence GATE (q118/q119 pattern): the bucketed
+    // store path must emit exactly the in-plan path's pairs.
+    "q125_semdedup_store" ->
+      """SELECT * FROM (VALUES
+        |  ('semdedup_store_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('semdedup_store_pairs_equal', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
   )

@@ -673,7 +673,24 @@ object Dedup {
     val assigned = OpCache.track(
       Similarity.ivfAssignMulti(df, centroids, vecCol, idCol, probes)
         .persist())
-    val slim = assigned.select(col(idCol).as("id"), col("cell"))
+    semDedupPairsAssigned(assigned, vecCol, idCol, tau)
+  }
+
+  /**
+   * The within-cell compare over an ALREADY-ASSIGNED (cell, idCol,
+   * vecCol) frame — the shared tail of [[semDedupPairs]] (in-plan
+   * assignment) and [[semDedupPairsFromStore]] (assignment read back
+   * from the bucketed store). `mergeHint` forces the sort-merge shape
+   * the self-join takes at corpus scale, where the slim (id, cell)
+   * frame broadcasts nowhere — the store path sets it so bucket
+   * co-location (not a broadcast estimate) is what removes the
+   * exchange.
+   */
+  def semDedupPairsAssigned(assigned: DataFrame, vecCol: String,
+                            idCol: String, tau: Double,
+                            mergeHint: Boolean = false): DataFrame = {
+    val slim0 = assigned.select(col(idCol).as("id"), col("cell"))
+    val slim = if (mergeHint) slim0.hint("merge") else slim0
     val cands = slim.alias("l").join(slim.alias("r"),
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -686,6 +703,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /**
+   * Materialize the soft-assigned corpus BUCKETED BY CELL — the at-scale
+   * store for the semantic-dedup tier (SURVEY §6's SemDeDup study
+   * measured the within-cell candidate exchange as the super-linear
+   * shuffle term; a cell-bucketed store co-locates the self-join's two
+   * sides so that exchange disappears — the q71/[[Layout.writeBucketed]]
+   * mechanism, gated in PlanSpec). Bucketed rather than
+   * `partitionBy`-partitioned: the consumer is a JOIN keyed on `cell`,
+   * not a scan filtered on it, so co-location (same hash bucketing both
+   * sides) is the property that pays, and cells can be data-sized
+   * without a directory-per-cell explosion. Assign once at ingest,
+   * dedup every batch against it.
+   */
+  def writeAssignedCorpus(df: DataFrame, centroids: DataFrame,
+                          vecCol: String, idCol: String, probes: Int,
+                          table: String, buckets: Int): Unit =
+    Layout.writeBucketed(
+      Similarity.ivfAssignMulti(df, centroids, vecCol, idCol, probes)
+        .select(col("cell"), col(idCol), col(vecCol)),
+      table, Seq("cell"), buckets)
+
+  /** SemDeDup pairs off a [[writeAssignedCorpus]] store: identical pairs
+    * to the in-plan path at the same centroids (q125 oracle gate), with
+    * the within-cell self-join reading co-located buckets — no exchange
+    * ever hashes on `cell` (PlanSpec gate). */
+  def semDedupPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+                             table: String, vecCol: String, idCol: String,
+                             tau: Double): DataFrame =
+    semDedupPairsAssigned(Layout.readTable(spark, table), vecCol, idCol,
+      tau, mergeHint = true)
 
   /** The full SemDeDup decision: cluster, compare within clusters, resolve
     * duplicate components, keep one representative per component (minimum

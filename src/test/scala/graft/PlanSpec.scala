@@ -291,6 +291,35 @@ class PlanSpec extends SparkSpec {
       s"term filter read every bucket: $bucketLine")
   }
 
+  test("SemDeDup cell-bucketed store: nothing ever shuffles on cell") {
+    // the §6-measured super-linear term in semDedupPairs is the
+    // within-cell self-join's exchange; the bucketed store must delete
+    // it — the plan may hash on id_a/id_b for the vector attach, but a
+    // hashpartitioning(cell...) exchange means co-location failed
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      emb, "embedding", "vec_id", k = 4)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_sem_store_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Dedup.writeAssignedCorpus(
+      emb, cents, "embedding", "vec_id", probes = 2, tbl, buckets = 4)
+    val pairs = graft.operators.Dedup.semDedupPairsFromStore(
+      spark, tbl, "embedding", "vec_id", tau = 0.45)
+    val plan = pairs.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin"),
+      s"store self-join should take the at-scale sort-merge shape:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"scans did not use the bucketed layout:\n$plan")
+    plan.split("\n\n")
+      .filter(_.contains("Exchange"))
+      .foreach(b => assert(!b.contains("hashpartitioning(cell"),
+        s"cell must never shuffle off a bucketed store:\n$b"))
+    graft.operators.OpCache.release()
+  }
+
   test("q97 packing: the per-doc window is partitioned (no global sort)") {
     val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
