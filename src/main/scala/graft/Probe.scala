@@ -38,6 +38,8 @@ import graft.operators.{Dedup, OpCache, TextProfile}
   *  - `bm25idx [docs.parquet...]` — BM25 scan path (re-tokenize per
   *    query) vs materialized term-bucketed index path across fixture
   *    decades (SURVEY §6).
+  *  - `semstore [n]` — SemDeDup in-plan assignment path vs the
+  *    cell-bucketed assigned-corpus store (SURVEY §6).
   */
 object Probe {
 
@@ -95,6 +97,8 @@ object Probe {
         if (args.length > 1) args.drop(1).toSeq
         else Seq("/tmp/graft_scale/documents_50k.parquet",
           "/tmp/graft_scale/documents_500k.parquet"))
+      case Some("semstore") => semStoreRun(args.drop(1).headOption
+        .map(_.toLong).getOrElse(50000L))
       case Some("bm25idx") => bm25IdxRun(
         if (args.length > 1) args.drop(1).toSeq
         else Seq("/tmp/graft_scale/documents_50k.parquet",
@@ -510,6 +514,50 @@ object Probe {
     measure("ad-hoc recompute ivfPqTopK (5 queries, nProbe=2)")(
       graft.operators.Quantize.ivfPqTopK(e, queries, cents, cb,
         "embedding", "vec_id", m, subDim, k = 10, nProbe = 2))
+    spark.stop()
+  }
+
+  /** SemDeDup serving cost: the in-plan path (soft-assign + within-cell
+    * self-join, exchanges included) vs the cell-bucketed assigned-corpus
+    * store ([[graft.operators.Dedup.writeAssignedCorpus]] once,
+    * [[graft.operators.Dedup.semDedupPairsFromStore]] per batch) over n
+    * synthetic 64-dim vectors with cells sized n/256 (the §6 sem rule).
+    * Broadcast is forced off (session()), so both paths take their
+    * corpus-scale sort-merge shapes; centroids are parqueted to /tmp so
+    * measure()'s release can't invalidate them. */
+  private def semStoreRun(n: Long): Unit = {
+    val spark = session()
+    val dim = 64
+    val cells = math.max(16, (n / 256).toInt)
+    val e = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sin(col("id") * i).cast("float")).as("embedding"))
+      .repartition(32)
+    val tmp = java.nio.file.Files.createTempDirectory("semstore").toString
+    graft.operators.Similarity.trainCentroids(e, "embedding", "vec_id", cells)
+      .write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    val cents = spark.read.parquet(s"$tmp/cents")
+    val tbl = s"probe_sem_${System.nanoTime()}"
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.writeAssignedCorpus(e, cents, "embedding",
+      "vec_id", probes = 2, tbl, buckets = 32)
+    println(f"[probe] assigned-corpus store build (once, amortized): " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s, n=$n cells=$cells")
+    measure("warmup")(graft.operators.Dedup.semDedupPairsFromStore(
+      spark, tbl, "embedding", "vec_id", tau = 0.95))
+    // persisted assignment — the exact shape semDedupPairs runs (without
+    // it the assignment recomputes for the slim AND the vecs read and
+    // the comparison flatters the store)
+    measure("in-plan path (persisted assign + self-join, SMJ shape)")(
+      graft.operators.Dedup.semDedupPairsAssigned(
+        OpCache.track(graft.operators.Similarity.ivfAssignMulti(
+          e, cents, "embedding", "vec_id", 2).persist()),
+        "embedding", "vec_id", tau = 0.95, mergeHint = true))
+    measure("store path (bucketed, co-located self-join)")(
+      graft.operators.Dedup.semDedupPairsFromStore(
+        spark, tbl, "embedding", "vec_id", tau = 0.95))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.stop()
   }
 
