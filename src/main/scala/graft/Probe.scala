@@ -145,6 +145,39 @@ object Probe {
     measure("stored-fps anti-join + prebuilt bloom")(stored(Some(bloom)))
     measure("stored-fps anti-join, no bloom (2)")(stored(None))
     measure("stored-fps anti-join + prebuilt bloom (2)")(stored(Some(bloom)))
+    // ingest-store form (r12): the fp-BUCKETED store — the anti-join's
+    // store side reads co-located buckets, so the residual shuffle the
+    // flat store still pays (both sides hash on fp) drops to the batch
+    // side alone
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val fpTbl = s"probe_incr_fp_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $fpTbl")
+    Dedup.writeFingerprintStore(corpus, "text", fpTbl, buckets = 32)
+    def bucketed(b: Option[org.apache.spark.util.sketch.BloomFilter]) =
+      Dedup.dedupAgainstStore(spark, batch, "text", fpTbl, b)
+    measure("warmup fp-bucketed store")(bucketed(None))
+    measure("fp-bucketed store anti-join, no bloom")(bucketed(None))
+    measure("fp-bucketed store anti-join + prebuilt bloom")(bucketed(Some(bloom)))
+    measure("fp-bucketed store anti-join, no bloom (2)")(bucketed(None))
+    // LSH tier (r12): in-plan bipartite (corpus re-shingled per call) vs
+    // the writeLshStore ingest store (bucketed band + signature scans)
+    val lshTbl = s"probe_incr_lsh_$pid"
+    Seq(s"${lshTbl}_bands", s"${lshTbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def lshAdhoc() = Dedup.minhashLshAgainst(batch, corpus, "text",
+      "doc_id", threshold = 0.5)
+    measure("warmup lsh adhoc")(lshAdhoc())
+    measure("adhoc minhashLshAgainst")(lshAdhoc())
+    measure("adhoc minhashLshAgainst (2)")(lshAdhoc())
+    val tW0 = System.nanoTime()
+    Dedup.writeLshStore(corpus, "text", "doc_id", lshTbl, buckets = 32)
+    println(f"[probe] lsh store write (once at ingest): " +
+      f"${(System.nanoTime() - tW0) / 1e9}%.2f s")
+    def lshStored() = Dedup.minhashLshAgainstStore(spark, batch, "text",
+      "doc_id", lshTbl, threshold = 0.5)
+    measure("warmup lsh store")(lshStored())
+    measure("lsh-store bipartite")(lshStored())
+    measure("lsh-store bipartite (2)")(lshStored())
     def spans() =
       Dedup.removeDuplicateSpans(docs, "text", "doc_id", window = 4)
     measure("warmup span dedup")(spans())

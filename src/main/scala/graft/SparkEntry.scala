@@ -1978,11 +1978,12 @@ object SparkEntry {
         "text", "doc_id", minTokens = 5)
       .orderBy(col("doc_id"), col("span_start"))
 
-  /** Offset-robust decontamination: the fraction of each training doc
-    * literally covered by ≥4-token eval passages at ANY offset — the
-    * exact-substring companion to q89's distinct-n-gram overlap report
-    * (a copy that q89's gram counting flags weakly, this measures as
-    * coverage). Eval slice = doc_id % 50 == 7. */
+  /** Offset-robust decontamination: per training doc, the fraction of
+    * stride-1 ≥4-token window POSITIONS whose content appears verbatim
+    * in the eval corpus, at ANY offset (a position-match rate, not token
+    * coverage — see [[Dedup.substringContamination]]) — the
+    * exact-substring companion to q89's distinct-n-gram overlap report.
+    * Eval slice = doc_id % 50 == 7. */
   private def q122_substring_contamination(s: SparkSession,
                                            dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
@@ -2062,6 +2063,175 @@ object SparkEntry {
         lit("semdedup_store_nonempty").as("metric"), lit(1.0).as("bound"),
         (col("n") >= 1).as("ok")))
       .orderBy(col("metric"))
+  }
+
+  /** Incremental exact-dedup ingest-store equivalence gate (q118/q119/
+    * q125 pattern, closing the last asserted-unbuilt store claim): the
+    * fp-BUCKETED fingerprint store — fingerprint once at ingest; the
+    * per-batch anti-join reads co-located buckets with no exchange
+    * (PlanSpec-gated) and never touches corpus text — must pass exactly
+    * the batch rows the in-plan [[Dedup.dedupAgainst]] path passes on
+    * the q101 snapshot/batch split. The oracle pins the verdict rows. */
+  private def q126_fingerprint_store(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val corpus = docs.filter(!isBatch)
+    val batch = Dedup.exact(docs.filter(isBatch), "text", "doc_id")
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q126_fp_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeFingerprintStore(corpus, "text", tbl, buckets = 8)
+    val store = Dedup.dedupAgainstStore(s, batch, "text", tbl)
+      .select(col("doc_id"), lit(1).as("ins"))
+    val adhoc = Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
+      .select(col("doc_id"), lit(1).as("ina"))
+    // 1-row agg read by both verdict rows → eager materialize (q125 note)
+    val joined = operators.OpCache.materialize(
+      adhoc.join(store, Seq("doc_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("fp_store_batch_equal").as("metric"), lit(0.0).as("bound"),
+        (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("fp_store_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
+  /** Incremental near-dup ingest-store equivalence gate (the q126 twin
+    * for the LSH tier): the (band, bucket)-bucketed band store + the
+    * id-bucketed signature store — shingle/minhash once at ingest; the
+    * per-batch candidate join and the verification attach both read
+    * co-located buckets, no corpus text in the plan (PlanSpec-gated) —
+    * must emit exactly the (pair, est_jaccard) rows the in-plan
+    * [[Dedup.minhashLshAgainst]] path emits on the q102 split. The
+    * oracle pins the verdict rows. */
+  private def q127_lsh_store(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents").filter(col("doc_id") < 2000))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q127_lsh_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs").foreach(dropLocalTable(s, _))
+    Dedup.writeLshStore(corpus, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 8)
+    val store = Dedup.minhashLshAgainstStore(s, batch, "text", "doc_id", tbl,
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard").as("js"))
+    val adhoc = Dedup.minhashLshAgainst(batch, corpus, "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard").as("ja"))
+    val joined = operators.OpCache.materialize(
+      adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ja").isNull || col("js").isNull ||
+            col("ja") =!= col("js"), 1).otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("lsh_store_pairs_equal").as("metric"), lit(0.0).as("bound"),
+        (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("lsh_store_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
+  /** Bipartite batch-vs-store SemDeDup equivalence gate (q125's
+    * incremental companion, the q102 analog for the semantic tier): an
+    * incoming batch assigned with the STORED centroids and compared
+    * only against store cells — the store side reading co-located
+    * buckets (PlanSpec-gated) — must emit exactly the pairs the in-plan
+    * bipartite compare emits at the same centroids. The oracle pins the
+    * verdict rows. */
+  private def q129_semdedup_batch_store(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val isBatch = pmod(col("vec_id"), lit(10)) === 0
+    val corpus = e.filter(!isBatch)
+    val batch = e.filter(isBatch)
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q129_sem_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeAssignedCorpus(corpus, cents, "embedding", "vec_id",
+      probes = 2, tbl, buckets = 8)
+    val store = Dedup.semDedupBatchAgainstStore(s, batch, tbl, cents,
+        "embedding", "vec_id", probes = 2, tau = 0.45)
+      .select(col("batch_id"), col("corpus_id"), lit(1).as("ins"))
+    val adhoc = Dedup.semDedupPairsBipartite(
+        Similarity.ivfAssignMulti(batch, cents, "embedding", "vec_id", 2),
+        Similarity.ivfAssignMulti(corpus, cents, "embedding", "vec_id", 2),
+        "embedding", "vec_id", tau = 0.45)
+      .select(col("batch_id"), col("corpus_id"), lit(1).as("ina"))
+    // 1-row agg read by both verdict rows → materialize (q125 pattern)
+    val joined = operators.OpCache.materialize(
+      adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("semdedup_batch_store_pairs_equal").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("semdedup_batch_store_nonempty").as("metric"),
+        lit(1.0).as("bound"), (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
+  /** Scale-safe funnel median gate (q124 pattern): `Funnel.conversion`'s
+    * `approxMedian` mode — the mergeable approx_percentile sketch whose
+    * buffer stays O(accuracy) at 10⁹ users, where the exact mode's
+    * final-merge buffer is data-sized — must agree with the exact median
+    * per stage within the pinned relative error. q120 keeps the exact
+    * mode as the cross-engine oracle form. */
+  private def q128_funnel_approx(s: SparkSession, dir: String): DataFrame = {
+    val stages = Seq("view", "click", "purchase")
+    def conv(approx: Boolean) = operators.Funnel.conversion(events(s, dir),
+        "user_id", "event_type", "ts", stages, approxMedian = approx)
+      .select(col("stage_idx"), col("median_gap_s"))
+    // 2-row frame read by every gate row → eager materialize (q124 note)
+    val joined = operators.OpCache.materialize(
+      conv(false).withColumnRenamed("median_gap_s", "ext")
+        .join(conv(true).withColumnRenamed("median_gap_s", "apx"),
+          Seq("stage_idx"))
+        .filter(col("stage_idx") > 1))
+    // bound 0.03, measured (verify-skill protocol): rel err 0.0 at
+    // sf0.001, 0.0075/0.0165 at sf0.01 — the gap is NOT sketch error
+    // (accuracy 10000 is exact at fixture counts) but approx returning
+    // an actual gap value where exact interpolates between neighbors;
+    // that one-inter-value-gap bound SHRINKS as user count grows
+    joined.select(
+        concat(lit("funnel_approx_med_stage"), col("stage_idx")).as("metric"),
+        lit(0.03).as("bound"),
+        coalesce(
+          abs(col("apx") - col("ext")) / abs(col("ext")) <= 0.03,
+          lit(false)).as("ok"))
+      .orderBy(col("metric"))
+  }
+
+  /** Curation pipeline with the stride-1 substring tier composed in
+    * (q96's offset-robust variant, closing SURVEY §6's 2.4×-premium
+    * policy loop): quality gate → exact dedup → duplicateSubstringSpans
+    * → stripSpans — the oracle recomputes the whole composition
+    * including the REBUILT text, so the spans→strip hand-off is
+    * verified end-to-end, not just the span frame (q121) in
+    * isolation. */
+  private def q130_strip_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val qualified = operators.Curate.topFractionPerGroup(
+      docs.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+      "lang", "quality", 0.5, "doc_id")
+    val deduped = Dedup.exact(qualified, "text", "doc_id")
+    val spans = Dedup.duplicateSubstringSpans(deduped, "text", "doc_id",
+      minTokens = 5)
+    Dedup.stripSpans(deduped, spans, "text", "doc_id")
+      .select(col("doc_id"), col("text_clean"), col("n_tokens"),
+        col("n_kept"))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -2194,6 +2364,11 @@ object SparkEntry {
     "q123_split_assign" -> q123_split_assign _,
     "q124_approx_percentile" -> q124_approx_percentile _,
     "q125_semdedup_store" -> q125_semdedup_store _,
+    "q126_fingerprint_store" -> q126_fingerprint_store _,
+    "q127_lsh_store" -> q127_lsh_store _,
+    "q128_funnel_approx" -> q128_funnel_approx _,
+    "q129_semdedup_batch_store" -> q129_semdedup_batch_store _,
+    "q130_strip_pipeline" -> q130_strip_pipeline _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3573,5 +3748,91 @@ object SparkEntry {
         |  ('semdedup_store_pairs_equal', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q126/q127 are self-equivalence GATES (q125 pattern) for the
+    // incremental-dedup ingest stores: the bucketed fingerprint / LSH
+    // stores must answer exactly like the in-plan recompute paths.
+    "q126_fingerprint_store" ->
+      """SELECT * FROM (VALUES
+        |  ('fp_store_batch_equal', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('fp_store_nonempty', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    "q127_lsh_store" ->
+      """SELECT * FROM (VALUES
+        |  ('lsh_store_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('lsh_store_pairs_equal', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q128 is an accuracy GATE (q124 pattern): the approx-median funnel
+    // mode must match the exact mode within the pinned relative error.
+    "q128_funnel_approx" ->
+      """SELECT * FROM (VALUES
+        |  ('funnel_approx_med_stage2', CAST(0.03 AS DOUBLE), TRUE),
+        |  ('funnel_approx_med_stage3', CAST(0.03 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q129 is a self-equivalence GATE (q125's incremental companion):
+    // the batch-vs-store bipartite SemDeDup must emit exactly the
+    // in-plan bipartite compare's pairs at the same centroids.
+    "q129_semdedup_batch_store" ->
+      """SELECT * FROM (VALUES
+        |  ('semdedup_batch_store_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('semdedup_batch_store_pairs_equal', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q130 recomputes the composed pipeline from first principles:
+    // quality gate + exact dedup (q96's CTEs), the stride-1 duplicate
+    // windows (q121's CTEs) over the SURVIVING corpus, then the strip
+    // rebuild token-by-token — including the rebuilt text itself.
+    "q130_strip_pipeline" ->
+      s"""WITH qual AS (
+         |  SELECT doc_id, lang, text, $qualityExprSql AS quality
+         |  FROM (${qualityRawSql("doc_id, lang, text")}) raw),
+         |rk AS (SELECT doc_id, lang, text, quality,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM qual),
+         |kept AS (SELECT doc_id, text FROM rk
+         |  WHERE rk <= ceil(n * 0.5 - 1e-9)),
+         |dedup AS (SELECT * FROM kept WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM kept GROUP BY md5($normSql))),
+         |d2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+         |    END AS w
+         |  FROM dedup),
+         |win AS (
+         |  SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos, w
+         |  FROM d2 WHERE len(w) >= 5),
+         |sh AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(w[pos + 1 : pos + 5], ' ') AS s
+         |  FROM win),
+         |occ AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY s) AS cnt,
+         |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+         |  FROM sh),
+         |rem AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+         |cov AS (SELECT DISTINCT doc_id,
+         |  unnest(range(pos, pos + 5)) AS p FROM rem),
+         |toks AS (SELECT doc_id, unnest(range(0, len(w))) AS p, w
+         |  FROM d2 WHERE len(w) > 0),
+         |tok2 AS (SELECT doc_id, p, w[p + 1] AS tok FROM toks),
+         |keptt AS (
+         |  SELECT t.doc_id, t.p, t.tok FROM tok2 t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.p IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+         |    count(*) AS n_kept
+         |  FROM keptt GROUP BY doc_id)
+         |SELECT d2.doc_id,
+         |  coalesce(a.text_clean, '') AS text_clean,
+         |  CAST(len(d2.w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM d2 LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -57,8 +57,9 @@ object Dedup {
    *    partial aggregation makes the corpus shuffle carry one 32-byte md5
    *    per distinct content, not per row; the corpus TEXT is scanned for
    *    fingerprinting but never shuffled. In production the fingerprints
-   *    come from a bucketed store written at ingest (then the corpus side
-   *    is a zero-exchange scan; this operator accepts any frame).
+   *    come from a bucketed store written at ingest by
+   *    [[writeFingerprintStore]] (then the corpus side is a zero-exchange
+   *    scan — [[dedupAgainstStore]]; this operator accepts any frame).
    *  - With `bloomItems > 0`, a Bloom filter over the corpus's 64-bit
    *    fingerprints is built in one distributed pass
    *    (`DataFrameStatFunctions.bloomFilter`, treeAggregate) and applied to
@@ -97,10 +98,12 @@ object Dedup {
   /**
    * The production form of [[dedupAgainst]]: dedup a batch against a
    * snapshot's FINGERPRINT STORE — a one-column (`fp`: md5 hex) frame,
-   * written at ingest (bucketed by `fp` for a zero-exchange store side) —
-   * plus an optional pre-built per-snapshot Bloom ([[corpusBloom]]). The
-   * corpus text is never touched on the per-batch path; with the Bloom,
-   * definitely-new batch rows skip the anti-join shuffle too.
+   * written at ingest by [[writeFingerprintStore]] (bucketed by `fp` for
+   * a zero-exchange store side; [[dedupAgainstStore]] is the composed
+   * read path) — plus an optional pre-built per-snapshot Bloom
+   * ([[corpusBloom]]). The corpus text is never touched on the per-batch
+   * path; with the Bloom, definitely-new batch rows skip the anti-join
+   * shuffle too.
    */
   def dedupAgainstFingerprints(batch: DataFrame, textCol: String,
       corpusFps: DataFrame,
@@ -126,6 +129,40 @@ object Dedup {
   }
 
   /**
+   * Materialize a snapshot's fingerprint store: one `fp` (md5 hex) row
+   * per DISTINCT normalized content, BUCKETED BY `fp` — fingerprint the
+   * corpus ONCE at ingest; every subsequent batch anti-join shuffles
+   * only the (small) batch side into the store's bucketing while the
+   * store reads co-located buckets with no exchange (SURVEY §6's
+   * incremental study measured the per-call corpus recompute's residual
+   * anti-join shuffle at 23.8 MiB at sf0.1 — this store eliminates it
+   * and the corpus text scan with it). The distinct() means the store
+   * is also the smallest possible frame: 32 bytes per unique content.
+   */
+  def writeFingerprintStore(corpus: DataFrame, textCol: String,
+                            table: String, buckets: Int = 8): Unit =
+    Layout.writeBucketed(
+      corpus.select(fingerprint(col(textCol)).as("fp")).distinct(),
+      table, Seq("fp"), buckets)
+
+  /**
+   * [[dedupAgainstFingerprints]] off a [[writeFingerprintStore]] ingest
+   * store: rows of `batch` whose content is not in the stored snapshot
+   * (identical to the in-plan [[dedupAgainst]] — q126 oracle gate). The
+   * `merge` hint forces the at-scale sort-merge anti-join so the plan
+   * proves bucket co-location (no exchange above the store scan —
+   * PlanSpec gate), not a fixture-scale broadcast. Compose with
+   * [[corpusBloom]] (built once per snapshot) to keep definitely-new
+   * rows out of the anti-join entirely.
+   */
+  def dedupAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, textCol: String, table: String,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : DataFrame =
+    dedupAgainstFingerprints(batch, textCol,
+      Layout.readTable(spark, table).hint("merge"), bloom)
+
+  /**
    * Incremental near-dup candidates: MinHash+LSH banding of `batch`
    * against `corpus` (bipartite — no corpus self-pairs, no batch
    * self-pairs), verified by signature-agreement estimated Jaccard.
@@ -135,34 +172,57 @@ object Dedup {
    *
    * Scale shape: same slim banding as [[minhashLsh]] — both sides shuffle
    * bare (id, band, bucket) triples; signatures attach per candidate pair.
-   * In production the corpus's signatures and band buckets are precomputed
-   * at ingest and stored bucketed by (band, bucket), making the candidate
-   * join a zero-exchange lookup on the corpus side; this operator accepts
-   * any two frames and recomputes both (the fixture-scale form).
+   * In production precompute the corpus side at ingest with
+   * [[writeLshStore]] and serve batches via [[minhashLshAgainstStore]]
+   * (zero-exchange corpus side, no corpus text in the per-batch plan);
+   * this operator accepts any two frames and recomputes both (the
+   * fixture-scale / ad-hoc form, and the q127 equivalence oracle).
    */
   def minhashLshAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
                         idCol: String, shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    def sigsOf(df: DataFrame): DataFrame = OpCache.track(df
-      .select(col(idCol).as("id"),
-        minhashSignatureFromHashes(
-          shingleHashes(col(textCol), shingleK), numHashes).as("sig"))
-      .persist())
-    def bandsOf(sigs: DataFrame): DataFrame = sigs.select(col("id"),
+    val bSigs = OpCache.track(
+      lshSignatures(batch, textCol, idCol, shingleK, numHashes).persist())
+    val cSigs = OpCache.track(
+      lshSignatures(corpus, textCol, idCol, shingleK, numHashes).persist())
+    val cands = lshBandBuckets(bSigs, bands, rows).alias("l")
+      .join(lshBandBuckets(cSigs, bands, rows).alias("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    lshVerifyBipartite(cands, bSigs, cSigs, numHashes, threshold)
+  }
+
+  /** One (id, sig) row per document — the signature frame both the
+    * in-plan bipartite path and the ingest store write share (the
+    * q119 shared-formula discipline: store and scan paths cannot drift
+    * because they are the same code). */
+  private[graft] def lshSignatures(df: DataFrame, textCol: String,
+      idCol: String, shingleK: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSignatureFromHashes(
+        shingleHashes(col(textCol), shingleK), numHashes).as("sig"))
+
+  /** Explode a signature frame into bare (id, band, bucket) triples —
+    * the slim banding shape ([[minhashLsh]]'s shuffle note): the
+    * `numHashes`-long signature never rides the candidate join. */
+  private[graft] def lshBandBuckets(sigs: DataFrame, bands: Int,
+                                    rows: Int): DataFrame =
+    sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val bSigs = sigsOf(batch)
-    val cSigs = sigsOf(corpus)
-    val cands = bandsOf(bSigs).alias("l")
-      .join(bandsOf(cSigs).alias("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
-      .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
-      .dropDuplicates("batch_id", "corpus_id")
+      .select(col("id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+
+  /** Shared verification tail of the bipartite LSH paths: attach both
+    * signatures per candidate pair, estimate Jaccard as signature
+    * agreement, threshold. */
+  private[graft] def lshVerifyBipartite(cands: DataFrame, bSigs: DataFrame,
+      cSigs: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
     val withSigs = cands
       .join(bSigs.select(col("id").as("batch_id"), col("sig").as("sig_a")), "batch_id")
       .join(cSigs.select(col("id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
@@ -173,6 +233,58 @@ object Dedup {
         round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("batch_id", "corpus_id")
+  }
+
+  /**
+   * Materialize the corpus's LSH ingest store: the band buckets as
+   * `<table>_bands` BUCKETED BY (band, bucket) — the candidate join's
+   * key, so an incoming batch's exploded bands shuffle INTO the store's
+   * bucketing while the corpus side reads co-located buckets with no
+   * exchange — and the signatures as `<table>_sigs` bucketed by `id`,
+   * so the per-pair verification attach is likewise exchange-free on
+   * the store side. Shingle → minhash runs ONCE at ingest; the per-batch
+   * path never touches corpus text (the [[writeAssignedCorpus]] /
+   * [[graft.operators.Rank.writeIndex]] mechanism applied to the
+   * most-exercised production loop, incremental ingest).
+   */
+  def writeLshStore(corpus: DataFrame, textCol: String, idCol: String,
+                    table: String, shingleK: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16, buckets: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = OpCache.track(
+      lshSignatures(corpus, textCol, idCol, shingleK, numHashes).persist())
+    Layout.writeBucketed(lshBandBuckets(sigs, bands, rows),
+      s"${table}_bands", Seq("band", "bucket"), buckets)
+    Layout.writeBucketed(sigs, s"${table}_sigs", Seq("id"), buckets)
+  }
+
+  /**
+   * [[minhashLshAgainst]] off a [[writeLshStore]] ingest store: identical
+   * pairs to the in-plan path at the same parameters (q127 oracle gate)
+   * — only the BATCH is shingled/minhashed; the corpus side is two
+   * bucketed scans that feed their joins with no exchange (PlanSpec
+   * gate), and corpus text is never re-read on the per-batch path.
+   * `merge` hints force the at-scale sort-merge shape so bucket
+   * co-location, not a fixture-scale broadcast estimate, is what the
+   * plan proves.
+   */
+  def minhashLshAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, textCol: String, idCol: String, table: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val bSigs = OpCache.track(
+      lshSignatures(batch, textCol, idCol, shingleK, numHashes).persist())
+    val cBands = Layout.readTable(spark, s"${table}_bands").hint("merge")
+    val cSigs = Layout.readTable(spark, s"${table}_sigs").hint("merge")
+    val cands = lshBandBuckets(bSigs, bands, rows).alias("l")
+      .join(cBands.alias("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    lshVerifyBipartite(cands, bSigs, cSigs, numHashes, threshold)
   }
 
   /** Rows per duplicate-cluster of identical normalized text (cluster size
@@ -714,8 +826,11 @@ object Dedup {
    * `partitionBy`-partitioned: the consumer is a JOIN keyed on `cell`,
    * not a scan filtered on it, so co-location (same hash bucketing both
    * sides) is the property that pays, and cells can be data-sized
-   * without a directory-per-cell explosion. Assign once at ingest,
-   * dedup every batch against it.
+   * without a directory-per-cell explosion. Assign once at ingest, then
+   * dedup every batch against it via [[semDedupBatchAgainstStore]]
+   * (keep the centroid frame with the store — batches must be assigned
+   * with the SAME centroids) and self-dedup the stored corpus via
+   * [[semDedupPairsFromStore]].
    */
   def writeAssignedCorpus(df: DataFrame, centroids: DataFrame,
                           vecCol: String, idCol: String, probes: Int,
@@ -734,6 +849,57 @@ object Dedup {
                              tau: Double): DataFrame =
     semDedupPairsAssigned(Layout.readTable(spark, table), vecCol, idCol,
       tau, mergeHint = true)
+
+  /**
+   * Bipartite batch-vs-store SemDeDup — the incremental-ingest form
+   * [[writeAssignedCorpus]]'s "assign once at ingest, dedup every batch
+   * against it" contract promises (the [[minhashLshAgainstStore]] /
+   * q102 analog for the semantic tier): the incoming batch is assigned
+   * with the SAME centroids the store was built with (pass the stored
+   * centroid frame — re-training would silently shift every cell
+   * boundary) and compared only against store rows in its probed cells.
+   * Output: (batch_id, corpus_id, cos) pairs at or above `tau` — the
+   * batch docs that semantically duplicate stored content; anti-join
+   * the batch on batch_id to keep only novel docs.
+   *
+   * Scale shape: the batch's slim (id, cell) pairs shuffle INTO the
+   * store's cell bucketing; the store side reads co-located buckets
+   * with no exchange (PlanSpec gate, `merge`-hinted like
+   * [[semDedupPairsFromStore]]), and vectors attach per candidate pair
+   * — only batch-sized and candidate-sized frames ever move.
+   */
+  def semDedupBatchAgainstStore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, centroids: DataFrame,
+      vecCol: String, idCol: String, probes: Int, tau: Double): DataFrame = {
+    val assignedBatch = OpCache.track(
+      Similarity.ivfAssignMulti(batch, centroids, vecCol, idCol, probes)
+        .select(col("cell"), col(idCol), col(vecCol)).persist())
+    semDedupPairsBipartite(assignedBatch,
+      Layout.readTable(spark, table).hint("merge"), vecCol, idCol, tau)
+  }
+
+  /** Within-cell bipartite compare between two already-assigned (cell,
+    * idCol, vecCol) frames — the shared tail of the batch-vs-store path
+    * and its in-plan equivalence twin (q129). Same slim discipline as
+    * [[semDedupPairsAssigned]]: the cell join moves (id, cell) pairs,
+    * vectors attach per candidate. */
+  private[graft] def semDedupPairsBipartite(batchAssigned: DataFrame,
+      corpusAssigned: DataFrame, vecCol: String, idCol: String,
+      tau: Double): DataFrame = {
+    val b = batchAssigned.select(col(idCol).as("batch_id"), col("cell"))
+    val c = corpusAssigned.select(col(idCol).as("corpus_id"), col("cell"))
+    val cands = b.join(c, Seq("cell"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct() // a pair may share several probed cells
+    val bv = batchAssigned.select(col(idCol).as("batch_id"),
+      col(vecCol).as("__vb")).dropDuplicates("batch_id")
+    val cv = corpusAssigned.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__vc")).dropDuplicates("corpus_id")
+    cands.join(bv, "batch_id").join(cv, "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        cosine(col("__vb"), col("__vc")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
 
   /** The full SemDeDup decision: cluster, compare within clusters, resolve
     * duplicate components, keep one representative per component (minimum
@@ -905,8 +1071,13 @@ object Dedup {
    * substring form of the contamination check
    * ([[TextProfile.contaminationReport]] is the distinct-n-gram overlap
    * form; this one is position-level, so `contam_frac` = the fraction of
-   * the document literally covered by eval text, at any offset). Emits
-   * only contaminated docs (n_contam ≥ 1); threshold/drop downstream.
+   * stride-1 WINDOW POSITIONS whose content appears in the eval corpus —
+   * note this is not token coverage: a single contaminated token run of
+   * length t yields t−minTokens+1 matching positions out of
+   * n−minTokens+1, so frac skews high on long matches and low on short
+   * docs; for true token coverage compose [[duplicateSubstringSpans]]'s
+   * interval merge over the matched positions). Emits only contaminated
+   * docs (n_contam ≥ 1); threshold/drop downstream.
    *
    * Output: (idCol, n_windows, n_contam, contam_frac).
    *

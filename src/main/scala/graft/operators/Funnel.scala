@@ -68,13 +68,27 @@ object Funnel {
    * per-stage medians in a single pass — medians over completed-stage
    * gaps only, stage count is policy-sized) and explodes the 1-row
    * result into |stages| rows driver-free.
+   *
+   * Median modes: the default EXACT `percentile` holds the distinct
+   * per-user gap values in its aggregation buffer, whose final merge
+   * lands on one task — data-sized state, fine up to millions of users
+   * (the small-cardinality mode, and the cross-engine oracle form) but
+   * the very thing a 10⁹-user profile job must avoid. Set
+   * `approxMedian = true` for the production form: the mergeable
+   * `approx_percentile` sketch bounds every buffer at O(accuracy)
+   * regardless of user count — same one-pass plan, rank error
+   * ≤ 1/accuracy (gated against exact at fixture scale by q128).
    */
   def conversion(df: DataFrame, userCol: String, typeCol: String,
-                 tsCol: String, stages: Seq[String]): DataFrame = {
+                 tsCol: String, stages: Seq[String],
+                 approxMedian: Boolean = false,
+                 approxAccuracy: Int = 10000): DataFrame = {
     val f = funnel(df, userCol, typeCol, tsCol, stages)
+    val medFn = if (approxMedian) "approx_percentile" else "percentile"
+    val medTail = if (approxMedian) s", $approxAccuracy" else ""
     val gaps = stages.indices.tail.map { i =>
-      expr(s"percentile(cast(ts${i + 1} as double) - " +
-        s"cast(ts$i as double), 0.5)").as(s"med${i + 1}")
+      expr(s"$medFn(cast(ts${i + 1} as double) - " +
+        s"cast(ts$i as double), 0.5$medTail)").as(s"med${i + 1}")
     }
     val counts = count(lit(1)).as("n_total") +:
       stages.indices.map(i => count(col(s"ts${i + 1}")).as(s"n${i + 1}"))

@@ -182,9 +182,14 @@ object Quantize {
    * cells ([[Similarity.ivfAssign]]) and PQ-encoded ONCE; each query
    * probes its `nProbe` nearest cells and ADC-scores only the codes
    * inside them. This is the ad-hoc form (encode in-plan); at 100 TB use
-   * [[writeCodeStore]] + [[readCodeStore]] + [[ivfPqTopKFromCodes]] —
-   * the cell-partitioned store turns the probe join into dynamic
-   * partition pruning at the scan (path equivalence gated by q118).
+   * [[writeCodeStore]] + [[ivfPqTopKFromStore]], whose
+   * [[prunedCodeStore]] scan applies the probed cells as a LITERAL
+   * partition filter so only those cells' files are read (path
+   * equivalence gated by q118). Do NOT serve via [[readCodeStore]] +
+   * [[ivfPqTopKFromCodes]] directly — that reads EVERY partition:
+   * pruning there would depend on Spark's dynamic partition pruning,
+   * which silently degrades to a no-op on this shape (see
+   * [[prunedCodeStore]]'s static-pruning contract).
    * Recall compounds the two approximations (cell pruning × code
    * quantization) — gated by q113's verdict against exact brute force.
    */

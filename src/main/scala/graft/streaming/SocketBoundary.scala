@@ -55,16 +55,22 @@ final class SocketQueueServer(commandPort0: Int = 0, subscribePort0: Int = 0)
     t
   }
 
+  // an accept loop must not busy-spin on a PERSISTENT failure (e.g.
+  // EMFILE): stop once the server socket itself is dead, back off briefly
+  // on a transient error while it is still healthy
   daemon("socket-queue-cmd-accept") {
-    while (!closed)
+    while (!closed && !cmdServer.isClosed)
       try {
         val s = cmdServer.accept()
         daemon(s"socket-queue-cmd-${s.getPort}")(handleCommands(s))
-      } catch { case _: java.io.IOException => /* server closed */ }
+      } catch {
+        case _: java.io.IOException if closed || cmdServer.isClosed =>
+        case _: java.io.IOException => Thread.sleep(100)
+      }
   }
 
   daemon("socket-queue-sub-accept") {
-    while (!closed)
+    while (!closed && !subServer.isClosed)
       try {
         val s = subServer.accept()
         val w = new PrintWriter(
@@ -73,7 +79,10 @@ final class SocketQueueServer(commandPort0: Int = 0, subscribePort0: Int = 0)
           queue.forEach(w.println(_)) // backlog first, then live pushes
           subs += w
         }
-      } catch { case _: java.io.IOException => /* server closed */ }
+      } catch {
+        case _: java.io.IOException if closed || subServer.isClosed =>
+        case _: java.io.IOException => Thread.sleep(100)
+      }
   }
 
   private def handleCommands(s: Socket): Unit = {
@@ -169,7 +178,17 @@ final class SocketBoundary(host: String, port: Int, subPort: Int,
       val n = resp.substring(3).toLong
       val lines =
         if (cmd == "PEEK" || cmd == "DRAIN")
-          (0L until n).map(_ => in.readLine()).toSeq
+          (0L until n).map { i =>
+            val line = in.readLine()
+            // fail FAST on a broker dying mid-response: a null flowing
+            // into the JSON parse surfaces as an opaque NPE, and for
+            // DRAIN the already-consumed rows would be silently lost
+            if (line == null)
+              throw new java.io.IOException(
+                s"queue broker connection closed after $i of $n " +
+                  s"payload lines for '$cmd'")
+            line
+          }.toSeq
         else Seq.empty
       (n, lines)
     } finally s.close()

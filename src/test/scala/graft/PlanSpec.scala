@@ -320,6 +320,99 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  // Shared structural helper for the ingest-store gates: every scan of a
+  // store table must reach its enclosing join with NO shuffle exchange in
+  // between — bucket co-location, not a runtime shuffle, is what feeds
+  // the join on the store side. Walks the EXECUTED (post-AQE) plan.
+  private def assertStoreSidesExchangeFree(
+      df: org.apache.spark.sql.DataFrame, storeMarker: String): Unit = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    def paths(p: SparkPlan, path: List[SparkPlan])
+        : Seq[(FileSourceScanExec, List[SparkPlan])] = p match {
+      case a: AdaptiveSparkPlanExec => paths(a.executedPlan, path)
+      case q: QueryStageExec => paths(q.plan, path)
+      case r: ReusedExchangeExec => paths(r.child, r :: path)
+      case s: FileSourceScanExec => Seq((s, path))
+      case other =>
+        (other.children ++ other.subqueries).flatMap(c => paths(c, other :: path))
+    }
+    val storePaths = paths(df.queryExecution.executedPlan, Nil).filter {
+      case (scan, _) =>
+        scan.relation.location.rootPaths.mkString(",").contains(storeMarker)
+    }
+    assert(storePaths.nonEmpty, s"no store scan ($storeMarker) in executed plan")
+    storePaths.foreach { case (scan, path) =>
+      // path head = nearest ancestor; the segment below the first join is
+      // the store side of that join
+      val belowJoin = path.takeWhile(n => !n.isInstanceOf[SortMergeJoinExec]
+        && !n.isInstanceOf[ShuffledHashJoinExec])
+      val shuffles = belowJoin.filter(n => n.isInstanceOf[ShuffleExchangeLike]
+        || n.isInstanceOf[ReusedExchangeExec])
+      assert(shuffles.isEmpty,
+        s"store scan ${scan.relation.location.rootPaths.mkString(",")} feeds " +
+          s"its join through a shuffle: ${shuffles.map(_.nodeName).mkString(", ")}")
+    }
+  }
+
+  test("fingerprint ingest store: anti-join store side is bucketed and exchange-free") {
+    // the q126 at-scale claim: the batch anti-join shuffles ONLY the batch
+    // side into the store's bucketing; the fp store reads co-located
+    // buckets straight into the sort-merge anti join
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_fp_store_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Dedup.writeFingerprintStore(
+      docs.filter(!isBatch), "text", tbl, buckets = 4)
+    val out = graft.operators.Dedup.dedupAgainstStore(
+      spark, docs.filter(isBatch), "text", tbl)
+    assert(out.collect().nonEmpty, "store-path dedup returned no rows")
+    val plan = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+      s"store anti-join should take the at-scale sort-merge shape:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"store scan did not use the bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(out, tbl)
+    graft.operators.OpCache.release()
+  }
+
+  test("LSH ingest store: candidate and attach store sides are bucketed and exchange-free") {
+    // the q127 at-scale claim: the batch's exploded bands shuffle INTO the
+    // band store's (band, bucket) bucketing and the candidate pairs INTO
+    // the signature store's id bucketing; neither store side ever
+    // re-shuffles (and corpus text is never re-read — the plan has no
+    // corpus-side shingle/minhash stage at all)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 2000)
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_lsh_store_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Dedup.writeLshStore(docs.filter(!isBatch), "text",
+      "doc_id", tbl, shingleK = 3, numHashes = 64, bands = 16, buckets = 4)
+    val out = graft.operators.Dedup.minhashLshAgainstStore(
+      spark, docs.filter(isBatch), "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    out.collect() // finalize the adaptive plan (pair set may be empty at tiny SF)
+    val plan = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin"),
+      s"store joins should take the at-scale sort-merge shape:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"store scans did not use the bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(out, s"${tbl}_bands")
+    assertStoreSidesExchangeFree(out, s"${tbl}_sigs")
+    graft.operators.OpCache.release()
+  }
+
   test("q97 packing: the per-doc window is partitioned (no global sort)") {
     val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
