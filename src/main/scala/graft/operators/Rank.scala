@@ -63,6 +63,16 @@ object Rank {
     toks.agg(count(lit(1)).as("n_docs"),
       avg(size(col("__toks"))).as("avgdl"))
 
+  /** The one per-(doc, term) BM25 contribution every path runs — scan,
+    * index, and streaming serve — shared so none can drift. Expects
+    * columns tf, dl, __df, n_docs, avgdl in scope. */
+  private def contribution(k1: Double, b: Double): org.apache.spark.sql.Column =
+    log(lit(1.0) +
+        (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+      (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+
   /** The one BM25 scoring formula both the scan path and the index path
     * run — shared so the two can never drift (q119 gates the identity).
     * `matches` is (idCol, term, dl, tf) restricted to query terms. */
@@ -73,13 +83,7 @@ object Rank {
     matches
       .join(broadcast(dfs), Seq("term"))
       .crossJoin(broadcast(stats))
-      .select(col(idCol),
-        (log(lit(1.0) +
-            (col("n_docs") - col("__df") + 0.5) / (col("__df") + 0.5)) *
-          (col("tf") * (lit(k1) + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-          .as("__s"))
+      .select(col(idCol), contribution(k1, b).as("__s"))
       .groupBy(col(idCol))
       .agg(round(sum(col("__s")), 4).as("score"))
   }
@@ -135,6 +139,53 @@ object Rank {
     val terms = normalizeTerms(queryTerms)
     scoreMatches(index.filter(col("term").isin(terms: _*)), stats, idCol,
       k1, b)
+  }
+
+  /**
+   * The static SERVING frame for a stream of queries: the index rows
+   * pre-joined with their per-term document frequency and the corpus
+   * stats — everything the scoring formula needs per (doc, term), so
+   * the per-query plan collapses to ONE stream-static join plus ONE
+   * aggregation, the only shapes Structured Streaming admits (a
+   * streaming plan cannot chain the df aggregation scoreMatches runs;
+   * here df is static and computed once). The per-term df over the full
+   * index equals scoreMatches's df over query-restricted matches (both
+   * count the docs containing the term), so scores stay bit-identical —
+   * StreamingSpec gates the parity.
+   */
+  def indexServingFrame(index: DataFrame, stats: DataFrame): DataFrame =
+    index
+      .join(index.groupBy(col("term")).agg(count(lit(1)).as("__df")),
+        Seq("term"))
+      .crossJoin(broadcast(stats))
+
+  /**
+   * BM25 for a FRAME of queries — (queryIdCol, termsCol: array<string>)
+   * — against an [[indexServingFrame]]: the serve-many form, and legal
+   * as a STREAMING plan (readStream of queries → stream-static inner
+   * join → single update-mode aggregation; no stream-side state beyond
+   * the running per-(query, doc) sums). Term normalization matches
+   * [[bm25]]'s (trim, lowercase, distinct). Output: (queryIdCol, idCol,
+   * score), identical per query to [[bm25FromIndex]] with the same
+   * terms (StreamingSpec-gated).
+   *
+   * Scale shape: each micro-batch joins |batch queries|·|terms| slim
+   * rows against the term-bucketed index — query-sized, corpus text
+   * never touched; the aggregation state is bounded by matching (query,
+   * doc) pairs in flight, and a production service emits per
+   * micro-batch (update mode) so state can be dropped per trigger.
+   */
+  def bm25Serve(queries: DataFrame, serving: DataFrame, queryIdCol: String,
+                termsCol: String, idCol: String, k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    val terms = queries.select(col(queryIdCol),
+      explode(array_distinct(filter(
+        transform(col(termsCol), t => trim(lower(t))),
+        t => t =!= ""))).as("term"))
+    terms.join(serving, Seq("term"))
+      .select(col(queryIdCol), col(idCol), contribution(k1, b).as("__s"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("__s")), 4).as("score"))
   }
 
   /**

@@ -197,6 +197,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a query stream scores against the static BM25 index (stream-static serve)") {
+    // the serve-many contract in the streaming engine: queries arrive as
+    // a stream, the q119 index (+ precomputed per-term df and stats — the
+    // serving frame) is the static side, and every emitted score must
+    // equal the batch bm25FromIndex answer for the same terms
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "the quick brown fox"),
+      (3L, "spark query planning and data pruning"),
+      (4L, "data data data everywhere")).toDF("doc_id", "text")
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"streamspec_bm25_$pid"
+    Seq(tbl, s"${tbl}_stats").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 4)
+    val (index, stats) = graft.operators.Rank.readIndex(spark, tbl)
+    val serving = graft.operators.Rank.indexServingFrame(index, stats)
+    val input = MemoryStream[(Long, Seq[String])]
+    val scored = graft.operators.Rank.bm25Serve(
+      input.toDF().toDF("query_id", "terms"), serving,
+      "query_id", "terms", "doc_id")
+    val q = scored.writeStream.format("memory").queryName("bm25_serve_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, Seq("spark", "data")), (2L, Seq("fox")))
+      q.processAllAvailable()
+      // a later batch, with un-normalized terms (case/space) on purpose
+      input.addData((3L, Seq("Data ", "QUERY")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT query_id, doc_id, score FROM bm25_serve_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val expected = Seq(
+          1L -> Seq("spark", "data"), 2L -> Seq("fox"),
+          3L -> Seq("Data ", "QUERY"))
+        .flatMap { case (qid, ts) =>
+          graft.operators.Rank.bm25FromIndex(index, stats, "doc_id", ts)
+            .as[(Long, Double)].collect()
+            .map { case (d, s) => (qid, d, s) }
+        }.toSet
+      assert(got == expected,
+        s"stream scores diverge from batch:\n got=$got\n exp=$expected")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated content within the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
