@@ -862,11 +862,18 @@ object Dedup {
    * batch docs that semantically duplicate stored content; anti-join
    * the batch on batch_id to keep only novel docs.
    *
-   * Scale shape: the batch's slim (id, cell) pairs shuffle INTO the
-   * store's cell bucketing; the store side reads co-located buckets
-   * with no exchange (PlanSpec gate, `merge`-hinted like
-   * [[semDedupPairsFromStore]]), and vectors attach per candidate pair
-   * — only batch-sized and candidate-sized frames ever move.
+   * Scale shape: the batch shuffles INTO the store's cell bucketing
+   * (carrying its own vectors — batch-sized × probes); the store side
+   * reads co-located buckets straight into the join with no exchange
+   * (PlanSpec gate, `merge`-hinted like [[semDedupPairsFromStore]]), so
+   * CORPUS VECTORS NEVER MOVE — cosine is computed inside the
+   * within-cell join's stage and only slim (batch_id, corpus_id, cos)
+   * triples shuffle for the pair dedup. (Attaching vectors per
+   * candidate pair instead — the self-join tiers' shape — would
+   * re-shuffle the whole store's (id, vector) projection on id per
+   * batch, a corpus-sized exchange this shape exists to avoid; the
+   * price is recomputing a cheap cosine once per shared probed cell
+   * instead of once per pair.)
    */
   def semDedupBatchAgainstStore(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, table: String, centroids: DataFrame,
@@ -880,25 +887,23 @@ object Dedup {
 
   /** Within-cell bipartite compare between two already-assigned (cell,
     * idCol, vecCol) frames — the shared tail of the batch-vs-store path
-    * and its in-plan equivalence twin (q129). Same slim discipline as
-    * [[semDedupPairsAssigned]]: the cell join moves (id, cell) pairs,
-    * vectors attach per candidate. */
+    * and its in-plan equivalence twin (q129). Cosine is computed INSIDE
+    * the cell join (see [[semDedupBatchAgainstStore]]'s scale note: the
+    * corpus side's vectors ride the co-located bucket read, never an
+    * exchange); the duplicate a pair produces per shared probed cell
+    * carries an identical cos, so the pair dedup keeps any copy. */
   private[graft] def semDedupPairsBipartite(batchAssigned: DataFrame,
       corpusAssigned: DataFrame, vecCol: String, idCol: String,
       tau: Double): DataFrame = {
-    val b = batchAssigned.select(col(idCol).as("batch_id"), col("cell"))
-    val c = corpusAssigned.select(col(idCol).as("corpus_id"), col("cell"))
-    val cands = b.join(c, Seq("cell"))
-      .select(col("batch_id"), col("corpus_id"))
-      .distinct() // a pair may share several probed cells
-    val bv = batchAssigned.select(col(idCol).as("batch_id"),
-      col(vecCol).as("__vb")).dropDuplicates("batch_id")
-    val cv = corpusAssigned.select(col(idCol).as("corpus_id"),
-      col(vecCol).as("__vc")).dropDuplicates("corpus_id")
-    cands.join(bv, "batch_id").join(cv, "corpus_id")
+    val b = batchAssigned.select(col(idCol).as("batch_id"), col("cell"),
+      col(vecCol).as("__vb"))
+    val c = corpusAssigned.select(col(idCol).as("corpus_id"), col("cell"),
+      col(vecCol).as("__vc"))
+    b.join(c, Seq("cell"))
       .select(col("batch_id"), col("corpus_id"),
         cosine(col("__vb"), col("__vc")).as("cos"))
       .filter(col("cos") >= tau)
+      .dropDuplicates("batch_id", "corpus_id")
   }
 
   /** The full SemDeDup decision: cluster, compare within clusters, resolve

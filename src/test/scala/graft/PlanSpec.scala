@@ -413,6 +413,35 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("bipartite SemDeDup store: batch shuffles into the store's cell buckets, store side exchange-free") {
+    // the q129 at-scale claim: the incoming batch's slim (id, cell) pairs
+    // shuffle INTO the assigned-corpus store's bucketing; the store reads
+    // co-located buckets straight into its joins
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val isBatch = pmod(col("vec_id"), lit(10)) === 0
+    val corpus = emb.filter(!isBatch)
+    val cents = graft.operators.Similarity.trainCentroids(
+      corpus, "embedding", "vec_id", k = 4)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_sem_bip_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Dedup.writeAssignedCorpus(
+      corpus, cents, "embedding", "vec_id", probes = 2, tbl, buckets = 4)
+    val pairs = graft.operators.Dedup.semDedupBatchAgainstStore(
+      spark, emb.filter(isBatch), tbl, cents, "embedding", "vec_id",
+      probes = 2, tau = 0.45)
+    pairs.collect() // finalize the adaptive plan
+    val plan = pairs.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin"),
+      s"store joins should take the at-scale sort-merge shape:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"store scans did not use the bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(pairs, tbl)
+    graft.operators.OpCache.release()
+  }
+
   test("q97 packing: the per-doc window is partitioned (no global sort)") {
     val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
