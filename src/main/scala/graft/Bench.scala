@@ -61,7 +61,8 @@ object Bench {
     "q122_substring_contamination", "q123_split_assign",
     "q124_approx_percentile", "q125_semdedup_store",
     "q126_fingerprint_store", "q127_lsh_store", "q128_funnel_approx",
-    "q129_semdedup_batch_store", "q130_strip_pipeline")
+    "q129_semdedup_batch_store", "q130_strip_pipeline",
+    "q131_simhash_incremental")
 
   private val RUNS = 5
 

@@ -2234,6 +2234,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental SimHash gate (q33's bipartite companion, completing the
+    * incremental ingest family next to q101 exact / q102 Jaccard / q129
+    * semantic): segment-blocked batch-vs-corpus near-dup pairs must
+    * EQUAL the brute-force bipartite hamming join in-plan — pigeonhole
+    * blocking is lossless, so the contract is equality, not recall.
+    * Bounded like q102 so the brute-force cross join stays small at
+    * every SF. The oracle pins the verdict rows. */
+  private def q131_simhash_incremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents").filter(col("doc_id") < 2000))
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    val batch = docs.filter(isBatch)
+    val corpus = docs.filter(!isBatch)
+    val maxH = 8
+    val blocked = Dedup.simhashAgainst(batch, corpus, "text", "doc_id",
+        maxHamming = maxH)
+      .select(col("batch_id"), col("corpus_id"), lit(1).as("inb"))
+    val bf = batch
+      .select(col("doc_id").as("batch_id"),
+        Dedup.simhash64(col("text")).as("fa"))
+      .crossJoin(corpus.select(col("doc_id").as("corpus_id"),
+        Dedup.simhash64(col("text")).as("fb")))
+      .filter(Dedup.hammingDistance(col("fa"), col("fb")) <= maxH)
+      .select(col("batch_id"), col("corpus_id"), lit(1).as("ine"))
+    // 1-row agg read by both verdict rows → eager materialize (q125 note)
+    val joined = operators.OpCache.materialize(
+      blocked.join(bf, Seq("batch_id", "corpus_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("inb").isNull || col("ine").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("simhash_incr_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok"))
+      .unionByName(joined.select(
+        lit("simhash_incr_pairs_equal").as("metric"), lit(0.0).as("bound"),
+        (col("bad") === 0).as("ok")))
+      .orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2369,6 +2408,7 @@ object SparkEntry {
     "q128_funnel_approx" -> q128_funnel_approx _,
     "q129_semdedup_batch_store" -> q129_semdedup_batch_store _,
     "q130_strip_pipeline" -> q130_strip_pipeline _,
+    "q131_simhash_incremental" -> q131_simhash_incremental _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3834,5 +3874,14 @@ object SparkEntry {
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
          |FROM d2 LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // q131 is a self-equivalence GATE (q33's bipartite companion): the
+    // pigeonhole-blocked batch-vs-corpus SimHash pairs must equal the
+    // brute-force bipartite hamming join.
+    "q131_simhash_incremental" ->
+      """SELECT * FROM (VALUES
+        |  ('simhash_incr_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('simhash_incr_pairs_equal', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
   )
 }

@@ -453,17 +453,9 @@ object Dedup {
     // into an all-pairs cross product; -1L is the correct all-bits mask
     val segMask = if (segBits >= 64) -1L else (1L << segBits) - 1
     // single-pass native simhash: tokenize→hash→fingerprint in one stage
-    val fps = OpCache.track(df.select(col(idCol).as("id"),
-        simhash64FromHashes(
-          transform(tokens(col(textCol)), t => xxhash64(t))).as("fp"))
-      .persist())
-    val segmented = fps.select(col("id"), col("fp"),
-      explode(array((0 until nSeg).map { s =>
-        struct(lit(s).as("seg"),
-          shiftright(col("fp"), s * segBits)
-            .bitwiseAND(lit(segMask)).as("segval"))
-      }: _*)).as("sv"))
-      .select(col("id"), col("fp"), col("sv.seg"), col("sv.segval"))
+    // (persisted: the self-join reads the segmented frame twice)
+    val fps = OpCache.track(simhashFps(df, textCol, idCol).persist())
+    val segmented = simhashSegments(fps, nSeg, segBits, segMask)
     val l = segmented.alias("l")
     val r = segmented.alias("r")
     l.join(r,
@@ -473,6 +465,65 @@ object Dedup {
         hammingDistance(col("l.fp"), col("r.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** One (id, fp) SimHash fingerprint row per document — the shared
+    * front end of [[simhashPairs]] and [[simhashAgainst]] (single
+    * codegen'd pass: tokenize → hash → native simhash). */
+  private def simhashFps(df: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      simhash64FromHashes(
+        transform(tokens(col(textCol)), t => xxhash64(t))).as("fp"))
+
+  /** Explode an (id, fp) frame into (id, fp, seg, segval) pigeonhole
+    * segments — the shared blocking key of the self-join and bipartite
+    * SimHash paths (shared so the two cannot drift). */
+  private def simhashSegments(fps: DataFrame, nSeg: Int,
+                              segBits: Int, segMask: Long): DataFrame =
+    fps.select(col("id"), col("fp"),
+      explode(array((0 until nSeg).map { s =>
+        struct(lit(s).as("seg"),
+          shiftright(col("fp"), s * segBits)
+            .bitwiseAND(lit(segMask)).as("segval"))
+      }: _*)).as("sv"))
+      .select(col("id"), col("fp"), col("sv.seg"), col("sv.segval"))
+
+  /**
+   * Incremental SimHash near-dup: batch docs within `maxHamming` bits of
+   * ANY stored corpus doc (bipartite — no self-pairs on either side),
+   * completing the incremental ingest family next to [[dedupAgainst]]
+   * (exact), [[minhashLshAgainst]] (Jaccard), and
+   * [[semDedupBatchAgainstStore]] (semantic). Output: (batch_id,
+   * corpus_id, hamming) — anti-join the batch on batch_id to keep only
+   * novel docs.
+   *
+   * Same pigeonhole blocking as [[simhashPairs]] (shared
+   * [[simhashSegments]] front end, so lossless-ness is the SAME proof:
+   * any pair within distance d agrees on ≥ 1 of d+1 segments) applied
+   * across the two frames; both sides shuffle bare (id, fp, seg,
+   * segval) rows — 8-byte fingerprints, never text. The q131 gate
+   * verifies the pair set EQUALS the brute-force bipartite hamming join
+   * in-plan (blocking is exact, not approximate, so equality — not
+   * recall — is the contract).
+   */
+  def simhashAgainst(batch: DataFrame, corpus: DataFrame, textCol: String,
+                     idCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nSeg = maxHamming + 1
+    val segBits = 64 / nSeg
+    val segMask = if (segBits >= 64) -1L else (1L << segBits) - 1
+    val b = simhashSegments(simhashFps(batch, textCol, idCol),
+      nSeg, segBits, segMask).alias("l")
+    val c = simhashSegments(simhashFps(corpus, textCol, idCol),
+      nSeg, segBits, segMask).alias("r")
+    b.join(c,
+        col("l.seg") === col("r.seg") && col("l.segval") === col("r.segval"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("corpus_id"),
+        hammingDistance(col("l.fp"), col("r.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("batch_id", "corpus_id")
   }
 
   /**

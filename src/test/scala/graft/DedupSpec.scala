@@ -451,6 +451,38 @@ class DedupSpec extends SparkSpec {
       s"unrelated batch doc paired: $pairs")
   }
 
+  test("simhashAgainst pairs batch docs with stored near-dups, bipartite only") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val corpus = Seq(
+      (100L, base),                                  // near-dup target
+      (101L, base),                                  // corpus self-pair bait
+      (102L, "completely unrelated corpus words here entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, base.replace("w16", "w16x")),           // few-bit fp delta
+      (201L, base),                                  // exact copy → hamming 0
+      (202L, "fresh batch only content nothing shared"),
+      (203L, "fresh batch only content nothing shared")) // batch self-pair bait
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashAgainst(batch, corpus, "text", "doc_id",
+        maxHamming = 8)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    OpCache.release()
+    assert(pairs.forall { case (b, c) => b >= 200L && c < 200L },
+      s"non-bipartite pair leaked: $pairs")
+    assert(pairs.contains((201L, 100L)) && pairs.contains((201L, 101L)),
+      s"exact cross-copy (hamming 0) missed: $pairs")
+    assert(!pairs.exists(_._1 == 202L) && !pairs.exists(_._1 == 203L),
+      s"unrelated batch doc paired: $pairs")
+    // the blocked pair set equals brute force (pigeonhole losslessness
+    // on this fixture; the q131 gate proves it corpus-wide)
+    val bf = batch.select($"doc_id".as("b"), Dedup.simhash64($"text").as("fa"))
+      .crossJoin(corpus.select($"doc_id".as("c"), Dedup.simhash64($"text").as("fb")))
+      .filter(Dedup.hammingDistance($"fa", $"fb") <= 8)
+      .select($"b", $"c").as[(Long, Long)].collect().toSet
+    assert(pairs == bf, s"blocked=$pairs brute=$bf")
+  }
+
   test("semDedupPairs emits a verified subgraph of the exact threshold graph") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val tau = 0.45
