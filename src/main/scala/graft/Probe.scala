@@ -590,6 +590,29 @@ object Probe {
     measure("store path (bucketed, co-located self-join)")(
       graft.operators.Dedup.semDedupPairsFromStore(
         spark, tbl, "embedding", "vec_id", tau = 0.95))
+    // bipartite batch-vs-store (r12): a fresh batch (10% of n) deduped
+    // against the stored corpus — the per-ingest-tick serve loop. The
+    // in-plan form re-assigns the CORPUS per batch; the store form
+    // assigns only the batch and reads co-located cell buckets (corpus
+    // vectors never shuffle — PlanSpec-gated shape)
+    val batch = spark.range(n, n + n / 10).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sin(col("id") * i).cast("float")).as("embedding"))
+      .repartition(32)
+    def inPlanBip() = graft.operators.Dedup.semDedupPairsBipartite(
+      OpCache.track(graft.operators.Similarity.ivfAssignMulti(
+        batch, cents, "embedding", "vec_id", 2).persist()),
+      OpCache.track(graft.operators.Similarity.ivfAssignMulti(
+        e, cents, "embedding", "vec_id", 2).persist()),
+      "embedding", "vec_id", tau = 0.95)
+    def storeBip() = graft.operators.Dedup.semDedupBatchAgainstStore(
+      spark, batch, tbl, cents, "embedding", "vec_id", probes = 2,
+      tau = 0.95)
+    measure("warmup bipartite")(storeBip())
+    measure("in-plan bipartite (corpus re-assigned per batch)")(inPlanBip())
+    measure("in-plan bipartite (2)")(inPlanBip())
+    measure("store bipartite (assign batch only, co-located cells)")(storeBip())
+    measure("store bipartite (2)")(storeBip())
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.stop()
   }
