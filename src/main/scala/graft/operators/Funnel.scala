@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
  * Distributed shape: one conditional aggregate for stage 1, then one
  * left join + aggregate per later stage — all keyed on the user, so with
  * the event store bucketed by user (the natural layout for any per-user
- * analytics at 100 TB) every step is co-located and exchange-free; the
- * per-stage frames carry (user, ts) only. Stage count is policy-sized
- * (3-6), not data-sized, so the cascade depth is a constant.
+ * analytics at 100 TB; [[Layout.writeBucketed]] on the user column)
+ * every step is co-located and exchange-free — PlanSpec proves the
+ * whole cascade plans with ZERO exchanges over such a store, broadcast
+ * off. The per-stage frames carry (user, ts) only. Stage count is
+ * policy-sized (3-6), not data-sized, so the cascade depth is a
+ * constant.
  */
 object Funnel {
 

@@ -442,6 +442,34 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("funnel cascade over a user-bucketed event store plans exchange-free") {
+    // Funnel.funnel's scale claim: every step is keyed on the user, so a
+    // user-bucketed event store co-locates the whole cascade — the first
+    // aggregate reads the buckets, each later stage's join and aggregate
+    // reuses hash(__u), which satisfies every ClusteredDistribution whose
+    // keys include the user. Broadcast is forced off so co-location (not
+    // a fixture-scale broadcast estimate) is what the plan proves.
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+      val tbl = s"planspec_funnel_ev_$pid"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.operators.Layout.writeBucketed(ev, tbl, Seq("user_id"), 4)
+      val f = graft.operators.Funnel.funnel(spark.table(tbl),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      val plan = f.queryExecution
+        .explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("Exchange"),
+        s"user-bucketed funnel cascade must not shuffle at any stage:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scans did not use the bucketed layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q97 packing: the per-doc window is partitioned (no global sort)") {
     val df = SparkEntry.queries("q97_pack_sequences")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
