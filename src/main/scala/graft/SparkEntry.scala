@@ -2273,6 +2273,30 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Multi-query BM25 serving against the materialized index — the
+    * batch face of the stream-static serve path (`Rank.bm25Serve` over
+    * `indexServingFrame`): three queries scored in ONE join+aggregate
+    * pass. The DuckDB oracle recomputes every query's scores from the
+    * definition, independently pinning the serving frame's precomputed
+    * per-term document frequencies (StreamingSpec separately proves the
+    * same code serves a stream with batch parity). */
+  private def q132_bm25_serve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q132_idx_$pid"
+    Seq(tbl, s"${tbl}_stats").foreach(dropLocalTable(s, _))
+    val docs = parallelize(t(s, dir, "documents"))
+    operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
+    val (index, stats) = operators.Rank.readIndex(s, tbl)
+    val serving = operators.Rank.indexServingFrame(index, stats)
+    val queries = Seq(
+      (1L, Seq("spark", "data", "query")),
+      (2L, Seq("join", "table")),
+      (3L, Seq("stream"))).toDF("query_id", "terms")
+    operators.Rank.bm25Serve(queries, serving, "query_id", "terms", "doc_id")
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2409,6 +2433,7 @@ object SparkEntry {
     "q129_semdedup_batch_store" -> q129_semdedup_batch_store _,
     "q130_strip_pipeline" -> q130_strip_pipeline _,
     "q131_simhash_incremental" -> q131_simhash_incremental _,
+    "q132_bm25_serve" -> q132_bm25_serve _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3883,5 +3908,31 @@ object SparkEntry {
         |  ('simhash_incr_pairs_equal', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q132 generalizes the q104 oracle to several queries at once — the
+    // per-term df here is corpus-wide (the serving frame's precomputed
+    // form), identical to q104's per-query restriction because both
+    // count every doc containing the term.
+    "q132_bm25_serve" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |stats AS (SELECT count(*)::DOUBLE AS n, avg(len(w)) AS avgdl FROM tok),
+         |q(qid, t) AS (VALUES
+         |  (1, 'spark'), (1, 'data'), (1, 'query'),
+         |  (2, 'join'), (2, 'table'),
+         |  (3, 'stream')),
+         |m AS (
+         |  SELECT doc_id, t, count(*) AS tf, min(dl) AS dl FROM (
+         |    SELECT doc_id, len(w) AS dl, unnest(w) AS t FROM tok) x
+         |  WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t),
+         |dfs AS (SELECT t, count(*) AS df FROM m GROUP BY t)
+         |SELECT CAST(q.qid AS BIGINT) AS query_id, m.doc_id, round(sum(
+         |  ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * (m.tf * (1.2 + 1)) /
+         |  (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avgdl))), 4) AS score
+         |FROM q JOIN m USING (t) JOIN dfs d USING (t) CROSS JOIN stats s
+         |GROUP BY q.qid, m.doc_id
+         |ORDER BY query_id, m.doc_id""".stripMargin,
   )
 }
