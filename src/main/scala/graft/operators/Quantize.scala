@@ -350,4 +350,83 @@ object Quantize {
       prunedCodeStore(spark, path, queries, centroids, vecCol, idCol, nProbe),
       queries, centroids, codebook, vecCol, idCol, m, subDim, k, nProbe,
       includeSelf)
+
+  /**
+   * Two-stage ANN serving — the standard production retrieval shape
+   * (Jégou et al. 2011 §V.D: ADC shortlist, then exact re-rank): stage 1
+   * runs the IVF-PQ ADC scan and keeps a `shortlist`-sized candidate set
+   * per query; stage 2 re-scores ONLY those candidates with exact cosine
+   * on raw vectors and returns the top `k` of the exact order. The
+   * raw-vector read is candidate-bounded — |queries| · shortlist rows
+   * join back to the corpus by id (at 100 TB, against an id-bucketed
+   * raw-vector store so the attach is exchange-free on the corpus side)
+   * — while the corpus-wide scan stays code-sized, which is the whole
+   * point of PQ; exactness is restored precisely where it matters, at
+   * the top of each query's list.
+   *
+   * Guarantee the q133 gate pins: recall@k of the re-ranked list is ≥
+   * the plain ADC list's at the same (models, nProbe) — the plain top-k
+   * is a subset of the same shortlist, and exact re-scoring orders every
+   * true neighbor inside the shortlist ahead of every non-neighbor.
+   */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, codebook: DataFrame,
+                  vecCol: String, idCol: String, m: Int, subDim: Int,
+                  k: Int, shortlist: Int, nProbe: Int = 2,
+                  includeSelf: Boolean = false): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerankScores(
+      ivfPqScores(
+        assembleCodes(corpus, centroids, codebook, vecCol, idCol, m, subDim),
+        queries, centroids, codebook, vecCol, idCol, m, subDim, nProbe,
+        includeSelf),
+      corpus, queries, vecCol, idCol, k, shortlist)
+  }
+
+  /** [[ivfPqRerank]] off a [[writeCodeStore]] layout: statically pruned
+    * ADC shortlist ([[prunedCodeStore]]) + exact re-rank. `corpus` is
+    * the raw-vector side of the stage-2 attach only (candidate-sized
+    * read). */
+  def ivfPqRerankFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, corpus: DataFrame,
+                           queries: DataFrame, centroids: DataFrame,
+                           codebook: DataFrame, vecCol: String,
+                           idCol: String, m: Int, subDim: Int, k: Int,
+                           shortlist: Int, nProbe: Int = 2,
+                           includeSelf: Boolean = false): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    rerankScores(
+      ivfPqScores(
+        prunedCodeStore(spark, path, queries, centroids, vecCol, idCol,
+          nProbe),
+        queries, centroids, codebook, vecCol, idCol, m, subDim, nProbe,
+        includeSelf),
+      corpus, queries, vecCol, idCol, k, shortlist)
+  }
+
+  /** Stage-2 core shared by the ad-hoc and store-backed re-rank forms:
+    * shortlist by ADC score (deterministic id tiebreak), attach raw
+    * vectors per candidate (query side broadcast — query-sized), exact
+    * cosine, top `k` of the exact order. Output: (query_id, corpus_id,
+    * cos, rank). */
+  private def rerankScores(adcScores: DataFrame, corpus: DataFrame,
+                           queries: DataFrame, vecCol: String,
+                           idCol: String, k: Int,
+                           shortlist: Int): DataFrame = {
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("corpus_id").asc)
+    val short = adcScores.withColumn("__sr", row_number().over(ws))
+      .filter(col("__sr") <= shortlist)
+      .select(col("query_id"), col("corpus_id"))
+    val cv = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    short.join(cv, Seq("corpus_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+  }
 }
