@@ -62,7 +62,8 @@ object Bench {
     "q124_approx_percentile", "q125_semdedup_store",
     "q126_fingerprint_store", "q127_lsh_store", "q128_funnel_approx",
     "q129_semdedup_batch_store", "q130_strip_pipeline",
-    "q131_simhash_incremental", "q132_bm25_serve", "q133_ivfpq_rerank")
+    "q131_simhash_incremental", "q132_bm25_serve", "q133_ivfpq_rerank",
+    "q134_hard_negatives")
 
   private val RUNS = 5
 

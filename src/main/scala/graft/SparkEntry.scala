@@ -2339,6 +2339,28 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** ANN-grade hard-negative mining, exact retrieval form (q114's
+    * quality companion): per anchor, the 3 most-similar vectors below
+    * the tau = 0.45 near-duplicate threshold — informative negatives
+    * that are provably not positives. The oracle recomputes the full
+    * definition (cosine, tau cut, rank) from scratch; the at-scale
+    * retrieval swap (ivfPqRerank shortlist feeding the same
+    * `hardNegatives` tail) keeps these exact semantics per shortlist. */
+  private def q134_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("cv"))
+    val anchors = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = corpus
+      .join(broadcast(anchors), col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 4).as("cos_r"))
+    operators.Curate.hardNegatives(scored, "query_id", "corpus_id",
+        "cos_r", k = 3, tau = 0.45)
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2477,6 +2499,7 @@ object SparkEntry {
     "q131_simhash_incremental" -> q131_simhash_incremental _,
     "q132_bm25_serve" -> q132_bm25_serve _,
     "q133_ivfpq_rerank" -> q133_ivfpq_rerank _,
+    "q134_hard_negatives" -> q134_hard_negatives _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3955,6 +3978,22 @@ object SparkEntry {
     // per-term df here is corpus-wide (the serving frame's precomputed
     // form), identical to q104's per-query restriction because both
     // count every doc containing the term.
+    // q134 recomputes the hard-negative definition from scratch: all
+    // pairs, tau cut on the ROUNDED cosine (both engines rank and
+    // filter the same 4-decimal value — the q34 discipline), top-3.
+    "q134_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+         |q AS (SELECT * FROM e WHERE vec_id % 100 = 0)
+         |SELECT query_id, corpus_id, cos_r, neg_rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         |    round(${cosSql("q.v", "c.v")}, 4) AS cos_r,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.v", "c.v")}, 4) DESC, c.vec_id)
+         |      AS neg_rank
+         |  FROM q, e c
+         |  WHERE c.vec_id <> q.vec_id
+         |    AND round(${cosSql("q.v", "c.v")}, 4) < 0.45) x
+         |WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin,
     // q133 is an accuracy GATE (q113's production companion): the exact
     // re-rank must dominate the plain ADC list and clear the pinned
     // recall floor.

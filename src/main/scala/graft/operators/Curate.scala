@@ -354,6 +354,34 @@ object Curate {
         struct(col("h"), col("cand_id"))).as("neg_id"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training — the quality upgrade
+   * over [[sampleNegatives]]'s uniform pseudo-random draws: per anchor,
+   * the `k` MOST-similar candidates that are still below the duplicate
+   * threshold `tau` — similar enough to be informative gradients,
+   * distinct enough to be true negatives (the standard dense-retrieval
+   * mining recipe; anything at/above tau is presumed a near-duplicate
+   * positive and excluded).
+   *
+   * Takes an already-scored (anchorCol, candCol, cosCol) frame so the
+   * retrieval stage is pluggable: exact brute-force cosine at audit
+   * scale (the q134 oracle form), or at 100 TB any ANN tier —
+   * [[Similarity.ivfTopK]] / [[Quantize.ivfPqRerank]] with a shortlist
+   * comfortably above k, since the tau filter eats the top of each
+   * list. The window partitions by anchor over candidate-sized input
+   * (anchor sets are policy-sized; candidates per anchor are bounded by
+   * the retriever), never over the corpus.
+   */
+  def hardNegatives(scored: DataFrame, anchorCol: String, candCol: String,
+                    cosCol: String, k: Int, tau: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    scored.filter(col(cosCol) < tau)
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col(anchorCol))
+          .orderBy(col(cosCol).desc, col(candCol))))
+      .filter(col("neg_rank") <= k)
+  }
+
   def mixingRates(df: DataFrame, stratumCol: String,
                   targets: Map[String, Double]): DataFrame = {
     import df.sparkSession.implicits._
