@@ -378,4 +378,28 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curate.sampleNegatives(ids, "doc_id", anchors, k = 0))
   }
+
+  test("hardNegatives: tau cuts near-dups, keeps the k most-similar below it") {
+    import spark.implicits._
+    // one anchor, hand-built candidate scores: 0.99 is a near-dup
+    // (excluded by tau), then 0.44/0.40/0.30/0.10 below it — top-3 of
+    // the below-tau set, in similarity order, with id tiebreak at 0.40
+    val scored = Seq(
+      (1L, 10L, 0.99), // near-dup: above tau, must never appear
+      (1L, 11L, 0.44),
+      (1L, 13L, 0.40), (1L, 12L, 0.40), // tie → lower id first
+      (1L, 14L, 0.30),
+      (1L, 15L, 0.10),
+      (2L, 20L, 0.20)) // second anchor ranks independently
+      .toDF("query_id", "corpus_id", "cos")
+    val got = Curate.hardNegatives(scored, "query_id", "corpus_id", "cos",
+        k = 3, tau = 0.45)
+      .select($"query_id", $"corpus_id", $"neg_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (2L, 20L, 1)), got.toString)
+    intercept[IllegalArgumentException](
+      Curate.hardNegatives(scored, "query_id", "corpus_id", "cos",
+        k = 0, tau = 0.45))
+  }
 }
