@@ -99,4 +99,29 @@ class QuantizeSpec extends SparkSpec {
     assert(stats._3 > 0.99,
       f"worst int8 reconstruction cosine ${stats._3}%.4f below 0.99")
   }
+
+  test("ivfPqRerank shortlist feeds hardNegatives (the at-scale mining composition)") {
+    // the composition q134's scaladoc names for 100 TB: the re-ranked ANN
+    // shortlist (exact cosines, pluggable-retriever contract) piped into
+    // the tau-cut top-k tail — column contract and semantics line up
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      e, "embedding", "vec_id", k = 8)
+    val cb = Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val anchors = e.filter($"vec_id" % 100 === 0)
+    val rerank = Quantize.ivfPqRerank(e, anchors, cents, cb,
+      "embedding", "vec_id", m = 4, subDim = 16, k = 20, shortlist = 40,
+      nProbe = 3)
+    val hn = graft.operators.Curate.hardNegatives(rerank,
+        "query_id", "corpus_id", "cos", k = 2, tau = 0.45)
+      .select($"query_id", $"corpus_id", $"cos", $"neg_rank")
+      .as[(Long, Long, Double, Int)].collect()
+    graft.operators.OpCache.release()
+    assert(hn.nonEmpty, "no hard negatives mined from the rerank shortlist")
+    assert(hn.forall(_._3 < 0.45), s"a near-dup leaked past tau: ${hn.toSeq}")
+    assert(hn.groupBy(_._1).values.forall(_.length <= 2),
+      "more than k negatives for an anchor")
+    assert(hn.forall(r => r._1 != r._2), "anchor mined itself")
+  }
 }
