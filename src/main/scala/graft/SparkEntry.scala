@@ -2361,6 +2361,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("neg_rank"))
   }
 
+  /** Source×source distinct-trigram overlap matrix (q89's corpus-audit
+    * companion): which sources mirror each other — the signal that
+    * prioritizes cross-source dedup sweeps. The oracle recomputes the
+    * full matrix (distinct gram sets, pairwise intersection, Jaccard)
+    * from the definition, zero-overlap pairs included. */
+  private def q135_source_overlap(s: SparkSession, dir: String): DataFrame =
+    operators.TextProfile.sourceOverlap(
+        parallelize(t(s, dir, "documents")), "text", "source", n = 3)
+      .orderBy(col("src_a"), col("src_b"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2500,6 +2510,7 @@ object SparkEntry {
     "q132_bm25_serve" -> q132_bm25_serve _,
     "q133_ivfpq_rerank" -> q133_ivfpq_rerank _,
     "q134_hard_negatives" -> q134_hard_negatives _,
+    "q135_source_overlap" -> q135_source_overlap _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -3978,6 +3989,35 @@ object SparkEntry {
     // per-term df here is corpus-wide (the serving frame's precomputed
     // form), identical to q104's per-query restriction because both
     // count every doc containing the term.
+    // q135 recomputes the source-overlap matrix from the definition;
+    // the gram expression mirrors TextFunctions.shingles at n = 3
+    // (inclusive DuckDB slices: w[i:i+2] is 3 tokens; whole-text
+    // fallback for short docs, the q89/q96 oracle pattern).
+    "q135_source_overlap" ->
+      s"""WITH d AS (SELECT source, $toksSql AS w FROM documents),
+         |g AS (
+         |  SELECT DISTINCT source AS src,
+         |    unnest(CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |      ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+         |                          for i in range(1, len(w) - 1)]) END) AS g
+         |  FROM d),
+         |c AS (SELECT src, count(*) AS n_grams FROM g GROUP BY src),
+         |s AS (
+         |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared
+         |  FROM g a JOIN g b ON a.g = b.g AND a.src < b.src
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT ca.src AS src_a, cb.src AS src_b,
+         |    ca.n_grams AS grams_a, cb.n_grams AS grams_b
+         |  FROM c ca JOIN c cb ON ca.src < cb.src)
+         |SELECT p.src_a, p.src_b,
+         |  CAST(p.grams_a AS BIGINT) AS grams_a,
+         |  CAST(p.grams_b AS BIGINT) AS grams_b,
+         |  CAST(coalesce(s.shared, 0) AS BIGINT) AS shared,
+         |  round(coalesce(s.shared, 0)::DOUBLE /
+         |    (p.grams_a + p.grams_b - coalesce(s.shared, 0)), 4) AS jaccard
+         |FROM p LEFT JOIN s USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

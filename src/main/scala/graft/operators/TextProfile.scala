@@ -69,6 +69,58 @@ object TextProfile {
   }
 
   /**
+   * Source-overlap audit: pairwise distinct-n-gram Jaccard between the
+   * corpus's SOURCES — the source×source companion to
+   * [[contaminationReport]]'s train-vs-eval check. Near-identical
+   * sources (mirror crawls, re-scrapes, syndication networks) surface
+   * as high-Jaccard pairs before any per-doc dedup runs, telling a
+   * curation pipeline which source pairs to cross-dedup first. Output:
+   * one row per unordered source pair (src_a < src_b) with both gram
+   * counts, the shared count, and Jaccard — zero-overlap pairs
+   * included, so the matrix is complete and deterministic.
+   *
+   * Scale shape: sources are catalog-sized (tens to thousands), not
+   * data-sized, so the output is tiny. The work is the distinct
+   * (source, gram) set, which aggregates map-side and is keyed on two
+   * independent xxhash64 lanes (~128 bits, the [[bigramPerplexity]]
+   * discipline) so gram STRINGS never shuffle; the cross-source
+   * equi-join moves 24-byte lane rows, and the |sources|² pair frame
+   * is the deliberate tiny non-equi join, never the corpus.
+   */
+  def sourceOverlap(df: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = OpCache.track(df
+      .select(col(srcCol).cast("string").as("src"),
+        explode(array_distinct(
+          TextFunctions.shingles(col(textCol), n))).as("g"))
+      .select(col("src"), xxhash64(col("g")).as("k1"),
+        xxhash64(col("g"), lit(1L)).as("k2"))
+      .distinct()
+      // read by the per-source counts AND both sides of the pair join
+      .persist())
+    val counts = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val shared = grams.alias("l").join(grams.alias("r"),
+        col("l.k1") === col("r.k1") && col("l.k2") === col("r.k2") &&
+        col("l.src") < col("r.src"))
+      .groupBy(col("l.src").as("src_a"), col("r.src").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    // all ordered pairs from the |sources|-row counts frame: a
+    // deliberate catalog-sized non-equi join, so zero-overlap pairs
+    // keep their row instead of silently vanishing
+    val pairs = counts
+      .select(col("src").as("src_a"), col("n_grams").as("grams_a"))
+      .join(counts.select(col("src").as("src_b"),
+        col("n_grams").as("grams_b")), col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left_outer")
+      .select(col("src_a"), col("src_b"), col("grams_a"), col("grams_b"),
+        coalesce(col("shared"), lit(0L)).as("shared"),
+        round(coalesce(col("shared"), lit(0L)).cast("double") /
+            (col("grams_a") + col("grams_b") -
+              coalesce(col("shared"), lit(0L))), 4)
+          .as("jaccard"))
+  }
+
+  /**
    * CCNet-style LM quality score (Wenzek et al. 2020, "CCNet: Extracting
    * High Quality Monolingual Datasets from Web Crawl Data" — public): an
    * add-one-smoothed bigram language model is trained on a REFERENCE slice
