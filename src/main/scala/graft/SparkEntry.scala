@@ -2371,6 +2371,17 @@ object SparkEntry {
         parallelize(t(s, dir, "documents")), "text", "source", n = 3)
       .orderBy(col("src_a"), col("src_b"))
 
+  /** DSIR importance weights (Xie et al. 2023): every doc scored by the
+    * hashed-bigram log-likelihood ratio of target (en) vs raw features —
+    * the data-selection pass that tilts a raw pool toward a target domain.
+    * The oracle recomputes the full two-pass definition (bucket histograms,
+    * smoothed log-ratios, per-doc feature sums) from scratch. */
+  private def q136_dsir_select(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.dsirWeights(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", col("lang") === "en", nBuckets = 1009, alpha = 0.5)
+      .withColumn("weight", round(col("weight"), 4))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2511,6 +2522,7 @@ object SparkEntry {
     "q133_ivfpq_rerank" -> q133_ivfpq_rerank _,
     "q134_hard_negatives" -> q134_hard_negatives _,
     "q135_source_overlap" -> q135_source_overlap _,
+    "q136_dsir_select" -> q136_dsir_select _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4018,6 +4030,46 @@ object SparkEntry {
          |    (p.grams_a + p.grams_b - coalesce(s.shared, 0)), 4) AS jaccard
          |FROM p LEFT JOIN s USING (src_a, src_b)
          |ORDER BY src_a, src_b""".stripMargin,
+    // q136 recomputes DSIR from the definition: unigram+bigram features
+    // (q109's list_concat order), the portable positional code-point hash
+    // into 1009 buckets, add-0.5-smoothed target/raw bucket histograms,
+    // per-doc log-ratio sums in feature order (list_sum is left-to-right,
+    // matching the fused expression's accumulation — the q109 discipline).
+    "q136_dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_target,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, is_target, list_concat(w,
+         |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS feats
+         |  FROM tok),
+         |fb AS (
+         |  SELECT doc_id, is_target,
+         |    list_transform(feats, t ->
+         |      CAST(list_sum(list_transform(range(1, len(t) + 1),
+         |        i -> ascii(t[i]) * i)) % 1009 AS INT)) AS bks
+         |  FROM f),
+         |c AS (
+         |  SELECT bucket,
+         |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+         |    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+         |  FROM (SELECT is_target, unnest(bks) AS bucket FROM fb)
+         |  GROUP BY bucket),
+         |tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM c),
+         |r AS (
+         |  SELECT list(
+         |      ln((coalesce(c.ct, 0) + 0.5) / (tot.nt + 0.5 * 1009)) -
+         |      ln((coalesce(c.cr, 0) + 0.5) / (tot.nr + 0.5 * 1009))
+         |      ORDER BY sp.bucket) AS lrs
+         |  FROM (SELECT unnest(range(0, 1009)) AS bucket) sp
+         |  LEFT JOIN c ON sp.bucket = c.bucket CROSS JOIN tot)
+         |SELECT fb.doc_id, fb.is_target, len(fb.bks)::BIGINT AS n_feats,
+         |  CASE WHEN len(fb.bks) = 0 THEN NULL
+         |       ELSE round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
+         |  END AS weight
+         |FROM fb CROSS JOIN r ORDER BY fb.doc_id""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

@@ -658,6 +658,189 @@ object HashedNgramScore {
   }
 }
 
+/**
+ * Hashed n-gram feature buckets: unigrams then bigrams of the token array,
+ * each mapped to `sum(codePoint * 1-based-position) % nBuckets` — the same
+ * engine-portable polynomial hash as [[HashedNgramScore]] (both engines can
+ * recompute it exactly; DuckDB spells it `list_sum(list_transform(range(1,
+ * len(t)+1), i -> ascii(t[i]) * i)) % B`). This is the COUNT-pass form of
+ * the hashed feature space: the bucket array feeds `explode` → groupBy for
+ * corpus-wide bucket histograms (DSIR's raw/target feature distributions,
+ * Xie et al. 2023, arXiv:2302.03169). The SCORE pass uses the fused
+ * [[NgramBucketWeightSum]] instead — no per-feature array per document.
+ *
+ * Element order is all unigrams left-to-right then all bigrams (the
+ * `list_concat(w, bigrams)` order), with null token elements skipped as
+ * unigrams and voiding the bigrams they touch — [[HashedNgramScore]]'s
+ * exact feature contract, so the two expressions see the same feature
+ * multiset. Empty/blank input → empty array (a histogram contribution of
+ * nothing), never null.
+ */
+case class NgramBuckets(child: Expression, nBuckets: Int)
+    extends UnaryExpression {
+  require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_buckets"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    NgramBuckets.compute(v.asInstanceOf[ArrayData], nBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.expressions.NgramBuckets
+         |  .compute($c, $nBuckets);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramBuckets {
+
+  /** The engine-portable polynomial bucket hash: 1-based code-point
+    * positions, `sum % nBuckets`. Non-negative (every term is). */
+  def bucket(s: String, nBuckets: Int): Int = {
+    var sum = 0L
+    var i = 0
+    var pos = 1L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      sum += cp.toLong * pos
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    (sum % nBuckets).toInt
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData, nBuckets: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Int](
+      math.max(0, 2 * n - 1))
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i))
+        out += bucket(tokens.getUTF8String(i).toString, nBuckets)
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      if (!tokens.isNullAt(i - 1) && !tokens.isNullAt(i))
+        out += bucket(tokens.getUTF8String(i - 1).toString + "_" +
+          tokens.getUTF8String(i).toString, nBuckets)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}
+
+/**
+ * Fused hashed-feature weight lookup-and-sum: for each unigram then bigram
+ * of `tokens`, `sum += weights[NgramBuckets.bucket(feature, weights.length)]`
+ * — the SCORE pass of a hashed feature model in ONE codegen'd traversal of
+ * the token array (no per-feature array, no interpreted HOF lambda; the
+ * bucket count is the weight array's length, so the two passes cannot
+ * disagree on the feature space). With `weights` = the per-bucket
+ * log(p_target/p_raw) table this is the DSIR importance weight
+ * (Xie et al. 2023); with learned weights it is a hashed linear model's
+ * logit. Summation order is unigrams left-to-right then bigrams — the
+ * `list_sum(list_transform(feats, ...))` order, so the float sum is
+ * bit-identical to the SQL formulation.
+ *
+ * Null contract: null inputs → null; zero usable features → null (no
+ * features ⇒ no evidence, [[HashedNgramScore]]'s contract); a null WEIGHT
+ * element is a broken weight table → fails loudly at eval rather than
+ * skewing scores silently.
+ */
+case class NgramBucketWeightSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_bucket_weight_sum"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<double>), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(toks: Any, weights: Any): Any =
+    NgramBucketWeightSum.compute(
+      toks.asInstanceOf[ArrayData], weights.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, w) => {
+      val r = ctx.freshName("bucketSum")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.expressions.NgramBucketWeightSum.compute($t, $w);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramBucketWeightSum {
+
+  /** Shared by interpreted eval and generated code. Boxed so the codegen
+    * null-out contract works for the no-features case. */
+  def compute(tokens: ArrayData, weights: ArrayData): java.lang.Double = {
+    val b = weights.numElements()
+    require(b > 0, "ngram_bucket_weight_sum: empty weight table")
+    def w(feature: String): Double = {
+      val idx = NgramBuckets.bucket(feature, b)
+      require(!weights.isNullAt(idx),
+        s"ngram_bucket_weight_sum: null weight at bucket $idx")
+      weights.getDouble(idx)
+    }
+    val n = tokens.numElements()
+    var sum = 0.0
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        sum += w(tokens.getUTF8String(i).toString); count += 1
+      }
+      i += 1
+    }
+    i = 1
+    while (i < n) {
+      if (!tokens.isNullAt(i - 1) && !tokens.isNullAt(i)) {
+        sum += w(tokens.getUTF8String(i - 1).toString + "_" +
+          tokens.getUTF8String(i).toString)
+        count += 1
+      }
+      i += 1
+    }
+    if (count == 0) null else java.lang.Double.valueOf(sum)
+  }
+}
+
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -688,6 +871,15 @@ object GraftExpressions {
   def hashedNgramScore(tokens: Column): Column =
     GraftColumnBridge.column(
       HashedNgramScore(GraftColumnBridge.expression(tokens)))
+
+  def ngramBuckets(tokens: Column, nBuckets: Int): Column =
+    GraftColumnBridge.column(
+      NgramBuckets(GraftColumnBridge.expression(tokens), nBuckets))
+
+  def ngramBucketWeightSum(tokens: Column, weights: Column): Column =
+    GraftColumnBridge.column(NgramBucketWeightSum(
+      GraftColumnBridge.expression(tokens),
+      GraftColumnBridge.expression(weights)))
 
   /** See [[SortedIntersectSize]] — sorted-input precondition applies. */
   private[graft] def sortedIntersectSize(a: Column, b: Column): Column =
@@ -743,6 +935,13 @@ object GraftExpressions {
     registry.createOrReplaceTempFunction("hashed_ngram_score",
       exprs => { checkArity("hashed_ngram_score", exprs, 1, 1)
         HashedNgramScore(exprs.head) }, "scala_udf")
+    registry.createOrReplaceTempFunction("ngram_buckets",
+      exprs => { checkArity("ngram_buckets", exprs, 2, 2)
+        NgramBuckets(exprs.head,
+          constInt(exprs(1), "ngram_buckets", "n_buckets")) }, "scala_udf")
+    registry.createOrReplaceTempFunction("ngram_bucket_weight_sum",
+      exprs => { checkArity("ngram_bucket_weight_sum", exprs, 2, 2)
+        NgramBucketWeightSum(exprs(0), exprs(1)) }, "scala_udf")
     registry.createOrReplaceTempFunction("hyperplane_lsh_key",
       exprs => { checkArity("hyperplane_lsh_key", exprs, 2, 3)
         HyperplaneLshKey(exprs(0),

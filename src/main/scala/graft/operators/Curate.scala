@@ -415,4 +415,66 @@ object Curate {
       .select(col("stratum"), col("n_docs"), col("weight"), col("rate"),
         col("sample_n"))
   }
+
+  /**
+   * DSIR importance weights (Data Selection via Importance Resampling,
+   * Xie et al. 2023, arXiv:2302.03169): score every document by how much
+   * more likely its hashed n-gram features are under the TARGET
+   * distribution than under the RAW distribution —
+   * `weight(d) = Σ_f log(p_target(bucket(f)) / p_raw(bucket(f)))` over d's
+   * unigram+bigram features, with add-`alpha` smoothed per-bucket
+   * probabilities estimated from the corpus itself (`isTarget` splits it;
+   * NULL predicate values count as raw on both engines). Selecting the
+   * top-weight raw documents tilts a web-scale pool toward the target
+   * domain. Output: one row per input doc — (idCol, is_target, n_feats,
+   * weight); blank docs have no features → NULL weight.
+   *
+   * Scale shape (DSIR is two-pass by construction): pass 1 explodes bare
+   * INT buckets and aggregates partial+final to `nBuckets` keys — the only
+   * shuffle, `nBuckets` rows wide; the log-ratio table (catalog-sized,
+   * default 1009 doubles) collapses to ONE broadcast row. Pass 2 rescans
+   * the corpus and computes each weight in one fused codegen'd traversal
+   * of the token array (native [[graft.functions.expressions.NgramBucketWeightSum]]
+   * — no per-feature array, no HOF lambda, zero shuffle). The bucket-count
+   * frame is persisted: it is read twice (totals + ratios) and both reads
+   * are `nBuckets` rows.
+   */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, nBuckets: Int = 1009,
+                  alpha: Double = 0.5): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    import graft.functions.expressions.GraftExpressions.{ngramBuckets, ngramBucketWeightSum}
+    val spark = docs.sparkSession
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val isT = coalesce(isTarget, lit(false))
+
+    val counts = OpCache.track(docs
+      .select(isT.as("__t"), explode(ngramBuckets(toks, nBuckets)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("cr"))
+      .persist())
+    val totals = counts.agg(
+      sum(col("ct")).cast("double").as("nt"),
+      sum(col("cr")).cast("double").as("nr"))
+    // dense 0..B-1 spine so absent buckets still carry their smoothed mass
+    val spine = spark.range(nBuckets)
+      .select(col("id").cast("int").as("bucket"))
+    val logRatios = spine
+      .join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + alpha) / (col("nt") + alpha * nBuckets))
+          - log((coalesce(col("cr"), lit(0L)) + alpha) / (col("nr") + alpha * nBuckets)))
+          .as("lr"))
+      .agg(transform(array_sort(collect_list(struct(col("bucket"), col("lr")))),
+        x => x.getField("lr")).as("__graft_dsir_lr"))
+
+    docs
+      .crossJoin(broadcast(logRatios))
+      .select(col(idCol), isT.as("is_target"),
+        greatest(size(toks) * 2 - 1, lit(0)).cast("long").as("n_feats"),
+        ngramBucketWeightSum(toks, col("__graft_dsir_lr")).as("weight"))
+  }
 }

@@ -402,4 +402,58 @@ class CurateSpec extends SparkSpec {
       Curate.hardNegatives(scored, "query_id", "corpus_id", "cos",
         k = 0, tau = 0.45))
   }
+
+  test("dsirWeights equals the brute-force definition; target vocab ranks up") {
+    import spark.implicits._
+    val b = 31 // small bucket table: forces hash collisions into the test
+    val alpha = 0.5
+    // target speaks vocab A, raw mostly vocab B; doc 20 is the raw doc
+    // written in target vocabulary (the one DSIR selection must surface)
+    val rows = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "beta gamma epsilon alpha", true),
+      (3L, "gamma alpha beta", true),
+      (10L, "zork quux blarg frotz", false),
+      (11L, "quux blarg zork", false),
+      (12L, "frotz zork quux blarg", false),
+      (20L, "alpha beta gamma", false),
+      (21L, "  ", false)) // blank: no features
+    val df = rows.toDF("doc_id", "text", "is_t").repartition(5)
+    val got = Curate.dsirWeights(df, "text", "doc_id", col("is_t"),
+        nBuckets = b, alpha = alpha)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+
+    // brute-force mirror of the definition in plain Scala
+    def toks(s: String) = {
+      val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+      if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+    }
+    def feats(s: String) = { val w = toks(s)
+      w.toSeq ++ w.toSeq.sliding(2).filter(_.size == 2).map(_.mkString("_")) }
+    def bucket(f: String) =
+      (f.zipWithIndex.map { case (c, i) => c.toLong * (i + 1) }.sum % b).toInt
+    val tgt = rows.filter(_._3).flatMap(r => feats(r._2)).map(bucket)
+    val raw = rows.filterNot(_._3).flatMap(r => feats(r._2)).map(bucket)
+    def lr(bk: Int) =
+      math.log((tgt.count(_ == bk) + alpha) / (tgt.size + alpha * b)) -
+        math.log((raw.count(_ == bk) + alpha) / (raw.size + alpha * b))
+    rows.foreach { case (id, text, isT) =>
+      val fs = feats(text)
+      val (gotT, gotN, gotW) = got(id)
+      assert(gotT == isT && gotN == fs.size, s"doc $id meta")
+      if (fs.isEmpty) assert(gotW.isEmpty, s"doc $id: blank must be null")
+      else assert(math.abs(gotW.get - fs.map(f => lr(bucket(f))).sum) < 1e-9,
+        s"doc $id weight")
+    }
+    // the target-vocab raw doc outranks every raw-vocab raw doc
+    assert(Seq(10L, 11L, 12L).forall(got(_)._3.get < got(20L)._3.get))
+    // partition layout cannot change a deterministic two-pass statistic
+    val again = Curate.dsirWeights(df.repartition(1), "text", "doc_id",
+        col("is_t"), nBuckets = b, alpha = alpha)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    rows.foreach { case (id, _, _) => assert(again(id) == got(id)._3, s"$id") }
+  }
 }

@@ -650,6 +650,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q136 DSIR: text dies in its scans; score pass is fused + broadcast") {
+    val df = SparkEntry.queries("q136_dsir_select")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the histogram pass shuffles bare INT buckets, the score pass gets the
+    // log-ratio table as a broadcast 1-row frame — document text must never
+    // enter a keyed exchange on either pass
+    plan.split("\n\n")
+      .filter(b => b.contains("Exchange") &&
+        !b.contains("RoundRobinPartitioning"))
+      .foreach(b => assert(!b.contains("text#"),
+        s"q136 ships text through a shuffle:\n$b"))
+    // per-doc weights come from the fused native expression (one codegen'd
+    // token-array traversal), not an exploded per-feature join
+    assert(plan.contains("ngram_bucket_weight_sum"),
+      s"fused scoring expression missing:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"1-row ratio table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "q136 went cartesian")
+  }
+
   test("q114 negative sampling: per-draw argmin is a partial-agg min_by, no window") {
     // each (anchor, draw) sees corpus/16^hexChars bucket candidates; a
     // row_number window would shuffle ALL of them to one task before
