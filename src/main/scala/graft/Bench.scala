@@ -63,7 +63,8 @@ object Bench {
     "q126_fingerprint_store", "q127_lsh_store", "q128_funnel_approx",
     "q129_semdedup_batch_store", "q130_strip_pipeline",
     "q131_simhash_incremental", "q132_bm25_serve", "q133_ivfpq_rerank",
-    "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select")
+    "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select",
+    "q137_fp_store_ingest")
 
   private val RUNS = 5
 

@@ -2382,6 +2382,29 @@ object SparkEntry {
       .withColumn("weight", round(col("weight"), 4))
       .orderBy(col("doc_id"))
 
+  /** Two sequential [[Dedup.ingestBatch]] steps over a fingerprint store
+    * (the production incremental-ingest loop: in-batch dedup → store
+    * anti-join → append survivors' fps): batch B must be deduped against
+    * corpus ∪ survivors(A), proving the append is visible and correct.
+    * FULL DuckDB oracle — it recomputes both ingest steps from the md5
+    * definition (stronger than a verdict gate: any drift in the loop's
+    * composition, not just inequality, hash-mismatches). */
+  private def q137_fp_store_ingest(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val m = pmod(col("doc_id"), lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q137_fp_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeFingerprintStore(docs.filter(m === 2), "text", tbl, buckets = 8)
+    val survA = Dedup.ingestBatch(s, docs.filter(m === 0), "text", "doc_id",
+      tbl, buckets = 8)
+    val survB = Dedup.ingestBatch(s, docs.filter(m === 1), "text", "doc_id",
+      tbl, buckets = 8)
+    survA.select(lit("a").as("batch"), col("doc_id"))
+      .unionByName(survB.select(lit("b").as("batch"), col("doc_id")))
+      .orderBy(col("batch"), col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2523,6 +2546,7 @@ object SparkEntry {
     "q134_hard_negatives" -> q134_hard_negatives _,
     "q135_source_overlap" -> q135_source_overlap _,
     "q136_dsir_select" -> q136_dsir_select _,
+    "q137_fp_store_ingest" -> q137_fp_store_ingest _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4070,6 +4094,24 @@ object SparkEntry {
          |       ELSE round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
          |  END AS weight
          |FROM fb CROSS JOIN r ORDER BY fb.doc_id""".stripMargin,
+    // q137 recomputes BOTH ingest steps from the md5 definition: in-batch
+    // min-id dedup (q28's form), anti-join vs the store snapshot, and —
+    // the point of the gate — batch B's snapshot includes batch A's
+    // surviving fingerprints (the append must be visible and exact).
+    "q137_fp_store_ingest" ->
+      s"""WITH d AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+         |corpus AS (SELECT DISTINCT fp FROM d WHERE doc_id % 3 = 2),
+         |a1 AS (SELECT min(doc_id) AS doc_id, fp FROM d
+         |       WHERE doc_id % 3 = 0 GROUP BY fp),
+         |sa AS (SELECT doc_id, fp FROM a1
+         |       WHERE fp NOT IN (SELECT fp FROM corpus)),
+         |b1 AS (SELECT min(doc_id) AS doc_id, fp FROM d
+         |       WHERE doc_id % 3 = 1 GROUP BY fp),
+         |sb AS (SELECT doc_id FROM b1 WHERE fp NOT IN
+         |       (SELECT fp FROM corpus UNION SELECT fp FROM sa))
+         |SELECT 'a' AS batch, doc_id FROM sa
+         |UNION ALL SELECT 'b' AS batch, doc_id FROM sb
+         |ORDER BY batch, doc_id""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

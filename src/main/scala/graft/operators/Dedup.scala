@@ -163,6 +163,49 @@ object Dedup {
       Layout.readTable(spark, table).hint("merge"), bloom)
 
   /**
+   * The full incremental-ingest step over a [[writeFingerprintStore]]
+   * snapshot — the loop a production corpus runs on every arriving batch:
+   * exact-dedup WITHIN the batch ([[exact]]: min-id per normalized
+   * content), drop rows whose content the store already holds
+   * ([[dedupAgainstStore]]), APPEND the survivors' fingerprints to the
+   * store, and return the survivors. After the call the store answers for
+   * `corpus ∪ survivors`, so ingesting the same batch twice passes nothing
+   * the second time (DedupSpec-gated), and a sequence of ingests equals
+   * the one-shot store over the concatenated corpus (q137 oracle).
+   *
+   * Scale shape: the append is a same-bucket-spec `bucketBy` append — one
+   * new file per touched bucket, so the store-side anti-join stays
+   * exchange-free after ANY number of ingests (Spark keeps
+   * `outputPartitioning` for multi-file buckets and re-sorts within the
+   * partition; PlanSpec-gated on an appended store). Spark rejects a
+   * mismatched bucket spec loudly. The survivors are materialized into an
+   * RDD BEFORE the append and the returned frame is re-planned from that
+   * RDD — a `persist()`ed DataFrame is NOT enough here: appending to the
+   * table triggers Spark's cache refresh, which RE-COMPUTES dependent
+   * cached plans against the post-append store and silently empties the
+   * survivor set (observed; the RDD handle is invisible to the SQL cache
+   * manager). In production, write survivors to the corpus sink first and
+   * append fingerprints from the written files; this in-memory form is
+   * the single-job composition of the same steps.
+   */
+  def ingestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, textCol: String, idCol: String, table: String,
+      buckets: Int = 8,
+      bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      : DataFrame = {
+    // force NOW: the anti-join must read the PRE-append store snapshot
+    val survivors = OpCache.materialize(
+      dedupAgainstStore(spark, exact(batch, textCol, idCol), textCol,
+        table, bloom))
+    survivors.select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .mode("append").format("parquet")
+      .saveAsTable(table)
+    survivors
+  }
+
+  /**
    * Incremental near-dup candidates: MinHash+LSH banding of `batch`
    * against `corpus` (bipartite — no corpus self-pairs, no batch
    * self-pairs), verified by signature-agreement estimated Jaccard.

@@ -569,4 +569,35 @@ class DedupSpec extends SparkSpec {
     assert(byId.values.count(_.size == 2) > byId.size / 2,
       "second probe missing for most ids")
   }
+
+  test("ingestBatch: append visible, idempotent, equals the one-shot store") {
+    val d = docs.filter($"doc_id" < 600)
+    val m = pmod($"doc_id", lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"dedupspec_ingest_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeFingerprintStore(d.filter(m === 2), "text", tbl, buckets = 4)
+    val survA = Dedup.ingestBatch(spark, d.filter(m === 0), "text", "doc_id",
+      tbl, buckets = 4)
+    assert(survA.count() > 0, "batch A should pass new content")
+    // idempotence: the append made batch A's content part of the snapshot
+    assert(Dedup.ingestBatch(spark, d.filter(m === 0), "text", "doc_id",
+      tbl, buckets = 4).count() == 0, "re-ingest must pass nothing")
+    // sequential ingest ≡ one-shot: batch B against corpus ∪ batch A
+    val survB = Dedup.ingestBatch(spark, d.filter(m === 1), "text", "doc_id",
+        tbl, buckets = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    val oneShot = Dedup.dedupAgainst(
+        Dedup.exact(d.filter(m === 1), "text", "doc_id"),
+        d.filter(m =!= 1), "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survB == oneShot, s"sequential vs one-shot: $survB vs $oneShot")
+    // the store now answers for the WHOLE corpus: its fp set is exactly
+    // the distinct fingerprint set of everything ingested
+    val storeFps = spark.table(tbl).as[String].collect().toSet
+    val allFps = d.select(TextFunctions.fingerprint($"text")).distinct()
+      .as[String].collect().toSet
+    assert(storeFps == allFps, "store fp set != corpus distinct fp set")
+    OpCache.release()
+  }
 }

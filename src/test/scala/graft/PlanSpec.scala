@@ -382,6 +382,32 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("fingerprint store stays exchange-free after ingest appends") {
+    // the q137 at-scale claim: a bucketBy APPEND adds one file per touched
+    // bucket but keeps the table's hash partitioning, so the anti-join's
+    // store side needs no exchange after any number of ingests (Spark
+    // re-sorts within the partition for the multi-file buckets)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = pmod(col("doc_id"), lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_fp_append_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Dedup.writeFingerprintStore(
+      docs.filter(m === 2), "text", tbl, buckets = 4)
+    graft.operators.Dedup.ingestBatch(
+      spark, docs.filter(m === 0), "text", "doc_id", tbl, buckets = 4)
+    val out = graft.operators.Dedup.dedupAgainstStore(
+      spark, docs.filter(m === 1), "text", tbl)
+    assert(out.collect().nonEmpty, "post-append store-path dedup empty")
+    val plan = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"appended store lost its bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(out, tbl)
+    graft.operators.OpCache.release()
+  }
+
   test("LSH ingest store: candidate and attach store sides are bucketed and exchange-free") {
     // the q127 at-scale claim: the batch's exploded bands shuffle INTO the
     // band store's (band, bucket) bucketing and the candidate pairs INTO
