@@ -120,6 +120,22 @@ object StreamingFlows {
       .join(corpusFps.toDF(fp), Seq(fp), "left_anti")
       .drop(fp)
   }
+
+  /**
+   * [[streamingDedupAgainst]] off a
+   * [[graft.operators.Dedup.writeFingerprintStore]] ingest store — the
+   * streaming face of the [[graft.operators.Dedup.ingestBatch]] batch
+   * loop: every micro-batch anti-joins the store TABLE (fingerprints
+   * only, bucket-co-located scan, corpus text never in the plan).
+   * Fingerprints appended by `ingestBatch` BEFORE the query starts are
+   * part of the snapshot (StreamingSpec-gated); appends that land while
+   * the query runs surface only per Spark's static-side re-read
+   * semantics — restart the query for a guaranteed fresh snapshot.
+   */
+  def streamingDedupAgainstStore(spark: SparkSession, stream: DataFrame,
+      textCol: String, table: String): DataFrame =
+    streamingDedupAgainst(stream,
+      graft.operators.Layout.readTable(spark, table), textCol)
 }
 
 /**

@@ -287,6 +287,34 @@ class StreamingSpec extends SparkSpec {
       input.toDF().toDF("id", "text"), Seq((1L, "x")).toDF("a", "b"), "text"))
   }
 
+  test("streaming dedup off the ingest STORE sees batch-appended fingerprints") {
+    implicit val sqlCtx = spark.sqlContext
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"streamspec_fp_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // snapshot = seed corpus + one ingestBatch append (the q137 loop)
+    graft.operators.Dedup.writeFingerprintStore(
+      Seq("alpha beta").toDF("text"), "text", tbl, buckets = 2)
+    graft.operators.Dedup.ingestBatch(spark,
+      Seq((10L, "gamma delta"), (11L, "alpha beta")).toDF("doc_id", "text"),
+      "text", "doc_id", tbl, buckets = 2)
+    val input = MemoryStream[(Long, String)]
+    val kept = StreamingFlows.streamingDedupAgainstStore(spark,
+      input.toDF().toDF("id", "text"), "text", tbl)
+    val q = kept.writeStream.format("memory").queryName("sdas_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, " ALPHA  beta "),  // seed-corpus content → dropped
+        (2L, "gamma   DELTA"),  // content appended by ingestBatch → dropped
+        (3L, "fresh thing"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sdas_out").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+    graft.operators.OpCache.release()
+  }
+
   test("streaming quality gate: the native classifier scores a live stream") {
     // the fastText-style classifier + normalization expressions are
     // stateless codegen'd columns — they must compose with Structured
