@@ -2405,6 +2405,40 @@ object SparkEntry {
       .orderBy(col("batch"), col("doc_id"))
   }
 
+  /** Store-compaction gate ([[operators.Layout.compactBucketed]]): after
+    * an ingest append fragments the fingerprint store into multi-file
+    * buckets, compaction must return EXACTLY the same fingerprint set in
+    * at most one file per bucket (PlanSpec separately execution-gates the
+    * scan's numFiles and the join's exchange-free store side; the SMJ
+    * sort stays — see compactBucketed's honest-limit note). Verdict rows
+    * pinned by the oracle. */
+  private def q138_store_compact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = parallelize(t(s, dir, "documents"))
+    val m = pmod(col("doc_id"), lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q138_fp_$pid"
+    Seq(tbl, s"${tbl}__graft_compact").foreach(dropLocalTable(s, _))
+    Dedup.writeFingerprintStore(docs.filter(m === 2), "text", tbl, buckets = 8)
+    Dedup.ingestBatch(s, docs.filter(m === 0), "text", "doc_id", tbl,
+      buckets = 8)
+    // pre-compaction snapshot through an RDD handle (q137's lesson: the
+    // swap would otherwise refresh/recompute any plan still reading tbl)
+    val pre = operators.OpCache.materialize(s.table(tbl))
+    val preFiles = s.table(tbl).select(input_file_name()).distinct().count()
+    operators.Layout.compactBucketed(s, tbl)
+    val post = s.table(tbl)
+    val contentBad = pre.select(col("fp"), lit(1).as("inp"))
+      .join(post.select(col("fp"), lit(1).as("ins")), Seq("fp"), "full_outer")
+      .filter(col("inp").isNull || col("ins").isNull).count()
+    val postFiles = post.select(input_file_name()).distinct().count()
+    Seq(
+      ("compact_content_equal", 0.0, contentBad == 0L),
+      ("compact_one_file_per_bucket", 8.0,
+        postFiles <= 8L && postFiles < preFiles))
+      .toDF("metric", "bound", "ok").orderBy(col("metric"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2547,6 +2581,7 @@ object SparkEntry {
     "q135_source_overlap" -> q135_source_overlap _,
     "q136_dsir_select" -> q136_dsir_select _,
     "q137_fp_store_ingest" -> q137_fp_store_ingest _,
+    "q138_store_compact" -> q138_store_compact _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4112,6 +4147,14 @@ object SparkEntry {
          |SELECT 'a' AS batch, doc_id FROM sa
          |UNION ALL SELECT 'b' AS batch, doc_id FROM sb
          |ORDER BY batch, doc_id""".stripMargin,
+    // q138 is a verdict GATE (q126 pattern): compaction must preserve the
+    // store's exact content while collapsing to ≤1 file per bucket.
+    "q138_store_compact" ->
+      """SELECT * FROM (VALUES
+        |  ('compact_content_equal', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('compact_one_file_per_bucket', CAST(8.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

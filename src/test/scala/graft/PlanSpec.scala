@@ -408,6 +408,55 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("compacted store: one file per bucket at the executed scan, exchange-free") {
+    // the q138 at-scale claim: appends fragment buckets into ever more
+    // files; compaction must collapse the store to numBuckets files
+    // (execution-gated via the scan's numFiles metric, the q118
+    // discipline) while keeping the anti-join's store side exchange-free.
+    // (It can NOT remove the SMJ's store-side sort: since Spark 3.0 a
+    // bucketed scan reports no outputOrdering unless the legacy
+    // bucketedTableScan.outputOrdering conf trades away scan parallelism
+    // — see Layout.compactBucketed's doc.)
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val m = pmod(col("doc_id"), lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_fp_compact_$pid"
+    Seq(tbl, s"${tbl}__graft_compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Dedup.writeFingerprintStore(
+      docs.filter(m === 2), "text", tbl, buckets = 4)
+    graft.operators.Dedup.ingestBatch(
+      spark, docs.filter(m === 0), "text", "doc_id", tbl, buckets = 4)
+    val fragmented = spark.table(tbl).select(input_file_name())
+      .distinct().count()
+    assert(fragmented > 4, s"append should fragment buckets: $fragmented files")
+    graft.operators.Layout.compactBucketed(spark, tbl)
+    val out = graft.operators.Dedup.dedupAgainstStore(
+      spark, docs.filter(m === 1), "text", tbl)
+    assert(out.collect().nonEmpty, "post-compaction store-path dedup empty")
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val store = scans(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.mkString(",").contains(tbl))
+    assert(store.nonEmpty, "no store scan in executed plan")
+    store.foreach { s =>
+      val numFiles = s.metrics("numFiles").value
+      assert(numFiles == 4,
+        s"compacted store should scan one file per bucket, read $numFiles")
+    }
+    assertStoreSidesExchangeFree(out, tbl)
+    graft.operators.OpCache.release()
+  }
+
   test("LSH ingest store: candidate and attach store sides are bucketed and exchange-free") {
     // the q127 at-scale claim: the batch's exploded bands shuffle INTO the
     // band store's (band, bucket) bucketing and the candidate pairs INTO
