@@ -64,7 +64,7 @@ object Bench {
     "q129_semdedup_batch_store", "q130_strip_pipeline",
     "q131_simhash_incremental", "q132_bm25_serve", "q133_ivfpq_rerank",
     "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select",
-    "q137_fp_store_ingest", "q138_store_compact")
+    "q137_fp_store_ingest", "q138_store_compact", "q139_corpus_report")
 
   private val RUNS = 5
 

@@ -2439,6 +2439,15 @@ object SparkEntry {
       .toDF("metric", "bound", "ok").orderBy(col("metric"))
   }
 
+  /** Per-source corpus data card: volumes, exact-dup rate, language
+    * spread, quality profile — the datasheet table a curation run
+    * publishes. One partial+final aggregation; the oracle recomputes
+    * every column from the raw definitions. */
+  private def q139_corpus_report(s: SparkSession, dir: String): DataFrame =
+    operators.TextProfile.corpusReport(
+        parallelize(t(s, dir, "documents")), "text", "source", "lang")
+      .orderBy(col("source"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2582,6 +2591,7 @@ object SparkEntry {
     "q136_dsir_select" -> q136_dsir_select _,
     "q137_fp_store_ingest" -> q137_fp_store_ingest _,
     "q138_store_compact" -> q138_store_compact _,
+    "q139_corpus_report" -> q139_corpus_report _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4155,6 +4165,25 @@ object SparkEntry {
         |  ('compact_one_file_per_bucket', CAST(8.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q139 recomputes the whole data card from the raw definitions:
+    // q31's quality components + composite, q28's md5 fingerprint, the
+    // blank-doc n_tok contract, exact distinct counts per source.
+    "q139_corpus_report" ->
+      s"""WITH q AS (
+         |  SELECT source, lang, n_tok, $qualityExprSql AS quality,
+         |    md5($normSql) AS fp
+         |  FROM (${qualityRawSql("source, lang, text")}) raw)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  count(DISTINCT fp)::BIGINT AS n_uniq,
+         |  round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_frac,
+         |  sum(n_tok)::BIGINT AS total_tokens,
+         |  round(avg(n_tok), 2) AS avg_tokens,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  round(avg(quality), 4) AS avg_quality,
+         |  round(avg(CASE WHEN quality >= 0.8 THEN 1.0 ELSE 0.0 END), 4)
+         |    AS hi_quality_frac
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

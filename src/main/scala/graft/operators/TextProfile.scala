@@ -121,6 +121,47 @@ object TextProfile {
   }
 
   /**
+   * Per-source corpus data card — the summary table a curation run
+   * publishes next to the corpus (Gebru et al. 2021 "Datasheets for
+   * Datasets", Bender & Friedman 2018 "Data Statements"): document and
+   * token volumes, exact-duplicate rate, language spread, and quality
+   * profile, one row per source. Every number is exactly recomputable
+   * (full DuckDB oracle) — the card is the artifact downstream teams
+   * trust, so it must not be a sketch unless labeled as one.
+   *
+   * Scale shape: one pass — per-row metrics (token count, quality score,
+   * fingerprint) are codegen'd map work; the groupBy aggregates
+   * partial+final to |sources| rows. The two DISTINCT aggregates
+   * (fingerprints, langs) make Spark Expand the input ×3 before the
+   * exchange, but the shuffled payload is (source, 32-byte fp / lang
+   * tag) — never text. At extreme corpus sizes swap the exact distincts
+   * for `approx_count_distinct` (q44's HLL tier) and label the card
+   * approximate.
+   */
+  def corpusReport(df: DataFrame, textCol: String, srcCol: String,
+                   langCol: String): DataFrame = {
+    val txt = col(textCol)
+    df.select(col(srcCol).cast("string").as("source"),
+        col(langCol).cast("string").as("lang"),
+        TextFunctions.tokenCount(txt).cast("long").as("n_tok"),
+        TextFunctions.qualityScore(txt).as("q"),
+        TextFunctions.fingerprint(txt).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_uniq"),
+        round(lit(1.0) -
+          countDistinct(col("fp")).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("n_tok")), 2).as("avg_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("q")), 4).as("avg_quality"),
+        round(avg(when(col("q") >= 0.8, 1.0).otherwise(0.0)), 4)
+          .as("hi_quality_frac"))
+  }
+
+  /**
    * CCNet-style LM quality score (Wenzek et al. 2020, "CCNet: Extracting
    * High Quality Monolingual Datasets from Web Crawl Data" — public): an
    * add-one-smoothed bigram language model is trained on a REFERENCE slice

@@ -725,6 +725,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q139 corpus report: map-side metrics, text never enters the exchange") {
+    val df = SparkEntry.queries("q139_corpus_report")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // per-row metrics (token count, quality, fingerprint) are computed in
+    // the scan stage; the distinct-agg Expand then shuffles only
+    // (source, fp/lang, small numerics)
+    plan.split("\n\n")
+      .filter(b => b.contains("Exchange") &&
+        !b.contains("RoundRobinPartitioning"))
+      .foreach(b => assert(!b.contains("text#"),
+        s"q139 ships text through a shuffle:\n$b"))
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("HashAggregate".r.findAllIn(simple).size >= 2,
+      s"partial+final agg expected:\n$simple")
+  }
+
   test("q136 DSIR: text dies in its scans; score pass is fused + broadcast") {
     val df = SparkEntry.queries("q136_dsir_select")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
