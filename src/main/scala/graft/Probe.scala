@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, OpCache, TextProfile}
+import graft.operators.{Dedup, Layout, OpCache, TextProfile}
 
 /** Scratch profiler for operator stages (not part of the driver contract).
   *
@@ -89,6 +89,8 @@ object Probe {
       case Some("dford") => dfOrderRun(pathArg)
       case Some("ppsplit") => ppSplitRun(pathArg)
       case Some("incr") => incrRun(pathArg)
+      case Some("ingest") => ingestRun(args.drop(1).headOption
+        .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case Some("ppl") => pplRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_50k_bigvocab.parquet"))
       case Some("pqstore") => pqStoreRun(args.drop(1).headOption
@@ -108,6 +110,51 @@ object Probe {
           else Seq(2000L, 20000L, 200000L))
       case _ => bandingRun()
     }
+  }
+
+  /** Ingest-fragmentation study (q137/q138): how much does a store
+    * fragmented by N sequential [[Dedup.ingestBatch]] appends cost on the
+    * serving anti-join, and what does [[Layout.compactBucketed]] buy
+    * back? Each bucketBy append writes one file per (writing task ×
+    * touched bucket), so fragmentation compounds fast — this measures the
+    * REAL layout after a production append cadence, not a synthetic one. */
+  private def ingestRun(docsPath: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(docsPath).repartition(32)
+    val n = docs.count()
+    println(s"[probe] ingest-fragmentation run over $docsPath: $n docs")
+    val slice = pmod(col("doc_id"), lit(50))
+    val tbl = "probe_ingest_fp"
+    Seq(tbl, s"${tbl}__graft_compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeFingerprintStore(docs.filter(slice >= 20), "text", tbl,
+      buckets = 8)
+    println(s"[probe] seed store files: " +
+      s"${spark.table(tbl).select(input_file_name()).distinct().count()}")
+    val t0 = System.nanoTime()
+    (0 until 20).foreach { i =>
+      Dedup.ingestBatch(spark, docs.filter(slice === i), "text", "doc_id",
+        tbl, buckets = 8)
+      OpCache.release()
+    }
+    println(f"[probe] 20 sequential ingests: ${(System.nanoTime - t0) / 1e9}%.1f s")
+    val fragFiles = spark.table(tbl).select(input_file_name()).distinct().count()
+    println(s"[probe] store files after 20 ingests: $fragFiles")
+    // probe batch whose content the store already holds (worst-case join)
+    val probeBatch = docs.filter(slice === 25)
+    measure("warmup fragmented")(
+      Dedup.dedupAgainstStore(spark, probeBatch, "text", tbl))
+    measure("anti-join off FRAGMENTED store")(
+      Dedup.dedupAgainstStore(spark, probeBatch, "text", tbl))
+    val tc = System.nanoTime()
+    Layout.compactBucketed(spark, tbl)
+    println(f"[probe] compaction: ${(System.nanoTime - tc) / 1e9}%.1f s")
+    println(s"[probe] store files after compaction: " +
+      s"${spark.table(tbl).select(input_file_name()).distinct().count()}")
+    measure("warmup compacted")(
+      Dedup.dedupAgainstStore(spark, probeBatch, "text", tbl))
+    measure("anti-join off COMPACTED store")(
+      Dedup.dedupAgainstStore(spark, probeBatch, "text", tbl))
   }
 
   /** Incremental-tier scaling: the Bloom route's shuffle cut on
