@@ -64,7 +64,8 @@ object Bench {
     "q129_semdedup_batch_store", "q130_strip_pipeline",
     "q131_simhash_incremental", "q132_bm25_serve", "q133_ivfpq_rerank",
     "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select",
-    "q137_fp_store_ingest", "q138_store_compact", "q139_corpus_report")
+    "q137_fp_store_ingest", "q138_store_compact", "q139_corpus_report",
+    "q140_training_order")
 
   private val RUNS = 5
 

@@ -2448,6 +2448,16 @@ object SparkEntry {
         parallelize(t(s, dir, "documents")), "text", "source", "lang")
       .orderBy(col("source"))
 
+  /** Deterministic per-epoch training order (epoch 1): the reproducible
+    * pre-training shuffle. The ROW ORDER is the contract — the oracle
+    * recomputes the md5 epoch key and sorts by it, and the driver's
+    * order-sensitive hash must agree row for row. */
+  private def q140_training_order(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.trainingOrder(
+        parallelize(t(s, dir, "documents")), "doc_id", epoch = 1)
+      .select(col("doc_id"),
+        operators.Curate.epochOrderKey(col("doc_id"), 1).as("okey"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2592,6 +2602,7 @@ object SparkEntry {
     "q137_fp_store_ingest" -> q137_fp_store_ingest _,
     "q138_store_compact" -> q138_store_compact _,
     "q139_corpus_report" -> q139_corpus_report _,
+    "q140_training_order" -> q140_training_order _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4184,6 +4195,12 @@ object SparkEntry {
          |  round(avg(CASE WHEN quality >= 0.8 THEN 1.0 ELSE 0.0 END), 4)
          |    AS hi_quality_frac
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // q140's contract is the ROW ORDER itself (the reproducible per-epoch
+    // shuffle); both engines sort by the same md5('<epoch>:<id>') key.
+    "q140_training_order" ->
+      """SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS okey
+        |FROM documents
+        |ORDER BY okey, doc_id""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

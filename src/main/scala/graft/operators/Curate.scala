@@ -442,13 +442,34 @@ object Curate {
   def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
                   isTarget: Column, nBuckets: Int = 1009,
                   alpha: Double = 0.5): DataFrame = {
+    import graft.functions.expressions.GraftExpressions.ngramBucketWeightSum
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs
+      .crossJoin(broadcast(
+        dsirLogRatios(docs, textCol, isTarget, nBuckets, alpha)))
+      .select(col(idCol), coalesce(isTarget, lit(false)).as("is_target"),
+        greatest(size(toks) * 2 - 1, lit(0)).cast("long").as("n_feats"),
+        ngramBucketWeightSum(toks, col("__graft_dsir_lr")).as("weight"))
+  }
+
+  /**
+   * The DSIR model itself: the per-bucket log(p_target/p_raw) table as a
+   * ONE-ROW frame (`__graft_dsir_lr`: array<double> of length `nBuckets`,
+   * dense — absent buckets carry their smoothed mass). [[dsirWeights]]
+   * broadcasts it for the batch score pass; for serving (a stream job, a
+   * different cluster) collect the single row once and ship the array as
+   * the model artifact — [[dsirScore]] turns it back into a pure per-row
+   * scoring column (the two paths share the fused expression, so they
+   * cannot drift; StreamingSpec gates batch/stream parity).
+   */
+  def dsirLogRatios(docs: DataFrame, textCol: String, isTarget: Column,
+                    nBuckets: Int = 1009, alpha: Double = 0.5): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
-    import graft.functions.expressions.GraftExpressions.{ngramBuckets, ngramBucketWeightSum}
+    import graft.functions.expressions.GraftExpressions.ngramBuckets
     val spark = docs.sparkSession
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val isT = coalesce(isTarget, lit(false))
-
     val counts = OpCache.track(docs
       .select(isT.as("__t"), explode(ngramBuckets(toks, nBuckets)).as("bucket"))
       .groupBy(col("bucket"))
@@ -461,7 +482,7 @@ object Curate {
     // dense 0..B-1 spine so absent buckets still carry their smoothed mass
     val spine = spark.range(nBuckets)
       .select(col("id").cast("int").as("bucket"))
-    val logRatios = spine
+    spine
       .join(counts, Seq("bucket"), "left")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
@@ -470,11 +491,37 @@ object Curate {
           .as("lr"))
       .agg(transform(array_sort(collect_list(struct(col("bucket"), col("lr")))),
         x => x.getField("lr")).as("__graft_dsir_lr"))
-
-    docs
-      .crossJoin(broadcast(logRatios))
-      .select(col(idCol), isT.as("is_target"),
-        greatest(size(toks) * 2 - 1, lit(0)).cast("long").as("n_feats"),
-        ngramBucketWeightSum(toks, col("__graft_dsir_lr")).as("weight"))
   }
+
+  /** Score a text column with a collected DSIR model (the serving form:
+    * the log-ratio array is a shipped artifact, the score a pure per-row
+    * codegen'd expression — no join, streaming-safe). NULL for docs with
+    * no features, [[dsirWeights]]'s contract. */
+  def dsirScore(text: Column, logRatios: Seq[Double]): Column =
+    graft.functions.expressions.GraftExpressions.ngramBucketWeightSum(
+      graft.functions.TextFunctions.tokens(text),
+      typedLit(logRatios))
+
+  /** The per-epoch order key: md5 of `"<epoch>:<id>"` — changing the
+    * epoch re-deals the whole order, same epoch always deals the same
+    * one. */
+  def epochOrderKey(id: Column, epoch: Int): Column =
+    md5(concat(lit(s"$epoch:"), id.cast("string")))
+
+  /**
+   * Deterministic per-epoch global training order: sort the corpus by
+   * [[epochOrderKey]] — the materialization step before sequence packing
+   * that training pipelines call "shuffling". Epoch `e` and epoch `e+1`
+   * produce different (but each fully reproducible) orders with no RNG
+   * state, no seed file, no partition-layout dependence — the same
+   * property [[deterministicSample]] gives sampling. Ids are expected
+   * non-null (the [[deterministicSample]] contract).
+   *
+   * Scale shape: ONE range exchange + sort — exactly the cost the
+   * pre-training shuffle must pay once per epoch at any corpus size (no
+   * window, no global row numbering, no driver involvement); writing the
+   * result keeps the order in the written files.
+   */
+  def trainingOrder(df: DataFrame, idCol: String, epoch: Int = 0): DataFrame =
+    df.orderBy(epochOrderKey(col(idCol), epoch), col(idCol))
 }

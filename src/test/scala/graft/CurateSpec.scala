@@ -403,6 +403,26 @@ class CurateSpec extends SparkSpec {
         k = 0, tau = 0.45))
   }
 
+  test("trainingOrder: per-epoch reproducible, epochs re-deal, layout-free") {
+    import spark.implicits._
+    val d = docs.select($"doc_id").limit(200)
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int): Seq[Long] =
+      Curate.trainingOrder(df, "doc_id", epoch)
+        .select($"doc_id").as[Long].collect().toSeq
+    val e1 = order(d, 1)
+    // reproducible under any input partitioning
+    assert(order(d.repartition(7), 1) == e1)
+    // a different epoch re-deals the order (same multiset)
+    val e2 = order(d, 2)
+    assert(e1 != e2 && e1.sorted == e2.sorted)
+    // equals the brute-force definition: sort by md5("<epoch>:<id>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, epoch: Int): String =
+      md.digest(s"$epoch:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(e1 == e1.sortBy(id => (key(id, 1), id)), "epoch-1 order mismatch")
+  }
+
   test("dsirWeights equals the brute-force definition; target vocab ranks up") {
     import spark.implicits._
     val b = 31 // small bucket table: forces hash collisions into the test

@@ -315,6 +315,41 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("DSIR model serves a live stream: scores equal the batch pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // train the model on a small batch corpus: target speaks vocab A
+    val corpus = Seq(
+      (1L, "alpha beta gamma", true), (2L, "beta alpha delta", true),
+      (10L, "zork quux blarg", false), (11L, "quux zork frotz", false),
+      (20L, "alpha beta quux", false))
+      .toDF("doc_id", "text", "is_t")
+    val ratios = graft.operators.Curate
+      .dsirLogRatios(corpus, "text", col("is_t"), nBuckets = 31, alpha = 0.5)
+      .collect()(0).getSeq[Double](0)
+    val batch = graft.operators.Curate
+      .dsirWeights(corpus, "text", "doc_id", col("is_t"), nBuckets = 31,
+        alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the shipped-artifact serving form scores a stream, no join
+    val input = MemoryStream[(Long, String)]
+    val scored = input.toDF().toDF("id", "text")
+      .withColumn("w", graft.operators.Curate.dsirScore(col("text"), ratios))
+    val q = scored.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "alpha beta gamma"), (10L, "zork quux blarg"),
+        (20L, "alpha beta quux"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, w FROM dsir_out")
+        .as[(Long, Double)].collect().toMap
+      Seq(1L, 10L, 20L).foreach(id =>
+        assert(math.abs(got(id) - batch(id)) < 1e-12,
+          s"doc $id: stream ${got(id)} vs batch ${batch(id)}"))
+    } finally q.stop()
+    graft.operators.OpCache.release()
+  }
+
   test("streaming quality gate: the native classifier scores a live stream") {
     // the fastText-style classifier + normalization expressions are
     // stateless codegen'd columns — they must compose with Structured
