@@ -2458,6 +2458,16 @@ object SparkEntry {
       .select(col("doc_id"),
         operators.Curate.epochOrderKey(col("doc_id"), 1).as("okey"))
 
+  /** Content-keyed (leakage-safe) split assignment: exact duplicates
+    * share a split by construction — q123's id-keyed form leaves the
+    * copy-contamination path open; this closes it. The oracle recomputes
+    * the md5-interval CASE over the normalized text. */
+  private def q141_leakage_safe_splits(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.leakageSafeSplits(t(s, dir, "documents"),
+        "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2603,6 +2613,7 @@ object SparkEntry {
     "q138_store_compact" -> q138_store_compact _,
     "q139_corpus_report" -> q139_corpus_report _,
     "q140_training_order" -> q140_training_order _,
+    "q141_leakage_safe_splits" -> q141_leakage_safe_splits _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4201,6 +4212,14 @@ object SparkEntry {
       """SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS okey
         |FROM documents
         |ORDER BY okey, doc_id""".stripMargin,
+    // q141 is q123's content-keyed twin: the md5-interval CASE over the
+    // NORMALIZED TEXT, so exact duplicates share a split by construction.
+    "q141_leakage_safe_splits" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5($normSql), 1, 8) < 'cccccccc' THEN 'train'
+         |       WHEN substr(md5($normSql), 1, 8) < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     // q134 recomputes the hard-negative definition from scratch: all
     // pairs, tau cut on the ROUNDED cosine (both engines rank and
     // filter the same 4-decimal value — the q34 discipline), top-3.

@@ -71,7 +71,16 @@ object Curate {
    * coalesce a nullable id before splitting on it).
    */
   def assignSplits(df: DataFrame, idCol: String,
-                   splits: Seq[(String, Double)]): DataFrame = {
+                   splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string"))
+        .otherwise(splitLabel(sampleKey(col(idCol)), splits)))
+
+  /** The shared interval CASE over a [0, 2^32) hex key — [[assignSplits]]
+    * and [[leakageSafeSplits]] differ only in what they hash, so their
+    * boundary semantics cannot drift. */
+  private def splitLabel(key: Column,
+                         splits: Seq[(String, Double)]): Column = {
     require(splits.nonEmpty, "assignSplits needs at least one split")
     require(splits.map(_._1).distinct.size == splits.size,
       s"split names must be distinct, got ${splits.map(_._1)}")
@@ -79,15 +88,32 @@ object Curate {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     val cum = splits.scanLeft(0.0)(_ + _._2).tail
-    val key = sampleKey(col(idCol))
-    val label = splits.init.zip(cum.init)
+    splits.init.zip(cum.init)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), c), els) =>
           when(key < lit(thresholdHex(c)), lit(name)).otherwise(els)
       }
-    df.withColumn("split",
-      when(col(idCol).isNull, lit(null).cast("string")).otherwise(label))
   }
+
+  /**
+   * Leakage-safe split assignment: the split key is the CONTENT
+   * fingerprint, not the row id — every exact duplicate of a document
+   * lands in the SAME split, so an undeduplicated (or re-crawled) corpus
+   * cannot leak training text into validation/test through its copies,
+   * the standard contamination path an id-keyed split leaves open.
+   * Same interval semantics as [[assignSplits]] (shared [[splitLabel]]),
+   * same zero-shuffle pure-expression shape — the md5 is computed over
+   * normalized text instead of the id. NULL/blank text is valid content
+   * (all blanks are mutual duplicates and share one split). For NEAR-dup
+   * safety, key on a cluster representative instead: join
+   * [[Dedup.resolveClusters]]'s (id → rep) map and call [[assignSplits]]
+   * on the rep column.
+   */
+  def leakageSafeSplits(df: DataFrame, textCol: String,
+                        splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitLabel(
+      substring(graft.functions.TextFunctions.fingerprint(col(textCol)), 1, 8),
+      splits))
 
   /** CASE WHEN key = k THEN v ... ELSE default END, branches in sorted key
     * order (deterministic expression tree regardless of Map iteration). */

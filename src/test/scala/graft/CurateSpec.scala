@@ -403,6 +403,28 @@ class CurateSpec extends SparkSpec {
         k = 0, tau = 0.45))
   }
 
+  test("leakageSafeSplits: exact duplicates always share a split") {
+    import spark.implicits._
+    // planted duplicates with DIFFERENT ids (id-keyed splits would split
+    // them across the boundary with prob ~2·0.2·0.8)
+    val d = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 1000000L).as("doc_id"),
+        // whitespace/case variant: same normalized content
+        upper(concat(lit("  "), $"text")).as("text")))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curate.leakageSafeSplits(d, "text", splits)
+      .select(TextFunctions.fingerprint($"text").as("fp"), $"split")
+      .distinct()
+    // one split per fingerprint: no content straddles a boundary
+    val maxSplitsPerFp = got.groupBy($"fp")
+      .agg(countDistinct($"split").as("n"))
+      .agg(max($"n")).as[Long].head()
+    assert(maxSplitsPerFp == 1L, "a duplicate pair straddled a split")
+    // all three splits are populated at these weights on 500 docs
+    val names = got.select($"split").distinct().as[String].collect().toSet
+    assert(names == Set("train", "val", "test"), names.toString)
+  }
+
   test("trainingOrder: per-epoch reproducible, epochs re-deal, layout-free") {
     import spark.implicits._
     val d = docs.select($"doc_id").limit(200)

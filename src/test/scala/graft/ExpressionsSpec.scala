@@ -344,4 +344,45 @@ class ExpressionsSpec extends SparkSpec {
         .select(GraftExpressions.hashedNgramScore($"t")).collect()
     }
   }
+
+  test("ngram_buckets / ngram_bucket_weight_sum: definition, edges, SQL") {
+    import graft.functions.expressions.NgramBuckets
+    val b = 31
+    // bucket order: unigrams left-to-right, then bigrams (q109's feature
+    // order); hash = positional code-point polynomial mod b
+    val got = Seq(Seq("ab", "cd")).toDF("t")
+      .select(GraftExpressions.ngramBuckets($"t", b)).as[Seq[Int]].head()
+    assert(got == Seq(NgramBuckets.bucket("ab", b),
+      NgramBuckets.bucket("cd", b), NgramBuckets.bucket("ab_cd", b)))
+    // empty array → empty array (a histogram contribution of nothing)
+    assert(Seq(Seq.empty[String]).toDF("t")
+      .select(GraftExpressions.ngramBuckets($"t", b))
+      .as[Seq[Int]].head().isEmpty)
+    // weight-sum: the fused lookup equals the per-bucket sum; empty → null
+    val w = Array.tabulate(b)(_ * 0.25)
+    val rows = Seq((1, Seq("ab", "cd")), (2, Seq.empty[String]))
+      .toDF("id", "t").orderBy($"id")
+      .select(GraftExpressions.ngramBucketWeightSum($"t",
+        typedLit(w.toSeq)))
+      .collect()
+    assert(rows(0).getDouble(0) ==
+      w(NgramBuckets.bucket("ab", b)) + w(NgramBuckets.bucket("cd", b)) +
+        w(NgramBuckets.bucket("ab_cd", b)))
+    assert(rows(1).isNullAt(0))
+    // a null WEIGHT element is a broken model table: loud failure
+    intercept[Exception] {
+      Seq(Seq("ab")).toDF("t")
+        .select(GraftExpressions.ngramBucketWeightSum($"t",
+          typedLit(Seq[java.lang.Double](null)))).collect()
+    }
+    // SQL surface
+    GraftExpressions.registerAll(spark)
+    assert(spark.sql(s"SELECT ngram_buckets(array('ab'), $b)")
+      .as[Seq[Int]].head() == Seq(NgramBuckets.bucket("ab", b)))
+    // wrong types fail at analysis, not at runtime
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1, 2)).toDF("t")
+        .select(GraftExpressions.ngramBuckets($"t", b)).collect()
+    }
+  }
 }
