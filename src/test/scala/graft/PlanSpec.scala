@@ -725,6 +725,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q140 training order: one range exchange + sort, never a window") {
+    // the scale claim: the per-epoch shuffle is a range-partitioned sort
+    // (what a 100 TB epoch materialization must pay), NOT a global
+    // row-numbering window that would serialize on one partition
+    val df = SparkEntry.queries("q140_training_order")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"global order should range-partition:\n$plan")
+    assert(!plan.contains("Window"), s"q140 must not window:\n$plan")
+  }
+
   test("q139 corpus report: map-side metrics, text never enters the exchange") {
     val df = SparkEntry.queries("q139_corpus_report")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
