@@ -2468,6 +2468,18 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** q136's SELECTION step — the actual DSIR output: the top-k raw-pool
+    * documents by importance weight (rounded, doc_id tiebreak — the q134
+    * rank-the-rounded-value discipline). Plans as TakeOrderedAndProject
+    * (PlanSpec-gated): the corpus is never globally sorted for a top-k. */
+  private def q142_dsir_topk(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.dsirWeights(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", col("lang") === "en", nBuckets = 1009, alpha = 0.5)
+      .filter(!col("is_target") && col("weight").isNotNull)
+      .select(col("doc_id"), round(col("weight"), 4).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id"))
+      .limit(50)
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2614,6 +2626,7 @@ object SparkEntry {
     "q139_corpus_report" -> q139_corpus_report _,
     "q140_training_order" -> q140_training_order _,
     "q141_leakage_safe_splits" -> q141_leakage_safe_splits _,
+    "q142_dsir_topk" -> q142_dsir_topk _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2663,6 +2676,41 @@ object SparkEntry {
     }.mkString(" ")
     s"CASE WHEN $greatest <= 0 THEN 'und' $cases ELSE '${langs.last}' END"
   }
+
+  /** The DSIR model CTE (q136/q142's shared oracle body): unigram+bigram
+    * features in q109's list_concat order, the portable positional
+    * code-point hash into 1009 buckets, add-0.5-smoothed target/raw
+    * histograms, the dense per-bucket log-ratio list. */
+  private lazy val dsirCteSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_target,
+       |    CASE WHEN trim(coalesce(text, '')) = ''
+       |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, is_target, list_concat(w,
+       |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS feats
+       |  FROM tok),
+       |fb AS (
+       |  SELECT doc_id, is_target,
+       |    list_transform(feats, t ->
+       |      CAST(list_sum(list_transform(range(1, len(t) + 1),
+       |        i -> ascii(t[i]) * i)) % 1009 AS INT)) AS bks
+       |  FROM f),
+       |c AS (
+       |  SELECT bucket,
+       |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
+       |  FROM (SELECT is_target, unnest(bks) AS bucket FROM fb)
+       |  GROUP BY bucket),
+       |tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM c),
+       |r AS (
+       |  SELECT list(
+       |      ln((coalesce(c.ct, 0) + 0.5) / (tot.nt + 0.5 * 1009)) -
+       |      ln((coalesce(c.cr, 0) + 0.5) / (tot.nr + 0.5 * 1009))
+       |      ORDER BY sp.bucket) AS lrs
+       |  FROM (SELECT unnest(range(0, 1009)) AS bucket) sp
+       |  LEFT JOIN c ON sp.bucket = c.bucket CROSS JOIN tot)""".stripMargin
 
   /** DOUBLE-cast embedding fragment for exact-parity vector oracles. */
   private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -4127,40 +4175,24 @@ object SparkEntry {
     // per-doc log-ratio sums in feature order (list_sum is left-to-right,
     // matching the fused expression's accumulation — the q109 discipline).
     "q136_dsir_select" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_target,
-         |    CASE WHEN trim(coalesce(text, '')) = ''
-         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, is_target, list_concat(w,
-         |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS feats
-         |  FROM tok),
-         |fb AS (
-         |  SELECT doc_id, is_target,
-         |    list_transform(feats, t ->
-         |      CAST(list_sum(list_transform(range(1, len(t) + 1),
-         |        i -> ascii(t[i]) * i)) % 1009 AS INT)) AS bks
-         |  FROM f),
-         |c AS (
-         |  SELECT bucket,
-         |    sum(CASE WHEN is_target THEN 1 ELSE 0 END)::BIGINT AS ct,
-         |    sum(CASE WHEN is_target THEN 0 ELSE 1 END)::BIGINT AS cr
-         |  FROM (SELECT is_target, unnest(bks) AS bucket FROM fb)
-         |  GROUP BY bucket),
-         |tot AS (SELECT sum(ct)::DOUBLE AS nt, sum(cr)::DOUBLE AS nr FROM c),
-         |r AS (
-         |  SELECT list(
-         |      ln((coalesce(c.ct, 0) + 0.5) / (tot.nt + 0.5 * 1009)) -
-         |      ln((coalesce(c.cr, 0) + 0.5) / (tot.nr + 0.5 * 1009))
-         |      ORDER BY sp.bucket) AS lrs
-         |  FROM (SELECT unnest(range(0, 1009)) AS bucket) sp
-         |  LEFT JOIN c ON sp.bucket = c.bucket CROSS JOIN tot)
+      s"""$dsirCteSql
          |SELECT fb.doc_id, fb.is_target, len(fb.bks)::BIGINT AS n_feats,
          |  CASE WHEN len(fb.bks) = 0 THEN NULL
          |       ELSE round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
          |  END AS weight
          |FROM fb CROSS JOIN r ORDER BY fb.doc_id""".stripMargin,
+    // q142 is q136's SELECTION step: rank the RAW pool by the ROUNDED
+    // weight (both engines cut the same 4-decimal value — the q134
+    // discipline), doc_id tiebreak, keep the top 50.
+    "q142_dsir_topk" ->
+      s"""$dsirCteSql
+         |SELECT doc_id, weight FROM (
+         |  SELECT fb.doc_id,
+         |    round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
+         |      AS weight
+         |  FROM fb CROSS JOIN r
+         |  WHERE NOT fb.is_target AND len(fb.bks) > 0) x
+         |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin,
     // q137 recomputes BOTH ingest steps from the md5 definition: in-batch
     // min-id dedup (q28's form), anti-join vs the store snapshot, and —
     // the point of the gate — batch B's snapshot includes batch A's

@@ -725,6 +725,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q142 DSIR top-k is TakeOrdered, never a global sort") {
+    val df = SparkEntry.queries("q142_dsir_topk")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection should TakeOrdered:\n$plan")
+    assert(!plan.contains("Window"), s"q142 must not window:\n$plan")
+  }
+
   test("q140 training order: one range exchange + sort, never a window") {
     // the scale claim: the per-epoch shuffle is a range-partitioned sort
     // (what a 100 TB epoch materialization must pay), NOT a global
