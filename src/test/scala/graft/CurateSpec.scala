@@ -425,6 +425,29 @@ class CurateSpec extends SparkSpec {
     assert(names == Set("train", "val", "test"), names.toString)
   }
 
+  test("near-dup-safe splits: cluster representatives key the whole cluster") {
+    import spark.implicits._
+    // the documented recipe (leakageSafeSplits' scaladoc): resolve
+    // near-dup clusters, join the (id -> rep) map, split on the rep —
+    // every cluster member must land in the rep's split
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val reps = graft.operators.Dedup.resolveClusters(edges)
+      .select($"id".as("doc_id"), $"cluster_id")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val withRep = ids.join(reps, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col("doc_id")))
+    val split = Curate.assignSplits(withRep, "rep",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select($"doc_id", $"rep", $"split")
+      .as[(Long, Long, String)].collect()
+    val byRep = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    byRep.foreach { case (rep, splits) =>
+      assert(splits.size == 1, s"cluster of rep $rep straddles: $splits")
+    }
+    // singletons fall back to their own id (99 got a split too)
+    assert(split.find(_._1 == 99L).exists(_._3 != null))
+  }
+
   test("trainingOrder: per-epoch reproducible, epochs re-deal, layout-free") {
     import spark.implicits._
     val d = docs.select($"doc_id").limit(200)
