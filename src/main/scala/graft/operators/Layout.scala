@@ -60,6 +60,13 @@ object Layout {
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"compactBucketed: $table has no bucket spec"))
+    // the path read below sees only file columns; a partitioned table's
+    // partition values live in directory names and would silently read
+    // back as NULL — refuse loudly (compact such tables per-partition)
+    require(meta.partitionColumnNames.isEmpty,
+      s"compactBucketed: $table is partitioned on " +
+        s"${meta.partitionColumnNames.mkString(",")}; compact each " +
+        "partition's own bucketed table instead")
     val bcols = spec.bucketColumnNames
     val scols =
       if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bcols
