@@ -65,7 +65,8 @@ object Bench {
     "q131_simhash_incremental", "q132_bm25_serve", "q133_ivfpq_rerank",
     "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select",
     "q137_fp_store_ingest", "q138_store_compact", "q139_corpus_report",
-    "q140_training_order", "q141_leakage_safe_splits", "q142_dsir_topk")
+    "q140_training_order", "q141_leakage_safe_splits", "q142_dsir_topk",
+    "q143_ingest_pipeline")
 
   private val RUNS = 5
 

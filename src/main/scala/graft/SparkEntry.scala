@@ -2480,6 +2480,35 @@ object SparkEntry {
       .orderBy(col("weight").desc, col("doc_id"))
       .limit(50)
 
+  /** The round-12 flagship composition — the ingest-to-training-set
+    * pipeline assembled from this round's operators: quality gate →
+    * in-corpus exact dedup → DSIR model trained ON THE SURVIVORS →
+    * target-likeness selection of the raw pool (rounded-weight cut, the
+    * q134 discipline) → leakage-safe content-keyed splits. Every stage
+    * is individually oracle-green (q31/q28/q136/q141); this gate proves
+    * the COMPOSITION — the oracle rebuilds the whole chain from first
+    * principles, with the DSIR CTEs re-pointed at the deduped survivor
+    * relation (the model must be trained on what survives, not on the
+    * raw corpus). */
+  private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val quality = docs.filter(
+      TextFunctions.qualityScore(col("text")) >= 0.6)
+    val deduped = Dedup.exact(quality, "text", "doc_id")
+    val weighted = operators.Curate.dsirWeights(deduped, "text", "doc_id",
+      col("lang") === "en", nBuckets = 1009, alpha = 0.5)
+    val selected = weighted
+      .filter(!col("is_target") && col("weight").isNotNull)
+      .withColumn("wr", round(col("weight"), 4))
+      .filter(col("wr") > 0)
+      .select(col("doc_id"), col("wr"))
+    operators.Curate.leakageSafeSplits(
+        deduped.join(selected, Seq("doc_id")), "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("wr").as("weight"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Assemble
   // ---------------------------------------------------------------------
@@ -2627,6 +2656,7 @@ object SparkEntry {
     "q140_training_order" -> q140_training_order _,
     "q141_leakage_safe_splits" -> q141_leakage_safe_splits _,
     "q142_dsir_topk" -> q142_dsir_topk _,
+    "q143_ingest_pipeline" -> q143_ingest_pipeline _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -2677,16 +2707,18 @@ object SparkEntry {
     s"CASE WHEN $greatest <= 0 THEN 'und' $cases ELSE '${langs.last}' END"
   }
 
-  /** The DSIR model CTE (q136/q142's shared oracle body): unigram+bigram
-    * features in q109's list_concat order, the portable positional
-    * code-point hash into 1009 buckets, add-0.5-smoothed target/raw
-    * histograms, the dense per-bucket log-ratio list. */
-  private lazy val dsirCteSql: String =
-    s"""WITH tok AS (
+  /** The DSIR model CTEs over a given source relation (q136/q142/q143's
+    * shared oracle body): unigram+bigram features in q109's list_concat
+    * order, the portable positional code-point hash into 1009 buckets,
+    * add-0.5-smoothed target/raw histograms, the dense per-bucket
+    * log-ratio list. Returns the CTE LIST (no leading WITH) so callers
+    * can chain their own CTEs before it. */
+  private def dsirCtesOver(src: String): String =
+    s"""tok AS (
        |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_target,
        |    CASE WHEN trim(coalesce(text, '')) = ''
        |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
-       |  FROM documents),
+       |  FROM $src),
        |f AS (
        |  SELECT doc_id, is_target, list_concat(w,
        |    list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])) AS feats
@@ -4175,17 +4207,41 @@ object SparkEntry {
     // per-doc log-ratio sums in feature order (list_sum is left-to-right,
     // matching the fused expression's accumulation — the q109 discipline).
     "q136_dsir_select" ->
-      s"""$dsirCteSql
+      s"""WITH ${dsirCtesOver("documents")}
          |SELECT fb.doc_id, fb.is_target, len(fb.bks)::BIGINT AS n_feats,
          |  CASE WHEN len(fb.bks) = 0 THEN NULL
          |       ELSE round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
          |  END AS weight
          |FROM fb CROSS JOIN r ORDER BY fb.doc_id""".stripMargin,
+    // q143 rebuilds the whole pipeline: quality gate (q31's CTEs, >= 0.6
+    // on the rounded composite), min-id dedup (q28's form), the DSIR
+    // model CTEs RE-POINTED at the deduped survivors, the rounded-weight
+    // raw-pool cut, and the content-keyed split CASE (q141's form).
+    "q143_ingest_pipeline" ->
+      s"""WITH raw AS (${qualityRawSql("doc_id, lang, text")}),
+         |qf AS (SELECT doc_id, lang, text FROM raw
+         |       WHERE $qualityExprSql >= 0.6),
+         |d AS (SELECT doc_id, lang, text FROM qf
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM qf
+         |                       GROUP BY md5($normSql))),
+         |${dsirCtesOver("d")},
+         |w AS (SELECT fb.doc_id,
+         |        round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
+         |          AS wr
+         |      FROM fb CROSS JOIN r
+         |      WHERE NOT fb.is_target AND len(fb.bks) > 0),
+         |sel AS (SELECT w.doc_id, w.wr, d.text FROM w JOIN d USING (doc_id)
+         |        WHERE w.wr > 0)
+         |SELECT doc_id, wr AS weight,
+         |  CASE WHEN substr(md5($normSql), 1, 8) < 'cccccccc' THEN 'train'
+         |       WHEN substr(md5($normSql), 1, 8) < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM sel ORDER BY doc_id""".stripMargin,
     // q142 is q136's SELECTION step: rank the RAW pool by the ROUNDED
     // weight (both engines cut the same 4-decimal value — the q134
     // discipline), doc_id tiebreak, keep the top 50.
     "q142_dsir_topk" ->
-      s"""$dsirCteSql
+      s"""WITH ${dsirCtesOver("documents")}
          |SELECT doc_id, weight FROM (
          |  SELECT fb.doc_id,
          |    round(list_sum(list_transform(fb.bks, b -> r.lrs[b + 1])), 4)
