@@ -136,6 +136,61 @@ object StreamingFlows {
       textCol: String, table: String): DataFrame =
     streamingDedupAgainst(stream,
       graft.operators.Layout.readTable(spark, table), textCol)
+
+  /**
+   * Streaming near-duplicate candidates off a
+   * [[graft.operators.Dedup.writeLshStore]] ingest store — the streaming
+   * face of [[graft.operators.Dedup.minhashLshAgainstStore]]: arriving
+   * rows are shingled/minhashed in-stream, their exploded bands
+   * stream-static join the `<table>_bands` store, and verification
+   * attaches the `<table>_sigs` store — so corpus text and corpus
+   * signatures are never recomputed, exactly like the batch path.
+   * Output: (batch_id, corpus_id, est_jaccard, tsCol) verified matches.
+   *
+   * One structural difference from the batch form, same result: the
+   * stream's own signature rides THROUGH the band explode instead of
+   * being re-joined per candidate — the batch path's sig re-join would
+   * be a stream-to-its-own-derivative join, which Structured Streaming
+   * treats as stream-stream. And the multi-band duplicate collapse uses
+   * `dropDuplicatesWithinWatermark` on (batch_id, corpus_id) — the
+   * [[streamingDedup]] contract: `tsCol` + `watermark` bound the state
+   * that batch-mode `dropDuplicates` gets for free.
+   */
+  def streamingNearDupAgainstStore(spark: SparkSession, stream: DataFrame,
+      textCol: String, idCol: String, tsCol: String, table: String,
+      watermark: String = "10 minutes", shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = stream.select(col(idCol).as("batch_id"), col(tsCol),
+      graft.operators.Dedup.minhashSignatureFromHashes(
+        graft.functions.TextFunctions.shingleHashes(col(textCol), shingleK),
+        numHashes).as("__sig_a"))
+    val cands = sigs.select(col("batch_id"), col(tsCol), col("__sig_a"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("__sig_a"), b * rows + 1, rows)).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("batch_id"), col(tsCol), col("__sig_a"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(graft.operators.Layout.readTable(spark, s"${table}_bands"),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col(tsCol), col("__sig_a"),
+        col("id").as("corpus_id"))
+    val est = size(filter(
+      zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes)
+    cands
+      .join(graft.operators.Layout.readTable(spark, s"${table}_sigs")
+        .select(col("id").as("corpus_id"), col("sig").as("__sig_b")),
+        Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        round(est, 4).as("est_jaccard"), col(tsCol))
+      .filter(col("est_jaccard") >= threshold)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+  }
 }
 
 /**

@@ -315,6 +315,45 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("streaming near-dup off the LSH store equals the batch store path") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"streamspec_lsh_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    graft.operators.Dedup.writeLshStore(corpus, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 2)
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta NINE"), // near-dup of 100
+      (2L, "completely different content sharing no shingles with anything"))
+    // batch reference off the same store, same parameters
+    val expected = graft.operators.Dedup.minhashLshAgainstStore(spark,
+        rows.toDF("doc_id", "text"), "text", "doc_id", tbl,
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"batch_id", $"corpus_id", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.exists(_._1 == 1L), "fixture should plant a near-dup")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val out = StreamingFlows.streamingNearDupAgainstStore(spark,
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      tbl, threshold = 0.5)
+    val q = out.writeStream.format("memory").queryName("snd_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData(rows.map { case (id, tx) => (id, tx, t0) }: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT batch_id, corpus_id, est_jaccard FROM snd_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+    } finally q.stop()
+    graft.operators.OpCache.release()
+  }
+
   test("DSIR model serves a live stream: scores equal the batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
