@@ -154,6 +154,34 @@ object Similarity {
   }
 
   /**
+   * Per-row multi-probe assignment against a COLLECTED centroid artifact —
+   * the serving form of [[ivfAssignMulti]] (the
+   * [[graft.operators.Curate.dsirScore]] pattern applied to the IVF
+   * model): the k centroids are policy-sized, so shipping them as
+   * literals turns assignment into a pure codegen'd expression — no
+   * join, no aggregation, streaming-safe. Returns the `probes` nearest
+   * cell ids (ascending by similarity; the hard cell is LAST), chosen by
+   * exactly [[ivfAssign]]'s (cosine, -centroid_id) order, so the probe
+   * SET matches the batch path's (StreamingSpec parity gate). Rows reach
+   * at most `min(probes, k)` cells, mirroring ivfAssignMulti's k <
+   * probes drop-out.
+   */
+  def probeCellsExpr(vec: Column, centroids: Seq[(Long, Seq[Double])],
+                     probes: Int): Column = {
+    require(centroids.nonEmpty, "probeCellsExpr needs at least one centroid")
+    require(probes >= 1, s"probes must be at least 1, got $probes")
+    val p = math.min(probes, centroids.size)
+    val scored = centroids.map { case (cid, v) =>
+      struct(cosine(vec, typedLit(v)).as("cos"),
+        lit(-cid).as("nid"), lit(cid).as("cid"))
+    }
+    // lexicographic struct sort ≡ max_by (cos, -cid): top-p are the tail
+    transform(
+      slice(array_sort(array(scored: _*)), centroids.size - p + 1, p),
+      x => x.getField("cid"))
+  }
+
+  /**
    * Lloyd-refined IVF centroids (k-means on cosine geometry): seed with a
    * deterministic hash-ordered corpus sample, then alternate assignment
    * ([[ivfAssign]] — centroids broadcast, corpus never shuffled for the

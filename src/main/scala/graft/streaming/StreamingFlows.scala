@@ -191,6 +191,46 @@ object StreamingFlows {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
   }
+
+  /**
+   * Streaming SemDeDup matches off a
+   * [[graft.operators.Dedup.writeAssignedCorpus]] cell-bucketed store —
+   * the streaming face of
+   * [[graft.operators.Dedup.semDedupBatchAgainstStore]], completing the
+   * serve-a-store family (exact fp, LSH, BM25, DSIR, and now semantic).
+   * Arriving vectors are probe-assigned by a pure expression over the
+   * COLLECTED centroid artifact ([[graft.operators.Similarity.probeCellsExpr]]
+   * — the stored model, shipped like [[graft.operators.Curate.dsirScore]]'s
+   * ratios; batch assignment's broadcast-join + max_by aggregation is a
+   * stateful-agg shape streaming can't append through), then each probed
+   * cell stream-static joins the store with cosine computed inside the
+   * join. Output: verified (batch_id, corpus_id, cos, tsCol) matches;
+   * the per-shared-cell duplicate collapses via
+   * `dropDuplicatesWithinWatermark`, the [[streamingNearDupAgainstStore]]
+   * contract. StreamingSpec gates set equality with the batch store path
+   * at the same centroids.
+   */
+  def streamingSemDedupAgainstStore(spark: SparkSession, stream: DataFrame,
+      vecCol: String, idCol: String, tsCol: String, table: String,
+      centroids: Seq[(Long, Seq[Double])], tau: Double, probes: Int = 2,
+      watermark: String = "10 minutes"): DataFrame = {
+    val assigned = stream.select(col(idCol).as("batch_id"), col(tsCol),
+      col(vecCol).as("__vb"),
+      explode(graft.operators.Similarity.probeCellsExpr(
+        col(vecCol), centroids, probes)).as("cell"))
+    assigned
+      .join(graft.operators.Layout.readTable(spark, table)
+          .select(col(idCol).as("corpus_id"), col("cell"),
+            col(vecCol).as("__vc")),
+        Seq("cell"))
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.expressions.GraftExpressions
+          .cosineSimilarity(col("__vb"), col("__vc")).as("cos"),
+        col(tsCol))
+      .filter(col("cos") >= tau)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("batch_id", "corpus_id")
+  }
 }
 
 /**

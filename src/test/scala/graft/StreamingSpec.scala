@@ -354,6 +354,48 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("streaming SemDeDup off the assigned store equals the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"streamspec_sem_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter($"vec_id" % 5 =!= 0)
+    val batch = e.filter($"vec_id" % 5 === 0 && $"vec_id" < 200)
+    val cents = graft.operators.Similarity.trainCentroids(
+      corpus, "embedding", "vec_id", k = 8)
+    graft.operators.Dedup.writeAssignedCorpus(corpus, cents, "embedding",
+      "vec_id", probes = 2, tbl, buckets = 2)
+    // batch reference at the same centroids / store
+    val expected = graft.operators.Dedup.semDedupBatchAgainstStore(spark,
+        batch, tbl, cents, "embedding", "vec_id", probes = 2, tau = 0.2)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture should produce semantic matches")
+    // the shipped centroid artifact
+    val centArt = cents.select($"centroid_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toSeq
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val out = StreamingFlows.streamingSemDedupAgainstStore(spark,
+      input.toDF().toDF("vec_id", "embedding", "ts"), "embedding",
+      "vec_id", "ts", tbl, centArt, tau = 0.2, probes = 2)
+    val q = out.writeStream.format("memory").queryName("ssd_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val rows = batch.select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, t0))
+      input.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT batch_id, corpus_id FROM ssd_out")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"stream-only: ${got -- expected}; batch-only: ${expected -- got}")
+    } finally q.stop()
+    graft.operators.OpCache.release()
+  }
+
   test("DSIR model serves a live stream: scores equal the batch pass") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
