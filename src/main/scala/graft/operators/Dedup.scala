@@ -206,6 +206,27 @@ object Dedup {
   }
 
   /**
+   * Delete content from the fingerprint store — the retraction half of
+   * the ingest lifecycle (takedowns, right-to-erasure, source
+   * retractions): rewrite the store WITHOUT the fingerprints of
+   * `removedTexts`, preserving the bucket spec and restoring one file
+   * per bucket ([[Layout.rewriteBucketed]], so a deletion doubles as a
+   * compaction). After the call [[dedupAgainstStore]] passes the removed
+   * content again — the store has genuinely forgotten it
+   * (DedupSpec-gated), which an append-only tombstone would not achieve
+   * (and the 32-byte fp rows themselves must go: retention policies
+   * apply to derived data too). Cost is one O(store) rewrite; batch
+   * removals on a maintenance cadence, like compaction.
+   */
+  def removeFromFingerprintStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, removedTexts: DataFrame, textCol: String): Unit = {
+    val gone = removedTexts
+      .select(fingerprint(col(textCol)).as("fp")).distinct()
+    Layout.rewriteBucketed(spark, table)(
+      _.join(gone, Seq("fp"), "left_anti"))
+  }
+
+  /**
    * Incremental near-dup candidates: MinHash+LSH banding of `batch`
    * against `corpus` (bipartite — no corpus self-pairs, no batch
    * self-pairs), verified by signature-agreement estimated Jaccard.

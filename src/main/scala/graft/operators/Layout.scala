@@ -55,7 +55,20 @@ object Layout {
    * table name. Cost is one O(store) rewrite with a single full shuffle;
    * amortize by cadence (e.g. every N appends), not per ingest.
    */
-  def compactBucketed(spark: SparkSession, table: String): Unit = {
+  def compactBucketed(spark: SparkSession, table: String): Unit =
+    rewriteBucketed(spark, table)(identity)
+
+  /**
+   * Rewrite a bucketed table in place through `transform`, restoring one
+   * sorted file per bucket — the maintenance primitive behind
+   * [[compactBucketed]] (transform = identity) and row deletion
+   * ([[graft.operators.Dedup.removeFromFingerprintStore]]'s anti-join).
+   * All of [[compactBucketed]]'s mechanics and caveats apply: reads the
+   * table's FILES by path, bucket-aligned repartition, DROP + RENAME
+   * swap, partitioned tables refused.
+   */
+  def rewriteBucketed(spark: SparkSession, table: String)
+                     (transform: DataFrame => DataFrame): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -80,7 +93,7 @@ object Layout {
     // (task × bucket) instead of one per bucket (measured: 16 for 4
     // buckets). A path scan has unknown partitioning, so the shuffle
     // stays and each write task owns exactly one bucket.
-    spark.read.schema(meta.schema).parquet(meta.location.toString)
+    transform(spark.read.schema(meta.schema).parquet(meta.location.toString))
       .repartition(spec.numBuckets, bcols.map(col): _*)
       .write
       .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)

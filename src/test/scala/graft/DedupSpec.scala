@@ -598,6 +598,19 @@ class DedupSpec extends SparkSpec {
     val allFps = d.select(TextFunctions.fingerprint($"text")).distinct()
       .as[String].collect().toSet
     assert(storeFps == allFps, "store fp set != corpus distinct fp set")
+    // retraction: remove batch A's content → the store genuinely forgets
+    // it (re-ingest passes it again), everything else stays
+    Dedup.removeFromFingerprintStore(spark, tbl, d.filter(m === 0), "text")
+    val aFps = d.filter(m === 0)
+      .select(TextFunctions.fingerprint($"text")).distinct()
+      .as[String].collect().toSet
+    val afterFps = spark.table(tbl).as[String].collect().toSet
+    assert(afterFps == allFps -- aFps, "removal must delete exactly A's fps")
+    // every batch-A row's fp was deleted (fp(A) ⊆ aFps), so the whole
+    // batch passes the anti-join again — the store has forgotten it
+    assert(Dedup.dedupAgainstStore(spark, d.filter(m === 0), "text", tbl)
+      .count() == d.filter(m === 0).count(),
+      "forgotten content must pass the anti-join again")
     OpCache.release()
   }
 }
