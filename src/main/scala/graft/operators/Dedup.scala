@@ -226,6 +226,28 @@ object Dedup {
       _.join(gone, Seq("fp"), "left_anti"))
   }
 
+  /** [[removeFromFingerprintStore]]'s LSH-tier sibling: delete the given
+    * document ids from BOTH halves of a [[writeLshStore]] store (band
+    * triples and signatures), each rewritten through
+    * [[Layout.rewriteBucketed]] — bucket specs preserved, one file per
+    * bucket restored. After the call [[minhashLshAgainstStore]] reports
+    * no matches against the removed documents (DedupSpec-gated). */
+  def removeFromLshStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, removedIds: DataFrame): Unit = {
+    val gone = removedIds.toDF("id").distinct()
+    Seq(s"${table}_bands", s"${table}_sigs").foreach(t =>
+      Layout.rewriteBucketed(spark, t)(_.join(gone, Seq("id"), "left_anti")))
+  }
+
+  /** [[removeFromFingerprintStore]]'s semantic-tier sibling: delete the
+    * given ids from a [[writeAssignedCorpus]] store. */
+  def removeFromAssignedCorpus(spark: org.apache.spark.sql.SparkSession,
+      table: String, removedIds: DataFrame, idCol: String): Unit = {
+    val gone = removedIds.toDF(idCol).distinct()
+    Layout.rewriteBucketed(spark, table)(
+      _.join(gone, Seq(idCol), "left_anti"))
+  }
+
   /**
    * Incremental near-dup candidates: MinHash+LSH banding of `batch`
    * against `corpus` (bipartite — no corpus self-pairs, no batch

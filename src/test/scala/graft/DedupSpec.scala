@@ -613,4 +613,50 @@ class DedupSpec extends SparkSpec {
       "forgotten content must pass the anti-join again")
     OpCache.release()
   }
+
+  test("removeFromLshStore: retracted docs stop matching, others keep matching") {
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"dedupspec_lshrm_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    Dedup.writeLshStore(corpus, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 2)
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta NINE"), // ~dup of 100
+      (2L, "one two three four five six seven NINE"))       // ~dup of 101
+      .toDF("doc_id", "text")
+    def matches() = Dedup.minhashLshAgainstStore(spark, batch, "text",
+        "doc_id", tbl, shingleK = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val before = matches()
+    assert(before.exists(_._2 == 100L) && before.exists(_._2 == 101L),
+      s"fixture should match both stored docs: $before")
+    Dedup.removeFromLshStore(spark, tbl, Seq(100L).toDF("id"))
+    val after = matches()
+    assert(!after.exists(_._2 == 100L), s"retracted doc still matches: $after")
+    assert(after == before.filter(_._2 != 100L),
+      s"non-retracted matches must be untouched: $after vs $before")
+    OpCache.release()
+  }
+
+  test("removeFromAssignedCorpus deletes exactly the retracted ids") {
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"dedupspec_semrm_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
+      .toDF("centroid_id", "embedding")
+    Dedup.writeAssignedCorpus(vecs, cents, "embedding", "vec_id",
+      probes = 1, tbl, buckets = 2)
+    Dedup.removeFromAssignedCorpus(spark, tbl, Seq(2L).toDF("vec_id"),
+      "vec_id")
+    assert(spark.table(tbl).select($"vec_id").as[Long].collect().toSet
+      == Set(1L, 3L), "assigned store must hold exactly the survivors")
+    OpCache.release()
+  }
 }
