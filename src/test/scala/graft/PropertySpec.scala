@@ -21,6 +21,43 @@ class PropertySpec extends SparkSpec {
     Gen.oneOf("the", "cat", "sat", "on", "mat", "und", "der", "le", "a",
       "xyz", "123", "!!", "")).map(_.mkString(" "))
 
+  test("portable ngram-bucket hash agrees with a code-point reference on unicode") {
+    import graft.functions.expressions.NgramBuckets
+    // the cross-engine contract: 1-based CODE POINT positions (DuckDB's
+    // t[i]/ascii(t[i]) indexing), so multi-char code points (CJK is fine,
+    // but supplementary-plane emoji occupy two Java chars) must advance
+    // position by ONE — a char-indexed implementation diverges exactly
+    // there. Reference built independently via codePoints().
+    def ref(s: String, b: Int): Int = {
+      val cps = s.codePoints().toArray
+      (cps.zipWithIndex.map { case (cp, i) => cp.toLong * (i + 1) }.sum % b).toInt
+    }
+    val uniGen: Gen[String] = Gen.listOfN(8, Gen.frequency(
+      4 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf('日', '本', '語', 'é', 'ß', 'Ω').map(_.toString),
+      // supplementary plane: surrogate PAIRS in Java's char indexing
+      1 -> Gen.oneOf("😀", "🤖", "𝔸"),
+      1 -> Gen.const(" "))).map(_.mkString)
+    val strings = sample(uniGen, 300, seed = 4242L)
+    for (s <- strings; b <- Seq(31, 997, 1009))
+      assert(NgramBuckets.bucket(s, b) == ref(s, b),
+        s"bucket mismatch for ${s.codePoints().toArray.mkString("[", ",", "]")} at b=$b")
+    // and the engine-level array agrees with a brute-force unigram+bigram fold
+    val toksGen = Gen.listOfN(5, uniGen)
+    val rows = sample(toksGen, 60, seed = 77L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = rows.toDF("id", "toks")
+      .select($"id", graft.functions.expressions.GraftExpressions
+        .ngramBuckets($"toks", 97).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, toks) =>
+      val exp = toks.map(NgramBuckets.bucket(_, 97)) ++
+        toks.sliding(2).filter(_.size == 2)
+          .map(p => NgramBuckets.bucket(p.mkString("_"), 97))
+      assert(got(id) == exp, s"row $id: ${got(id)} vs $exp")
+    }
+  }
+
   test("projection is idempotent: select(c) . select(c) == select(c)") {
     val df = sample(Gen.zip(Gen.chooseNum(-100, 100), Gen.alphaStr), 200, 1L)
       .toDF("a", "b")
