@@ -72,13 +72,13 @@ object Layout {
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
-      s"compactBucketed: $table has no bucket spec"))
+      s"rewriteBucketed: $table has no bucket spec"))
     // the path read below sees only file columns; a partitioned table's
     // partition values live in directory names and would silently read
-    // back as NULL — refuse loudly (compact such tables per-partition)
+    // back as NULL — refuse loudly (rewrite such tables per-partition)
     require(meta.partitionColumnNames.isEmpty,
-      s"compactBucketed: $table is partitioned on " +
-        s"${meta.partitionColumnNames.mkString(",")}; compact each " +
+      s"rewriteBucketed: $table is partitioned on " +
+        s"${meta.partitionColumnNames.mkString(",")}; rewrite each " +
         "partition's own bucketed table instead")
     val bcols = spec.bucketColumnNames
     val scols =
