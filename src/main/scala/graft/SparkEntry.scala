@@ -2490,6 +2490,29 @@ object SparkEntry {
     * principles, with the DSIR CTEs re-pointed at the deduped survivor
     * relation (the model must be trained on what survives, not on the
     * raw corpus). */
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+    * token, aggregated per lang — the statistic behind "which languages
+    * does this tokenizer serve poorly" (high fertility = more sequence
+    * length per word = worse compute economics for that language).
+    * Composes q29's two exactly-mirrored counters; one partial+final
+    * aggregation to |langs| rows; fertility is ONE division of two exact
+    * sums, no float accumulation. */
+  private def q144_tokenizer_fertility(s: SparkSession, dir: String): DataFrame = {
+    val txt = col("text")
+    parallelize(t(s, dir, "documents"))
+      .select(col("lang"),
+        TextFunctions.tokenCount(txt).cast("long").as("n_tok"),
+        TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe"))
+      .filter(col("n_tok") > 0)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        round(sum(col("n_bpe")).cast("double") / sum(col("n_tok")), 4)
+          .as("fertility"))
+      .orderBy(col("lang"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2657,6 +2680,7 @@ object SparkEntry {
     "q141_leakage_safe_splits" -> q141_leakage_safe_splits _,
     "q142_dsir_topk" -> q142_dsir_topk _,
     "q143_ingest_pipeline" -> q143_ingest_pipeline _,
+    "q144_tokenizer_fertility" -> q144_tokenizer_fertility _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4237,6 +4261,23 @@ object SparkEntry {
          |       WHEN substr(md5($normSql), 1, 8) < 'e6666666' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM sel ORDER BY doc_id""".stripMargin,
+    // q144 composes q29's two exactly-mirrored counters; fertility is
+    // one division of two exact BIGINT sums.
+    "q144_tokenizer_fertility" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok,
+         |    CAST(len(regexp_extract_all(coalesce(text,''),
+         |      '(''(?:s|d|m|t|ll|ve|re))|([\\p{L}]+)|([0-9]{1,3})|([^\\s\\p{L}0-9]+)'))
+         |      AS BIGINT) AS n_bpe
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  sum(n_tok)::BIGINT AS ws_tokens,
+         |  sum(n_bpe)::BIGINT AS bpe_tokens,
+         |  round(sum(n_bpe)::DOUBLE / sum(n_tok), 4) AS fertility
+         |FROM t WHERE n_tok > 0
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // q142 is q136's SELECTION step: rank the RAW pool by the ROUNDED
     // weight (both engines cut the same 4-decimal value — the q134
     // discipline), doc_id tiebreak, keep the top 50.
