@@ -66,7 +66,7 @@ object Bench {
     "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select",
     "q137_fp_store_ingest", "q138_store_compact", "q139_corpus_report",
     "q140_training_order", "q141_leakage_safe_splits", "q142_dsir_topk",
-    "q143_ingest_pipeline", "q144_tokenizer_fertility")
+    "q143_ingest_pipeline", "q144_tokenizer_fertility", "q145_heavy_ngrams")
 
   private val RUNS = 5
 

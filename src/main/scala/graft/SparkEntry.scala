@@ -2513,6 +2513,36 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Heavy-hitter n-gram gate ([[operators.TextProfile.heavyNgrams]],
+    * q108 verdict pattern): the merged Misra–Gries summary must contain
+    * EVERY trigram whose exact count exceeds N/(capacity+1) and report
+    * only counts in [true − N/(capacity+1), true] — the mergeable-MG
+    * guarantee checked in-plan against exact counts at fixture scale
+    * (capacity 64 ≪ the fixture's trigram vocabulary, so evictions and
+    * merge trims genuinely happen). Oracle pins the verdicts. */
+  private def q145_heavy_ngrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = parallelize(t(s, dir, "documents"))
+    val cap = 64
+    val grams = operators.OpCache.track(docs
+      .select(explode(TextFunctions.shingles(col("text"), 3)).as("g"))
+      .persist())
+    val mgRows = operators.TextProfile.heavyNgrams(docs, "text", 3, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val err = grams.count() / (cap + 1)
+    val exact = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val missed = exact.filter(col("cnt") > err)
+      .filter(!col("g").isin(mgRows.map(_._1).toSeq: _*)).count()
+    val bad = exact
+      .join(mgRows.toSeq.toDF("g", "est"), Seq("g"))
+      .filter(col("est") > col("cnt") || col("est") < col("cnt") - err)
+      .count()
+    Seq(
+      ("mg_estimates_within_bound", 0.0, bad == 0L && mgRows.nonEmpty),
+      ("mg_heavy_recall", 1.0, missed == 0L))
+      .toDF("metric", "bound", "ok").orderBy(col("metric"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2681,6 +2711,7 @@ object SparkEntry {
     "q142_dsir_topk" -> q142_dsir_topk _,
     "q143_ingest_pipeline" -> q143_ingest_pipeline _,
     "q144_tokenizer_fertility" -> q144_tokenizer_fertility _,
+    "q145_heavy_ngrams" -> q145_heavy_ngrams _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4261,6 +4292,14 @@ object SparkEntry {
          |       WHEN substr(md5($normSql), 1, 8) < 'e6666666' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM sel ORDER BY doc_id""".stripMargin,
+    // q145 is a guarantee GATE (q108 pattern): the merged Misra–Gries
+    // summary's recall and error bounds verified in-plan vs exact counts.
+    "q145_heavy_ngrams" ->
+      """SELECT * FROM (VALUES
+        |  ('mg_estimates_within_bound', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('mg_heavy_recall', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     // q144 composes q29's two exactly-mirrored counters; fertility is
     // one division of two exact BIGINT sums.
     "q144_tokenizer_fertility" ->

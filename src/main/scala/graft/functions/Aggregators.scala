@@ -95,4 +95,65 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
+
+  /**
+   * Mergeable Misra–Gries heavy-hitter summary (Misra & Gries 1982;
+   * mergeability per Agarwal et al. 2012, "Mergeable Summaries"): a
+   * capacity-bounded counter map over a stream of items. Guarantees after
+   * any partial/final merge tree: every item with true count
+   * > N/(capacity+1) is PRESENT, and each reported count is an
+   * UNDERESTIMATE by at most N/(capacity+1) (N = total items) —
+   * q145-gated against exact counts at fixture scale. This completes the
+   * sketch family (HLL q44, quantile q124, Bloom q101, MinHash, SimHash):
+   * the one-pass, constant-memory answer to "what are the frequent
+   * n-grams / boilerplate phrases" at 100 TB, where an exact
+   * `groupBy(gram).count` shuffles the entire vocabulary and this
+   * shuffles one ≤capacity-entry map per partition.
+   *
+   * reduce: classic MG (hit +1; room → insert 1; full → decrement all,
+   * drop zeros — amortized O(1) per item since each decrement round pays
+   * for capacity insertions). merge: sum shared counters, then apply the
+   * mergeable-MG rule — subtract the (capacity+1)-th largest combined
+   * count from everything and drop non-positives.
+   */
+  final case class MisraGries(capacity: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], g: String): Map[String, Long] =
+      b.get(g) match {
+        case Some(c) => b.updated(g, c + 1L)
+        case None if b.size < capacity => b.updated(g, 1L)
+        case None =>
+          b.iterator.foldLeft(Map.newBuilder[String, Long]) {
+            case (out, (k, c)) => if (c > 1L) out += (k -> (c - 1L)); out
+          }.result()
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val combined = b.foldLeft(a) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (combined.size <= capacity) combined
+      else {
+        // the (capacity+1)-th largest combined count is the subtrahend
+        val thresh = combined.valuesIterator.toArray
+          .sorted(Ordering[Long].reverse)(capacity)
+        combined.iterator.foldLeft(Map.newBuilder[String, Long]) {
+          case (out, (k, c)) => if (c > thresh) out += (k -> (c - thresh)); out
+        }.result()
+      }
+    }
+
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
 }

@@ -121,6 +121,30 @@ object TextProfile {
   }
 
   /**
+   * One-pass heavy n-grams ([[graft.functions.Aggregators.MisraGries]]):
+   * the ≤`capacity` most frequent n-grams with their guaranteed
+   * lower-bound counts — the fixed-memory answer to "what boilerplate
+   * phrases dominate this corpus" (the detection side of C4-style
+   * boilerplate removal). At 100 TB an exact `groupBy(gram).count`
+   * shuffles the ENTIRE vocabulary; this runs one partial+final
+   * aggregation whose shuffle payload is a single ≤capacity-entry map
+   * per partition, with the q145-gated guarantee: every gram with true
+   * count > N/(capacity+1) is present and each reported count
+   * underestimates by at most N/(capacity+1).
+   */
+  def heavyNgrams(df: DataFrame, textCol: String, n: Int,
+                  capacity: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val grams = df
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .as[String]
+    grams
+      .select(graft.functions.Aggregators.MisraGries(capacity)
+        .toColumn.name("mg"))
+      .select(explode(col("mg")).as(Seq("gram", "est_count")))
+  }
+
+  /**
    * Per-source corpus data card — the summary table a curation run
    * publishes next to the corpus (Gebru et al. 2021 "Datasheets for
    * Datasets", Bender & Friedman 2018 "Data Statements"): document and

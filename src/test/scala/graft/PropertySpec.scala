@@ -58,6 +58,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merged Misra-Gries keeps heavy items within the one-sided error bound") {
+    import graft.functions.Aggregators.MisraGries
+    // zipf-ish skew from a small alphabet so true heavy hitters exist;
+    // repartition(11) forces real partial/final merges of the summary
+    val itemGen: Gen[String] = Gen.frequency(
+      8 -> Gen.const("the"), 5 -> Gen.const("of"), 3 -> Gen.const("and"),
+      2 -> Gen.oneOf("a", "b", "c", "d"),
+      1 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    val items = sample(itemGen, 5000, seed = 99L)
+    val cap = 8
+    val mg = items.toDF("g").repartition(11).as[String]
+      .select(MisraGries(cap).toColumn.name("mg"))
+      .head()
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val err = items.size.toLong / (cap + 1)
+    // guarantee 1: every item with true count > N/(cap+1) is present
+    exact.filter(_._2 > err).keys.foreach(k =>
+      assert(mg.contains(k), s"heavy item $k missing from $mg"))
+    // guarantee 2: reported counts are one-sided: true - err <= est <= true
+    mg.foreach { case (k, est) =>
+      val t = exact.getOrElse(k, 0L)
+      assert(est <= t && est >= t - err, s"$k: est $est vs true $t (err $err)")
+    }
+    assert(mg.size <= cap, s"summary exceeded capacity: ${mg.size}")
+  }
+
   test("projection is idempotent: select(c) . select(c) == select(c)") {
     val df = sample(Gen.zip(Gen.chooseNum(-100, 100), Gen.alphaStr), 200, 1L)
       .toDF("a", "b")
