@@ -81,6 +81,12 @@ object Bench {
     val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(qs) =>
         val want = qs.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd entry would otherwise silently shrink an A/B sweep's
+        // suite — fail loudly, the sweep's numbers would be garbage
+        val unknown = want -- Bench.headline.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_QUERIES names no headline query: " +
+            unknown.toSeq.sorted.mkString(", "))
         Bench.headline.filter(want)
       case None => Bench.headline
     }
@@ -143,7 +149,7 @@ object Bench {
     val total = results.map(_._2.head).filter(_ >= 0).sum
     // Two outputs for two consumers. The driver captures only the LAST
     // ~2000 chars of stdout and JSON-parses what it finds there, so the
-    // stdout line must be (a) last and (b) short: medians + explicit
+    // stdout line must be (a) last and (b) short: per-query MINs + explicit
     // `failed` list, no spread (round 9's single fat line overflowed the
     // window and parsed as null). The full record INCLUDING per-query
     // min/median/max spread goes to bench_full.json for the plan audit.

@@ -134,7 +134,7 @@ object Probe {
     val t0 = System.nanoTime()
     (0 until 20).foreach { i =>
       Dedup.ingestBatch(spark, docs.filter(slice === i), "text", "doc_id",
-        tbl, buckets = 8)
+        tbl)
       OpCache.release()
     }
     println(f"[probe] 20 sequential ingests: ${(System.nanoTime - t0) / 1e9}%.1f s")

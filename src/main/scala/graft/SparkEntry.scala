@@ -2397,9 +2397,9 @@ object SparkEntry {
     dropLocalTable(s, tbl)
     Dedup.writeFingerprintStore(docs.filter(m === 2), "text", tbl, buckets = 8)
     val survA = Dedup.ingestBatch(s, docs.filter(m === 0), "text", "doc_id",
-      tbl, buckets = 8)
+      tbl)
     val survB = Dedup.ingestBatch(s, docs.filter(m === 1), "text", "doc_id",
-      tbl, buckets = 8)
+      tbl)
     survA.select(lit("a").as("batch"), col("doc_id"))
       .unionByName(survB.select(lit("b").as("batch"), col("doc_id")))
       .orderBy(col("batch"), col("doc_id"))
@@ -2420,8 +2420,7 @@ object SparkEntry {
     val tbl = s"q138_fp_$pid"
     Seq(tbl, s"${tbl}__graft_compact").foreach(dropLocalTable(s, _))
     Dedup.writeFingerprintStore(docs.filter(m === 2), "text", tbl, buckets = 8)
-    Dedup.ingestBatch(s, docs.filter(m === 0), "text", "doc_id", tbl,
-      buckets = 8)
+    Dedup.ingestBatch(s, docs.filter(m === 0), "text", "doc_id", tbl)
     // pre-compaction snapshot through an RDD handle (q137's lesson: the
     // swap would otherwise refresh/recompute any plan still reading tbl)
     val pre = operators.OpCache.materialize(s.table(tbl))

@@ -173,12 +173,14 @@ object Dedup {
    * the second time (DedupSpec-gated), and a sequence of ingests equals
    * the one-shot store over the concatenated corpus (q137 oracle).
    *
-   * Scale shape: the append is a same-bucket-spec `bucketBy` append — one
-   * new file per touched bucket, so the store-side anti-join stays
-   * exchange-free after ANY number of ingests (Spark keeps
-   * `outputPartitioning` for multi-file buckets and re-sorts within the
-   * partition; PlanSpec-gated on an appended store). Spark rejects a
-   * mismatched bucket spec loudly. The survivors are materialized into an
+   * Scale shape: the append is a same-bucket-spec `bucketBy` append
+   * ([[Layout.appendBucketed]] — the spec comes from the table's own
+   * catalog entry, so it can never mismatch, and versioned stores
+   * resolve to their current backing table) — one new file per touched
+   * bucket, so the store-side anti-join stays exchange-free after ANY
+   * number of ingests (Spark keeps `outputPartitioning` for multi-file
+   * buckets and re-sorts within the partition; PlanSpec-gated on an
+   * appended store). The survivors are materialized into an
    * RDD BEFORE the append and the returned frame is re-planned from that
    * RDD — a `persist()`ed DataFrame is NOT enough here: appending to the
    * table triggers Spark's cache refresh, which RE-COMPUTES dependent
@@ -190,19 +192,102 @@ object Dedup {
    */
   def ingestBatch(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, textCol: String, idCol: String, table: String,
-      buckets: Int = 8,
       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
       : DataFrame = {
     // force NOW: the anti-join must read the PRE-append store snapshot
     val survivors = OpCache.materialize(
       dedupAgainstStore(spark, exact(batch, textCol, idCol), textCol,
         table, bloom))
-    survivors.select(fingerprint(col(textCol)).as("fp")).distinct()
-      .write
-      .bucketBy(buckets, "fp").sortBy("fp")
-      .mode("append").format("parquet")
-      .saveAsTable(table)
+    Layout.appendBucketed(spark,
+      survivors.select(fingerprint(col(textCol)).as("fp")).distinct(), table)
     survivors
+  }
+
+  /**
+   * [[ingestBatch]]'s LSH-tier sibling — the incremental-ingest loop for
+   * a [[writeLshStore]] store, closing the last lifecycle asymmetry
+   * (append existed only for the fingerprint tier): near-dup-dedup the
+   * batch WITHIN itself ([[minhashLsh]] pairs + [[keepRepresentatives]],
+   * min-id per duplicate component), drop rows that near-duplicate
+   * STORED content ([[minhashLshAgainstStore]] matches, anti-joined on
+   * the batch id), APPEND the survivors' band triples to
+   * `<table>_bands` and signatures to `<table>_sigs` under the stores'
+   * own bucket specs, and return the survivors. After the call the
+   * store answers for `corpus ∪ survivors` — the appended rows are
+   * byte-identical to what [[writeLshStore]] over the union would have
+   * written (same [[lshSignatures]]/[[lshBandBuckets]] formulas — the
+   * shared-formula discipline), so serving a later batch against the
+   * appended store equals serving it against a one-shot store
+   * (q146 oracle gate), and re-ingesting the same batch passes nothing
+   * (every row is an exact dup of stored content — est_jaccard 1.0;
+   * DedupSpec-gated).
+   *
+   * Scale shape: per batch, only the BATCH is shingled/minhashed; both
+   * store sides read co-located buckets exchange-free (PlanSpec-gated
+   * post-append), and the appends are one new file per touched bucket.
+   * The same RDD-materialize-before-append discipline as [[ingestBatch]]
+   * applies (the SQL cache manager recomputes dependent plans against
+   * the post-append tables).
+   */
+  def ingestBatchLsh(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, textCol: String, idCol: String, table: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val inBatch = keepRepresentatives(batch,
+      minhashLsh(batch, textCol, idCol, shingleK, numHashes, bands,
+        threshold), idCol)
+    val matched = minhashLshAgainstStore(spark, inBatch, textCol, idCol,
+        table, shingleK, numHashes, bands, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    // force NOW: matches must come from the PRE-append store snapshot
+    val survivors = OpCache.materialize(
+      inBatch.join(matched, Seq(idCol), "left_anti"))
+    val sigs = OpCache.track(
+      lshSignatures(survivors, textCol, idCol, shingleK, numHashes)
+        .persist())
+    Layout.appendBucketed(spark,
+      lshBandBuckets(sigs, bands, numHashes / bands), s"${table}_bands")
+    Layout.appendBucketed(spark, sigs, s"${table}_sigs")
+    survivors
+  }
+
+  /**
+   * [[ingestBatch]]'s semantic-tier sibling — the incremental-ingest
+   * loop for a [[writeAssignedCorpus]] store: assign the batch with the
+   * STORED centroids (pass the centroid frame kept with the store —
+   * re-training would shift every cell boundary), SemDeDup the batch
+   * within itself ([[semDedupPairsAssigned]] + [[keepRepresentatives]]),
+   * drop rows that semantically duplicate STORED content
+   * ([[semDedupBatchAgainstStore]] matches), APPEND the survivors'
+   * (cell, id, vector) assignments under the store's own bucket spec,
+   * and return the survivors. The appended rows reuse the batch's OWN
+   * assignment pass (one broadcast-join + map-side argmax for the whole
+   * call), and are exactly what [[writeAssignedCorpus]] over the union
+   * would hold, so batch-vs-store serving after the append equals the
+   * one-shot store (q147 oracle gate); re-ingest passes nothing (every
+   * row cosine-matches its own stored copy at 1.0 ≥ tau;
+   * DedupSpec-gated). RDD-materialize-before-append discipline as in
+   * [[ingestBatch]].
+   */
+  def ingestBatchSemDedup(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, table: String, centroids: DataFrame,
+      vecCol: String, idCol: String, probes: Int, tau: Double): DataFrame = {
+    val assignedBatch = OpCache.track(
+      Similarity.ivfAssignMulti(batch, centroids, vecCol, idCol, probes)
+        .select(col("cell"), col(idCol), col(vecCol)).persist())
+    val inBatch = keepRepresentatives(assignedBatch,
+      semDedupPairsAssigned(assignedBatch, vecCol, idCol, tau), idCol)
+    val matched = semDedupPairsBipartite(inBatch,
+        Layout.readTable(spark, table).hint("merge"), vecCol, idCol, tau)
+      .select(col("batch_id").as(idCol)).distinct()
+    // force NOW: matches must come from the PRE-append store snapshot;
+    // the surviving ASSIGNMENTS (all probed cells per id, the
+    // writeAssignedCorpus row shape) are what the store gains
+    val survivors = OpCache.materialize(
+      inBatch.join(matched, Seq(idCol), "left_anti"))
+    Layout.appendBucketed(spark, survivors, table)
+    survivors.select(col(idCol), col(vecCol)).dropDuplicates(idCol)
   }
 
   /**

@@ -248,6 +248,74 @@ object Quantize {
                     path: String): DataFrame =
     spark.read.parquet(path)
 
+  /**
+   * Retraction for the IVF-PQ code store — the takedown half of
+   * [[writeCodeStore]]'s lifecycle ([[Rank.removeFromIndex]]'s sibling:
+   * a removed document's CODES are derived data and must go, not be
+   * tombstoned). The store is cell-PARTITIONED, which
+   * [[Layout.rewriteBucketed]] refuses — this is the per-partition
+   * rewrite that refusal message points at: only the partitions
+   * CONTAINING removed ids are rewritten, everything else is untouched.
+   *
+   *  1. The affected cells are found with one id-projected scan
+   *     (removal-batch-bounded driver list — the [[prunedCodeStore]]
+   *     literal-pruning discipline).
+   *  2. Their survivors are materialized into an RDD BEFORE the write
+   *     (the [[graft.operators.Dedup.ingestBatch]] lesson: the write
+   *     must not read the directories it replaces).
+   *  3. One dynamic-partition-overwrite job replaces exactly the
+   *     affected `cell=` directories that still have rows; cells whose
+   *     EVERY row was removed get no written rows (dynamic overwrite
+   *     would silently keep their old files) and their directories are
+   *     deleted explicitly.
+   *
+   * Afterwards [[ivfPqTopKFromStore]] returns nothing for removed ids
+   * and is identical to a store rebuilt from the remaining corpus
+   * (QuantizeSpec-gated), and [[prunedCodeStore]]'s static partition
+   * pruning is untouched (the layout is still one directory per cell).
+   * Cost is O(affected cells), not O(store).
+   */
+  def removeFromCodeStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, removedIds: DataFrame,
+                          idCol: String): Unit = {
+    val store = readCodeStore(spark, path)
+    val gone = removedIds.toDF(idCol).distinct()
+    val affected = store.join(gone, Seq(idCol), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+    val survivors = OpCache.materialize(
+      store.filter(col("cell").isInCollection(affected))
+        .join(gone, Seq(idCol), "left_anti"))
+    // a retraction that leaves ZERO cells leaves an unreadable layout
+    // (no files to infer a schema from) — refuse, like removeFromIndex
+    if (survivors.isEmpty) {
+      val totalCells = store.select(col("cell")).distinct().count()
+      require(totalCells > affected.size,
+        "removeFromCodeStore: retraction would empty the store " +
+          "(drop the store directory instead)")
+    }
+    val conf = spark.conf
+    val mode = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.getOption(mode)
+    conf.set(mode, "dynamic")
+    try survivors
+      .repartition(col("cell")) // one file per rewritten cell (store note)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    finally prev match {
+      case Some(v) => conf.set(mode, v)
+      case None => conf.unset(mode)
+    }
+    // fully-emptied cells: no written rows → dynamic overwrite left the
+    // old directory — delete it (an empty cell has nothing to serve)
+    val remaining = survivors.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(remaining).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
+    }
+  }
+
   /** (query_id, cell) probe pairs: each query's nProbe nearest centroids
     * by cosine, deterministic centroid-id tiebreak. */
   private def probeCells(queries: DataFrame, centroids: DataFrame,
@@ -408,7 +476,14 @@ object Quantize {
     * shortlist by ADC score (deterministic id tiebreak), attach raw
     * vectors per candidate (query side broadcast — query-sized), exact
     * cosine, top `k` of the exact order. Output: (query_id, corpus_id,
-    * cos, rank). */
+    * cos, rank).
+    *
+    * Contract: every shortlisted corpus_id MUST have a raw vector in
+    * `corpus` — a missing one means the code store and the raw-vector
+    * store have drifted (a doc retracted from one but not the other),
+    * and an inner join here would silently drop it from the top-k as if
+    * it never ranked. The left join + `assert_true` surfaces the drift
+    * as a loud failure instead (QuantizeSpec-gated). */
   private def rerankScores(adcScores: DataFrame, corpus: DataFrame,
                            queries: DataFrame, vecCol: String,
                            idCol: String, k: Int,
@@ -422,7 +497,11 @@ object Quantize {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val wk = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    short.join(cv, Seq("corpus_id"))
+    short.join(cv, Seq("corpus_id"), "left")
+      .filter(assert_true(col("__cv").isNotNull,
+        concat(lit("ivfPqRerank: shortlisted corpus_id "), col("corpus_id"),
+          lit(" has no raw vector — code store and corpus have drifted " +
+            "(retract from both, or rebuild the code store)"))).isNull)
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("corpus_id"),
         cosine(col("__qv"), col("__cv")).as("cos"))

@@ -58,10 +58,18 @@ object Rank {
                         idCol: String): DataFrame =
     docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
 
-  /** Corpus stats: one (n_docs, avgdl) row, broadcast in-plan. */
+  /** Corpus stats: one (n_docs, avgdl, sum_dl) row, broadcast in-plan.
+    * `avgdl` is derived from the EXACT long token-count sum (not `avg`'s
+    * double accumulator) so [[removeFromIndex]]'s decrement — which
+    * subtracts removed documents' exact dl sum — reproduces a full
+    * rebuild's avgdl bit-for-bit at any corpus size; below 2^53 tokens
+    * the two formulations are identical doubles anyway. */
   private def corpusStats(toks: DataFrame): DataFrame =
     toks.agg(count(lit(1)).as("n_docs"),
-      avg(size(col("__toks"))).as("avgdl"))
+        sum(size(col("__toks"))).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"),
+        col("sum_dl"))
 
   /** The one per-(doc, term) BM25 contribution every path runs — scan,
     * index, and streaming serve — shared so none can drift. Expects
@@ -126,6 +134,61 @@ object Rank {
   def readIndex(spark: org.apache.spark.sql.SparkSession,
                 table: String): (DataFrame, DataFrame) =
     (spark.table(table), spark.table(s"${table}_stats"))
+
+  /**
+   * Retraction for the standing search index — the takedown half of
+   * [[writeIndex]]'s lifecycle.
+   * [[graft.operators.Dedup.removeFromFingerprintStore]]'s argument
+   * applies verbatim: retention policies cover derived data, and a
+   * removed document's POSTINGS are derived data — an append-side
+   * tombstone would keep serving them until a full rebuild. This
+   * deletes every posting of `removedIds` from the term-bucketed index
+   * ([[Layout.rewriteBucketed]] — bucket spec preserved, one file per
+   * bucket restored, so term-bucket pruning survives; PlanSpec-gated)
+   * and subtracts the removed documents' exact (count, Σdl)
+   * contribution from `<table>_stats`, so [[bm25FromIndex]] afterwards
+   * returns nothing for removed docs and scores the remaining corpus
+   * BIT-IDENTICALLY to an index rebuilt from scratch (RankSpec-gated;
+   * exactness holds because stats carry the long `sum_dl`, not a float
+   * accumulator — see [[corpusStats]]).
+   *
+   * Contract: a removed id's contribution is read from its OWN postings
+   * (every posting row carries dl). An id with NO postings — a
+   * token-less document, which can never match any query — is a stats
+   * no-op: its n_docs/avgdl contribution stays until the next full
+   * rebuild (a documented idf-only drift; the alternative, trusting the
+   * caller that every passed id was a corpus member, silently corrupts
+   * stats on a bad id). Cost is one O(index) rewrite plus a 1-row stats
+   * overwrite; batch takedowns on a maintenance cadence, like
+   * compaction.
+   */
+  def removeFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      table: String, removedIds: DataFrame,
+                      idCol: String): Unit = {
+    val gone = removedIds.toDF(idCol).distinct()
+    // removal-batch-bounded driver read: one (count, sum) row
+    val removed = spark.table(table)
+      .join(gone, Seq(idCol), "left_semi")
+      .dropDuplicates(idCol) // one (id, dl) per doc, not per posting
+      .agg(count(lit(1)).as("rn"), sum(col("dl")).as("rdl"))
+      .collect()(0)
+    val rn = removed.getLong(0)
+    if (rn == 0L) return // nothing indexed under these ids
+    val rdl = removed.getLong(1)
+    Layout.rewriteBucketed(spark, table)(
+      _.join(gone, Seq(idCol), "left_anti"))
+    val st = spark.table(s"${table}_stats")
+      .select(col("n_docs"), col("sum_dl")).collect()(0)
+    val n = st.getLong(0) - rn
+    val sumDl = st.getLong(1) - rdl
+    require(n > 0, s"removeFromIndex: retraction would empty $table " +
+      "(drop the index instead)")
+    import spark.implicits._
+    // 1-row overwrite; same derived-avgdl formula as corpusStats
+    Seq((n, sumDl.toDouble / n, sumDl)).toDF("n_docs", "avgdl", "sum_dl")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${table}_stats")
+  }
 
   /**
    * BM25 off a materialized index: filter the index to the query terms

@@ -138,6 +138,54 @@ object StreamingFlows {
       graft.operators.Layout.readTable(spark, table), textCol)
 
   /**
+   * The INGEST loop itself under Structured Streaming — the serve paths
+   * above consume a store; this is what continuously BUILDS one (the
+   * production form of [[graft.operators.Dedup.ingestBatch]], and the
+   * loop stepist's at-least-once workers approximate,
+   * `libs/simple_queue.py:42-47`, upgraded to an exactly-once-effect
+   * store): each micro-batch runs the full ingest step — exact dedup
+   * within the batch, anti-join against the fingerprint store, APPEND
+   * the survivors' fingerprints — inside `foreachBatch`, the documented
+   * home for batch-only sinks (a bucketBy saveAsTable append is not a
+   * streaming sink). The checkpoint makes batch delivery at-least-once;
+   * the ingest step is IDEMPOTENT (re-ingesting an already-appended
+   * batch finds every fingerprint in the store and appends nothing —
+   * DedupSpec-gated), so a crash-replayed micro-batch leaves the store
+   * EXACTLY-ONCE. StreamingSpec gates: a MemoryStream-fed run over N
+   * micro-batches yields the same store as the one-shot
+   * `writeFingerprintStore` over the concatenated corpus, replayed
+   * final batch included.
+   *
+   * `onBatch` receives each micro-batch's survivors (re-planned from
+   * their materialized RDD, so safe to consume after the append) with
+   * the batch id — the hook a production loop uses to write survivors
+   * to the corpus sink; that write inherits foreachBatch's
+   * at-least-once contract, so key it idempotently (by content
+   * fingerprint, like the store itself).
+   *
+   * Returns the un-started writer: compose with a trigger and
+   * [[runUntilDrained]] (drain-then-stop) or `.start()` (continuous).
+   */
+  def streamingIngest(stream: DataFrame,
+      textCol: String, idCol: String, table: String, checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the micro-batch frame belongs to the stream's CLONED session;
+        // read and append through THAT session, not the caller's — the
+        // append invalidates the table's cached file listing only in the
+        // session that wrote, so a caller-session read here would serve
+        // batch N+1 a stale pre-append snapshot (observed: a duplicate
+        // of batch N's content passed the anti-join)
+        val survivors = graft.operators.Dedup.ingestBatch(
+          batch.sparkSession, batch, textCol, idCol, table)
+        onBatch(survivors, batchId)
+        ()
+      }
+
+  /**
    * Streaming near-duplicate candidates off a
    * [[graft.operators.Dedup.writeLshStore]] ingest store — the streaming
    * face of [[graft.operators.Dedup.minhashLshAgainstStore]]: arriving

@@ -578,14 +578,14 @@ class DedupSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     Dedup.writeFingerprintStore(d.filter(m === 2), "text", tbl, buckets = 4)
     val survA = Dedup.ingestBatch(spark, d.filter(m === 0), "text", "doc_id",
-      tbl, buckets = 4)
+      tbl)
     assert(survA.count() > 0, "batch A should pass new content")
     // idempotence: the append made batch A's content part of the snapshot
     assert(Dedup.ingestBatch(spark, d.filter(m === 0), "text", "doc_id",
-      tbl, buckets = 4).count() == 0, "re-ingest must pass nothing")
+      tbl).count() == 0, "re-ingest must pass nothing")
     // sequential ingest ≡ one-shot: batch B against corpus ∪ batch A
     val survB = Dedup.ingestBatch(spark, d.filter(m === 1), "text", "doc_id",
-        tbl, buckets = 4)
+        tbl)
       .select($"doc_id").as[Long].collect().toSet
     val oneShot = Dedup.dedupAgainst(
         Dedup.exact(d.filter(m === 1), "text", "doc_id"),
@@ -657,6 +657,104 @@ class DedupSpec extends SparkSpec {
       "vec_id")
     assert(spark.table(tbl).select($"vec_id").as[Long].collect().toSet
       == Set(1L, 3L), "assigned store must hold exactly the survivors")
+    OpCache.release()
+  }
+
+  test("ingestBatchLsh: append visible, idempotent, equals the one-shot store") {
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"dedupspec_lshing_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    Dedup.writeLshStore(corpus, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 2)
+    val batchA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta NINE"), // ~dup of 100
+      (2L, "red orange yellow green blue indigo violet extra"), // novel
+      (3L, "red orange yellow green blue indigo violet other")) // ~dup of 2
+      .toDF("doc_id", "text")
+    val survA = Dedup.ingestBatchLsh(spark, batchA, "text", "doc_id", tbl,
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survA == Set(2L),
+      s"expected only the novel min-id representative to survive: $survA")
+    // the append is visible: the store now holds doc 2's signature/bands
+    assert(spark.table(s"${tbl}_sigs").filter($"id" === 2L).count() == 1)
+    // idempotence: every batch-A survivor is now an exact dup of stored
+    // content (est_jaccard 1.0), so a replayed ingest passes nothing
+    assert(Dedup.ingestBatchLsh(spark, batchA, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .count() == 0, "re-ingest must pass nothing")
+    // sequential ingest ≡ one-shot: serving batch B against the appended
+    // store equals the in-plan bipartite path against corpus ∪ survivors
+    val batchB = Seq(
+      (10L, "red orange yellow green blue indigo violet NINE"), // ~dup of 2
+      (11L, "totally fresh content sharing nothing with any store row"))
+      .toDF("doc_id", "text")
+    val stored = Dedup.minhashLshAgainstStore(spark, batchB, "text",
+        "doc_id", tbl, shingleK = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .select($"batch_id", $"corpus_id", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val oneShot = Dedup.minhashLshAgainst(batchB,
+        corpus.unionByName(batchA.filter($"doc_id" === 2L)), "text",
+        "doc_id", shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"batch_id", $"corpus_id", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored == oneShot, s"sequential vs one-shot: $stored vs $oneShot")
+    assert(stored.exists(p => p._1 == 10L && p._2 == 2L),
+      s"batch B must near-dup the APPENDED doc 2: $stored")
+    OpCache.release()
+  }
+
+  test("ingestBatchSemDedup: append visible, idempotent, equals the one-shot store") {
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"dedupspec_seming_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val corpus = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("centroid_id", "embedding")
+    Dedup.writeAssignedCorpus(corpus, cents, "embedding", "vec_id",
+      probes = 1, tbl, buckets = 2)
+    val batchA = Seq(
+      (1L, Seq(0.99f, 0.14f)),  // ~dup of 100 (cos ≈ 0.99)
+      (2L, Seq(0.71f, 0.69f)),  // novel (cos ≈ 0.72 to both corpus vecs)
+      (3L, Seq(0.72f, 0.70f)))  // ~dup of 2 (cos ≈ 1.0), in-batch loser
+      .toDF("vec_id", "embedding")
+    val survA = Dedup.ingestBatchSemDedup(spark, batchA, tbl, cents,
+        "embedding", "vec_id", probes = 1, tau = 0.95)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survA == Set(2L),
+      s"expected only the novel min-id representative to survive: $survA")
+    assert(spark.table(tbl).filter($"vec_id" === 2L).count() == 1,
+      "appended assignment missing from the store")
+    // idempotence: every survivor now cosine-matches its own stored copy
+    assert(Dedup.ingestBatchSemDedup(spark, batchA, tbl, cents,
+      "embedding", "vec_id", probes = 1, tau = 0.95).count() == 0,
+      "re-ingest must pass nothing")
+    // sequential ≡ one-shot: batch B against the appended store equals
+    // the in-plan bipartite compare against corpus ∪ survivors
+    val batchB = Seq(
+      (10L, Seq(0.73f, 0.68f)), // ~dup of appended 2 (cos ≈ 0.9998)
+      (11L, Seq(-1f, 0.2f)))    // matches nothing at tau = 0.95
+      .toDF("vec_id", "embedding")
+    val stored = Dedup.semDedupBatchAgainstStore(spark, batchB, tbl, cents,
+        "embedding", "vec_id", probes = 1, tau = 0.95)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val oneShot = Dedup.semDedupPairsBipartite(
+        graft.operators.Similarity.ivfAssignMulti(batchB, cents,
+          "embedding", "vec_id", 1),
+        graft.operators.Similarity.ivfAssignMulti(
+          corpus.unionByName(batchA.filter($"vec_id" === 2L)), cents,
+          "embedding", "vec_id", 1),
+        "embedding", "vec_id", tau = 0.95)
+      .select($"batch_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(stored == oneShot, s"sequential vs one-shot: $stored vs $oneShot")
+    assert(stored.contains((10L, 2L)),
+      s"batch B must semantically match the APPENDED doc 2: $stored")
     OpCache.release()
   }
 }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Layout, OpCache}
+import graft.functions.TextFunctions
+
+/** Store-lifecycle mechanics: versioned view-backed stores (atomic swap
+  * for concurrent readers), spec-derived appends, and the plain-table
+  * rename-chain swap. The content/plan gates for compaction itself live
+  * in PlanSpec and q138. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+
+  test("versioned store: concurrent readers never fail across repeated compactions") {
+    val tbl = s"layoutspec_ver_$pid"
+    (Seq(tbl, s"${tbl}__graft_compact") ++
+      (1 to 8).map(n => s"${tbl}__v$n"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d", "e f").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    assert(spark.table(tbl).count() == 3, "view must serve the v1 data")
+    // appends resolve the view to its current backing table
+    Layout.appendBucketed(spark,
+      Seq("x y").toDF("text")
+        .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
+    assert(spark.table(tbl).count() == 4, "append through the view lost rows")
+    // the crux: a reader loop must never observe a missing/partial store
+    // while compactions swap versions underneath it — the view repoint is
+    // ONE catalog op (vs the plain table's rename chain)
+    @volatile var stop = false
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val n = spark.table(tbl).count()
+        assert(n == 4L, s"reader saw $n rows mid-swap")
+        reads.incrementAndGet()
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    })
+    reader.start()
+    try (1 to 3).foreach(_ => Layout.compactBucketed(spark, tbl))
+    finally { stop = true; reader.join(60000) }
+    assert(failure.get() == null,
+      s"concurrent reader failed during compaction: ${failure.get()}")
+    assert(reads.get() > 0, "reader loop never completed a read")
+    // grace policy: current + previous versions remain, older dropped
+    val left = spark.catalog.listTables()
+      .filter(col("name").startsWith(s"${tbl}__v"))
+      .select($"name").as[String].collect().sorted.toSeq
+    assert(left == Seq(s"${tbl}__v3", s"${tbl}__v4"),
+      s"expected exactly v3 (grace) and v4 (current), got $left")
+    // rewrite-with-transform (retraction) also goes through the view
+    Dedup.removeFromFingerprintStore(spark, tbl,
+      Seq("a b").toDF("text"), "text")
+    assert(spark.table(tbl).count() == 3, "retraction through the view")
+    OpCache.release()
+  }
+
+  test("plain-table rewrite: rename-chain swap, crash leftovers recovered") {
+    val tbl = s"layoutspec_plain_$pid"
+    Seq(tbl, s"${tbl}__graft_compact", s"${tbl}__graft_old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d").toDF("text"), "text", tbl, buckets = 2)
+    val before = spark.table(tbl).as[String].collect().toSet
+    // a stale __graft_old from a crashed previous swap must not block
+    Seq(("zz", "zz")).toDF("fp", "junk").write
+      .saveAsTable(s"${tbl}__graft_old")
+    Layout.compactBucketed(spark, tbl)
+    assert(spark.table(tbl).as[String].collect().toSet == before,
+      "compaction changed the store's content")
+    assert(!spark.catalog.tableExists(s"${tbl}__graft_old") &&
+      !spark.catalog.tableExists(s"${tbl}__graft_compact"),
+      "swap left temporary tables behind")
+    OpCache.release()
+  }
+
+  test("appendBucketed derives the spec from the table; non-bucketed refused") {
+    val tbl = s"layoutspec_app_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Layout.writeBucketed(Seq((1L, "a")).toDF("id", "v"), tbl, Seq("id"), 3)
+    Layout.appendBucketed(spark, Seq((2L, "b")).toDF("id", "v"), tbl)
+    assert(spark.table(tbl).count() == 2)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl)).bucketSpec
+    assert(spec.exists(_.numBuckets == 3), s"append changed the spec: $spec")
+    val plain = s"layoutspec_plainapp_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $plain")
+    Seq((1L, "a")).toDF("id", "v").write.saveAsTable(plain)
+    intercept[IllegalArgumentException] {
+      Layout.appendBucketed(spark, Seq((2L, "b")).toDF("id", "v"), plain)
+    }
+  }
+
+  test("rewriteBucketed refuses non-parquet stores loudly") {
+    val tbl = s"layoutspec_orc_$pid"
+    Seq(tbl, s"${tbl}__graft_compact", s"${tbl}__graft_old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "a")).toDF("id", "v").write
+      .bucketBy(2, "id").sortBy("id").format("orc").saveAsTable(tbl)
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactBucketed(spark, tbl)
+    }
+    assert(e.getMessage.contains("parquet"), e.getMessage)
+  }
+}

@@ -396,7 +396,7 @@ class PlanSpec extends SparkSpec {
     graft.operators.Dedup.writeFingerprintStore(
       docs.filter(m === 2), "text", tbl, buckets = 4)
     graft.operators.Dedup.ingestBatch(
-      spark, docs.filter(m === 0), "text", "doc_id", tbl, buckets = 4)
+      spark, docs.filter(m === 0), "text", "doc_id", tbl)
     val out = graft.operators.Dedup.dedupAgainstStore(
       spark, docs.filter(m === 1), "text", tbl)
     assert(out.collect().nonEmpty, "post-append store-path dedup empty")
@@ -430,7 +430,7 @@ class PlanSpec extends SparkSpec {
     graft.operators.Dedup.writeFingerprintStore(
       docs.filter(m === 2), "text", tbl, buckets = 4)
     graft.operators.Dedup.ingestBatch(
-      spark, docs.filter(m === 0), "text", "doc_id", tbl, buckets = 4)
+      spark, docs.filter(m === 0), "text", "doc_id", tbl)
     val fragmented = spark.table(tbl).select(input_file_name())
       .distinct().count()
     assert(fragmented > 4, s"append should fragment buckets: $fragmented files")
@@ -514,6 +514,124 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"),
       s"store scans did not use the bucketed layout:\n$plan")
     assertStoreSidesExchangeFree(pairs, tbl)
+    graft.operators.OpCache.release()
+  }
+
+  test("LSH store stays exchange-free after ingestBatchLsh appends") {
+    // the q146 at-scale claim: the appendBucketed writes to _bands and
+    // _sigs keep both stores' bucketing, so the per-batch candidate and
+    // attach joins stay exchange-free after any number of ingests
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 2000)
+    val m = pmod(col("doc_id"), lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_lsh_append_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Dedup.writeLshStore(docs.filter(m === 2), "text",
+      "doc_id", tbl, shingleK = 3, numHashes = 64, bands = 16, buckets = 4)
+    graft.operators.Dedup.ingestBatchLsh(spark, docs.filter(m === 0),
+      "text", "doc_id", tbl, shingleK = 3, numHashes = 64, bands = 16,
+      threshold = 0.5)
+    val out = graft.operators.Dedup.minhashLshAgainstStore(
+      spark, docs.filter(m === 1), "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    out.collect() // finalize the adaptive plan
+    val plan = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"appended LSH store lost its bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(out, s"${tbl}_bands")
+    assertStoreSidesExchangeFree(out, s"${tbl}_sigs")
+    graft.operators.OpCache.release()
+  }
+
+  test("assigned-corpus store stays exchange-free after ingestBatchSemDedup appends") {
+    // the q147 at-scale claim: the (cell, id, vec) append keeps the cell
+    // bucketing, so batch-vs-store SemDeDup's store side reads co-located
+    // buckets straight into the join after any number of ingests
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val m = pmod(col("vec_id"), lit(3))
+    val corpus = emb.filter(m === 2)
+    val cents = graft.operators.Similarity.trainCentroids(
+      corpus, "embedding", "vec_id", k = 4)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_sem_append_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Dedup.writeAssignedCorpus(
+      corpus, cents, "embedding", "vec_id", probes = 2, tbl, buckets = 4)
+    graft.operators.Dedup.ingestBatchSemDedup(spark, emb.filter(m === 0),
+      tbl, cents, "embedding", "vec_id", probes = 2, tau = 0.45)
+    val pairs = graft.operators.Dedup.semDedupBatchAgainstStore(
+      spark, emb.filter(m === 1), tbl, cents, "embedding", "vec_id",
+      probes = 2, tau = 0.45)
+    pairs.collect() // finalize the adaptive plan
+    val plan = pairs.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Bucketed: true"),
+      s"appended assigned store lost its bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(pairs, tbl)
+    graft.operators.OpCache.release()
+  }
+
+  test("BM25 index keeps its bucket pruning after removeFromIndex") {
+    // the takedown must not cost the serving plan anything: the rewrite
+    // preserves the term bucket spec, so a query's term filter still
+    // prunes to its buckets (SelectedBucketsCount) and the plan still
+    // never tokenizes
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(length(trim(col("text"))) > 0)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_bm25_rm_$pid"
+    Seq(tbl, s"${tbl}_stats", s"${tbl}__graft_compact", s"${tbl}__graft_old")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
+    graft.operators.Rank.removeFromIndex(spark, tbl,
+      docs.filter(pmod(col("doc_id"), lit(11)) === 0).select(col("doc_id")),
+      "doc_id")
+    val (index, stats) = graft.operators.Rank.readIndex(spark, tbl)
+    val scored = graft.operators.Rank.bm25FromIndex(index, stats, "doc_id",
+      Seq("spark", "data"))
+    val plan = scored.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("split(") && !plan.contains("explode"),
+      s"post-retraction index path must not re-tokenize:\n$plan")
+    val bucketLine = plan.linesIterator
+      .filter(_.contains("SelectedBucketsCount")).mkString("\n")
+    val counts = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(bucketLine)
+    assert(counts.exists(c => c.group(1).toInt < c.group(2).toInt),
+      s"term filter lost its bucket pruning after retraction:\n$plan")
+    graft.operators.OpCache.release()
+  }
+
+  test("IVF-PQ code store keeps its partition pruning after removeFromCodeStore") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      emb, "embedding", "vec_id", k = 8)
+    val cb = graft.operators.Quantize.trainCodebook(
+      emb, "embedding", "vec_id", dim = 64, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_rm_plan").toString
+    graft.operators.Quantize.writeCodeStore(
+      emb, cents, cb, "embedding", "vec_id", 4, 16, dir)
+    graft.operators.Quantize.removeFromCodeStore(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id")),
+      "vec_id")
+    val queries = emb.filter(col("vec_id") === 1)
+    val topk = graft.operators.Quantize.ivfPqTopKFromStore(
+      spark, dir, queries, cents, cb,
+      "embedding", "vec_id", 4, 16, k = 5, nProbe = 2)
+    assert(topk.collect().nonEmpty, "post-retraction store top-k empty")
+    val plan = topk.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val partLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(partLines.contains("cell") && partLines.contains("IN ("),
+      s"retraction broke the literal partition filter:\n$plan")
     graft.operators.OpCache.release()
   }
 

@@ -124,4 +124,81 @@ class QuantizeSpec extends SparkSpec {
       "more than k negatives for an anchor")
     assert(hn.forall(r => r._1 != r._2), "anchor mined itself")
   }
+
+  test("removeFromCodeStore: retracted ids vanish, equals a rebuilt store") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      e, "embedding", "vec_id", k = 8)
+    val cbT = Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_rm").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_rb").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16, dir)
+    val removed = e.filter($"vec_id" % 5 === 0).select($"vec_id")
+    Quantize.removeFromCodeStore(spark, dir, removed, "vec_id")
+    // oracle: a store rebuilt from scratch over the remaining corpus
+    Quantize.writeCodeStore(e.join(removed, Seq("vec_id"), "left_anti"),
+      cents, cbT, "embedding", "vec_id", 4, 16, dir2)
+    val got = Quantize.readCodeStore(spark, dir)
+      .select($"vec_id", $"codes", $"cell")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    val want = Quantize.readCodeStore(spark, dir2)
+      .select($"vec_id", $"codes", $"cell")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(got == want, s"missing=${want -- got}, extra=${got -- want}")
+    // serving never returns a retracted id, and pruning still works
+    // (the layout is still one directory per cell)
+    val removedIds = removed.as[Long].collect().toSet
+    val queries = e.filter($"vec_id" === 0) // vec_id 0 itself is retracted
+    val topk = Quantize.ivfPqTopKFromStore(spark, dir, queries, cents, cbT,
+        "embedding", "vec_id", 4, 16, k = 10, nProbe = 3)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(topk.nonEmpty && topk.intersect(removedIds).isEmpty,
+      s"a retracted id is still served: ${topk.intersect(removedIds)}")
+    // a removal that empties a whole cell deletes that cell's directory
+    val post = Quantize.readCodeStore(spark, dir)
+    val (oneCell, nPost) = (
+      post.select($"cell").as[Int].head(), post.count())
+    val inCell = post.filter($"cell" === oneCell).select($"vec_id")
+    val nInCell = inCell.count()
+    Quantize.removeFromCodeStore(spark, dir, inCell, "vec_id")
+    val after = Quantize.readCodeStore(spark, dir)
+    assert(after.filter($"cell" === oneCell).count() == 0,
+      "emptied cell still serves rows")
+    assert(after.count() == nPost - nInCell, "other cells were touched")
+    // emptying the WHOLE store is refused loudly (unreadable layout)
+    val ex = intercept[IllegalArgumentException] {
+      Quantize.removeFromCodeStore(spark, dir,
+        Quantize.readCodeStore(spark, dir).select($"vec_id"), "vec_id")
+    }
+    assert(ex.getMessage.contains("empty the store"), ex.getMessage)
+    graft.operators.OpCache.release()
+  }
+
+  test("ivfPqRerankFromStore fails loudly when a shortlisted id has no raw vector") {
+    // code store vs corpus drift (a doc retracted from the raw-vector
+    // store but not the code store) must SURFACE, not silently shrink
+    // the top-k — the rerankScores left-join + assert_true contract
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      e, "embedding", "vec_id", k = 8)
+    val cbT = Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_drift").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16, dir)
+    val queries = e.filter($"vec_id" === 0)
+    def rerank(raw: org.apache.spark.sql.DataFrame) =
+      Quantize.ivfPqRerankFromStore(spark, dir, raw, queries, cents, cbT,
+        "embedding", "vec_id", m = 4, subDim = 16, k = 5, shortlist = 20,
+        nProbe = 3)
+    // consistent stores: the clean path must not trip the contract
+    assert(rerank(e).count() > 0)
+    // drifted raw side: half the coded ids have no raw vector anymore
+    val ex = intercept[Throwable] { rerank(e.filter($"vec_id" % 2 === 1)).count() }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("drifted"),
+      s"expected the drift contract failure, got: $msgs")
+    graft.operators.OpCache.release()
+  }
 }

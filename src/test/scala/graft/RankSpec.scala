@@ -75,4 +75,46 @@ class RankSpec extends SparkSpec {
     assert(single == Map(2L -> 1.0 / 61, 4L -> 1.0 / 62))
     intercept[IllegalArgumentException](Rank.rrfFuse(Nil, "id"))
   }
+
+  test("removeFromIndex: retracted docs vanish, scores equal a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val (tbl, tbl2) = (s"rankspec_rm_$pid", s"rankspec_rb_$pid")
+    Seq(tbl, s"${tbl}_stats", s"${tbl}__graft_compact", s"${tbl}__graft_old",
+      tbl2, s"${tbl2}_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 400 && length(trim($"text")) > 0)
+    Rank.writeIndex(corpus, "text", "doc_id", tbl, buckets = 4)
+    val removed = corpus.filter(pmod($"doc_id", lit(7)) === 0)
+      .select($"doc_id")
+    Rank.removeFromIndex(spark, tbl, removed, "doc_id")
+    // the oracle: an index rebuilt from scratch over the remaining corpus
+    Rank.writeIndex(corpus.join(removed, Seq("doc_id"), "left_anti"),
+      "text", "doc_id", tbl2, buckets = 4)
+    val (i1, s1) = Rank.readIndex(spark, tbl)
+    val (i2, s2) = Rank.readIndex(spark, tbl2)
+    // stats decremented EXACTLY (long sum_dl arithmetic, no float drift)
+    assert(s1.collect().toSeq == s2.collect().toSeq,
+      s"stats drifted from rebuild: ${s1.collect().toSeq} vs " +
+        s"${s2.collect().toSeq}")
+    val terms = Seq("spark", "data", "the", "query")
+    val a = Rank.bm25FromIndex(i1, s1, "doc_id", terms)
+      .as[(Long, Double)].collect().toMap
+    val b = Rank.bm25FromIndex(i2, s2, "doc_id", terms)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b, "retracted index must score bit-identically to a rebuild")
+    val removedIds = removed.as[Long].collect().toSet
+    assert(a.nonEmpty && a.keySet.intersect(removedIds).isEmpty,
+      "a retracted doc still scores from the index")
+    // postings really gone (not just unmatched by these query terms)
+    assert(i1.join(removed, Seq("doc_id"), "left_semi").count() == 0,
+      "retracted postings survive in the index table")
+    // ids with no postings are a no-op, not a crash or stats corruption
+    val statsBefore = s1.collect().toSeq
+    Rank.removeFromIndex(spark, tbl,
+      Seq(999999L).toDF("doc_id"), "doc_id")
+    assert(spark.table(s"${tbl}_stats").collect().toSeq == statsBefore)
+    graft.operators.OpCache.release()
+  }
 }

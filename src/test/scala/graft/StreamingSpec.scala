@@ -297,7 +297,7 @@ class StreamingSpec extends SparkSpec {
       Seq("alpha beta").toDF("text"), "text", tbl, buckets = 2)
     graft.operators.Dedup.ingestBatch(spark,
       Seq((10L, "gamma delta"), (11L, "alpha beta")).toDF("doc_id", "text"),
-      "text", "doc_id", tbl, buckets = 2)
+      "text", "doc_id", tbl)
     val input = MemoryStream[(Long, String)]
     val kept = StreamingFlows.streamingDedupAgainstStore(spark,
       input.toDF().toDF("id", "text"), "text", tbl)
@@ -312,6 +312,51 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.sql("SELECT id FROM sdas_out").as[Long].collect().sorted
       assert(ids.toSeq == Seq(3L), s"got ${ids.toSeq}")
     } finally q.stop()
+    graft.operators.OpCache.release()
+  }
+
+  test("streaming ingest: N micro-batches equal the one-shot store; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"streamspec_ingest_$pid"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    graft.operators.Dedup.writeFingerprintStore(
+      Seq("seed one").toDF("text"), "text", tbl, buckets = 2)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ingest_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val survivorIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val writer = StreamingFlows.streamingIngest(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", tbl, ckpt,
+      onBatch = (surv, _) => survivorIds.synchronized {
+        survivorIds ++= surv.select($"doc_id").as[Long].collect()
+      })
+    val q = writer.start()
+    val b1 = Seq((1L, "alpha beta"), (2L, "SEED   one"), // dup of the seed
+      (3L, "alpha  BETA")) // in-batch dup of 1
+    val b2 = Seq((4L, "gamma delta"), (5L, "alpha beta")) // dup of batch 1
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(survivorIds.sorted.toSeq == Seq(1L, 4L),
+      s"per-batch survivors wrong: ${survivorIds.sorted.toSeq}")
+    // the store equals the one-shot writeFingerprintStore over EVERYTHING
+    val gotFps = spark.table(tbl).as[String].collect().toSet
+    val all = (Seq((0L, "seed one")) ++ b1 ++ b2).toDF("doc_id", "text")
+    val wantFps = all.select(
+        graft.functions.TextFunctions.fingerprint($"text"))
+      .distinct().as[String].collect().toSet
+    assert(gotFps == wantFps,
+      s"missing=${wantFps -- gotFps}, extra=${gotFps -- wantFps}")
+    // crash-replay semantics: foreachBatch re-runs a batch at-least-once;
+    // re-running the LAST micro-batch's ingest step must change nothing
+    // (every fingerprint is already in the store) — exactly-once effect
+    assert(graft.operators.Dedup.ingestBatch(spark,
+      b2.toDF("doc_id", "text"), "text", "doc_id", tbl).count() == 0,
+      "replayed micro-batch re-ingested rows")
+    assert(spark.table(tbl).as[String].collect().toSet == wantFps,
+      "replay changed the store")
     graft.operators.OpCache.release()
   }
 
