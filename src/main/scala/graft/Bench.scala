@@ -66,7 +66,9 @@ object Bench {
     "q134_hard_negatives", "q135_source_overlap", "q136_dsir_select",
     "q137_fp_store_ingest", "q138_store_compact", "q139_corpus_report",
     "q140_training_order", "q141_leakage_safe_splits", "q142_dsir_topk",
-    "q143_ingest_pipeline", "q144_tokenizer_fertility", "q145_heavy_ngrams")
+    "q143_ingest_pipeline", "q144_tokenizer_fertility", "q145_heavy_ngrams",
+    "q146_lsh_store_ingest", "q147_semdedup_store_ingest",
+    "q148_index_retract", "q149_codestore_retract")
 
   private val RUNS = 5
 

@@ -2542,6 +2542,201 @@ object SparkEntry {
       .toDF("metric", "bound", "ok").orderBy(col("metric"))
   }
 
+  /** LSH-tier ingest-append gate ([[Dedup.ingestBatchLsh]], the q137
+    * analog closing the last lifecycle asymmetry): after an ingest
+    * appends batch A's surviving band triples + signatures, serving
+    * batch B against the APPENDED store must emit exactly the pairs the
+    * in-plan bipartite path emits against corpus ∪ survivors(A) — the
+    * append is visible, exact, and byte-equivalent to a one-shot store
+    * (same signature/band formulas). The oracle pins the verdict rows;
+    * DedupSpec separately gates idempotence and PlanSpec the post-append
+    * exchange-free store sides. */
+  private def q146_lsh_store_ingest(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents").filter(col("doc_id") < 2000))
+    val m = pmod(col("doc_id"), lit(3))
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q146_lsh_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs").foreach(dropLocalTable(s, _))
+    val corpus = docs.filter(m === 2)
+    Dedup.writeLshStore(corpus, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 8)
+    // ingestBatchLsh already returns an RDD-materialized frame (it must
+    // survive its own append) — safe to reuse for the one-shot oracle side
+    val survA = Dedup.ingestBatchLsh(s, docs.filter(m === 0), "text",
+      "doc_id", tbl, shingleK = 3, numHashes = 64, bands = 16,
+      threshold = 0.5)
+    val batchB = docs.filter(m === 1)
+    val store = Dedup.minhashLshAgainstStore(s, batchB, "text", "doc_id",
+        tbl, shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard").as("js"))
+    val adhoc = Dedup.minhashLshAgainst(batchB, corpus.unionByName(survA),
+        "text", "doc_id", shingleK = 3, numHashes = 64, bands = 16,
+        threshold = 0.5)
+      .select(col("batch_id"), col("corpus_id"), col("est_jaccard").as("ja"))
+    val joined = operators.OpCache.materialize(
+      adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ja").isNull || col("js").isNull ||
+            col("ja") =!= col("js"), 1).otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("lsh_ingest_seq_equals_oneshot").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("lsh_ingest_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
+  /** Semantic-tier ingest-append gate ([[Dedup.ingestBatchSemDedup]],
+    * q146's twin): after an ingest appends batch A's surviving
+    * (cell, id, vector) assignments — assigned with the STORED
+    * centroids — serving batch B against the appended store must emit
+    * exactly the in-plan bipartite pairs against corpus ∪ survivors(A)
+    * at the same centroids. The oracle pins the verdict rows. */
+  private def q147_semdedup_store_ingest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val m = pmod(col("vec_id"), lit(3))
+    val corpus = e.filter(m === 2)
+    val cents = Similarity.trainCentroids(corpus, "embedding", "vec_id", k = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q147_sem_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeAssignedCorpus(corpus, cents, "embedding", "vec_id",
+      probes = 2, tbl, buckets = 8)
+    val survA = Dedup.ingestBatchSemDedup(s, e.filter(m === 0), tbl, cents,
+      "embedding", "vec_id", probes = 2, tau = 0.45)
+    val batchB = e.filter(m === 1)
+    val store = Dedup.semDedupBatchAgainstStore(s, batchB, tbl, cents,
+        "embedding", "vec_id", probes = 2, tau = 0.45)
+      .select(col("batch_id"), col("corpus_id"), lit(1).as("ins"))
+    val adhoc = Dedup.semDedupPairsBipartite(
+        Similarity.ivfAssignMulti(batchB, cents, "embedding", "vec_id", 2),
+        Similarity.ivfAssignMulti(
+          corpus.select(col("vec_id"), col("embedding")).unionByName(survA),
+          cents, "embedding", "vec_id", 2),
+        "embedding", "vec_id", tau = 0.45)
+      .select(col("batch_id"), col("corpus_id"), lit(1).as("ina"))
+    val joined = operators.OpCache.materialize(
+      adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    joined.select(
+        lit("sem_ingest_seq_equals_oneshot").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("sem_ingest_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .orderBy(col("metric"))
+  }
+
+  /** Index-retraction gate ([[operators.Rank.removeFromIndex]]): a
+    * takedown must purge the removed documents' POSTINGS and leave the
+    * index scoring the remaining corpus bit-identically to a full
+    * rebuild (exact long-sum stats decrement) — derived data honors
+    * retention too. The oracle pins the verdict rows; PlanSpec gates
+    * that bucket pruning survives the rewrite. */
+  private def q148_index_retract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = operators.OpCache.track(parallelize(t(s, dir, "documents"))
+      .filter(length(trim(col("text"))) > 0).persist())
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val (tbl, tbl2) = (s"q148_idx_$pid", s"q148_rb_$pid")
+    Seq(tbl, s"${tbl}_stats", s"${tbl}__graft_compact", s"${tbl}__graft_old",
+      tbl2, s"${tbl2}_stats").foreach(dropLocalTable(s, _))
+    operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
+    val removed = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id"))
+    operators.Rank.removeFromIndex(s, tbl, removed, "doc_id")
+    operators.Rank.writeIndex(docs.join(removed, Seq("doc_id"), "left_anti"),
+      "text", "doc_id", tbl2, buckets = 8)
+    val terms = Seq("spark", "data", "query", "stream")
+    val (i1, s1) = operators.Rank.readIndex(s, tbl)
+    val (i2, s2) = operators.Rank.readIndex(s, tbl2)
+    val a = operators.Rank.bm25FromIndex(i1, s1, "doc_id", terms)
+      .withColumnRenamed("score", "sa")
+    val b = operators.Rank.bm25FromIndex(i2, s2, "doc_id", terms)
+      .withColumnRenamed("score", "sb")
+    val joined = operators.OpCache.materialize(
+      a.join(b, Seq("doc_id"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
+            col("sa") =!= col("sb"), 1).otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    val servedRemoved =
+      a.join(removed, Seq("doc_id"), "left_semi").count()
+    val postingsLeft =
+      i1.join(removed, Seq("doc_id"), "left_semi").count()
+    joined.select(
+        lit("retract_scores_equal_rebuild").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("retract_index_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .unionByName(Seq(
+        ("retract_removed_never_served", 0.0, servedRemoved == 0L),
+        ("retract_postings_purged", 0.0, postingsLeft == 0L))
+        .toDF("metric", "bound", "ok"))
+      .orderBy(col("metric"))
+  }
+
+  /** Code-store retraction gate ([[operators.Quantize.removeFromCodeStore]],
+    * q148's ANN sibling): the per-partition rewrite must leave the
+    * cell-partitioned store IDENTICAL to one rebuilt from the remaining
+    * corpus (only affected cells rewritten), and the serving path must
+    * never return a retracted id. The oracle pins the verdict rows;
+    * PlanSpec gates that partition pruning survives. */
+  private def q149_codestore_retract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q149_$pid"
+    val (dirA, dirB) = (s"$base/store", s"$base/rebuild")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+      4, 16, dirA)
+    val removed = e.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id"))
+    operators.Quantize.removeFromCodeStore(s, dirA, removed, "vec_id")
+    operators.Quantize.writeCodeStore(
+      e.join(removed, Seq("vec_id"), "left_anti"), cents, cb,
+      "embedding", "vec_id", 4, 16, dirB)
+    val got = operators.Quantize.readCodeStore(s, dirA)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
+    val want = operators.Quantize.readCodeStore(s, dirB)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
+    val joined = operators.OpCache.materialize(
+      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    val served = operators.Quantize.ivfPqTopKFromStore(s, dirA,
+        e.filter(col("vec_id") === 1), cents, cb, "embedding", "vec_id",
+        4, 16, k = 10, nProbe = 3)
+      .join(removed.withColumnRenamed("vec_id", "corpus_id"),
+        Seq("corpus_id"), "left_semi").count()
+    joined.select(
+        lit("codestore_retract_equals_rebuild").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("codestore_retract_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .unionByName(Seq(
+        ("codestore_removed_never_served", 0.0, served == 0L))
+        .toDF("metric", "bound", "ok"))
+      .orderBy(col("metric"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2711,6 +2906,10 @@ object SparkEntry {
     "q143_ingest_pipeline" -> q143_ingest_pipeline _,
     "q144_tokenizer_fertility" -> q144_tokenizer_fertility _,
     "q145_heavy_ngrams" -> q145_heavy_ngrams _,
+    "q146_lsh_store_ingest" -> q146_lsh_store_ingest _,
+    "q147_semdedup_store_ingest" -> q147_semdedup_store_ingest _,
+    "q148_index_retract" -> q148_index_retract _,
+    "q149_codestore_retract" -> q149_codestore_retract _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4434,5 +4633,37 @@ object SparkEntry {
          |FROM q JOIN m USING (t) JOIN dfs d USING (t) CROSS JOIN stats s
          |GROUP BY q.qid, m.doc_id
          |ORDER BY query_id, m.doc_id""".stripMargin,
+    // q146/q147 are ingest-append equivalence GATES (q126/q127 pattern,
+    // extended to the LSH and semantic tiers): a sequence of ingests
+    // must serve exactly like the one-shot store.
+    "q146_lsh_store_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('lsh_ingest_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('lsh_ingest_seq_equals_oneshot', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    "q147_semdedup_store_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('sem_ingest_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('sem_ingest_seq_equals_oneshot', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q148/q149 are retraction GATES: a takedown must purge derived
+    // postings/codes and leave serving identical to a full rebuild.
+    "q148_index_retract" ->
+      """SELECT * FROM (VALUES
+        |  ('retract_index_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('retract_postings_purged', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('retract_removed_never_served', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('retract_scores_equal_rebuild', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    "q149_codestore_retract" ->
+      """SELECT * FROM (VALUES
+        |  ('codestore_removed_never_served', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('codestore_retract_equals_rebuild', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('codestore_retract_nonempty', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
   )
 }
