@@ -40,6 +40,10 @@ import graft.operators.{Dedup, Layout, OpCache, TextProfile}
   *    decades (SURVEY §6).
   *  - `semstore [n]` — SemDeDup in-plan assignment path vs the
   *    cell-bucketed assigned-corpus store (SURVEY §6).
+  *  - `mg [<docs.parquet>]` — heavy-ngram pricing (q145): exact
+  *    full-vocabulary groupBy vs the Misra–Gries summary, and the r12
+  *    immutable-Map MG buffer vs the shipped mutable in-place buffer
+  *    (SURVEY §6).
   */
 object Probe {
 
@@ -108,7 +112,85 @@ object Probe {
       case Some("sem") =>
         semRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(2000L, 20000L, 200000L))
+      case Some("mg") => mgRun(args.drop(1).headOption
+        .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case _ => bandingRun()
+    }
+  }
+
+  /** The r12 MisraGries shape — immutable Map rebuilt per reduce item —
+    * kept ONLY as the measurement baseline for the `mg` study (the
+    * shipped mutable form is [[graft.functions.Aggregators.MisraGries]]). */
+  private final case class ImmutableMG(capacity: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(b: Map[String, Long], g: String): Map[String, Long] =
+      b.get(g) match {
+        case Some(c) => b.updated(g, c + 1L)
+        case None if b.size < capacity => b.updated(g, 1L)
+        case None =>
+          b.iterator.foldLeft(Map.newBuilder[String, Long]) {
+            case (out, (k, c)) => if (c > 1L) out += (k -> (c - 1L)); out
+          }.result()
+      }
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val combined = b.foldLeft(a) { case (acc, (k, c)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + c)
+      }
+      if (combined.size <= capacity) combined
+      else {
+        val thresh = combined.valuesIterator.toArray
+          .sorted(Ordering[Long].reverse)(capacity)
+        combined.iterator.foldLeft(Map.newBuilder[String, Long]) {
+          case (out, (k, c)) => if (c > thresh) out += (k -> (c - thresh)); out
+        }.result()
+      }
+    }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Heavy-ngram pricing (q145 / r13 advice #5): (a) the exact
+    * full-vocabulary `groupBy(gram).count` + top-k, (b) the shipped
+    * mutable-buffer Misra–Gries, (c) the r12 immutable-Map MG. The
+    * interesting numbers: exact shuffles the whole (gram, count)
+    * vocabulary; MG shuffles one ≤capacity-entry map per partition; and
+    * (b) vs (c) prices the per-item immutable rebuild on the reduce
+    * path. */
+  private def mgRun(docsPath: String): Unit = {
+    val spark = session()
+    import spark.implicits._
+    // persist OUTSIDE OpCache: measure() releases the OpCache after every
+    // query, and a released docs cache makes every later query re-pay the
+    // parquet read + repartition shuffle (79.7 MiB here), polluting the
+    // per-query attribution (observed before this fix)
+    val docs = spark.read.parquet(docsPath).repartition(32).persist()
+    println(s"[probe] mg over ${docs.count()} docs ($docsPath)")
+    val cap = 256
+    def grams = docs.select(
+      explode(shingles(col("text"), 3)).as("g"))
+    println("[probe] MG physical plan:\n" +
+      TextProfile.heavyNgrams(docs, "text", 3, cap).queryExecution
+        .executedPlan.toString.linesIterator
+        .map(_.take(140)).take(18).mkString("\n"))
+    for (round <- 1 to 2) { // round 1 = warmup (JIT, page cache)
+      if (round == 2) println("[probe] --- timed round ---")
+      measure("control: explode + global count (no per-gram state)")(
+        grams.agg(count(lit(1)).as("n")))
+      measure(s"exact groupBy top-$cap")(
+        grams.groupBy($"g").agg(count(lit(1)).as("c"))
+          .orderBy($"c".desc, $"g").limit(cap))
+      measure("MG mutable buffer (shipped)")(
+        TextProfile.heavyNgrams(docs, "text", 3, cap))
+      measure("MG immutable buffer (r12 shape)")(
+        grams.as[String].select(ImmutableMG(cap).toColumn.name("mg"))
+          .select(explode($"mg").as(Seq("gram", "est_count"))))
     }
   }
 

@@ -115,44 +115,65 @@ object Aggregators {
    * for capacity insertions). merge: sum shared counters, then apply the
    * mergeable-MG rule — subtract the (capacity+1)-th largest combined
    * count from everything and drop non-positives.
+   *
+   * Buffer representation: a MUTABLE HashMap updated in place (the
+   * [[VectorMean]] discipline — typed aggregation keeps the buffer as a
+   * live object between rows, so per-item work is one hash probe +
+   * in-place bump, not an immutable-Map rebuild; the r12 version paid a
+   * full map allocation per item on the hot reduce path). The kryo
+   * buffer encoder matters only at partial→final boundaries and spills —
+   * exactly where a summary should pay its serialization, once per
+   * partition rather than per row. Measured in `graft.Probe mg`
+   * (SURVEY §6).
    */
   final case class MisraGries(capacity: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Map[String, Long]] {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    import scala.collection.mutable
 
-    override def zero: Map[String, Long] = Map.empty
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
-    override def reduce(b: Map[String, Long], g: String): Map[String, Long] =
+    override def reduce(b: mutable.HashMap[String, Long],
+                        g: String): mutable.HashMap[String, Long] = {
       b.get(g) match {
-        case Some(c) => b.updated(g, c + 1L)
-        case None if b.size < capacity => b.updated(g, 1L)
+        case Some(c) => b.update(g, c + 1L)
+        case None if b.size < capacity => b.update(g, 1L)
         case None =>
-          b.iterator.foldLeft(Map.newBuilder[String, Long]) {
-            case (out, (k, c)) => if (c > 1L) out += (k -> (c - 1L)); out
-          }.result()
+          // decrement-all round; each such round pays for `capacity`
+          // earlier O(1) insertions (the classic amortization)
+          b.mapValuesInPlace((_, c) => c - 1L)
+          b.filterInPlace((_, c) => c > 0L)
+          ()
       }
-
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-      if (a.isEmpty) return b
-      if (b.isEmpty) return a
-      val combined = b.foldLeft(a) { case (acc, (k, c)) =>
-        acc.updated(k, acc.getOrElse(k, 0L) + c)
-      }
-      if (combined.size <= capacity) combined
-      else {
-        // the (capacity+1)-th largest combined count is the subtrahend
-        val thresh = combined.valuesIterator.toArray
-          .sorted(Ordering[Long].reverse)(capacity)
-        combined.iterator.foldLeft(Map.newBuilder[String, Long]) {
-          case (out, (k, c)) => if (c > thresh) out += (k -> (c - thresh)); out
-        }.result()
-      }
+      b
     }
 
-    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def merge(a: mutable.HashMap[String, Long],
+                       b: mutable.HashMap[String, Long])
+        : mutable.HashMap[String, Long] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+      small.foreach { case (k, c) =>
+        big.update(k, big.getOrElse(k, 0L) + c)
+      }
+      if (big.size > capacity) {
+        // the (capacity+1)-th largest combined count is the subtrahend
+        val vals = big.values.toArray
+        java.util.Arrays.sort(vals)
+        val thresh = vals(vals.length - (capacity + 1))
+        big.mapValuesInPlace((_, c) => c - thresh)
+        big.filterInPlace((_, c) => c > 0L)
+      }
+      big
+    }
 
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def finish(r: mutable.HashMap[String, Long]): Map[String, Long] =
+      r.toMap
+
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
     override def outputEncoder: Encoder[Map[String, Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   }
