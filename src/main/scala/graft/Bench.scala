@@ -68,7 +68,8 @@ object Bench {
     "q140_training_order", "q141_leakage_safe_splits", "q142_dsir_topk",
     "q143_ingest_pipeline", "q144_tokenizer_fertility", "q145_heavy_ngrams",
     "q146_lsh_store_ingest", "q147_semdedup_store_ingest",
-    "q148_index_retract", "q149_codestore_retract")
+    "q148_index_retract", "q149_codestore_retract",
+    "q150_strip_boilerplate")
 
   private val RUNS = 5
 

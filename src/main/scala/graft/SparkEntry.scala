@@ -2737,6 +2737,31 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Detected-boilerplate REMOVAL ([[operators.TextProfile.stripBoilerplate]]
+    * — q145's detection composed into q130's strip): a deterministic
+    * boilerplate sentence is planted on half the corpus IN-PLAN (the C4
+    * scenario — a footer shared across a crawl — expressed so the oracle
+    * can mirror it), the heavy-trigram phrases are detected one-pass
+    * (Misra–Gries) and confirmed exact, and every occurrence is stripped.
+    * FULL DuckDB oracle: the phrase set and the rebuilt text are both
+    * recomputed from exact counts — the MG stage must change nothing
+    * (the determinism contract boilerplatePhrases enforces). */
+  private def q150_strip_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val planted = operators.OpCache.track(docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        trim(concat(coalesce(col("text"), lit("")),
+          lit(" subscribe to our newsletter now"))))
+        .otherwise(coalesce(col("text"), lit(""))).as("text"))
+      .persist())
+    // threshold well above the planted-phrase count's noise floor AND the
+    // MG bound (N/(cap+1) ≈ 110 at 500 docs): 2/5 of the doc count
+    val minCount = planted.count() * 2 / 5
+    operators.TextProfile.stripBoilerplate(planted, "text", "doc_id",
+        n = 3, capacity = 256, minCount = minCount)
+      .orderBy(col("doc_id"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2910,6 +2935,7 @@ object SparkEntry {
     "q147_semdedup_store_ingest" -> q147_semdedup_store_ingest _,
     "q148_index_retract" -> q148_index_retract _,
     "q149_codestore_retract" -> q149_codestore_retract _,
+    "q150_strip_boilerplate" -> q150_strip_boilerplate _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4665,5 +4691,58 @@ object SparkEntry {
         |  ('codestore_retract_nonempty', CAST(1.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q150 recomputes the whole boilerplate-removal composition from
+    // exact counts: the planted footer, the stride-1 trigram windows
+    // (whole-text window for short docs, shingles' contract), the
+    // exact-count phrase cut (2/5 of the doc count, matching the
+    // query's minCount), covered-position union, and the token-by-token
+    // rebuild (q130's machinery). The MG detection stage must be
+    // invisible here - that is the determinism contract.
+    "q150_strip_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN trim(coalesce(text, '') ||
+        |                   ' subscribe to our newsletter now')
+        |         ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM d),
+        |win AS (
+        |  SELECT doc_id, 0 AS pos, len(w) AS pend,
+        |    array_to_string(w, ' ') AS g
+        |  FROM t WHERE len(w) <= 3
+        |  UNION ALL
+        |  SELECT doc_id, pos, pos + 3 AS pend,
+        |    array_to_string(w[pos + 1 : pos + 3], ' ') AS g
+        |  FROM (SELECT doc_id, unnest(range(0, len(w) - 2)) AS pos, w
+        |        FROM t WHERE len(w) > 3) x),
+        |cnt AS (SELECT g, count(*) AS c FROM win GROUP BY g),
+        |ph AS (SELECT g FROM cnt
+        |       WHERE c >= (SELECT (count(*) * 2) // 5 FROM documents)
+        |         AND g <> ''),
+        |cov AS (SELECT DISTINCT w2.doc_id,
+        |          unnest(range(w2.pos, w2.pend)) AS p
+        |        FROM win w2 JOIN ph USING (g)),
+        |toks AS (SELECT doc_id, unnest(range(0, len(w))) AS p, w
+        |         FROM t WHERE len(w) > 0),
+        |tok2 AS (SELECT doc_id, p, w[p + 1] AS tok FROM toks),
+        |keptt AS (
+        |  SELECT t2.doc_id, t2.p, t2.tok FROM tok2 t2
+        |  LEFT JOIN cov c ON t2.doc_id = c.doc_id AND t2.p = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM keptt GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -145,6 +145,104 @@ object TextProfile {
   }
 
   /**
+   * Corpus-wide boilerplate phrase set, detected with the one-pass
+   * Misra–Gries summary and CONFIRMED exact — the bridge between
+   * [[heavyNgrams]] (detection) and a deterministic removal decision.
+   * Returns the n-grams whose EXACT corpus-wide occurrence count is ≥
+   * `minCount`, found without ever shuffling the vocabulary:
+   *
+   *  1. one MG pass yields ≤ `capacity` candidates (bounded driver
+   *     artifact, the collected-model discipline of the DSIR ratios);
+   *  2. one confirm pass counts ONLY the candidates exactly (the
+   *     non-candidates collapse into a single overflow group), also
+   *     producing the total gram count N.
+   *
+   * Determinism contract: `minCount > N/(capacity+1)` is REQUIRED —
+   * above that threshold the MG guarantee makes every qualifying gram a
+   * candidate, so the confirmed set equals {g : exact(g) ≥ minCount}
+   * regardless of partitioning (the q150 oracle recomputes it from
+   * exact counts alone). Below it the detected set would depend on
+   * partition layout; the operator refuses loudly rather than return a
+   * nondeterministic phrase list. The empty shingle of a blank document
+   * is never a phrase.
+   */
+  def boilerplatePhrases(df: DataFrame, textCol: String, n: Int,
+                         capacity: Int, minCount: Long): Seq[String] = {
+    import df.sparkSession.implicits._
+    val candidates = heavyNgrams(df, textCol, n, capacity)
+      .select(col("gram")).as[String].collect().toSeq
+    if (candidates.isEmpty) return Seq.empty
+    val confirm = df
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+      .groupBy(when(col("g").isInCollection(candidates), col("g")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val total = confirm.map(_.getLong(1)).sum
+    val err = total / (capacity + 1)
+    require(minCount > err,
+      s"boilerplatePhrases: minCount ($minCount) must exceed " +
+        s"N/(capacity+1) = $err for a deterministic phrase set — " +
+        "raise minCount or capacity")
+    confirm.filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty &&
+        r.getLong(1) >= minCount)
+      .map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Token spans covered by any occurrence of the given phrases — the
+    * span frame [[graft.operators.Dedup.stripSpans]] consumes: (idCol,
+    * span_start, span_end), token-indexed, [[TextFunctions.shingles]]'s
+    * window semantics exactly (sliding n-windows; a ≤n-token document
+    * is one whole-text window). Pure per-row codegen'd expressions —
+    * the phrase list is a literal array, so the detection stage adds
+    * ZERO shuffles to the plan. */
+  def phraseSpans(df: DataFrame, textCol: String, idCol: String, n: Int,
+                  phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phraseSpans: empty phrase list")
+    val phr = array(phrases.map(lit): _*)
+    val toks = TextFunctions.tokens(col(textCol))
+    val nTok = size(toks)
+    val positions =
+      when(nTok === 0, array().cast("array<int>"))
+        .when(nTok <= n,
+          when(array_contains(phr, array_join(toks, " ")),
+            array(lit(0))).otherwise(array().cast("array<int>")))
+        .otherwise(filter(sequence(lit(0), nTok - n),
+          i => array_contains(phr,
+            array_join(slice(toks, i + 1, lit(n)), " "))))
+    df.select(col(idCol), nTok.as("__nt"), explode(positions).as("__p"))
+      .select(col(idCol), col("__p").as("span_start"),
+        when(col("__nt") <= n, col("__nt"))
+          .otherwise(col("__p") + n).as("span_end"))
+  }
+
+  /**
+   * C4-style boilerplate removal, composed end-to-end (the q130
+   * composition applied to q145's detection): detect the corpus's heavy
+   * n-grams one-pass ([[boilerplatePhrases]] — MG summary + exact
+   * confirm, deterministic above the MG error bound), then strip every
+   * occurrence from every document
+   * ([[phraseSpans]] → [[graft.operators.Dedup.stripSpans]]). Output:
+   * (idCol, text_clean, n_tokens, n_kept), one row per input document
+   * (q150 oracle-gated: the rebuilt text itself is recomputed from
+   * exact counts in DuckDB).
+   *
+   * Scale shape: two gram passes that shuffle one bounded summary / one
+   * candidate-count row set, a ≤capacity driver artifact, and a pure
+   * map-side strip — document text never enters any exchange.
+   */
+  def stripBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, capacity: Int, minCount: Long): DataFrame = {
+    val phrases = boilerplatePhrases(df, textCol, n, capacity, minCount)
+    if (phrases.isEmpty)
+      Dedup.stripSpans(df,
+        df.select(col(idCol), lit(0).as("span_start"), lit(0).as("span_end"))
+          .limit(0), textCol, idCol)
+    else
+      Dedup.stripSpans(df, phraseSpans(df, textCol, idCol, n, phrases),
+        textCol, idCol)
+  }
+
+  /**
    * Per-source corpus data card — the summary table a curation run
    * publishes next to the corpus (Gebru et al. 2021 "Datasheets for
    * Datasets", Bender & Friedman 2018 "Data Statements"): document and
