@@ -1964,7 +1964,7 @@ object SparkEntry {
     * for. */
   private def q120_funnel_conversion(s: SparkSession, dir: String): DataFrame =
     operators.Funnel.conversion(events(s, dir), "user_id", "event_type",
-        "ts", Seq("view", "click", "purchase"))
+        "ts", Seq("view", "click", "purchase"), approxMedian = false)
       .orderBy(col("stage_idx"))
 
   /** Offset-robust exact substring dedup: every ≥5-token passage that
@@ -2762,6 +2762,24 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The data card, extended with the two columns a datasheet consumer
+    * asks for next (r12 advice #8): per-source NEAR-dup rate (exact
+    * n-gram-Jaccard tier here so the card stays exactly recomputable;
+    * production serves the same pairs off the LSH store) and
+    * eval-CONTAMINATION rate (q122's stride-window machinery, eval
+    * slice doc_id % 50 == 7). FULL DuckDB oracle — every column of the
+    * card, including both new rates, recomputed from raw definitions. */
+  private def q151_datacard_ext(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val isEval = pmod(col("doc_id"), lit(50)) === 7
+    val corpus = operators.OpCache.track(docs.filter(!isEval).persist())
+    val pairs = Dedup.jaccardSelfJoin(corpus, "text", "doc_id",
+      shingleK = 3, threshold = 0.6)
+    operators.TextProfile.corpusReportExt(corpus, "text", "doc_id",
+        "source", "lang", pairs, docs.filter(isEval), minTokens = 4)
+      .orderBy(col("source"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2936,6 +2954,7 @@ object SparkEntry {
     "q148_index_retract" -> q148_index_retract _,
     "q149_codestore_retract" -> q149_codestore_retract _,
     "q150_strip_boilerplate" -> q150_strip_boilerplate _,
+    "q151_datacard_ext" -> q151_datacard_ext _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4744,5 +4763,68 @@ object SparkEntry {
         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // q151 recomputes the EXTENDED card from raw definitions: q139's
+    // card columns over the non-eval corpus, the exact-Jaccard near-dup
+    // id set (q50's CTEs), and the stride-window contamination id set
+    // (q122's CTEs), each attributed per source.
+    "q151_datacard_ext" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, lang, n_tok, $qualityExprSql AS quality,
+         |    md5($normSql) AS fp
+         |  FROM (${qualityRawSql("doc_id, source, lang, text")}) raw
+         |  WHERE doc_id % 50 != 7),
+         |base AS (
+         |  SELECT source,
+         |    count(*) AS n_docs,
+         |    count(DISTINCT fp)::BIGINT AS n_uniq,
+         |    round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 4) AS dup_frac,
+         |    sum(n_tok)::BIGINT AS total_tokens,
+         |    round(avg(n_tok), 2) AS avg_tokens,
+         |    count(DISTINCT lang)::BIGINT AS n_langs,
+         |    round(avg(quality), 4) AS avg_quality,
+         |    round(avg(CASE WHEN quality >= 0.8 THEN 1.0 ELSE 0.0 END), 4)
+         |      AS hi_quality_frac
+         |  FROM q GROUP BY source),
+         |tok AS (SELECT doc_id, source, $toksSql AS w FROM documents
+         |        WHERE doc_id % 50 != 7),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok),
+         |pr AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+         |nd AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT ia AS doc_id FROM pr UNION ALL SELECT ib AS doc_id FROM pr)),
+         |ndc AS (SELECT t.source, count(*) AS ndocs
+         |        FROM nd JOIN tok t USING (doc_id) GROUP BY t.source),
+         |d2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+         |    END AS w
+         |  FROM documents),
+         |twn AS (
+         |  SELECT doc_id, unnest(range(0, len(w) - 3)) AS pos, w
+         |  FROM d2 WHERE len(w) >= 4 AND doc_id % 50 != 7),
+         |es AS (
+         |  SELECT DISTINCT array_to_string(w[pos + 1 : pos + 4], ' ') AS s2
+         |  FROM (SELECT unnest(range(0, len(w) - 3)) AS pos, w
+         |        FROM d2 WHERE len(w) >= 4 AND doc_id % 50 = 7)),
+         |cd AS (SELECT DISTINCT doc_id FROM twn
+         |       WHERE array_to_string(w[pos + 1 : pos + 4], ' ')
+         |             IN (SELECT s2 FROM es)),
+         |cdc AS (SELECT t.source, count(*) AS cdocs
+         |        FROM cd JOIN tok t USING (doc_id) GROUP BY t.source)
+         |SELECT base.*,
+         |  round(coalesce(ndc.ndocs, 0)::DOUBLE / base.n_docs, 4)
+         |    AS near_dup_frac,
+         |  round(coalesce(cdc.cdocs, 0)::DOUBLE / base.n_docs, 4)
+         |    AS contam_frac
+         |FROM base LEFT JOIN ndc USING (source) LEFT JOIN cdc USING (source)
+         |ORDER BY source""".stripMargin,
   )
 }

@@ -458,6 +458,42 @@ object Dedup {
     lshVerifyBipartite(cands, bSigs, cSigs, numHashes, threshold)
   }
 
+  /**
+   * Corpus SELF near-dup pairs off a [[writeLshStore]] ingest store —
+   * the [[semDedupPairsFromStore]] analog for the LSH tier, completing
+   * its serving surface (batch-vs-store existed via
+   * [[minhashLshAgainstStore]]; this serves the standing corpus's own
+   * pair set, e.g. for [[graft.operators.TextProfile.corpusReportExt]]'s
+   * near-dup column, without re-shingling anything): the candidate
+   * stage SELF-joins the (band, bucket)-bucketed band store — both
+   * sides read co-located buckets, no exchange hashes on the band key —
+   * and verification attaches the id-bucketed signature store. Output:
+   * (id_a, id_b, est_jaccard), id_a < id_b — identical pairs to
+   * [[minhashLsh]] over the stored corpus at the same parameters
+   * (DedupSpec-gated).
+   */
+  def minhashLshPairsFromStore(spark: org.apache.spark.sql.SparkSession,
+      table: String, numHashes: Int = 64,
+      threshold: Double = 0.7): DataFrame = {
+    val bands = Layout.readTable(spark, s"${table}_bands").hint("merge")
+    val sigs = Layout.readTable(spark, s"${table}_sigs").hint("merge")
+    val cands = bands.alias("l").join(bands.alias("r"),
+        col("l.band") === col("r.band") &&
+          col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val withSigs = cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)).cast("double") / lit(numHashes)
+    withSigs.select(col("id_a"), col("id_b"),
+        round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Rows per duplicate-cluster of identical normalized text (cluster size
     * ≥ minSize), for corpus-duplication profiling. */
   def exactClusters(df: DataFrame, textCol: String, idCol: String,

@@ -72,19 +72,20 @@ object Funnel {
    * gaps only, stage count is policy-sized) and explodes the 1-row
    * result into |stages| rows driver-free.
    *
-   * Median modes: the default EXACT `percentile` holds the distinct
-   * per-user gap values in its aggregation buffer, whose final merge
-   * lands on one task — data-sized state, fine up to millions of users
-   * (the small-cardinality mode, and the cross-engine oracle form) but
-   * the very thing a 10⁹-user profile job must avoid. Set
-   * `approxMedian = true` for the production form: the mergeable
-   * `approx_percentile` sketch bounds every buffer at O(accuracy)
-   * regardless of user count — same one-pass plan, rank error
-   * ≤ 1/accuracy (gated against exact at fixture scale by q128).
+   * Median modes — the DEFAULT is the at-scale form: `approxMedian =
+   * true` uses the mergeable `approx_percentile` sketch, which bounds
+   * every aggregation buffer at O(accuracy) regardless of user count —
+   * same one-pass plan, rank error ≤ 1/accuracy (gated against exact at
+   * fixture scale by q128). Set `approxMedian = false` for the EXACT
+   * `percentile` (the cross-engine oracle form, and fine up to millions
+   * of users): it holds the distinct per-user gap values in its buffer,
+   * whose final merge lands on ONE task — data-sized state, the very
+   * thing a 10⁹-user profile job must avoid, which is why exact is the
+   * opt-in rather than the default.
    */
   def conversion(df: DataFrame, userCol: String, typeCol: String,
                  tsCol: String, stages: Seq[String],
-                 approxMedian: Boolean = false,
+                 approxMedian: Boolean = true,
                  approxAccuracy: Int = 10000): DataFrame = {
     val f = funnel(df, userCol, typeCol, tsCol, stages)
     val medFn = if (approxMedian) "approx_percentile" else "percentile"

@@ -284,6 +284,58 @@ object TextProfile {
   }
 
   /**
+   * [[corpusReport]] extended with the two columns a datasheet consumer
+   * asks for next (Gebru et al. 2021 §3.4's redundancy and
+   * contamination disclosures): per-source NEAR-duplicate rate and
+   * eval-CONTAMINATION rate.
+   *
+   *  - `near_dup_frac`: fraction of the source's docs appearing in ≥ 1
+   *    pair of `nearDupPairs` — a tier-agnostic (id_a, id_b) frame, so
+   *    the caller picks the tier: in production serve it off the LSH
+   *    ingest store ([[graft.operators.Dedup.minhashLshAgainstStore]] /
+   *    [[graft.operators.Dedup.minhashLsh]] — store-served composition
+   *    DedupSpec-gated); the q151 gate feeds the exact n-gram-Jaccard
+   *    tier ([[graft.operators.Dedup.jaccardSelfJoin]]) so the whole
+   *    card stays exactly recomputable, the [[corpusReport]] discipline
+   *    ("the card is the artifact downstream teams trust").
+   *  - `contam_frac`: fraction of the source's docs sharing ≥ 1
+   *    `minTokens`-token window with `eval` at any offset
+   *    ([[graft.operators.Dedup.substringContamination]], q122's
+   *    machinery).
+   *
+   * Scale shape: the base card's one pass, plus two id-only semi-joins
+   * aggregated to |sources| rows — the expensive pair/window work
+   * happens in the operators the caller already runs for dedup and
+   * decontamination; the card just attributes their outputs per source.
+   */
+  def corpusReportExt(df: DataFrame, textCol: String, idCol: String,
+                      srcCol: String, langCol: String,
+                      nearDupPairs: DataFrame, eval: DataFrame,
+                      minTokens: Int): DataFrame = {
+    val base = corpusReport(df, textCol, srcCol, langCol)
+    val ids = df.select(col(idCol).as("__id"),
+      col(srcCol).cast("string").as("source"))
+    val dupIds = nearDupPairs.select(col("id_a").as("__id"))
+      .unionByName(nearDupPairs.select(col("id_b").as("__id"))).distinct()
+    val nd = ids.join(dupIds, Seq("__id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("__nd"))
+    val contamIds = Dedup.substringContamination(df, eval, textCol, idCol,
+      minTokens).select(col(idCol).as("__id"))
+    val ct = ids.join(contamIds, Seq("__id"), "left_semi")
+      .groupBy(col("source")).agg(count(lit(1)).as("__ct"))
+    base
+      .join(nd, Seq("source"), "left")
+      .join(ct, Seq("source"), "left")
+      .withColumn("near_dup_frac",
+        round(coalesce(col("__nd"), lit(0L)).cast("double") /
+          col("n_docs"), 4))
+      .withColumn("contam_frac",
+        round(coalesce(col("__ct"), lit(0L)).cast("double") /
+          col("n_docs"), 4))
+      .drop("__nd", "__ct")
+  }
+
+  /**
    * CCNet-style LM quality score (Wenzek et al. 2020, "CCNet: Extracting
    * High Quality Monolingual Datasets from Web Crawl Data" — public): an
    * add-one-smoothed bigram language model is trained on a REFERENCE slice

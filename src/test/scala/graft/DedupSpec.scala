@@ -709,6 +709,47 @@ class DedupSpec extends SparkSpec {
     OpCache.release()
   }
 
+  test("minhashLshPairsFromStore equals the in-plan self pairs and feeds the data card") {
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"dedupspec_lshself_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val corpus = docs.filter($"doc_id" < 1500)
+    Dedup.writeLshStore(corpus, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 4)
+    val stored = Dedup.minhashLshPairsFromStore(spark, tbl,
+        numHashes = 64, threshold = 0.5)
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val adhoc = Dedup.minhashLsh(corpus, "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .select($"id_a", $"id_b", $"est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored == adhoc,
+      s"missing=${adhoc -- stored}, extra=${stored -- adhoc}")
+    assert(stored.nonEmpty, "fixture should contain planted near-dups")
+    // the production composition the corpusReportExt scaladoc names:
+    // store-served pairs drive the card's near-dup column
+    val card = graft.operators.TextProfile.corpusReportExt(corpus, "text",
+        "doc_id", "source", "lang",
+        Dedup.minhashLshPairsFromStore(spark, tbl, 64, 0.5),
+        corpus.limit(0), minTokens = 4)
+      .select($"source", $"near_dup_frac").as[(String, Double)]
+      .collect().toMap
+    val dupIds = stored.flatMap(p => Seq(p._1, p._2))
+    val bySource = corpus.select($"doc_id", $"source")
+      .as[(Long, String)].collect()
+    bySource.map(_._2).distinct.foreach { src =>
+      val n = bySource.count(_._2 == src)
+      val nd = bySource.count(r => r._2 == src && dupIds.contains(r._1))
+      val want = BigDecimal(nd.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(card(src) - want) < 1e-9,
+        s"source $src: card ${card(src)} vs recomputed $want")
+    }
+    OpCache.release()
+  }
+
   test("ingestBatchSemDedup: append visible, idempotent, equals the one-shot store") {
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val tbl = s"dedupspec_seming_$pid"

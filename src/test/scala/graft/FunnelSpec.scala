@@ -61,8 +61,10 @@ class FunnelSpec extends SparkSpec {
       // user 4: no funnel event → counts toward n_total only
       (4L, "error", ts("2024-01-01 00:00:00")))
       .toDF("user_id", "event_type", "ts")
+    // exact mode: this test pins the interpolated-median semantics the
+    // DuckDB oracle shares (the default is the approx sketch, q128-gated)
     val got = Funnel.conversion(ev, "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"))
+        Seq("view", "click", "purchase"), approxMedian = false)
       .orderBy($"stage_idx").collect()
     assert(got.length == 3)
     val view = got(0); val click = got(1); val purchase = got(2)
