@@ -69,7 +69,8 @@ object Bench {
     "q143_ingest_pipeline", "q144_tokenizer_fertility", "q145_heavy_ngrams",
     "q146_lsh_store_ingest", "q147_semdedup_store_ingest",
     "q148_index_retract", "q149_codestore_retract",
-    "q150_strip_boilerplate", "q151_datacard_ext")
+    "q150_strip_boilerplate", "q151_datacard_ext",
+    "q152_decontaminated_splits", "q153_repeat_plan")
 
   private val RUNS = 5
 

@@ -2780,6 +2780,36 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Split-internal decontamination ([[operators.Curate.decontaminateSplits]]
+    * — q141 hardened against PARTIAL overlap): content-keyed splits close
+    * the exact-duplicate leak by construction, but a train doc sharing a
+    * ≥4-token passage with a val/test doc still leaks; those train docs
+    * are relabeled `quarantined` (rows never dropped). FULL DuckDB oracle:
+    * base split CASE (q141) + stride-window contamination between the
+    * split partitions (q122) + the relabel, recomputed from scratch. */
+  private def q152_decontaminated_splits(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.decontaminateSplits(parallelize(t(s, dir, "documents")),
+        "text", "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        minTokens = 4)
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Data-constrained repeat planner ([[operators.Curate.repeatPlan]],
+    * Muennighoff et al. 2023): per-language epochs/repeat decomposition
+    * for a 200k-token budget against the corpus's available tokens, with
+    * the diminishing-returns cap flagged at 8 epochs. Pure arithmetic
+    * over a |langs|-row aggregate — FULL DuckDB oracle. */
+  private def q153_repeat_plan(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.repeatPlan(
+        parallelize(t(s, dir, "documents"))
+          .select(col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+        "lang", "n_tok", budgetTokens = 200000L,
+        weights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15,
+          "fr" -> 0.1, "zh" -> 0.05),
+        maxEpochs = 8.0)
+      .orderBy(col("stratum"))
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2955,6 +2985,8 @@ object SparkEntry {
     "q149_codestore_retract" -> q149_codestore_retract _,
     "q150_strip_boilerplate" -> q150_strip_boilerplate _,
     "q151_datacard_ext" -> q151_datacard_ext _,
+    "q152_decontaminated_splits" -> q152_decontaminated_splits _,
+    "q153_repeat_plan" -> q153_repeat_plan _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4826,5 +4858,60 @@ object SparkEntry {
          |    AS contam_frac
          |FROM base LEFT JOIN ndc USING (source) LEFT JOIN cdc USING (source)
          |ORDER BY source""".stripMargin,
+    // q152 recomputes the hardened split assignment: q141's content-keyed
+    // CASE, then q122's stride-window contamination between the resulting
+    // split partitions, then the quarantine relabel.
+    "q152_decontaminated_splits" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN substr(md5($normSql), 1, 8) < 'cccccccc' THEN 'train'
+         |         WHEN substr(md5($normSql), 1, 8) < 'e6666666' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, split,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(coalesce(text, '')), '\\s+')
+         |    END AS w
+         |  FROM base),
+         |tw AS (
+         |  SELECT doc_id, unnest(range(0, len(w) - 3)) AS pos, w
+         |  FROM d WHERE len(w) >= 4 AND split = 'train'),
+         |es AS (
+         |  SELECT DISTINCT array_to_string(w[pos + 1 : pos + 4], ' ') AS s2
+         |  FROM (SELECT unnest(range(0, len(w) - 3)) AS pos, w
+         |        FROM d WHERE len(w) >= 4 AND split != 'train')),
+         |cid AS (SELECT DISTINCT doc_id FROM tw
+         |        WHERE array_to_string(w[pos + 1 : pos + 4], ' ')
+         |              IN (SELECT s2 FROM es))
+         |SELECT b.doc_id,
+         |  CASE WHEN b.split = 'train' AND b.doc_id IN (SELECT doc_id FROM cid)
+         |       THEN 'quarantined' ELSE b.split END AS split
+         |FROM base b ORDER BY b.doc_id""".stripMargin,
+    // q153 recomputes the repeat plan's arithmetic from the token counts:
+    // same double-precision floor/divide on both engines.
+    "q153_repeat_plan" ->
+      s"""WITH t AS (
+         |  SELECT lang AS stratum,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len($toksSql) END AS n_tok
+         |  FROM documents),
+         |a AS (SELECT stratum, sum(n_tok)::BIGINT AS available_tokens
+         |      FROM t GROUP BY stratum),
+         |w AS (SELECT stratum, available_tokens,
+         |        CASE stratum WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.5
+         |          WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05
+         |          ELSE 0.0 END AS weight
+         |      FROM a)
+         |SELECT stratum, available_tokens, weight,
+         |  CAST(floor(200000 * weight) AS BIGINT) AS target_tokens,
+         |  round(floor(200000 * weight) / available_tokens, 4) AS epochs,
+         |  CAST(floor(floor(200000 * weight) / available_tokens) AS BIGINT)
+         |    AS full_repeats,
+         |  round(floor(200000 * weight) / available_tokens -
+         |        floor(floor(200000 * weight) / available_tokens), 4)
+         |    AS partial_fraction,
+         |  floor(200000 * weight) / available_tokens > 8.0 AS capped
+         |FROM w ORDER BY stratum""".stripMargin,
   )
 }

@@ -115,6 +115,116 @@ object Curate {
       substring(graft.functions.TextFunctions.fingerprint(col(textCol)), 1, 8),
       splits))
 
+  /**
+   * [[leakageSafeSplits]] hardened against PARTIAL overlap — the leakage
+   * class content-keyed splits cannot close: exact duplicates co-split by
+   * construction, but a train document QUOTING a held-out document (a
+   * shared passage ≥ `minTokens` tokens at any offset) still leaks
+   * evaluation text into training. This runs the content-keyed
+   * assignment, then checks every train-split document against the
+   * held-out splits with [[Dedup.substringContamination]]'s stride
+   * windows and relabels contaminated train docs `quarantined` — rows
+   * are never dropped, so corpus accounting holds and the quarantine is
+   * auditable. The FIRST entry of `splits` is the training split; all
+   * others are held out.
+   *
+   * Scale shape: the assignment is pure expressions (zero shuffles); the
+   * contamination check is one equi semi-join on 128-bit window hash
+   * lanes (document text never shuffles — q122's shape) plus an id-keyed
+   * relabel join. Output: (input columns, split).
+   */
+  def decontaminateSplits(df: DataFrame, textCol: String, idCol: String,
+                          splits: Seq[(String, Double)],
+                          minTokens: Int): DataFrame = {
+    require(splits.size >= 2,
+      "decontaminateSplits needs a train split and at least one held-out split")
+    val trainName = splits.head._1
+    val assigned = OpCache.track(
+      leakageSafeSplits(df, textCol, splits).persist())
+    val contamIds = graft.operators.Dedup.substringContamination(
+        assigned.filter(col("split") === trainName),
+        assigned.filter(col("split") =!= trainName),
+        textCol, idCol, minTokens)
+      .select(col(idCol), lit(1).as("__graft_contam"))
+    assigned.join(contamIds, Seq(idCol), "left")
+      .withColumn("split",
+        when(col("__graft_contam").isNotNull && col("split") === trainName,
+          lit("quarantined")).otherwise(col("split")))
+      .drop("__graft_contam")
+  }
+
+  /**
+   * Data-constrained repeat planner (Muennighoff et al. 2023, "Scaling
+   * Data-Constrained Language Models" — public): when the training-token
+   * budget EXCEEDS the corpus, the mixing question flips from "how much
+   * do I sample down" ([[mixingRates]]) to "how many epochs of each
+   * source do I run". Given per-stratum available tokens, target mixture
+   * `weights`, and a total `budgetTokens`, emits one row per stratum:
+   * target tokens, fractional epochs, the integer/partial repeat
+   * decomposition the materializer consumes, and a `capped` flag when
+   * epochs exceed `maxEpochs` (the paper's diminishing-returns regime —
+   * past ~4 epochs repeated data is worth less than fresh, past ~16
+   * close to nothing; the planner FLAGS rather than silently reallocates,
+   * because reallocation is a policy decision).
+   *
+   * Pure arithmetic over a |strata|-row aggregate — exactly recomputable
+   * (q153 full oracle). Strata missing from `weights` plan zero tokens.
+   */
+  def repeatPlan(df: DataFrame, stratumCol: String, tokenCol: String,
+                 budgetTokens: Long, weights: Map[String, Double],
+                 maxEpochs: Double = 16.0): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val avail = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(col(tokenCol)).cast("long").as("available_tokens"))
+    val w = caseOver(col("stratum"),
+      weights.map { case (k, v) => k -> lit(v) }, lit(0.0))
+    avail
+      .withColumn("weight", w)
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("epochs", round(
+        col("target_tokens").cast("double") / col("available_tokens"), 4))
+      .withColumn("full_repeats", floor(
+        col("target_tokens").cast("double") / col("available_tokens"))
+        .cast("long"))
+      .withColumn("partial_fraction", round(
+        col("target_tokens").cast("double") / col("available_tokens") -
+          col("full_repeats"), 4))
+      .withColumn("capped",
+        col("target_tokens").cast("double") / col("available_tokens") >
+          maxEpochs)
+  }
+
+  /**
+   * Materialize a [[repeatPlan]]: every document appears `full_repeats`
+   * times plus once more iff it falls in its stratum's deterministic
+   * `partial_fraction` sample ([[sampleKey]] threshold — same doc set on
+   * any cluster, any run; the partial epoch is a genuine uniform subset,
+   * not a truncation). Output: input columns + `repeat_idx` (1-based).
+   * The plan is |strata|-sized and broadcasts; the explode is the
+   * unavoidable output-sized fan-out (you asked for budget > corpus),
+   * and the token accounting of the result is CurateSpec-gated:
+   * per-stratum materialized tokens land within one document of
+   * `full_repeats`-exact plus a fraction-proportional partial.
+   */
+  def materializeRepeats(df: DataFrame, plan: DataFrame,
+                         stratumCol: String, idCol: String): DataFrame = {
+    val p = broadcast(plan.select(
+      col("stratum"), col("full_repeats"), col("partial_fraction")))
+    // the 8-hex sampleKey as a uniform draw in [0, 2^32): per-row numeric
+    // threshold (partial_fraction is a COLUMN here, so the driver-side
+    // thresholdHex literal the rate-based samplers use doesn't apply)
+    val inPartial = conv(sampleKey(col(idCol)), 16, 10).cast("double") <
+      col("partial_fraction") * 4294967296.0
+    df.join(p, df(stratumCol).cast("string") === p("stratum"))
+      .withColumn("__graft_reps",
+        col("full_repeats") + when(inPartial, 1L).otherwise(0L))
+      .filter(col("__graft_reps") > 0)
+      .withColumn("repeat_idx",
+        explode(sequence(lit(1L), col("__graft_reps"))))
+      .drop("stratum", "full_repeats", "partial_fraction", "__graft_reps")
+  }
+
   /** CASE WHEN key = k THEN v ... ELSE default END, branches in sorted key
     * order (deterministic expression tree regardless of Map iteration). */
   private def caseOver(key: Column, mapping: Map[String, Column],

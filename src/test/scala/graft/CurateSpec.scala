@@ -521,4 +521,72 @@ class CurateSpec extends SparkSpec {
         (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
     rows.foreach { case (id, _, _) => assert(again(id) == got(id)._3, s"$id") }
   }
+
+  test("decontaminateSplits quarantines exactly the cross-split contaminated train docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curate.decontaminateSplits(docs, "text", "doc_id", splits,
+        minTokens = 4)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    // independent recomposition: base assignment + contamination check
+    val base = Curate.leakageSafeSplits(docs, "text", splits)
+    val baseM = base.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    val contam = graft.operators.Dedup.substringContamination(
+        base.filter($"split" === "train"), base.filter($"split" =!= "train"),
+        "text", "doc_id", minTokens = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.size == baseM.size, "rows were dropped")
+    baseM.foreach { case (id, sp) =>
+      val want = if (sp == "train" && contam(id)) "quarantined" else sp
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want (base $sp)")
+    }
+    // the fixture's planted near-dups straddle splits, so the quarantine
+    // genuinely fires (an exact dup never does - it co-splits)
+    assert(got.values.exists(_ == "quarantined"),
+      "expected at least one quarantined doc on the fixture")
+    graft.operators.OpCache.release()
+  }
+
+  test("repeatPlan arithmetic and materializeRepeats token accounting") {
+    import spark.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, "a", 10L)) ++
+      (10 until 15).map(i => (i.toLong, "b", 10L))
+    val df = docs.toDF("doc_id", "stratum", "n_tok")
+    // a: 100 avail, target 200 -> exactly 2 epochs; b: 50 avail, target
+    // 125 -> 2.5 epochs (full 2, partial 0.5)
+    val plan = Curate.repeatPlan(df, "stratum", "n_tok", budgetTokens = 1000L,
+      weights = Map("a" -> 0.2, "b" -> 0.125), maxEpochs = 2.2)
+    val rows = plan.select($"stratum", $"available_tokens", $"target_tokens",
+        $"full_repeats", $"partial_fraction", $"capped")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("a")._2 == 100L && rows("a")._3 == 200L)
+    assert(rows("a")._4 == 2L && rows("a")._5 == 0.0 && !rows("a")._6)
+    assert(rows("b")._2 == 50L && rows("b")._3 == 125L)
+    assert(rows("b")._4 == 2L && rows("b")._5 == 0.5 && rows("b")._6,
+      s"b: ${rows("b")} (2.5 epochs exceeds the 2.2 cap)")
+    // materialization: every a-doc exactly twice; b-docs twice plus the
+    // deterministic partial subset once more - recomputed driver-side
+    val out = Curate.materializeRepeats(df, plan, "stratum", "doc_id")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    def key(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    (0 until 10).foreach(i => assert(out(i.toLong) == 2L, s"a-doc $i"))
+    (10 until 15).foreach { i =>
+      val want = 2L + (if (key(i.toLong) < (0.5 * 4294967296.0).toLong) 1L else 0L)
+      assert(out(i.toLong) == want, s"b-doc $i: ${out(i.toLong)} vs $want")
+    }
+    // determinism: a second materialization is row-identical
+    val again = Curate.materializeRepeats(df, plan, "stratum", "doc_id")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == out)
+  }
 }
