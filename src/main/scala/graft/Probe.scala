@@ -114,8 +114,104 @@ object Probe {
           else Seq(2000L, 20000L, 200000L))
       case Some("mg") => mgRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
+      case Some("retract") => retractRun(
+        args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
+        args.drop(2).headOption
+          .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case _ => bandingRun()
     }
+  }
+
+  private def timed(label: String)(work: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    work
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    OpCache.release()
+  }
+
+  /** Retraction pricing (round 13, q148/q149): what does a takedown cost
+    * against each serving store, vs the rebuild it replaces?
+    *  - IVF-PQ code store ([[graft.operators.Quantize.removeFromCodeStore]]):
+    *    a SCATTERED 1% takedown (id-mod — hits nearly every cell, the
+    *    worst case for a per-partition rewrite) vs a CLUSTERED takedown
+    *    (every id of two cells — the O(affected cells) claim isolated)
+    *    vs `writeCodeStore` over the remaining corpus (the rebuild).
+    *  - BM25 index ([[graft.operators.Rank.removeFromIndex]]): the
+    *    O(index) bucket-preserving rewrite + exact stats decrement vs
+    *    `writeIndex` over the remaining corpus — the rewrite never
+    *    re-tokenizes, which is the whole delta. */
+  private def retractRun(n: Long, docsPath: String): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val dim = 64
+    val (m, subDim) = (16, 4)
+    val cells = math.max(16, (n / 1000).toInt)
+    val e = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sin(col("id") * i).cast("float")).as("embedding"))
+      .repartition(32)
+    val tmp = java.nio.file.Files.createTempDirectory("retract").toString
+    graft.operators.Similarity.trainCentroids(e, "embedding", "vec_id", cells)
+      .write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    graft.operators.Quantize.trainCodebook(e, "embedding", "vec_id", dim, m, 16)
+      .write.mode("overwrite").parquet(s"$tmp/cb")
+    OpCache.release()
+    val cents = spark.read.parquet(s"$tmp/cents")
+    val cb = spark.read.parquet(s"$tmp/cb")
+    def buildStore(path: String): Unit = {
+      graft.operators.Quantize.writeCodeStore(e, cents, cb, "embedding",
+        "vec_id", m, subDim, path)
+      OpCache.release()
+    }
+    timed(s"code store build (n=$n cells=$cells) — the rebuild unit")(
+      buildStore(s"$tmp/sA"))
+    buildStore(s"$tmp/sB")
+    val scattered = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      .select(col("vec_id"))
+    val store = graft.operators.Quantize.readCodeStore(spark, s"$tmp/sA")
+    val hit = store.join(scattered, Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().count()
+    timed(f"removeFromCodeStore SCATTERED 1%% ($hit of $cells cells hit)")(
+      graft.operators.Quantize.removeFromCodeStore(spark, s"$tmp/sA",
+        scattered, "vec_id"))
+    val sB = graft.operators.Quantize.readCodeStore(spark, s"$tmp/sB")
+    // the 2 most populous cells (literal cell ids can be empty — Lloyd
+    // cells are not uniformly occupied on synthetic vectors)
+    val topCells = sB.groupBy(col("cell")).count()
+      .orderBy(col("count").desc).limit(2)
+      .collect().map(_.get(0)).toSeq
+    val twoCells = sB.filter(col("cell").isInCollection(topCells))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    timed(s"removeFromCodeStore CLUSTERED (all ${twoCells.size} ids of 2 cells)")(
+      graft.operators.Quantize.removeFromCodeStore(spark, s"$tmp/sB",
+        spark.createDataFrame(Seq(twoCells: _*).map(Tuple1(_)))
+          .toDF("vec_id"), "vec_id"))
+    timed("code store FULL REBUILD over remaining corpus")(
+      graft.operators.Quantize.writeCodeStore(
+        e.join(scattered, Seq("vec_id"), "left_anti"), cents, cb,
+        "embedding", "vec_id", m, subDim, s"$tmp/sC"))
+    OpCache.release()
+    // --- BM25 index ---
+    val docs = spark.read.parquet(docsPath)
+      .filter(length(trim(col("text"))) > 0).repartition(32)
+    val tbl = s"probe_idx_${System.nanoTime()}"
+    timed(s"index build over $docsPath — the rebuild unit")(
+      graft.operators.Rank.writeIndex(docs, "text", "doc_id", tbl,
+        buckets = 32))
+    val removedDocs = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id"))
+    timed("removeFromIndex 1% takedown (rewrite, no re-tokenize)")(
+      graft.operators.Rank.removeFromIndex(spark, tbl, removedDocs,
+        "doc_id"))
+    timed("index FULL REBUILD over remaining corpus")(
+      graft.operators.Rank.writeIndex(
+        docs.join(removedDocs, Seq("doc_id"), "left_anti"),
+        "text", "doc_id", s"${tbl}_rb", buckets = 32))
+    Seq(tbl, s"${tbl}_stats", s"${tbl}_rb", s"${tbl}_rb_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    spark.stop()
   }
 
   /** The r12 MisraGries shape — immutable Map rebuilt per reduce item —

@@ -260,20 +260,26 @@ object Quantize {
    *  1. The affected cells are found with one id-projected scan
    *     (removal-batch-bounded driver list — the [[prunedCodeStore]]
    *     literal-pruning discipline).
-   *  2. Their survivors are materialized into an RDD BEFORE the write
-   *     (the [[graft.operators.Dedup.ingestBatch]] lesson: the write
-   *     must not read the directories it replaces).
-   *  3. One dynamic-partition-overwrite job replaces exactly the
-   *     affected `cell=` directories that still have rows; cells whose
-   *     EVERY row was removed get no written rows (dynamic overwrite
-   *     would silently keep their old files) and their directories are
-   *     deleted explicitly.
+   *  2. Their survivors are STAGED to a sibling directory first — the
+   *     overwrite must not read the directories it replaces, and for a
+   *     path-based store a staging write beats the RDD-materialize
+   *     snapshot the table-backed ingest paths use: the rows stay in
+   *     Tungsten end-to-end (measured: the RDD round-trip made a
+   *     69%-of-cells takedown SLOWER than a full rebuild; staged, it
+   *     prices at the data actually rewritten).
+   *  3. One dynamic-partition-overwrite job (reading the stage) replaces
+   *     exactly the affected `cell=` directories that still have rows;
+   *     cells whose EVERY row was removed get no written rows (dynamic
+   *     overwrite would silently keep their old files) and their
+   *     directories are deleted explicitly, as is the stage.
    *
    * Afterwards [[ivfPqTopKFromStore]] returns nothing for removed ids
    * and is identical to a store rebuilt from the remaining corpus
    * (QuantizeSpec-gated), and [[prunedCodeStore]]'s static partition
    * pruning is untouched (the layout is still one directory per cell).
-   * Cost is O(affected cells), not O(store).
+   * Cost is O(affected cells), not O(store) — `graft.Probe retract`
+   * prices both the clustered takedown (cells-proportional) and the
+   * fully scattered worst case (approaches rebuild, SURVEY §6).
    */
   def removeFromCodeStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, removedIds: DataFrame,
@@ -283,37 +289,45 @@ object Quantize {
     val affected = store.join(gone, Seq(idCol), "left_semi")
       .select(col("cell")).distinct().collect().map(_.get(0)).toSeq
     if (affected.isEmpty) return
-    val survivors = OpCache.materialize(
-      store.filter(col("cell").isInCollection(affected))
-        .join(gone, Seq(idCol), "left_anti"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = s"${path.stripSuffix("/")}__graft_retract"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    store.filter(col("cell").isInCollection(affected))
+      .join(gone, Seq(idCol), "left_anti")
+      .repartition(col("cell")) // one file per rewritten cell (store note)
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    val staged = spark.read.schema(store.schema).parquet(stage)
+    val remaining = staged.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSet
     // a retraction that leaves ZERO cells leaves an unreadable layout
     // (no files to infer a schema from) — refuse, like removeFromIndex
-    if (survivors.isEmpty) {
+    if (remaining.isEmpty) {
       val totalCells = store.select(col("cell")).distinct().count()
-      require(totalCells > affected.size,
-        "removeFromCodeStore: retraction would empty the store " +
-          "(drop the store directory instead)")
+      if (totalCells <= affected.size) {
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        throw new IllegalArgumentException(
+          "removeFromCodeStore: retraction would empty the store " +
+            "(drop the store directory instead)")
+      }
     }
     val conf = spark.conf
     val mode = "spark.sql.sources.partitionOverwriteMode"
     val prev = conf.getOption(mode)
     conf.set(mode, "dynamic")
-    try survivors
-      .repartition(col("cell")) // one file per rewritten cell (store note)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
-    finally prev match {
+    try {
+      if (remaining.nonEmpty)
+        staged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    } finally prev match {
       case Some(v) => conf.set(mode, v)
       case None => conf.unset(mode)
     }
     // fully-emptied cells: no written rows → dynamic overwrite left the
     // old directory — delete it (an empty cell has nothing to serve)
-    val remaining = survivors.select(col("cell")).distinct()
-      .collect().map(_.get(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     affected.filterNot(remaining).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** (query_id, cell) probe pairs: each query's nProbe nearest centroids
