@@ -70,7 +70,8 @@ object Bench {
     "q146_lsh_store_ingest", "q147_semdedup_store_ingest",
     "q148_index_retract", "q149_codestore_retract",
     "q150_strip_boilerplate", "q151_datacard_ext",
-    "q152_decontaminated_splits", "q153_repeat_plan")
+    "q152_decontaminated_splits", "q153_repeat_plan",
+    "q154_cluster_safe_splits", "q155_epoch_materialize")
 
   private val RUNS = 5
 

@@ -2810,6 +2810,44 @@ object SparkEntry {
         maxEpochs = 8.0)
       .orderBy(col("stratum"))
 
+  /** Near-dup-safe split assignment ([[operators.Curate.clusterSafeSplits]]
+    * — the proactive close of the leakage path q152 quarantines after
+    * the fact): every near-dup CLUSTER co-splits, keyed on its
+    * representative's content. Pairs from the exact-Jaccard tier here so
+    * the FULL DuckDB oracle can recompute everything: q50's pair CTEs,
+    * q86's recursive-CTE transitive closure, the representative's md5
+    * key, q141's interval CASE. */
+  private def q154_cluster_safe_splits(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val pairs = Dedup.jaccardSelfJoin(docs, "text", "doc_id",
+      shingleK = 3, threshold = 0.6)
+    operators.Curate.clusterSafeSplits(docs, "text", "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Epoch materialization ([[operators.Curate.materializeRepeats]] over
+    * q153's plan): the repeated training set itself — every doc
+    * `full_repeats` times plus the deterministic partial-epoch sample,
+    * with a 1-based repeat index. FULL DuckDB oracle: the plan's
+    * arithmetic, the per-stratum hex threshold (thresholdHex's
+    * floor(frac·2^32) form), and the range explode, all recomputed. */
+  private def q155_epoch_materialize(s: SparkSession, dir: String): DataFrame = {
+    val docs = operators.OpCache.track(parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .persist())
+    val plan = operators.Curate.repeatPlan(docs, "lang", "n_tok",
+      budgetTokens = 200000L,
+      weights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15,
+        "fr" -> 0.1, "zh" -> 0.05),
+      maxEpochs = 8.0)
+    operators.Curate.materializeRepeats(docs, plan, "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("repeat_idx"))
+      .orderBy(col("doc_id"), col("repeat_idx"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -2987,6 +3025,8 @@ object SparkEntry {
     "q151_datacard_ext" -> q151_datacard_ext _,
     "q152_decontaminated_splits" -> q152_decontaminated_splits _,
     "q153_repeat_plan" -> q153_repeat_plan _,
+    "q154_cluster_safe_splits" -> q154_cluster_safe_splits _,
+    "q155_epoch_materialize" -> q155_epoch_materialize _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4913,5 +4953,73 @@ object SparkEntry {
          |    AS partial_fraction,
          |  floor(200000 * weight) / available_tokens > 8.0 AS capped
          |FROM w ORDER BY stratum""".stripMargin,
+    // q154 recomputes the near-dup-safe assignment end to end: exact
+    // pair CTEs (q50), recursive-CTE transitive closure (q86), the
+    // min-id representative per doc (self for singletons), and the
+    // content-keyed CASE over the REPRESENTATIVE's normalized text.
+    "q154_cluster_safe_splits" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |r2 AS (SELECT d.doc_id, coalesce(rep.rep, d.doc_id) AS rep
+         |       FROM documents d LEFT JOIN rep ON d.doc_id = rep.id),
+         |k AS (SELECT r2.doc_id, substr(md5($normSql), 1, 8) AS key
+         |      FROM r2 JOIN documents ON r2.rep = documents.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN key < 'cccccccc' THEN 'train'
+         |       WHEN key < 'e6666666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
+    // q155 recomputes the epoch materialization: the plan arithmetic
+    // (q153), the per-stratum floor(frac*2^32)-as-hex threshold
+    // (thresholdHex's exact form), and the 1..reps range explode.
+    "q155_epoch_materialize" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |a AS (SELECT lang, sum(n_tok)::BIGINT AS avail FROM t GROUP BY lang),
+         |p AS (SELECT lang,
+         |        CAST(floor(floor(200000 * CASE lang WHEN 'de' THEN 0.2
+         |          WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+         |          WHEN 'zh' THEN 0.05 ELSE 0.0 END) / avail) AS BIGINT)
+         |          AS full_repeats,
+         |        round(floor(200000 * CASE lang WHEN 'de' THEN 0.2
+         |          WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+         |          WHEN 'zh' THEN 0.05 ELSE 0.0 END) / avail -
+         |          floor(floor(200000 * CASE lang WHEN 'de' THEN 0.2
+         |            WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15
+         |            WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END)
+         |            / avail), 4) AS partial_fraction
+         |      FROM a),
+         |r AS (
+         |  SELECT t.doc_id, t.lang, t.n_tok,
+         |    p.full_repeats + CASE WHEN
+         |      substr(md5(t.doc_id::VARCHAR), 1, 8) <
+         |      lower(lpad(to_hex(CAST(floor(p.partial_fraction * 4294967296)
+         |        AS BIGINT)), 8, '0'))
+         |    THEN 1 ELSE 0 END AS reps
+         |  FROM t JOIN p USING (lang))
+         |SELECT doc_id, lang, n_tok,
+         |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS repeat_idx
+         |FROM r WHERE reps > 0
+         |ORDER BY doc_id, repeat_idx""".stripMargin,
   )
 }

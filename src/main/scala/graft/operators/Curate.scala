@@ -154,6 +154,42 @@ object Curate {
   }
 
   /**
+   * NEAR-dup-safe split assignment — the operator
+   * [[leakageSafeSplits]]'s scaladoc points at: every document's split
+   * is keyed on its near-dup CLUSTER REPRESENTATIVE's normalized
+   * content, so a whole near-duplicate cluster lands in ONE split.
+   * Content keying alone co-splits exact copies but not near-copies (a
+   * re-crawl with a changed timestamp still leaks), and
+   * [[decontaminateSplits]] can only QUARANTINE the overlap after the
+   * fact — this closes the path proactively, keeping the documents
+   * trainable. `pairs` is the tier-agnostic (id_a, id_b) near-dup frame
+   * (exact [[graft.operators.Dedup.jaccardSelfJoin]] for the
+   * oracle-gated q154; [[graft.operators.Dedup.minhashLshPairsFromStore]]
+   * served off the ingest store in production). Un-paired docs are
+   * their own representative, so this degrades to [[leakageSafeSplits]]
+   * exactly on a near-dup-free corpus (CurateSpec-gated).
+   *
+   * Scale shape: the cluster resolve is [[graft.operators.Dedup.resolveClusters]]'
+   * star-contraction over bare id pairs; then two id-keyed joins (the
+   * representative's 8-hex content key is fingerprinted at the scan —
+   * document text never shuffles).
+   */
+  def clusterSafeSplits(df: DataFrame, textCol: String, idCol: String,
+                        pairs: DataFrame,
+                        splits: Seq[(String, Double)]): DataFrame = {
+    val reps = graft.operators.Dedup.resolveClusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val repKey = df.select(col(idCol).as("__graft_rep_id"),
+      substring(graft.functions.TextFunctions.fingerprint(col(textCol)),
+        1, 8).as("__graft_rep_key"))
+    df.join(reps, Seq(idCol), "left")
+      .withColumn("__graft_cid", coalesce(col("cluster_id"), col(idCol)))
+      .join(repKey, col("__graft_cid") === col("__graft_rep_id"), "left")
+      .withColumn("split", splitLabel(col("__graft_rep_key"), splits))
+      .drop("cluster_id", "__graft_cid", "__graft_rep_id", "__graft_rep_key")
+  }
+
+  /**
    * Data-constrained repeat planner (Muennighoff et al. 2023, "Scaling
    * Data-Constrained Language Models" — public): when the training-token
    * budget EXCEEDS the corpus, the mixing question flips from "how much
@@ -211,11 +247,13 @@ object Curate {
                          stratumCol: String, idCol: String): DataFrame = {
     val p = broadcast(plan.select(
       col("stratum"), col("full_repeats"), col("partial_fraction")))
-    // the 8-hex sampleKey as a uniform draw in [0, 2^32): per-row numeric
-    // threshold (partial_fraction is a COLUMN here, so the driver-side
-    // thresholdHex literal the rate-based samplers use doesn't apply)
-    val inPartial = conv(sampleKey(col(idCol)), 16, 10).cast("double") <
-      col("partial_fraction") * 4294967296.0
+    // per-row COLUMN form of [[thresholdHex]] (partial_fraction is a
+    // column here, so the driver-side literal doesn't apply): same
+    // floor(frac·2^32)-as-8-hex-chars semantics, same lexicographic
+    // compare — engine-portable, so q155's oracle mirrors it exactly
+    val inPartial = sampleKey(col(idCol)) <
+      lpad(lower(hex(floor(col("partial_fraction") * 4294967296.0)
+        .cast("long"))), 8, "0")
     df.join(p, df(stratumCol).cast("string") === p("stratum"))
       .withColumn("__graft_reps",
         col("full_repeats") + when(inPartial, 1L).otherwise(0L))

@@ -549,6 +549,37 @@ class CurateSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("clusterSafeSplits co-splits whole near-dup clusters; singletons match leakageSafeSplits") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = graft.operators.Dedup.jaccardSelfJoin(docs, "text",
+      "doc_id", shingleK = 3, threshold = 0.6)
+    val got = Curate.clusterSafeSplits(docs, "text", "doc_id", pairs, splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got.size == docs.count(), "rows were dropped")
+    // every near-dup pair shares a split (the property q141 lacks)
+    val pr = pairs.select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(pr.nonEmpty, "fixture should contain planted near-dups")
+    pr.foreach { case (a, b) =>
+      assert(got(a) == got(b), s"near-dup pair ($a, $b) split apart: " +
+        s"${got(a)} vs ${got(b)}")
+    }
+    // and at least one pair would have split apart under content keying
+    // alone - otherwise this operator adds nothing over q141 here
+    val plain = Curate.leakageSafeSplits(docs, "text", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(pr.exists { case (a, b) => plain(a) != plain(b) },
+      "fixture's near-dups never straddle plain content-keyed splits")
+    // un-paired docs keep their plain content-keyed split exactly
+    val paired = pr.flatMap(x => Seq(x._1, x._2)).toSet
+    plain.foreach { case (id, sp) =>
+      if (!paired(id)) assert(got(id) == sp,
+        s"singleton $id moved: ${got(id)} vs $sp")
+    }
+    graft.operators.OpCache.release()
+  }
+
   test("repeatPlan arithmetic and materializeRepeats token accounting") {
     import spark.implicits._
     val docs = (0 until 10).map(i => (i.toLong, "a", 10L)) ++
