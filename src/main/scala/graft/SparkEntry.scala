@@ -5013,8 +5013,9 @@ object SparkEntry {
          |  SELECT t.doc_id, t.lang, t.n_tok,
          |    p.full_repeats + CASE WHEN
          |      substr(md5(t.doc_id::VARCHAR), 1, 8) <
-         |      lower(lpad(to_hex(CAST(floor(p.partial_fraction * 4294967296)
-         |        AS BIGINT)), 8, '0'))
+         |      CASE WHEN p.partial_fraction >= 1.0 THEN 'g'
+         |        ELSE lower(lpad(to_hex(CAST(floor(p.partial_fraction
+         |          * 4294967296) AS BIGINT)), 8, '0')) END
          |    THEN 1 ELSE 0 END AS reps
          |  FROM t JOIN p USING (lang))
          |SELECT doc_id, lang, n_tok,

@@ -185,8 +185,17 @@ object Curate {
     df.join(reps, Seq(idCol), "left")
       .withColumn("__graft_cid", coalesce(col("cluster_id"), col(idCol)))
       .join(repKey, col("__graft_cid") === col("__graft_rep_id"), "left")
-      .withColumn("split", splitLabel(col("__graft_rep_key"), splits))
-      .drop("cluster_id", "__graft_cid", "__graft_rep_id", "__graft_rep_key")
+      // A representative ABSENT from df (pairs served off an LSH store
+      // that still holds retracted docs) leaves __graft_rep_key null;
+      // splitLabel's CASE would silently fall through to the LAST split.
+      // Fall back to a deterministic hash of the cluster id — the whole
+      // cluster still lands in ONE split (the operator's invariant),
+      // merely keyed by id instead of content for that cluster.
+      .withColumn("__graft_key", coalesce(col("__graft_rep_key"),
+        sampleKey(col("__graft_cid"))))
+      .withColumn("split", splitLabel(col("__graft_key"), splits))
+      .drop("cluster_id", "__graft_cid", "__graft_rep_id",
+        "__graft_rep_key", "__graft_key")
   }
 
   /**
@@ -250,10 +259,15 @@ object Curate {
     // per-row COLUMN form of [[thresholdHex]] (partial_fraction is a
     // column here, so the driver-side literal doesn't apply): same
     // floor(frac·2^32)-as-8-hex-chars semantics, same lexicographic
-    // compare — engine-portable, so q155's oracle mirrors it exactly
+    // compare — engine-portable, so q155's oracle mirrors it exactly.
+    // frac >= 1.0 (reachable via repeatPlan's 4-decimal rounding when
+    // the true fraction is >= 0.99995) maps to "g" per thresholdHex's
+    // rate>=1 convention — hex(2^32) is 9 chars and lpad would TRUNCATE
+    // it to '10000000', sampling ~6% instead of all.
+    val fracHex = lpad(lower(hex(floor(col("partial_fraction") *
+      4294967296.0).cast("long"))), 8, "0")
     val inPartial = sampleKey(col(idCol)) <
-      lpad(lower(hex(floor(col("partial_fraction") * 4294967296.0)
-        .cast("long"))), 8, "0")
+      when(col("partial_fraction") >= 1.0, lit("g")).otherwise(fracHex)
     df.join(p, df(stratumCol).cast("string") === p("stratum"))
       .withColumn("__graft_reps",
         col("full_repeats") + when(inPartial, 1L).otherwise(0L))

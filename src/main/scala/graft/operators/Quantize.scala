@@ -231,22 +231,188 @@ object Quantize {
    */
   def writeCodeStore(corpus: DataFrame, centroids: DataFrame,
                      codebook: DataFrame, vecCol: String, idCol: String,
-                     m: Int, subDim: Int, path: String): Unit =
-    assembleCodes(corpus, centroids, codebook, vecCol, idCol, m, subDim)
+                     m: Int, subDim: Int, path: String,
+                     versioned: Boolean = false): Unit = {
+    val codes =
+      assembleCodes(corpus, centroids, codebook, vecCol, idCol, m, subDim)
+    if (versioned) {
+      val spark = corpus.sparkSession
+      require(codeStoreVersion(spark, path).isEmpty,
+        s"writeCodeStore: $path already holds a versioned store " +
+          "(retract/rebuild through its lifecycle ops instead)")
+      val entries = writeGeneration(spark, codes, path, 1L)
+      require(entries.nonEmpty, "writeCodeStore: empty corpus")
+      commitManifest(spark, path, 1L, entries)
+    } else {
       // co-locate each cell before the partitioned write: without this,
       // EVERY write task appends a file to EVERY cell directory —
       // tasks×cells tiny files whose footer overhead dominates probe-time
       // reads (measured 2×, SURVEY §6). One write-time shuffle buys one
       // file per cell; at 100 TB size spark.sql.shuffle.partitions so a
       // cell's codes fit a task comfortably (codes are m bytes/vector)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      codes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    }
+  }
 
-  /** Read a [[writeCodeStore]] layout back. Partition discovery re-infers
-    * `cell` from the directory names (int). */
+  /** Read a [[writeCodeStore]] layout back. Flat form: partition
+    * discovery re-infers `cell` from the directory names (int).
+    * Versioned form ([[enableCodeStoreVersioning]]): resolves the
+    * current manifest and reads exactly the cell directories it lists —
+    * `cell` is a data column there, no inference. */
   def readCodeStore(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame =
-    spark.read.parquet(path)
+    codeStoreVersion(spark, path) match {
+      case Some(v) =>
+        val dirs = readManifest(spark, path, v)
+          .map(e => s"${path.stripSuffix("/")}/${e._2}")
+        spark.read.parquet(dirs: _*)
+      case None => spark.read.parquet(path)
+    }
+
+  // ---- versioned code store (manifest + immutable generations) -------
+
+  private val ManifestRe = "_graft_manifest-v(\\d{6})".r
+
+  private def storeFs(spark: org.apache.spark.sql.SparkSession,
+                      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed manifest versions at `path`, ascending. */
+  private def existingManifests(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Seq[Long] = {
+    val fs = storeFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toLong
+    }.sorted
+  }
+
+  /** Highest committed manifest version at `path`; None = flat store
+    * (or no store yet). */
+  def codeStoreVersion(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[Long] =
+    existingManifests(spark, path).lastOption
+
+  private def manifestFile(path: String, v: Long) =
+    new org.apache.hadoop.fs.Path(path, f"_graft_manifest-v$v%06d")
+
+  /** Manifest = sorted `cellValue<TAB>relativeCellDir` lines. */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String, v: Long): Seq[(String, String)] = {
+    val fs = storeFs(spark, path)
+    val in = fs.open(manifestFile(path, v))
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        .filter(_.nonEmpty)
+        .map { l => val a = l.split("\t", 2); (a(0), a(1)) }
+    } finally in.close()
+  }
+
+  /** Commit a manifest ATOMICALLY: write `.tmp`, then one rename — a
+    * concurrent reader resolves either version v-1 or v, never a partial
+    * file. Refuses if the generation moved underneath (a concurrent
+    * writer committed since this writer resolved `expectPrev`):
+    * last-swap-wins would silently drop that writer's cells. */
+  private def commitManifest(spark: org.apache.spark.sql.SparkSession,
+                             path: String, v: Long,
+                             entries: Seq[(String, String)]): Unit = {
+    val fs = storeFs(spark, path)
+    val cur = codeStoreVersion(spark, path)
+    require(cur.forall(_ == v - 1),
+      s"codeStore commit: generation moved (expected v${v - 1}, found " +
+        s"${cur.fold("none")(c => s"v$c")}) — concurrent writer detected; " +
+        "retry against the current manifest")
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      f"_graft_manifest-v$v%06d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.sortBy(_._1)
+      .map { case (c, d) => s"$c\t$d" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, manifestFile(path, v)),
+      s"codeStore commit: rename failed for manifest v$v")
+  }
+
+  /** Write one immutable GENERATION under `path/gen-%06d-<nonce>`: one
+    * directory and one file per cell, `cell` kept as a DATA column (the
+    * partition helper column is `pcell`, cosmetic) so readers address
+    * leaf directories directly. The nonce makes the directory unique per
+    * ATTEMPT — two writers racing toward the same target version can
+    * never clobber each other's data files; the loser's orphan directory
+    * is GC'd at the next successful commit. Returns (cellValue,
+    * relativeDir) entries for the cells that actually produced rows. */
+  private def writeGeneration(spark: org.apache.spark.sql.SparkSession,
+                              codes: DataFrame, path: String,
+                              gen: Long): Seq[(String, String)] = {
+    val genDir =
+      f"gen-$gen%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    codes.repartition(col("cell")) // one file per cell (store note above)
+      .withColumn("pcell", col("cell"))
+      .write.mode("overwrite").partitionBy("pcell")
+      .parquet(s"${path.stripSuffix("/")}/$genDir")
+    val fs = storeFs(spark, path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path, genDir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("pcell="))
+      .map(d => (d.stripPrefix("pcell="), s"$genDir/$d"))
+  }
+
+  /**
+   * Convert a FLAT [[writeCodeStore]] directory into its VERSIONED form —
+   * the path-store mirror of [[Layout.enableVersioning]]: data moves to
+   * an immutable `gen-000001/` (one rewrite, one-time migration cost),
+   * a manifest maps every cell to its directory, and from then on every
+   * [[removeFromCodeStore]] writes a NEW generation for the affected
+   * cells and commits by writing manifest v(N+1) — ONE atomic rename, so
+   * a concurrent reader always resolves a complete, internally
+   * consistent cell set and never observes a half-rewritten store
+   * (QuantizeSpec gates this with a reader loop under repeated
+   * retractions). The outgoing generation's directories survive one
+   * generation for in-flight readers; older ones are GC'd at commit.
+   *
+   * Call ONCE right after creating the store, before concurrent readers
+   * exist (or write versioned from the start:
+   * `writeCodeStore(..., versioned = true)`).
+   */
+  def enableCodeStoreVersioning(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    require(codeStoreVersion(spark, path).isEmpty,
+      s"enableCodeStoreVersioning: $path is already versioned")
+    val flat = spark.read.parquet(path)
+    val entries = writeGeneration(spark, flat, path, 1L)
+    require(entries.nonEmpty, s"enableCodeStoreVersioning: $path is empty")
+    commitManifest(spark, path, 1L, entries)
+    val fs = storeFs(spark, path)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(_.getPath.getName.startsWith("cell="))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Drop manifests older than `keepVersions` and any generation leaf
+    * directory no kept manifest references (a cell directory superseded
+    * two commits ago serves no reader that resolved v or v-1). */
+  private def gcStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String, keepVersions: Seq[Long]): Unit = {
+    val fs = storeFs(spark, path)
+    val keep = keepVersions.toSet
+    val refd = keepVersions
+      .flatMap(v => readManifest(spark, path, v)).map(_._2).toSet
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) if !keep(n.toLong) => fs.delete(st.getPath, false)
+        case g if g.startsWith("gen-") =>
+          val leaves = fs.listStatus(st.getPath).toSeq
+            .filter(_.getPath.getName.startsWith("pcell="))
+          leaves.filterNot(l => refd(s"$g/${l.getPath.getName}"))
+            .foreach(l => fs.delete(l.getPath, true))
+          if (fs.listStatus(st.getPath).toSeq
+            .forall(!_.getPath.getName.startsWith("pcell=")))
+            fs.delete(st.getPath, true) // only _SUCCESS markers left
+        case _ => ()
+      }
+    }
+  }
 
   /**
    * Retraction for the IVF-PQ code store — the takedown half of
@@ -257,6 +423,19 @@ object Quantize {
    * rewrite that refusal message points at: only the partitions
    * CONTAINING removed ids are rewritten, everything else is untouched.
    *
+   * Two store forms, dispatched on the manifest:
+   *  - VERSIONED ([[enableCodeStoreVersioning]] or
+   *    `writeCodeStore(versioned = true)`): survivors land in a new
+   *    immutable generation and the swap is ONE atomic manifest rename —
+   *    concurrent readers always see a complete cell set
+   *    (reader-loop-gated in QuantizeSpec); concurrent WRITERS are
+   *    detected by the generation check and refused, never silently
+   *    overwritten. Prefer this form whenever readers are live.
+   *  - FLAT (legacy layout below): in-place dynamic partition overwrite —
+   *    cheaper paths, but a reader racing the rewrite can observe mixed
+   *    generations; run on a maintenance window, or version the store.
+   *
+   * Flat-form mechanics:
    *  1. The affected cells are found with one id-projected scan
    *     (removal-batch-bounded driver list — the [[prunedCodeStore]]
    *     literal-pruning discipline).
@@ -283,7 +462,67 @@ object Quantize {
    */
   def removeFromCodeStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, removedIds: DataFrame,
-                          idCol: String): Unit = {
+                          idCol: String): Unit =
+    codeStoreVersion(spark, path) match {
+      case Some(v) => removeVersioned(spark, path, removedIds, idCol, v)
+      case None => removeFlat(spark, path, removedIds, idCol)
+    }
+
+  /**
+   * Versioned-store retraction: survivors of the affected cells land in
+   * a NEW immutable generation, every untouched cell keeps its old
+   * directory, and the swap is ONE manifest rename — atomic for
+   * concurrent readers (mirrors [[Layout.enableVersioning]]'s argument;
+   * QuantizeSpec reader-loop gated). Still O(affected cells): untouched
+   * cells are never read or rewritten, only re-listed in the manifest.
+   * Fully-emptied cells simply leave the manifest (no in-place directory
+   * delete — the flat form's one non-atomic step). A concurrent-writer
+   * commit between resolve and swap is REFUSED by the generation check
+   * in [[commitManifest]] rather than silently overwritten.
+   */
+  private[graft] def removeVersioned(spark: org.apache.spark.sql.SparkSession,
+                              path: String, removedIds: DataFrame,
+                              idCol: String, v: Long): Unit = {
+    // early refusal on a stale snapshot (cheap; the commit-time check in
+    // commitManifest still covers the resolve→commit window, and unique
+    // generation names make even that window clobber-free)
+    val cur = codeStoreVersion(spark, path)
+    require(cur.contains(v),
+      s"removeFromCodeStore: generation moved (expected v$v, found " +
+        s"${cur.fold("none")(c => s"v$c")}) — concurrent writer detected; " +
+        "retry against the current manifest")
+    val base = path.stripSuffix("/")
+    val entries = readManifest(spark, path, v)
+    val store = spark.read.parquet(entries.map(e => s"$base/${e._2}"): _*)
+    val gone = removedIds.toDF(idCol).distinct()
+    // removal-batch-bounded driver list (prunedCodeStore discipline)
+    val affected = store.join(gone, Seq(idCol), "left_semi")
+      .select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) return
+    val affDirs = entries.filter(e => affected(e._1))
+      .map(e => s"$base/${e._2}")
+    val survivors = spark.read.schema(store.schema)
+      .parquet(affDirs: _*).join(gone, Seq(idCol), "left_anti")
+    val fresh = writeGeneration(spark, survivors, path, v + 1)
+    val merged = entries.filterNot(e => affected(e._1)) ++ fresh
+    // refuse BEFORE the swap: an empty manifest would serve nothing and
+    // readCodeStore could no longer infer a schema
+    if (merged.isEmpty) {
+      // drop only the orphan generation just written: every committed
+      // manifest (current AND grace) keeps its data
+      gcStore(spark, path, existingManifests(spark, path))
+      throw new IllegalArgumentException(
+        "removeFromCodeStore: retraction would empty the store " +
+          "(drop the store directory instead)")
+    }
+    commitManifest(spark, path, v + 1, merged)
+    gcStore(spark, path, Seq(v, v + 1))
+  }
+
+  private def removeFlat(spark: org.apache.spark.sql.SparkSession,
+                         path: String, removedIds: DataFrame,
+                         idCol: String): Unit = {
     val store = readCodeStore(spark, path)
     val gone = removedIds.toDF(idCol).distinct()
     val affected = store.join(gone, Seq(idCol), "left_semi")
@@ -311,17 +550,14 @@ object Quantize {
             "(drop the store directory instead)")
       }
     }
-    val conf = spark.conf
-    val mode = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.getOption(mode)
-    conf.set(mode, "dynamic")
-    try {
-      if (remaining.nonEmpty)
-        staged.write.mode("overwrite").partitionBy("cell").parquet(path)
-    } finally prev match {
-      case Some(v) => conf.set(mode, v)
-      case None => conf.unset(mode)
-    }
+    // per-WRITER dynamic overwrite (DataFrameWriter option, Spark 2.4+):
+    // replaces only the partitions with written rows, without mutating
+    // the session-global partitionOverwriteMode conf a concurrent
+    // partitioned overwrite in the same session would inherit
+    if (remaining.nonEmpty)
+      staged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
     // fully-emptied cells: no written rows → dynamic overwrite left the
     // old directory — delete it (an empty cell has nothing to serve)
     affected.filterNot(remaining).foreach { c =>
@@ -368,7 +604,21 @@ object Quantize {
     val cells = probeCells(queries, centroids, vecCol, idCol, nProbe)
       .select(col("cell").cast(cellType)).distinct()
       .collect().map(_.get(0)).toSeq
-    store.filter(col("cell").isInCollection(cells))
+    codeStoreVersion(spark, path) match {
+      case Some(v) =>
+        // versioned form prunes at the MANIFEST: only the probed cells'
+        // directories enter the scan at all — the same bounded-I/O
+        // guarantee, enforced by path selection instead of a partition
+        // filter (PlanSpec-gated via the executed scan's numFiles)
+        val probed = cells.map(String.valueOf).toSet
+        val dirs = readManifest(spark, path, v).filter(e => probed(e._1))
+          .map(e => s"${path.stripSuffix("/")}/${e._2}")
+        if (dirs.isEmpty) store.filter(lit(false))
+        else spark.read.schema(store.schema).parquet(dirs: _*)
+          .filter(col("cell").isInCollection(cells))
+      case None =>
+        store.filter(col("cell").isInCollection(cells))
+    }
   }
 
   /** ADC candidate scores over an (idCol, codes, cell) frame — the shared

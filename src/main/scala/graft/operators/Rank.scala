@@ -175,14 +175,16 @@ object Rank {
     val rn = removed.getLong(0)
     if (rn == 0L) return // nothing indexed under these ids
     val rdl = removed.getLong(1)
-    Layout.rewriteBucketed(spark, table)(
-      _.join(gone, Seq(idCol), "left_anti"))
+    // Refuse BEFORE any destructive write (matches removeFromCodeStore):
+    // a full retraction must not leave purged postings with stale stats.
     val st = spark.table(s"${table}_stats")
       .select(col("n_docs"), col("sum_dl")).collect()(0)
     val n = st.getLong(0) - rn
     val sumDl = st.getLong(1) - rdl
     require(n > 0, s"removeFromIndex: retraction would empty $table " +
       "(drop the index instead)")
+    Layout.rewriteBucketed(spark, table)(
+      _.join(gone, Seq(idCol), "left_anti"))
     import spark.implicits._
     // 1-row overwrite; same derived-avgdl formula as corpusStats
     Seq((n, sumDl.toDouble / n, sumDl)).toDF("n_docs", "avgdl", "sum_dl")

@@ -262,6 +262,60 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("VERSIONED code store: a probe scans only its probed cells' directories") {
+    // the versioned form prunes at the MANIFEST (prunedCodeStore selects
+    // the probed cells' directories as the scan's root paths), so the
+    // bounded-I/O guarantee must show up as the executed scan's numFiles —
+    // there is no PartitionFilters line to grep, the unprobed cells never
+    // enter the plan at all
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      emb, "embedding", "vec_id", k = 8)
+    val cb = graft.operators.Quantize.trainCodebook(
+      emb, "embedding", "vec_id", dim = 64, m = 4, ksub = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pq_vstore").toString
+    graft.operators.Quantize.writeCodeStore(
+      emb, cents, cb, "embedding", "vec_id", 4, 16, dir, versioned = true)
+    // retraction first: pruning must hold on a multi-generation store
+    graft.operators.Quantize.removeFromCodeStore(spark, dir,
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0).select(col("vec_id")),
+      "vec_id")
+    val queries = emb.filter(col("vec_id") === 1)
+    val topk = graft.operators.Quantize.ivfPqTopKFromStore(
+      spark, dir, queries, cents, cb,
+      "embedding", "vec_id", 4, 16, k = 5, nProbe = 2)
+    assert(topk.collect().nonEmpty, "versioned store top-k returned no rows")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def walk(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case s: FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(walk)
+    }
+    val storeScans = walk(topk.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString(",").contains("pq_vstore"))
+    assert(storeScans.nonEmpty, "store scan not found in executed plan")
+    val totalFiles =
+      graft.operators.Quantize.readCodeStore(spark, dir).inputFiles.length
+    val readFiles = storeScans.flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    // one file per cell per generation leaf ⇒ ≤2 files for 2 probed cells
+    assert(readFiles <= 2 && readFiles < totalFiles,
+      s"versioned probe must scan only its ≤2 probed cells' files: " +
+        s"read $readFiles of $totalFiles")
+    // and those files must live in probed-cell directories only
+    val scannedRoots = storeScans
+      .flatMap(_.relation.location.rootPaths.map(_.getName)).distinct
+    assert(scannedRoots.forall(_.startsWith("pcell=")),
+      s"versioned scan roots must be cell leaf dirs, got $scannedRoots")
+    assert(scannedRoots.size <= 2,
+      s"more than 2 probed cell dirs entered the scan: $scannedRoots")
+    graft.operators.OpCache.release()
+  }
+
   test("BM25 index path: no tokenization in the plan, term filter prunes buckets") {
     // the standing-search-service claim: query-time work must be a
     // bucket-pruned index scan + query-sized joins — if tokenize/explode
@@ -481,6 +535,37 @@ class PlanSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("SortMergeJoin"),
       s"store joins should take the at-scale sort-merge shape:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"store scans did not use the bucketed layout:\n$plan")
+    assertStoreSidesExchangeFree(out, s"${tbl}_bands")
+    assertStoreSidesExchangeFree(out, s"${tbl}_sigs")
+    graft.operators.OpCache.release()
+  }
+
+  test("LSH pairs-from-store: band-store SELF-join is exchange-free on both sides") {
+    // the minhashLshPairsFromStore scaladoc claim, now execution-gated
+    // like every other store serving path: the (band, bucket)-bucketed
+    // band store feeds BOTH sides of its self-join from co-located
+    // buckets — no exchange hashes on the band key — and the signature
+    // store feeds the verification joins from its id bucketing. A Spark
+    // upgrade that re-introduces the shuffle this operator exists to
+    // avoid fails here, not in production.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 2000)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"planspec_lsh_pairs_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.operators.Dedup.writeLshStore(docs, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 4)
+    val out = graft.operators.Dedup.minhashLshPairsFromStore(
+      spark, tbl, numHashes = 64, threshold = 0.5)
+    out.collect() // finalize the adaptive plan (pair set may be empty)
+    val plan = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("SortMergeJoin"),
+      s"store self-join should take the at-scale sort-merge shape:\n$plan")
     assert(plan.contains("Bucketed: true"),
       s"store scans did not use the bucketed layout:\n$plan")
     assertStoreSidesExchangeFree(out, s"${tbl}_bands")

@@ -201,4 +201,144 @@ class QuantizeSpec extends SparkSpec {
       s"expected the drift contract failure, got: $msgs")
     graft.operators.OpCache.release()
   }
+
+  // shared fixture for the versioned-store tests: corpus + trained models
+  private def storeModels() = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      e, "embedding", "vec_id", k = 8)
+    val cbT = Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    (e, cents, cbT)
+  }
+
+  test("versioned code store: retract equals rebuild; manifest swap is " +
+    "atomic for a concurrent reader loop") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_ver").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(1L))
+    def ids(p: String): Set[Long] =
+      Quantize.readCodeStore(spark, p).select($"vec_id")
+        .as[Long].collect().toSet
+    val all = ids(dir)
+    // every state a reader may legitimately observe: each committed
+    // generation's id set (recorded BEFORE the commit that creates it,
+    // so pre- and post-swap are both always present)
+    val valid = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Set[Long], java.lang.Boolean])
+    valid.add(all)
+    @volatile var stop = false
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val got = ids(dir)
+        assert(valid.contains(got),
+          s"reader observed a MIXED-GENERATION id set of size ${got.size}," +
+            s" not any committed snapshot (sizes " +
+            s"${scala.jdk.CollectionConverters.SetHasAsScala(valid).asScala.map(_.size)})")
+        reads.incrementAndGet()
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    })
+    reader.start()
+    var remaining = all
+    try (0 until 3).foreach { i =>
+      val batch = remaining.toSeq.sorted.filter(_ % 7 == i).take(40)
+      remaining = remaining -- batch
+      valid.add(remaining)
+      Quantize.removeFromCodeStore(spark, dir,
+        batch.toDF("vec_id"), "vec_id")
+    } finally { stop = true; reader.join(60000) }
+    assert(failure.get() == null,
+      s"concurrent reader failed during retraction: ${failure.get()}")
+    assert(reads.get() > 0, "reader loop never completed a read")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(4L))
+    // grace policy: only the current and previous manifests remain
+    val manifests = new java.io.File(dir).list()
+      .filter(_.startsWith("_graft_manifest")).sorted.toSeq
+    assert(manifests ==
+      Seq("_graft_manifest-v000003", "_graft_manifest-v000004"),
+      s"expected exactly v3 (grace) and v4 (current), got $manifests")
+    // equals a store rebuilt from the remaining corpus
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_ver_rb").toString
+    Quantize.writeCodeStore(
+      e.join(remaining.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi"),
+      cents, cbT, "embedding", "vec_id", 4, 16, dir2, versioned = true)
+    val got = Quantize.readCodeStore(spark, dir)
+      .select($"vec_id", $"codes", $"cell".cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    val want = Quantize.readCodeStore(spark, dir2)
+      .select($"vec_id", $"codes", $"cell".cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(got == want, s"missing=${(want -- got).take(5)}, " +
+      s"extra=${(got -- want).take(5)}")
+    // serving path works and never returns a retracted id
+    val queries = e.filter($"vec_id" === remaining.min)
+    val topk = Quantize.ivfPqTopKFromStore(spark, dir, queries, cents, cbT,
+        "embedding", "vec_id", 4, 16, k = 10, nProbe = 3)
+      .select($"corpus_id").as[Long].collect().toSet
+    assert(topk.nonEmpty && topk.subsetOf(remaining),
+      s"retracted ids served: ${topk -- remaining}")
+    // emptying the WHOLE store is refused loudly, before the swap
+    val ex = intercept[IllegalArgumentException] {
+      Quantize.removeFromCodeStore(spark, dir,
+        Quantize.readCodeStore(spark, dir).select($"vec_id"), "vec_id")
+    }
+    assert(ex.getMessage.contains("empty the store"), ex.getMessage)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(4L),
+      "refused retraction must not commit a generation")
+    graft.operators.OpCache.release()
+  }
+
+  test("enableCodeStoreVersioning migrates a flat store in place") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_mig").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16, dir)
+    val before = Quantize.readCodeStore(spark, dir)
+      .select($"vec_id", $"codes", $"cell")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    Quantize.enableCodeStoreVersioning(spark, dir)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(1L))
+    // content identical through the manifest; flat cell= dirs are gone
+    val after = Quantize.readCodeStore(spark, dir)
+      .select($"vec_id", $"codes", $"cell")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(after == before, "migration changed the store's content")
+    assert(!new java.io.File(dir).list().exists(_.startsWith("cell=")),
+      "flat cell= directories left behind after migration")
+    // double-migration refused; lifecycle ops keep working post-migration
+    intercept[IllegalArgumentException] {
+      Quantize.enableCodeStoreVersioning(spark, dir)
+    }
+    val removed = e.filter($"vec_id" % 5 === 0).select($"vec_id")
+    Quantize.removeFromCodeStore(spark, dir, removed, "vec_id")
+    val removedIds = removed.as[Long].collect().toSet
+    val left = Quantize.readCodeStore(spark, dir).select($"vec_id")
+      .as[Long].collect().toSet
+    assert(left == before.map(_._1) -- removedIds)
+    graft.operators.OpCache.release()
+  }
+
+  test("versioned code store refuses a concurrent writer's lost update") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    // writer A resolves v1, then writer B commits v2 first
+    Quantize.removeFromCodeStore(spark, dir,
+      e.filter($"vec_id" % 11 === 0).select($"vec_id"), "vec_id")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L))
+    // writer A now swaps against its STALE v1 snapshot — must be refused
+    // (last-swap-wins would silently resurrect B's retracted ids)
+    val ex = intercept[IllegalArgumentException] {
+      Quantize.removeVersioned(spark, dir,
+        e.filter($"vec_id" % 13 === 0).select($"vec_id"), "vec_id", 1L)
+    }
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L),
+      "refused commit must not advance the generation")
+    graft.operators.OpCache.release()
+  }
 }
