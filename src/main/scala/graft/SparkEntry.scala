@@ -2798,7 +2798,9 @@ object SparkEntry {
     * Muennighoff et al. 2023): per-language epochs/repeat decomposition
     * for a 200k-token budget against the corpus's available tokens, with
     * the diminishing-returns cap flagged at 8 epochs. Pure arithmetic
-    * over a |langs|-row aggregate — FULL DuckDB oracle. */
+    * over a |langs|-row aggregate — FULL DuckDB oracle. The weighted
+    * 'xx' stratum has NO corpus documents: its budget share must surface
+    * as an `unsatisfiable` row (full-outer edge contract), never vanish. */
   private def q153_repeat_plan(s: SparkSession, dir: String): DataFrame =
     operators.Curate.repeatPlan(
         parallelize(t(s, dir, "documents"))
@@ -2806,7 +2808,7 @@ object SparkEntry {
             TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
         "lang", "n_tok", budgetTokens = 200000L,
         weights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15,
-          "fr" -> 0.1, "zh" -> 0.05),
+          "fr" -> 0.1, "zh" -> 0.04, "xx" -> 0.01),
         maxEpochs = 8.0)
       .orderBy(col("stratum"))
 
@@ -4929,7 +4931,8 @@ object SparkEntry {
          |       THEN 'quarantined' ELSE b.split END AS split
          |FROM base b ORDER BY b.doc_id""".stripMargin,
     // q153 recomputes the repeat plan's arithmetic from the token counts:
-    // same double-precision floor/divide on both engines.
+    // same double-precision floor/divide on both engines, same full-outer
+    // edge contract (the corpus-less 'xx' stratum surfaces unsatisfiable).
     "q153_repeat_plan" ->
       s"""WITH t AS (
          |  SELECT lang AS stratum,
@@ -4938,21 +4941,27 @@ object SparkEntry {
          |  FROM documents),
          |a AS (SELECT stratum, sum(n_tok)::BIGINT AS available_tokens
          |      FROM t GROUP BY stratum),
-         |w AS (SELECT stratum, available_tokens,
-         |        CASE stratum WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.5
-         |          WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05
-         |          ELSE 0.0 END AS weight
-         |      FROM a)
-         |SELECT stratum, available_tokens, weight,
-         |  CAST(floor(200000 * weight) AS BIGINT) AS target_tokens,
-         |  round(floor(200000 * weight) / available_tokens, 4) AS epochs,
-         |  CAST(floor(floor(200000 * weight) / available_tokens) AS BIGINT)
-         |    AS full_repeats,
-         |  round(floor(200000 * weight) / available_tokens -
-         |        floor(floor(200000 * weight) / available_tokens), 4)
-         |    AS partial_fraction,
-         |  floor(200000 * weight) / available_tokens > 8.0 AS capped
-         |FROM w ORDER BY stratum""".stripMargin,
+         |wt AS (SELECT * FROM (VALUES ('de', 0.2), ('en', 0.5),
+         |         ('es', 0.15), ('fr', 0.1), ('xx', 0.01), ('zh', 0.04))
+         |         AS v(stratum, w)),
+         |j AS (SELECT coalesce(a.stratum, wt.stratum) AS stratum,
+         |        coalesce(a.available_tokens, 0) AS available_tokens,
+         |        CAST(coalesce(wt.w, 0.0) AS DOUBLE) AS weight
+         |      FROM a FULL OUTER JOIN wt ON a.stratum = wt.stratum),
+         |r AS (SELECT stratum, available_tokens, weight,
+         |        CAST(floor(200000 * weight) AS BIGINT) AS target_tokens,
+         |        CASE WHEN available_tokens > 0
+         |             THEN floor(200000 * weight) / available_tokens
+         |             WHEN floor(200000 * weight) > 0 THEN NULL
+         |             ELSE 0.0 END AS ratio
+         |      FROM j)
+         |SELECT stratum, available_tokens, weight, target_tokens,
+         |  round(ratio, 4) AS epochs,
+         |  CAST(floor(ratio) AS BIGINT) AS full_repeats,
+         |  round(ratio - floor(ratio), 4) AS partial_fraction,
+         |  ratio > 8.0 AS capped,
+         |  (target_tokens > 0 AND available_tokens = 0) AS unsatisfiable
+         |FROM r ORDER BY stratum""".stripMargin,
     // q154 recomputes the near-dup-safe assignment end to end: exact
     // pair CTEs (q50), recursive-CTE transitive closure (q86), the
     // min-id representative per doc (self for singletons), and the

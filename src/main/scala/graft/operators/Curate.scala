@@ -214,30 +214,42 @@ object Curate {
    *
    * Pure arithmetic over a |strata|-row aggregate — exactly recomputable
    * (q153 full oracle). Strata missing from `weights` plan zero tokens.
+   *
+   * Edge contract (q153-gated): the weights FULL-OUTER-join the corpus's
+   * strata, so a weighted stratum that is ABSENT from the corpus (or
+   * whose tokens sum to zero) surfaces as a row with
+   * `unsatisfiable = true` and null epochs — its budget share must be
+   * re-allocated by the caller, never silently vanish. Such rows are a
+   * no-op for [[materializeRepeats]] (nothing to repeat).
    */
   def repeatPlan(df: DataFrame, stratumCol: String, tokenCol: String,
                  budgetTokens: Long, weights: Map[String, Double],
                  maxEpochs: Double = 16.0): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
     val avail = df.groupBy(col(stratumCol).cast("string").as("stratum"))
       .agg(sum(col(tokenCol)).cast("long").as("available_tokens"))
-    val w = caseOver(col("stratum"),
-      weights.map { case (k, v) => k -> lit(v) }, lit(0.0))
-    avail
-      .withColumn("weight", w)
+    val w = weights.toSeq.sortBy(_._1).toDF("stratum", "weight")
+    // null iff the share is unsatisfiable (target > 0 over 0 tokens);
+    // 0.0 when the stratum wants nothing (weight-0 corpus stratum)
+    val ratio = when(col("available_tokens") > 0L,
+        col("target_tokens").cast("double") / col("available_tokens"))
+      .otherwise(when(col("target_tokens") > 0L, lit(null))
+        .otherwise(lit(0.0)))
+    avail.join(w, Seq("stratum"), "full_outer")
+      .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      .withColumn("available_tokens",
+        coalesce(col("available_tokens"), lit(0L)))
       .withColumn("target_tokens",
         floor(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
-      .withColumn("epochs", round(
-        col("target_tokens").cast("double") / col("available_tokens"), 4))
-      .withColumn("full_repeats", floor(
-        col("target_tokens").cast("double") / col("available_tokens"))
-        .cast("long"))
-      .withColumn("partial_fraction", round(
-        col("target_tokens").cast("double") / col("available_tokens") -
-          col("full_repeats"), 4))
-      .withColumn("capped",
-        col("target_tokens").cast("double") / col("available_tokens") >
-          maxEpochs)
+      .withColumn("epochs", round(ratio, 4))
+      .withColumn("full_repeats", floor(ratio).cast("long"))
+      .withColumn("partial_fraction",
+        round(ratio - floor(ratio), 4))
+      .withColumn("capped", ratio > maxEpochs)
+      .withColumn("unsatisfiable",
+        col("target_tokens") > 0L && col("available_tokens") === 0L)
   }
 
   /**

@@ -620,4 +620,90 @@ class CurateSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(again == out)
   }
+
+  test("repeatPlan edge contract: missing/zero-token strata surface " +
+    "unsatisfiable, weight-0 strata plan zero") {
+    import spark.implicits._
+    // corpus: stratum a (tokens), z (all zero-token docs); weights also
+    // name the corpus-ABSENT stratum m
+    val df = Seq((1L, "a", 10L), (2L, "a", 10L),
+      (3L, "z", 0L), (4L, "z", 0L)).toDF("doc_id", "stratum", "n_tok")
+    val plan = Curate.repeatPlan(df, "stratum", "n_tok",
+      budgetTokens = 100L, weights = Map("a" -> 0.5, "z" -> 0.3, "m" -> 0.2))
+    val rows = plan.collect().map(r =>
+      r.getAs[String]("stratum") -> r).toMap
+    // no budget share vanished: all three weighted strata have rows
+    assert(rows.keySet == Set("a", "z", "m"), rows.keySet.toString)
+    val m = rows("m")
+    assert(m.getAs[Boolean]("unsatisfiable") &&
+      m.getAs[Long]("available_tokens") == 0L &&
+      m.getAs[Long]("target_tokens") == 20L &&
+      m.isNullAt(m.fieldIndex("epochs")) &&
+      m.isNullAt(m.fieldIndex("full_repeats")),
+      s"corpus-absent stratum must be an unsatisfiable row: $m")
+    val z = rows("z")
+    assert(z.getAs[Boolean]("unsatisfiable") &&
+      z.isNullAt(z.fieldIndex("epochs")),
+      s"zero-token stratum must be unsatisfiable, not Infinity/NaN: $z")
+    val a = rows("a")
+    assert(!a.getAs[Boolean]("unsatisfiable") &&
+      a.getAs[Long]("full_repeats") == 2L &&
+      a.getAs[Double]("partial_fraction") == 0.5,
+      s"satisfiable stratum arithmetic drifted: $a")
+    // unsatisfiable rows are a materialization no-op, not a crash
+    val reps = Curate.materializeRepeats(df, plan, "stratum", "doc_id")
+      .select($"doc_id").as[Long].collect()
+    assert(reps.toSet == Set(1L, 2L), s"only stratum a materializes: " +
+      s"${reps.toSeq.sorted}")
+    // weight-0 corpus stratum plans zero, satisfiable
+    val p2 = Curate.repeatPlan(df.filter($"stratum" === "a"), "stratum",
+        "n_tok", budgetTokens = 100L, weights = Map.empty)
+      .collect().head
+    assert(!p2.getAs[Boolean]("unsatisfiable") &&
+      p2.getAs[Long]("target_tokens") == 0L &&
+      p2.getAs[Double]("epochs") == 0.0, p2.toString)
+  }
+
+  test("materializeRepeats: a partial fraction rounded up to 1.0 keeps " +
+    "the whole stratum (threshold clamp)") {
+    import spark.implicits._
+    val df = (0 until 64).map(i => (i.toLong, "a", 1L))
+      .toDF("doc_id", "stratum", "n_tok")
+    // hand-built plan: repeatPlan's 4-decimal rounding turns a true
+    // fraction >= 0.99995 into exactly 1.0 — hex(2^32) is 9 chars and an
+    // unclamped lpad would truncate to '10000000', sampling ~6%
+    val plan = Seq(("a", 1L, 1.0)).toDF(
+      "stratum", "full_repeats", "partial_fraction")
+    val counts = Curate.materializeRepeats(df, plan, "stratum", "doc_id")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    assert(counts.length == 64 && counts.forall(_._2 == 2L),
+      s"fraction 1.0 must repeat EVERY doc once more: " +
+        s"${counts.count(_._2 == 2L)}/64 got the partial repeat")
+  }
+
+  test("clusterSafeSplits: a cluster whose representative is absent from " +
+    "df still lands whole in ONE split") {
+    import spark.implicits._
+    val docs = Seq((10L, "alpha beta gamma delta"),
+      (11L, "alpha beta gamma delta epsilon"),
+      (12L, "totally different text here")).toDF("doc_id", "text")
+    // pairs served off a store that still holds retracted doc 1 — the
+    // cluster {1, 10, 11} resolves to representative 1, which df lacks
+    val pairs = Seq((1L, 10L), (1L, 11L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.34, "val" -> 0.33, "test" -> 0.33)
+    val got = Curate.clusterSafeSplits(docs, "text", "doc_id", pairs, splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(got(10L) == got(11L),
+      s"cluster with absent rep split apart: $got")
+    // the fallback is the deterministic cluster-id hash, NOT a silent
+    // fall-through to the last split
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("1".getBytes("UTF-8")).take(4)
+      .map("%02x".format(_)).mkString
+    val frac = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    val want = if (frac < 0.34) "train" else if (frac < 0.67) "val" else "test"
+    assert(got(10L) == want,
+      s"absent-rep cluster keyed wrong: got ${got(10L)}, want $want")
+  }
 }
