@@ -71,7 +71,8 @@ object Bench {
     "q148_index_retract", "q149_codestore_retract",
     "q150_strip_boilerplate", "q151_datacard_ext",
     "q152_decontaminated_splits", "q153_repeat_plan",
-    "q154_cluster_safe_splits", "q155_epoch_materialize")
+    "q154_cluster_safe_splits", "q155_epoch_materialize",
+    "q156_training_batches")
 
   private val RUNS = 5
 

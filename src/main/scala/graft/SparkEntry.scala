@@ -2850,6 +2850,46 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("repeat_idx"))
   }
 
+  /** The composed TRAINING-SET FLAGSHIP — corpus in, token batches out,
+    * the contract the whole engine exists for (q143 stops at the split;
+    * this runs the full chain): quality gate + exact dedup (q143's
+    * curation stage) → near-dup-safe splits (q154) → data-constrained
+    * repeat plan over the TRAIN split (q153) → epoch materialization
+    * (q155) → per-epoch deterministic order (q140's key, column-epoch
+    * form) → sequence packing per (epoch, shard) (q97's layout). Each
+    * output (repeat_idx, shard, bin) is a training batch of ≤2048 tokens
+    * in reproducible epoch order. FULL DuckDB oracle: one CTE chain
+    * recomputing every stage. */
+  private def q156_training_batches(s: SparkSession, dir: String): DataFrame = {
+    val curated = operators.OpCache.track(
+      Dedup.exact(
+        parallelize(t(s, dir, "documents"))
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.6),
+        "text", "doc_id").persist())
+    val pairs = Dedup.jaccardSelfJoin(curated, "text", "doc_id",
+      shingleK = 3, threshold = 0.6)
+    val train = operators.Curate.clusterSafeSplits(curated, "text",
+        "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val plan = operators.Curate.repeatPlan(train, "lang", "n_tok",
+      budgetTokens = 150000L,
+      weights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15,
+        "fr" -> 0.1, "zh" -> 0.05),
+      maxEpochs = 8.0)
+    val epochs = operators.Curate
+      .materializeRepeats(train, plan, "lang", "doc_id")
+      .withColumn("okey",
+        operators.Curate.epochOrderKey(col("doc_id"), col("repeat_idx")))
+    operators.Curate.packSequences(epochs, "doc_id", "n_tok",
+        budget = 2048L, shards = 8,
+        epochCol = Some("repeat_idx"), orderCol = Some("okey"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("repeat_idx"),
+        col("okey"), col("shard"), col("bin"), col("bin_offset"))
+      .orderBy(col("doc_id"), col("repeat_idx"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -3029,6 +3069,7 @@ object SparkEntry {
     "q153_repeat_plan" -> q153_repeat_plan _,
     "q154_cluster_safe_splits" -> q154_cluster_safe_splits _,
     "q155_epoch_materialize" -> q155_epoch_materialize _,
+    "q156_training_batches" -> q156_training_batches _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5031,5 +5072,85 @@ object SparkEntry {
          |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS repeat_idx
          |FROM r WHERE reps > 0
          |ORDER BY doc_id, repeat_idx""".stripMargin,
+    // q156 recomputes the COMPOSED flagship end to end in one CTE chain:
+    // quality gate + exact dedup (q143), shingle pairs + recursive-CTE
+    // closure + rep-keyed split CASE (q154), the train-split repeat plan
+    // (q153), the clamped hex-threshold materialization (q155), the
+    // per-epoch md5 order key (q140), and the (epoch, shard)-partitioned
+    // running-sum packing (q97).
+    "q156_training_batches" ->
+      s"""WITH RECURSIVE raw AS (${qualityRawSql("doc_id, lang, text")}),
+         |qf AS (SELECT doc_id, lang, text FROM raw
+         |       WHERE $qualityExprSql >= 0.6),
+         |d AS (SELECT doc_id, lang, text FROM qf
+         |      WHERE doc_id IN (SELECT min(doc_id) FROM qf
+         |                       GROUP BY md5($normSql))),
+         |tok AS (SELECT doc_id, $toksSql AS w FROM d),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |    ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                        for i in range(1, len(w) - 1)]) END AS s
+         |  FROM tok),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |        len(list_distinct(list_concat(a.s, b.s))) >= 0.6),
+         |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs),
+         |edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+         |          UNION SELECT id_b AS u, id_a AS v FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.v FROM reach JOIN edges e ON reach.r = e.u),
+         |rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |r2 AS (SELECT d.doc_id, coalesce(rep.rep, d.doc_id) AS rep
+         |       FROM d LEFT JOIN rep ON d.doc_id = rep.id),
+         |k AS (SELECT r2.doc_id, substr(md5($normSql), 1, 8) AS key
+         |      FROM r2 JOIN d dd ON r2.rep = dd.doc_id),
+         |tr AS (SELECT d.doc_id, d.lang,
+         |         CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |              ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |       FROM d JOIN k USING (doc_id)
+         |       WHERE k.key < 'cccccccc'),
+         |a AS (SELECT lang, sum(n_tok)::BIGINT AS avail FROM tr GROUP BY lang),
+         |p AS (SELECT lang,
+         |        CAST(floor(floor(150000 * CASE lang WHEN 'de' THEN 0.2
+         |          WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+         |          WHEN 'zh' THEN 0.05 ELSE 0.0 END) / avail) AS BIGINT)
+         |          AS full_repeats,
+         |        round(floor(150000 * CASE lang WHEN 'de' THEN 0.2
+         |          WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.1
+         |          WHEN 'zh' THEN 0.05 ELSE 0.0 END) / avail -
+         |          floor(floor(150000 * CASE lang WHEN 'de' THEN 0.2
+         |            WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.15
+         |            WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.05 ELSE 0.0 END)
+         |            / avail), 4) AS partial_fraction
+         |      FROM a),
+         |m AS (
+         |  SELECT tr.doc_id, tr.lang, tr.n_tok,
+         |    p.full_repeats + CASE WHEN
+         |      substr(md5(tr.doc_id::VARCHAR), 1, 8) <
+         |      CASE WHEN p.partial_fraction >= 1.0 THEN 'g'
+         |        ELSE lower(lpad(to_hex(CAST(floor(p.partial_fraction
+         |          * 4294967296) AS BIGINT)), 8, '0')) END
+         |    THEN 1 ELSE 0 END AS reps
+         |  FROM tr JOIN p USING (lang)),
+         |x AS (SELECT doc_id, lang, n_tok,
+         |        CAST(unnest(range(1, reps + 1)) AS BIGINT) AS repeat_idx
+         |      FROM m WHERE reps > 0),
+         |o AS (SELECT doc_id, lang, n_tok, repeat_idx,
+         |        md5(CAST(repeat_idx AS VARCHAR) || ':' ||
+         |            CAST(doc_id AS VARCHAR)) AS okey,
+         |        CAST(doc_id % 8 AS BIGINT) AS shard
+         |      FROM x),
+         |c AS (SELECT *, sum(n_tok) OVER (PARTITION BY repeat_idx, shard
+         |        ORDER BY okey, doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+         |        AS strt
+         |      FROM o)
+         |SELECT doc_id, lang, n_tok, repeat_idx, okey, shard,
+         |  CAST(floor(strt / 2048.0) AS BIGINT) AS bin,
+         |  CAST(strt % 2048 AS BIGINT) AS bin_offset
+         |FROM c ORDER BY doc_id, repeat_idx""".stripMargin,
   )
 }

@@ -387,12 +387,24 @@ object Curate {
    * across shards and NO global single-partition window exists at any
    * corpus size. Adds `shard`, `bin`, `bin_offset` (the doc's start
    * offset inside its bin).
+   *
+   * Composed-pipeline form (q156): `epochCol` adds the epoch to the
+   * window PARTITION (each epoch of a [[materializeRepeats]] output
+   * packs independently — the same doc lands in different bins across
+   * epochs), and `orderCol` lays documents out in that order (e.g.
+   * [[epochOrderKey]]'s per-epoch shuffle) instead of raw id order, id
+   * tiebreak. Defaults preserve the original shape exactly (q97).
    */
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
-                    budget: Long, shards: Int): DataFrame = {
+                    budget: Long, shards: Int,
+                    epochCol: Option[String] = None,
+                    orderCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val parts = epochCol.map(col).toSeq :+ col("shard")
+    val order = orderCol.map(c => Seq(col(c), col(idCol)))
+      .getOrElse(Seq(col(idCol)))
+    val w = Window.partitionBy(parts: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // start offset = running sum EXCLUDING the current doc; double division
     // is exact here (token sums ≪ 2^53) and floor/mod agree across engines
@@ -707,6 +719,12 @@ object Curate {
     * one. */
   def epochOrderKey(id: Column, epoch: Int): Column =
     md5(concat(lit(s"$epoch:"), id.cast("string")))
+
+  /** Column-epoch form of [[epochOrderKey]], for materialized multi-epoch
+    * frames where the epoch ([[materializeRepeats]]' `repeat_idx`) is a
+    * column. Identical key bytes for equal (epoch, id). */
+  def epochOrderKey(id: Column, epoch: Column): Column =
+    md5(concat(epoch.cast("string"), lit(":"), id.cast("string")))
 
   /**
    * Deterministic per-epoch global training order: sort the corpus by

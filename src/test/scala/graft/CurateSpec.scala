@@ -682,6 +682,30 @@ class CurateSpec extends SparkSpec {
         s"${counts.count(_._2 == 2L)}/64 got the partial repeat")
   }
 
+  test("packSequences epoch/order form: epochs pack independently in " +
+    "the given order; defaults unchanged") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 1L, "b"), (2L, 10L, 1L, "a"), // epoch 1, same shard order a<b
+      (1L, 10L, 2L, "a"), (2L, 10L, 2L, "b")) // epoch 2, reversed order
+      .toDF("doc_id", "n_tok", "epoch", "okey")
+      .withColumn("doc_id", $"doc_id" * 2) // both docs in shard 0 of 2
+    val out = Curate.packSequences(df, "doc_id", "n_tok", budget = 15L,
+        shards = 2, epochCol = Some("epoch"), orderCol = Some("okey"))
+      .select($"doc_id", $"epoch", $"bin", $"bin_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // epoch 1: doc 4 (okey a) starts at 0/bin 0; doc 2 (okey b) at 10/bin 0
+    // epoch 2: doc 2 (okey a) first — the SAME docs land differently
+    assert(out == Set((4L, 1L, 0L, 0L), (2L, 1L, 0L, 10L),
+      (2L, 2L, 0L, 0L), (4L, 2L, 0L, 10L)), out.toString)
+    // defaults: identical to the original id-ordered single-epoch shape
+    val legacy = Curate.packSequences(
+        df.filter($"epoch" === 1L), "doc_id", "n_tok", 15L, 2)
+      .select($"doc_id", $"bin", $"bin_offset")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(legacy == Set((2L, 0L, 0L), (4L, 0L, 10L)), legacy.toString)
+  }
+
   test("clusterSafeSplits: a cluster whose representative is absent from " +
     "df still lands whole in ONE split") {
     import spark.implicits._
