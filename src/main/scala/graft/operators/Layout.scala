@@ -196,8 +196,16 @@ object Layout {
     val scols =
       if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bcols
     val versioned = target != table
+    // versioned rewrites land in a NONCE-named staging table, then COMMIT
+    // by renaming to __v(N+1) + repointing the view — two writers racing
+    // toward the same version can never clobber each other's data (the
+    // rename refuses an existing name), and a stale writer is REFUSED by
+    // the generation check in commitVersioned instead of silently
+    // overwriting the other's rewrite (last-swap-wins)
+    val expected = if (versioned) versions(spark, table).last._1 else 0
     val dest =
-      if (versioned) s"${table}__v${versions(spark, table).last._1 + 1}"
+      if (versioned)
+        s"${table}__graft_rw_${java.util.UUID.randomUUID().toString.take(8)}"
       else s"${table}__graft_compact"
     spark.sql(s"DROP TABLE IF EXISTS $dest")
     // read the table's FILES by path, not the catalog table: the bucketed
@@ -217,12 +225,7 @@ object Layout {
       .format("parquet")
       .saveAsTable(dest)
     if (versioned) {
-      // ONE catalog op: a concurrent reader resolves either the old or
-      // the new version, never a missing name (LayoutSpec reader-loop
-      // gate); then drop everything older than the version just left
-      spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $dest")
-      versions(spark, table).dropRight(2)
-        .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
+      commitVersioned(spark, table, expected, dest)
     } else {
       // rename chain: the store name is unbound for exactly ONE catalog
       // op (between the two renames) and a crash leaves the data bound
@@ -233,5 +236,49 @@ object Layout {
       spark.sql(s"ALTER TABLE $dest RENAME TO $table")
       spark.sql(s"DROP TABLE ${table}__graft_old")
     }
+  }
+
+  /**
+   * Commit a versioned rewrite staged in `dest`: rename it to
+   * `__v(expected+1)` and repoint the view — still ONE reader-visible
+   * catalog op (the repoint; the rename touches a name no reader
+   * resolves). CONCURRENT-WRITER contract (LayoutSpec-gated): if the
+   * store's generation moved past `expected` while the rewrite ran —
+   * another compaction/retraction committed — the commit is REFUSED and
+   * the staged table dropped, because last-swap-wins would serve a store
+   * missing that writer's changes; retry the whole rewrite against the
+   * current version. The rename itself refuses an already-taken version
+   * name, closing the check-to-rename window. Appends
+   * ([[appendBucketed]]) do not bump the generation: an append racing a
+   * rewrite can still be lost to the rewrite's pre-append snapshot —
+   * single-writer discipline (or an external lock) remains the contract
+   * BETWEEN append and rewrite; this guard makes rewrite-vs-rewrite
+   * races loud instead of silent.
+   */
+  private[graft] def commitVersioned(spark: SparkSession, table: String,
+                                     expected: Int, dest: String): Unit = {
+    val cur = versions(spark, table).last._1
+    if (cur != expected) {
+      spark.sql(s"DROP TABLE IF EXISTS $dest")
+      throw new IllegalStateException(
+        s"rewriteBucketed: $table generation moved (expected __v$expected," +
+          s" found __v$cur) — concurrent writer detected; retry against " +
+          "the current version")
+    }
+    val vdest = s"${table}__v${expected + 1}"
+    try spark.sql(s"ALTER TABLE $dest RENAME TO $vdest")
+    catch {
+      case e: Throwable =>
+        spark.sql(s"DROP TABLE IF EXISTS $dest")
+        throw new IllegalStateException(
+          s"rewriteBucketed: another writer took $vdest — retry against " +
+            "the current version", e)
+    }
+    // ONE catalog op: a concurrent reader resolves either the old or
+    // the new version, never a missing name (LayoutSpec reader-loop
+    // gate); then drop everything older than the version just left
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $vdest")
+    versions(spark, table).dropRight(2)
+      .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
   }
 }

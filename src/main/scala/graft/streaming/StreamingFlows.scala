@@ -186,6 +186,61 @@ object StreamingFlows {
       }
 
   /**
+   * [[streamingIngest]]'s LSH-TIER sibling — the continuous form of
+   * [[graft.operators.Dedup.ingestBatchLsh]], completing the
+   * batch/stream lifecycle parity across all three dedup tiers: each
+   * micro-batch runs in-batch LSH dedup, candidate+verify against the
+   * band store, and appends the survivors' bands and signatures, inside
+   * `foreachBatch` (same session-discipline note as [[streamingIngest]]).
+   * The same exactly-once-effect argument holds: checkpointed delivery
+   * is at-least-once, and the ingest step is IDEMPOTENT — a replayed
+   * batch finds every one of its signatures already in the store
+   * (self-similarity 1.0 ≥ threshold), so it appends nothing
+   * (DedupSpec-gated). StreamingSpec gates N micro-batches ≡ the same
+   * batches ingested sequentially (whose ≡ one-shot is q146-gated).
+   */
+  def streamingIngestLsh(stream: DataFrame, textCol: String, idCol: String,
+      table: String, checkpoint: String, shingleK: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survivors = graft.operators.Dedup.ingestBatchLsh(
+          batch.sparkSession, batch, textCol, idCol, table,
+          shingleK, numHashes, bands, threshold)
+        onBatch(survivors, batchId)
+        ()
+      }
+
+  /**
+   * [[streamingIngest]]'s SEMANTIC-TIER sibling — the continuous form of
+   * [[graft.operators.Dedup.ingestBatchSemDedup]]: each micro-batch is
+   * assigned with the STORED centroids (broadcast; corpus vectors never
+   * enter an exchange), deduped within the batch, bipartite-checked
+   * against the assigned-corpus store, and its surviving assignments
+   * appended. Idempotence (replayed batch: cos(self, self) = 1 ≥ tau ⇒
+   * zero survivors, DedupSpec-gated) makes the effect exactly-once;
+   * StreamingSpec gates stream ≡ sequential-batch store equality
+   * (sequential ≡ one-shot is q147-gated).
+   */
+  def streamingIngestSemDedup(stream: DataFrame, table: String,
+      centroids: DataFrame, vecCol: String, idCol: String, probes: Int,
+      tau: Double, checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survivors = graft.operators.Dedup.ingestBatchSemDedup(
+          batch.sparkSession, batch, table, centroids, vecCol, idCol,
+          probes, tau)
+        onBatch(survivors, batchId)
+        ()
+      }
+
+  /**
    * Streaming near-duplicate candidates off a
    * [[graft.operators.Dedup.writeLshStore]] ingest store — the streaming
    * face of [[graft.operators.Dedup.minhashLshAgainstStore]]: arriving
@@ -299,6 +354,17 @@ object StreamingFlows {
  * over the limit): implementations with a `jobsLimit` block in
  * [[write]] until depth falls below the limit (a consumer flushing, or a
  * compactor trimming consumed files).
+ *
+ * DELIVERY GRADE per implementation — choose by the consequence of loss:
+ *  - [[ParquetBoundary]]: durable files + streaming checkpoints —
+ *    at-least-once delivery; exactly-once EFFECT when the consumer step
+ *    is idempotent (the ingest loops are, gated). The production default.
+ *  - [[InMemoryBoundary]]: in-heap, single-JVM — tests and local dev.
+ *  - [[SocketBoundary]]: AT-MOST-ONCE to subscribers, no persistence — a
+ *    crashed subscriber loses in-flight rows. Dev-grade BY DESIGN,
+ *    matching the grade of the reference's in-process adapter it mirrors
+ *    (`adapters/simple_queue.py`); never route data whose loss matters
+ *    through it — that is what [[ParquetBoundary]] is for.
  */
 trait StageBoundary {
   /** Enqueue a batch (≙ add_jobs): append rows durably. Blocks while the

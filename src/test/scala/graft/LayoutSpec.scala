@@ -59,6 +59,38 @@ class LayoutSpec extends SparkSpec {
     OpCache.release()
   }
 
+  test("versioned rewrite refuses a concurrent writer's lost update") {
+    val tbl = s"layoutspec_race_$pid"
+    spark.sql(s"DROP VIEW IF EXISTS $tbl")
+    (1 to 4).foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${tbl}__v$v"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    // writer B commits v2 while writer A's rewrite (staged below) runs
+    Layout.compactBucketed(spark, tbl)
+    val content = spark.table(tbl).as[String].collect().toSet
+    // writer A staged its rewrite against the STALE v1 snapshot
+    val stale = s"${tbl}__graft_rw_stale"
+    spark.sql(s"DROP TABLE IF EXISTS $stale")
+    Seq("zz").toDF("fp").write.format("parquet").saveAsTable(stale)
+    val ex = intercept[IllegalStateException] {
+      Layout.commitVersioned(spark, tbl, expected = 1, dest = stale)
+    }
+    assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
+    // the refused commit changed NOTHING a reader can see, and dropped
+    // its staging table
+    assert(spark.table(tbl).as[String].collect().toSet == content,
+      "refused commit mutated the store")
+    assert(!spark.catalog.tableExists(stale), "staging table left behind")
+    assert(!spark.catalog.tableExists(s"${tbl}__v3"),
+      "refused commit advanced the generation")
+    // and a non-stale rewrite through the public path still works
+    Layout.compactBucketed(spark, tbl)
+    assert(spark.table(tbl).as[String].collect().toSet == content,
+      "post-refusal compaction lost content")
+    OpCache.release()
+  }
+
   test("plain-table rewrite: rename-chain swap, crash leftovers recovered") {
     val tbl = s"layoutspec_plain_$pid"
     Seq(tbl, s"${tbl}__graft_compact", s"${tbl}__graft_old")

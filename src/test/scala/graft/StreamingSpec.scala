@@ -360,6 +360,106 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("streaming LSH ingest: N micro-batches equal the same batches " +
+    "ingested sequentially; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tblS = s"streamspec_lshing_s_$pid" // streamed
+    val tblQ = s"streamspec_lshing_q_$pid" // sequential twin
+    Seq(tblS, tblQ).foreach(t => Seq(s"${t}_bands", s"${t}_sigs")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x")))
+    val seed = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    Seq(tblS, tblQ).foreach(t => graft.operators.Dedup.writeLshStore(
+      seed, "text", "doc_id", t,
+      shingleK = 3, numHashes = 64, bands = 16, buckets = 2))
+    val b1 = Seq((1L, "one two three four five six seven"),
+      (2L, "ALPHA beta gamma delta epsilon zeta eta theta"), // ~seed dup
+      (3L, "one two THREE four five six seven")) // in-batch near-dup of 1
+    val b2 = Seq((4L, "totally different words appear here now indeed"),
+      (5L, "one two three four five six seven extra")) // near-dup of 1
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lsh_ingest_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingFlows.streamingIngestLsh(
+      input.toDF().toDF("doc_id", "text"), "text", "doc_id", tblS, ckpt,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    Seq(b1, b2).foreach(b => graft.operators.Dedup.ingestBatchLsh(
+      spark, b.toDF("doc_id", "text"), "text", "doc_id", tblQ,
+      shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5))
+    def sigRows(t: String) = spark.table(s"${t}_sigs")
+      .select($"id", $"sig").as[(Long, Seq[Long])].collect().toSet
+    def bandRows(t: String) = spark.table(s"${t}_bands")
+      .select($"id", $"band", $"bucket").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(sigRows(tblS) == sigRows(tblQ),
+      s"streamed sigs diverge from sequential: " +
+        s"streamIds=${sigRows(tblS).map(_._1)}, seqIds=${sigRows(tblQ).map(_._1)}")
+    assert(bandRows(tblS) == bandRows(tblQ), "streamed bands diverge")
+    val ids = sigRows(tblS).map(_._1)
+    assert(ids(100L) && ids(1L) && ids(4L) && !ids(2L) && !ids(3L) && !ids(5L),
+      s"ingest dedup wrong: $ids")
+    // crash-replay: re-running the last micro-batch's step appends nothing
+    assert(graft.operators.Dedup.ingestBatchLsh(spark,
+      b2.toDF("doc_id", "text"), "text", "doc_id", tblS,
+      shingleK = 3, numHashes = 64, bands = 16,
+      threshold = 0.5).count() == 0, "replayed micro-batch re-ingested")
+    assert(sigRows(tblS) == sigRows(tblQ), "replay changed the store")
+    graft.operators.OpCache.release()
+  }
+
+  test("streaming SemDeDup ingest: stream equals sequential batches; " +
+    "replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tblS = s"streamspec_seming_s_$pid"
+    val tblQ = s"streamspec_seming_q_$pid"
+    Seq(tblS, tblQ).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val seed = Seq((100L, Seq(1f, 0f, 0f, 0f)), (101L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("centroid_id", "embedding")
+    Seq(tblS, tblQ).foreach(t => graft.operators.Dedup.writeAssignedCorpus(
+      seed, cents, "embedding", "vec_id", probes = 2, t, buckets = 2))
+    val b1 = Seq((1L, Seq(0.99f, 0.1f, 0f, 0f)), // semantic dup of 100
+      (2L, Seq(0f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 0.05f, 0.99f, 0f))) // in-batch dup of 2
+    val b2 = Seq((4L, Seq(0f, 0f, 0f, 1f)),
+      (5L, Seq(0.1f, 0f, 0.99f, 0f))) // dup of batch-1 survivor 2
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sem_ingest_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingFlows.streamingIngestSemDedup(
+      input.toDF().toDF("vec_id", "embedding"), tblS, cents,
+      "embedding", "vec_id", probes = 2, tau = 0.95, ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    Seq(b1, b2).foreach(b => graft.operators.Dedup.ingestBatchSemDedup(
+      spark, b.toDF("vec_id", "embedding"), tblQ, cents,
+      "embedding", "vec_id", probes = 2, tau = 0.95))
+    def rows(t: String) = spark.table(t)
+      .select($"cell", $"vec_id", $"embedding")
+      .as[(Long, Long, Seq[Float])].collect().toSet
+    assert(rows(tblS) == rows(tblQ),
+      s"streamed assignments diverge: stream=${rows(tblS).map(_._2)}, " +
+        s"seq=${rows(tblQ).map(_._2)}")
+    val ids = rows(tblS).map(_._2)
+    assert(ids(100L) && ids(101L) && ids(2L) && ids(4L) &&
+      !ids(1L) && !ids(3L) && !ids(5L), s"semantic dedup wrong: $ids")
+    // crash-replay: the last micro-batch re-ingested is a no-op
+    assert(graft.operators.Dedup.ingestBatchSemDedup(spark,
+      b2.toDF("vec_id", "embedding"), tblS, cents, "embedding", "vec_id",
+      probes = 2, tau = 0.95).count() == 0, "replayed batch re-ingested")
+    assert(rows(tblS) == rows(tblQ), "replay changed the store")
+    graft.operators.OpCache.release()
+  }
+
   test("streaming near-dup off the LSH store equals the batch store path") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
