@@ -44,6 +44,10 @@ import graft.operators.{Dedup, Layout, OpCache, TextProfile}
   *    full-vocabulary groupBy vs the Misra–Gries summary, and the r12
   *    immutable-Map MG buffer vs the shipped mutable in-place buffer
   *    (SURVEY §6).
+  *  - `splits [<docs.parquet>]` — split/decontamination tier (q152/
+  *    q154): decontaminateSplits' window-hash semi-join and
+  *    clusterSafeSplits' star-contraction + id-keyed joins priced
+  *    across the 50k/500k decade (SURVEY §6).
   */
 object Probe {
 
@@ -114,11 +118,59 @@ object Probe {
           else Seq(2000L, 20000L, 200000L))
       case Some("mg") => mgRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
+      case Some("splits") => splitsRun(args.drop(1).headOption
+        .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case Some("retract") => retractRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
         args.drop(2).headOption
           .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case _ => bandingRun()
+    }
+  }
+
+  /** Split/decontamination tier pricing (round 14, q152/q154 were
+    * fixture-gated only): [[graft.operators.Curate.decontaminateSplits]]
+    * (q122's 128-bit window-hash semi-join — document text never
+    * shuffles) and [[graft.operators.Curate.clusterSafeSplits]]
+    * (star-contraction over bare id pairs + two id-keyed joins) across
+    * the 50k/500k decade, broadcast off. Near-dup pairs are
+    * PRE-MATERIALIZED outside the measurement (production serves them
+    * off the LSH ingest store — [[graft.operators.Dedup.minhashLshPairsFromStore]],
+    * exchange-free-gated), so the numbers isolate the split operators
+    * themselves, not pair generation. */
+  private def splitsRun(docsPath: String): Unit = {
+    val spark = session()
+    val all = spark.read.parquet(docsPath).repartition(32)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val tmp = java.nio.file.Files.createTempDirectory("splits").toString
+    Seq(50000L, 500000L).foreach { n =>
+      val docs = all.filter(col("doc_id") < n)
+      println(s"[probe] splits tier at n=$n (${docs.count()} docs)")
+      measure(s"warmup leakageSafeSplits n=$n")(
+        graft.operators.Curate.leakageSafeSplits(docs, "text", splits))
+      measure(s"decontaminateSplits n=$n (minTokens=20)")(
+        graft.operators.Curate.decontaminateSplits(
+          docs, "text", "doc_id", splits, minTokens = 20))
+      val pairs = Dedup.minhashLsh(docs, "text", "doc_id",
+        shingleK = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      pairs.write.mode("overwrite").parquet(s"$tmp/pairs_$n")
+      OpCache.release()
+      val p = spark.read.parquet(s"$tmp/pairs_$n")
+      println(s"[probe] near-dup pairs at n=$n: ${p.count()}")
+      measure(s"clusterSafeSplits n=$n (pairs pre-materialized)")(
+        graft.operators.Curate.clusterSafeSplits(
+          docs, "text", "doc_id", p, splits))
+      // production shape: the label frame is CLUSTER-bounded, so it
+      // broadcasts — the corpus-side join then shuffles nothing; only
+      // the star-contraction and the slim rep semi-join pay exchanges
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      measure(s"clusterSafeSplits n=$n (broadcast on — production)")(
+        graft.operators.Curate.clusterSafeSplits(
+          docs, "text", "doc_id", p, splits))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     }
   }
 

@@ -2850,6 +2850,72 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("repeat_idx"))
   }
 
+  /** VERSIONED code-store lifecycle gate ([[operators.Quantize]] manifest
+    * form — q149's twin on the concurrent-reader-safe store): two
+    * sequential retractions walk the generation chain (v1→v2→v3, each
+    * swap one atomic manifest rename), after which the store must equal
+    * a one-shot rebuild over the final survivors, retracted ids must
+    * never be served, and exactly the current + grace manifests survive
+    * GC. The oracle pins the verdict rows (q149 pattern). */
+  private def q157_codestore_versioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q157_$pid"
+    val (dirA, dirB) = (s"$base/store", s"$base/rebuild")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+      4, 16, dirA, versioned = true)
+    val rm1 = e.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id"))
+    val rm2 = e.filter(pmod(col("vec_id"), lit(7)) === 1).select(col("vec_id"))
+    operators.Quantize.removeFromCodeStore(s, dirA, rm1, "vec_id")
+    operators.Quantize.removeFromCodeStore(s, dirA, rm2, "vec_id")
+    val removed = rm1.unionByName(rm2).distinct()
+    operators.Quantize.writeCodeStore(
+      e.join(removed, Seq("vec_id"), "left_anti"), cents, cb,
+      "embedding", "vec_id", 4, 16, dirB, versioned = true)
+    val got = operators.Quantize.readCodeStore(s, dirA)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
+    val want = operators.Quantize.readCodeStore(s, dirB)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
+    val joined = operators.OpCache.materialize(
+      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    val served = operators.Quantize.ivfPqTopKFromStore(s, dirA,
+        e.filter(col("vec_id") === 1), cents, cb, "embedding", "vec_id",
+        4, 16, k = 10, nProbe = 3)
+      .join(removed.withColumnRenamed("vec_id", "corpus_id"),
+        Seq("corpus_id"), "left_semi").count()
+    // generation chain: two retractions on a v1 store land at v3, and GC
+    // keeps exactly the current + one grace manifest
+    val manifests = new java.io.File(dirA).list()
+      .filter(_.startsWith("_graft_manifest")).sorted.toSeq
+    val chainOk = operators.Quantize.codeStoreVersion(s, dirA)
+      .contains(3L) &&
+      manifests == Seq("_graft_manifest-v000002", "_graft_manifest-v000003")
+    joined.select(
+        lit("vstore_retract_equals_rebuild").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("vstore_retract_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .unionByName(Seq(
+        ("vstore_removed_never_served", 0.0, served == 0L),
+        ("vstore_generation_chain", 3.0, chainOk))
+        .toDF("metric", "bound", "ok"))
+      .orderBy(col("metric"))
+  }
+
   /** The composed TRAINING-SET FLAGSHIP — corpus in, token batches out,
     * the contract the whole engine exists for (q143 stops at the split;
     * this runs the full chain): quality gate + exact dedup (q143's
@@ -3070,6 +3136,7 @@ object SparkEntry {
     "q154_cluster_safe_splits" -> q154_cluster_safe_splits _,
     "q155_epoch_materialize" -> q155_epoch_materialize _,
     "q156_training_batches" -> q156_training_batches _,
+    "q157_codestore_versioned" -> q157_codestore_versioned _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4823,6 +4890,17 @@ object SparkEntry {
         |  ('codestore_removed_never_served', CAST(0.0 AS DOUBLE), TRUE),
         |  ('codestore_retract_equals_rebuild', CAST(0.0 AS DOUBLE), TRUE),
         |  ('codestore_retract_nonempty', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q157 is q149's twin on the VERSIONED (manifest) store: the oracle
+    // pins the verdict rows — retract-chain ≡ rebuild, takedown honored,
+    // generation chain + grace-manifest GC policy.
+    "q157_codestore_versioned" ->
+      """SELECT * FROM (VALUES
+        |  ('vstore_generation_chain', CAST(3.0 AS DOUBLE), TRUE),
+        |  ('vstore_removed_never_served', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('vstore_retract_equals_rebuild', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('vstore_retract_nonempty', CAST(1.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
     // q150 recomputes the whole boilerplate-removal composition from

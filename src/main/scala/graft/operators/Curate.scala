@@ -170,32 +170,46 @@ object Curate {
    * exactly on a near-dup-free corpus (CurateSpec-gated).
    *
    * Scale shape: the cluster resolve is [[graft.operators.Dedup.resolveClusters]]'
-   * star-contraction over bare id pairs; then two id-keyed joins (the
-   * representative's 8-hex content key is fingerprinted at the scan —
-   * document text never shuffles).
+   * star-contraction over bare id pairs, and every frame that joins the
+   * corpus is CLUSTER-BOUNDED, not corpus-sized: the per-id split key is
+   * assembled on a |clustered-docs| label frame (a semi-join pulls the
+   * representatives' fingerprints, keys are 8-hex strings), and
+   * un-clustered documents — the overwhelming majority — take their own
+   * fingerprint AT THE SCAN with no join at all. Near-dup clusters are a
+   * small corpus fraction, so the label frame broadcasts in production
+   * and the corpus never shuffles; the first shape (a corpus-sized
+   * fingerprint frame joined on the cluster id) forced a full-corpus
+   * text shuffle with broadcast off — measured 370 MiB at 500k docs,
+   * `graft.Probe splits`, SURVEY §6.
    */
   def clusterSafeSplits(df: DataFrame, textCol: String, idCol: String,
                         pairs: DataFrame,
                         splits: Seq[(String, Double)]): DataFrame = {
+    val ownKey = substring(
+      graft.functions.TextFunctions.fingerprint(col(textCol)), 1, 8)
     val reps = graft.operators.Dedup.resolveClusters(pairs)
       .select(col("id").as(idCol), col("cluster_id"))
-    val repKey = df.select(col(idCol).as("__graft_rep_id"),
-      substring(graft.functions.TextFunctions.fingerprint(col(textCol)),
-        1, 8).as("__graft_rep_key"))
-    df.join(reps, Seq(idCol), "left")
-      .withColumn("__graft_cid", coalesce(col("cluster_id"), col(idCol)))
-      .join(repKey, col("__graft_cid") === col("__graft_rep_id"), "left")
-      // A representative ABSENT from df (pairs served off an LSH store
-      // that still holds retracted docs) leaves __graft_rep_key null;
-      // splitLabel's CASE would silently fall through to the LAST split.
-      // Fall back to a deterministic hash of the cluster id — the whole
-      // cluster still lands in ONE split (the operator's invariant),
-      // merely keyed by id instead of content for that cluster.
-      .withColumn("__graft_key", coalesce(col("__graft_rep_key"),
-        sampleKey(col("__graft_cid"))))
-      .withColumn("split", splitLabel(col("__graft_key"), splits))
-      .drop("cluster_id", "__graft_cid", "__graft_rep_id",
-        "__graft_rep_key", "__graft_key")
+    // fingerprints of the REPRESENTATIVES only (|clusters| rows)
+    val repKey = df
+      .join(reps.select(col("cluster_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("__graft_rep_id"),
+        ownKey.as("__graft_rep_key"))
+    // (id, key) for CLUSTERED docs only (|clustered-docs| rows).
+    // A representative ABSENT from df (pairs served off an LSH store
+    // that still holds retracted docs) has no fingerprint row;
+    // splitLabel's CASE would silently fall through to the LAST split.
+    // Fall back to a deterministic hash of the cluster id — the whole
+    // cluster still lands in ONE split (the operator's invariant),
+    // merely keyed by id instead of content for that cluster.
+    val labels = reps
+      .join(repKey, col("cluster_id") === col("__graft_rep_id"), "left")
+      .select(col(idCol), coalesce(col("__graft_rep_key"),
+        sampleKey(col("cluster_id"))).as("__graft_key"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split",
+        splitLabel(coalesce(col("__graft_key"), ownKey), splits))
+      .drop("__graft_key")
   }
 
   /**
