@@ -72,7 +72,8 @@ object Bench {
     "q150_strip_boilerplate", "q151_datacard_ext",
     "q152_decontaminated_splits", "q153_repeat_plan",
     "q154_cluster_safe_splits", "q155_epoch_materialize",
-    "q156_training_batches", "q157_codestore_versioned")
+    "q156_training_batches", "q157_codestore_versioned",
+    "q158_codestore_ingest")
 
   private val RUNS = 5
 

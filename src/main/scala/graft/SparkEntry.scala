@@ -2916,6 +2916,64 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Versioned code-store INGEST gate ([[operators.Quantize.ingestBatchCodeStore]]
+    * — q146/q147's pattern on the ANN-serving store, completing its
+    * lifecycle: write/ingest/serve/retract all gated): two ingest appends
+    * with the STORED models must leave the store equal to a one-shot
+    * build over the union, a replayed batch must append nothing (the
+    * idempotence the streaming wrapper's exactly-once effect rests on),
+    * and every cell must stay ONE file (ingest is self-compacting). */
+  private def q158_codestore_ingest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val m3 = pmod(col("vec_id"), lit(3))
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q158_$pid"
+    val (dirA, dirB) = (s"$base/store", s"$base/oneshot")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    operators.Quantize.writeCodeStore(e.filter(m3 === 0), cents, cb,
+      "embedding", "vec_id", 4, 16, dirA, versioned = true)
+    operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 1),
+      cents, cb, "embedding", "vec_id", 4, 16)
+    operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 2),
+      cents, cb, "embedding", "vec_id", 4, 16)
+    val replayed = operators.Quantize.ingestBatchCodeStore(s, dirA,
+      e.filter(m3 === 2), cents, cb, "embedding", "vec_id", 4, 16).count()
+    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+      4, 16, dirB, versioned = true)
+    val got = operators.Quantize.readCodeStore(s, dirA)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
+    val want = operators.Quantize.readCodeStore(s, dirB)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
+    val joined = operators.OpCache.materialize(
+      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    val store = operators.Quantize.readCodeStore(s, dirA)
+    val oneFilePerCell = store.inputFiles.length.toLong ==
+      store.select(col("cell")).distinct().count()
+    joined.select(
+        lit("cstore_ingest_seq_equals_oneshot").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("cstore_ingest_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .unionByName(Seq(
+        ("cstore_ingest_replay_noop", 0.0, replayed == 0L),
+        ("cstore_ingest_one_file_per_cell", 1.0, oneFilePerCell))
+        .toDF("metric", "bound", "ok"))
+      .orderBy(col("metric"))
+  }
+
   /** The composed TRAINING-SET FLAGSHIP — corpus in, token batches out,
     * the contract the whole engine exists for (q143 stops at the split;
     * this runs the full chain): quality gate + exact dedup (q143's
@@ -3137,6 +3195,7 @@ object SparkEntry {
     "q155_epoch_materialize" -> q155_epoch_materialize _,
     "q156_training_batches" -> q156_training_batches _,
     "q157_codestore_versioned" -> q157_codestore_versioned _,
+    "q158_codestore_ingest" -> q158_codestore_ingest _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4901,6 +4960,16 @@ object SparkEntry {
         |  ('vstore_removed_never_served', CAST(0.0 AS DOUBLE), TRUE),
         |  ('vstore_retract_equals_rebuild', CAST(0.0 AS DOUBLE), TRUE),
         |  ('vstore_retract_nonempty', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q158 pins the code-store ingest verdicts (q146/q147 pattern on the
+    // ANN store): sequence ≡ one-shot, replay no-op, self-compacting.
+    "q158_codestore_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('cstore_ingest_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('cstore_ingest_one_file_per_cell', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('cstore_ingest_replay_noop', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('cstore_ingest_seq_equals_oneshot', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
     // q150 recomputes the whole boilerplate-removal composition from

@@ -389,6 +389,56 @@ object Quantize {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
+  /**
+   * Ingest-append for the VERSIONED code store — the growth half of its
+   * lifecycle ([[Dedup.ingestBatchSemDedup]]'s discipline applied to the
+   * ANN-serving artifact): encode and assign the batch with the STORED
+   * models (pass the centroid/codebook frames kept with the store —
+   * re-training would shift every cell boundary and invalidate old
+   * codes), SKIP ids the store already holds (one id-projected anti-join
+   * — which makes the step IDEMPOTENT, so a crash-replayed batch appends
+   * nothing and a streaming wrapper inherits exactly-once effect), then
+   * rewrite ONLY the touched cells into a new generation (old cell rows ∪
+   * new codes — each touched cell comes back as ONE file, so ingest is
+   * self-compacting; probe-time file counts never grow with ingest
+   * cadence) and commit by one atomic manifest rename. Untouched cells
+   * are re-listed, never read. Afterwards the store equals a one-shot
+   * [[writeCodeStore]] over the union (QuantizeSpec-gated) and manifest
+   * pruning is intact. Returns the newly-ingested (idCol, codes, cell)
+   * rows. O(touched cells) I/O; concurrent-writer and reader guarantees
+   * are [[removeFromCodeStore]]'s (same commit path).
+   */
+  def ingestBatchCodeStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, vecCol: String, idCol: String,
+      m: Int, subDim: Int): DataFrame = {
+    val v = codeStoreVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ingestBatchCodeStore: $path is not a versioned store — " +
+          "enableCodeStoreVersioning first (appends need atomic swaps)"))
+    val base = path.stripSuffix("/")
+    val entries = readManifest(spark, path, v)
+    val store = spark.read.parquet(entries.map(e => s"$base/${e._2}"): _*)
+    // skip already-held ids (idempotence; batch-bounded work)
+    val fresh = batch.join(store.select(col(idCol)), Seq(idCol), "left_anti")
+    val newCodes = OpCache.materialize(
+      assembleCodes(fresh, centroids, codebook, vecCol, idCol, m, subDim))
+    val touched = newCodes.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet // batch-bounded driver list
+    if (touched.isEmpty) return newCodes // nothing new to add
+    val touchedOld = entries.filter(e => touched(e._1))
+    val oldRows = if (touchedOld.isEmpty) newCodes.filter(lit(false))
+      else spark.read.schema(store.schema)
+        .parquet(touchedOld.map(e => s"$base/${e._2}"): _*)
+    val merged = oldRows.unionByName(
+      newCodes.select(oldRows.columns.map(col): _*))
+    val freshEntries = writeGeneration(spark, merged, path, v + 1)
+    commitManifest(spark, path, v + 1,
+      entries.filterNot(e => touched(e._1)) ++ freshEntries)
+    gcStore(spark, path, Seq(v, v + 1))
+    newCodes
+  }
+
   /** Drop manifests older than `keepVersions` and any generation leaf
     * directory no kept manifest references (a cell directory superseded
     * two commits ago serves no reader that resolved v or v-1). */

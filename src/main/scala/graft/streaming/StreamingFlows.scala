@@ -241,6 +241,33 @@ object StreamingFlows {
       }
 
   /**
+   * [[streamingIngest]]'s ANN-STORE sibling — the continuous form of
+   * [[graft.operators.Quantize.ingestBatchCodeStore]], so a growing
+   * embedding corpus feeds the versioned IVF-PQ serving store directly:
+   * each micro-batch is encoded/assigned with the STORED models, ids the
+   * store already holds are skipped (the idempotence that upgrades
+   * foreachBatch's at-least-once delivery to exactly-once store effect —
+   * QuantizeSpec-gated), and only touched cells are rewritten into a new
+   * generation behind one atomic manifest swap, so concurrent ANN
+   * serving never observes a partial ingest. StreamingSpec gates
+   * stream ≡ sequential-batch store equality.
+   */
+  def streamingIngestCodeStore(stream: DataFrame, path: String,
+      centroids: DataFrame, codebook: DataFrame, vecCol: String,
+      idCol: String, m: Int, subDim: Int, checkpoint: String,
+      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      : DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ingested = graft.operators.Quantize.ingestBatchCodeStore(
+          batch.sparkSession, path, batch, centroids, codebook,
+          vecCol, idCol, m, subDim)
+        onBatch(ingested, batchId)
+        ()
+      }
+
+  /**
    * Streaming near-duplicate candidates off a
    * [[graft.operators.Dedup.writeLshStore]] ingest store — the streaming
    * face of [[graft.operators.Dedup.minhashLshAgainstStore]]: arriving

@@ -321,6 +321,66 @@ class QuantizeSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("versioned code store ingest: sequence equals one-shot, " +
+    "idempotent, self-compacting") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_ing").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_ing_os").toString
+    val m3 = pmod($"vec_id", lit(3))
+    Quantize.writeCodeStore(e.filter(m3 === 0), cents, cbT,
+      "embedding", "vec_id", 4, 16, dir, versioned = true)
+    // two ingests walk the generation chain; stored models throughout
+    val s1 = Quantize.ingestBatchCodeStore(spark, dir, e.filter(m3 === 1),
+      cents, cbT, "embedding", "vec_id", 4, 16)
+    assert(s1.count() == e.filter(m3 === 1).count(), "batch 1 not ingested")
+    Quantize.ingestBatchCodeStore(spark, dir, e.filter(m3 === 2),
+      cents, cbT, "embedding", "vec_id", 4, 16)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(3L))
+    // sequence ≡ one-shot over the union
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir2, versioned = true)
+    def rows(p: String) = Quantize.readCodeStore(spark, p)
+      .select($"vec_id", $"codes", $"cell".cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(rows(dir) == rows(dir2),
+      s"ingest sequence diverges from one-shot: missing=" +
+        s"${(rows(dir2) -- rows(dir)).take(5)}, extra=${(rows(dir) -- rows(dir2)).take(5)}")
+    // self-compacting: every cell is still exactly ONE file
+    val files = Quantize.readCodeStore(spark, dir).inputFiles
+    val cells = rows(dir).map(_._3).size
+    assert(files.length == cells,
+      s"ingest fragmented the store: ${files.length} files for $cells cells")
+    // idempotence: a crash-replayed batch appends nothing, store unchanged
+    val before = rows(dir)
+    assert(Quantize.ingestBatchCodeStore(spark, dir, e.filter(m3 === 2),
+      cents, cbT, "embedding", "vec_id", 4, 16).count() == 0,
+      "replayed ingest re-appended rows")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(3L),
+      "no-op ingest advanced the generation")
+    assert(rows(dir) == before, "replayed ingest changed the store")
+    // serving sees the ingested vectors (membership, not rank — ADC at
+    // m=4/ksub=8 is deliberately coarse, so self-in-top-5 would be an
+    // accuracy assertion, which is q112's job)
+    val probeId = e.filter(m3 === 1).select($"vec_id")
+      .as[Long].collect().min
+    val topk = Quantize.ivfPqTopKFromStore(spark, dir,
+        e.filter($"vec_id" === probeId), cents, cbT, "embedding", "vec_id",
+        4, 16, k = 5, nProbe = 3)
+      .select($"corpus_id").as[Long].collect()
+    assert(topk.nonEmpty && topk.exists(_ % 3 == 1),
+      s"no ingested vector served in a top-k: ${topk.toSeq}")
+    // flat stores are refused (appends need atomic swaps)
+    val flat = java.nio.file.Files.createTempDirectory("pq_ing_flat").toString
+    Quantize.writeCodeStore(e.filter(m3 === 0), cents, cbT,
+      "embedding", "vec_id", 4, 16, flat)
+    val ex = intercept[IllegalArgumentException] {
+      Quantize.ingestBatchCodeStore(spark, flat, e.filter(m3 === 1),
+        cents, cbT, "embedding", "vec_id", 4, 16)
+    }
+    assert(ex.getMessage.contains("not a versioned store"), ex.getMessage)
+    graft.operators.OpCache.release()
+  }
+
   test("versioned code store refuses a concurrent writer's lost update") {
     val (e, cents, cbT) = storeModels()
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString

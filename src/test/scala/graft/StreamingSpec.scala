@@ -460,6 +460,58 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("streaming code-store ingest: stream equals sequential batches; " +
+    "replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val dirS = java.nio.file.Files.createTempDirectory("cs_ing_s").toString
+    val dirQ = java.nio.file.Files.createTempDirectory("cs_ing_q").toString
+    // 4-dim vectors, m=2 subspaces of 2; hand-built models (stored with
+    // the store in production — re-training would shift cell boundaries)
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("centroid_id", "embedding")
+    val cb = Seq(
+      (0, 0, Seq(1f, 0f)), (0, 1, Seq(0f, 1f)),
+      (1, 0, Seq(1f, 0f)), (1, 1, Seq(0f, 1f)))
+      .toDF("sub", "code", "codeword")
+    val seed = Seq((100L, Seq(0.9f, 0.1f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    Seq(dirS, dirQ).foreach(d => graft.operators.Quantize.writeCodeStore(
+      seed, cents, cb, "embedding", "vec_id", 2, 2, d, versioned = true))
+    val b1 = Seq((1L, Seq(0.8f, 0.2f, 0f, 0f)), (2L, Seq(0f, 0.1f, 0.9f, 0.2f)))
+    val b2 = Seq((3L, Seq(0.1f, 0.9f, 0.2f, 0f)),
+      (100L, Seq(0.9f, 0.1f, 0.1f, 0f))) // already held — skipped
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cs_ingest_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingFlows.streamingIngestCodeStore(
+      input.toDF().toDF("vec_id", "embedding"), dirS, cents, cb,
+      "embedding", "vec_id", m = 2, subDim = 2, ckpt).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    Seq(b1, b2).foreach(b => graft.operators.Quantize.ingestBatchCodeStore(
+      spark, dirQ, b.toDF("vec_id", "embedding"), cents, cb,
+      "embedding", "vec_id", 2, 2))
+    def rows(p: String) = graft.operators.Quantize.readCodeStore(spark, p)
+      .select($"vec_id", $"codes", $"cell".cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(rows(dirS) == rows(dirQ),
+      s"streamed code store diverges: stream=${rows(dirS).map(_._1)}, " +
+        s"seq=${rows(dirQ).map(_._1)}")
+    assert(rows(dirS).map(_._1) == Set(100L, 1L, 2L, 3L),
+      s"wrong ids held: ${rows(dirS).map(_._1)}")
+    // crash-replay: the last micro-batch re-ingested is a no-op
+    val v = graft.operators.Quantize.codeStoreVersion(spark, dirS)
+    assert(graft.operators.Quantize.ingestBatchCodeStore(spark, dirS,
+      b2.toDF("vec_id", "embedding"), cents, cb, "embedding", "vec_id",
+      2, 2).count() == 0, "replayed batch re-ingested")
+    assert(graft.operators.Quantize.codeStoreVersion(spark, dirS) == v,
+      "no-op replay advanced the generation")
+    graft.operators.OpCache.release()
+  }
+
   test("streaming near-dup off the LSH store equals the batch store path") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
