@@ -48,6 +48,8 @@ import graft.operators.{Dedup, Layout, OpCache, TextProfile}
   *    q154): decontaminateSplits' window-hash semi-join and
   *    clusterSafeSplits' star-contraction + id-keyed joins priced
   *    across the 50k/500k decade (SURVEY §6).
+  *  - `csingest [n]` — versioned code-store ingest (q158): clustered
+  *    vs scattered batch append vs one-shot rebuild (SURVEY §6).
   */
 object Probe {
 
@@ -120,6 +122,8 @@ object Probe {
         .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case Some("splits") => splitsRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
+      case Some("csingest") => csIngestRun(args.drop(1).headOption
+        .map(_.toLong).getOrElse(100000L))
       case Some("retract") => retractRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
         args.drop(2).headOption
@@ -192,6 +196,68 @@ object Probe {
     *    O(index) bucket-preserving rewrite + exact stats decrement vs
     *    `writeIndex` over the remaining corpus — the rewrite never
     *    re-tokenizes, which is the whole delta. */
+  /** Code-store INGEST pricing (round 14, q158): what an append costs on
+    * the versioned store vs the rebuild it replaces, in the two shapes
+    * that bound it — a CLUSTERED batch (new vectors near one region of
+    * the space: few cells touched, the O(touched cells) claim isolated)
+    * and a SCATTERED batch (uniform over the space: touches most cells —
+    * the worst case, approaching a rebuild). Models are the STORED ones
+    * throughout (ingest never retrains). */
+  private def csIngestRun(n: Long): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val dim = 64
+    val (m, subDim) = (16, 4)
+    val cells = math.max(16, (n / 1000).toInt)
+    def vecs(ids: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(dim)),
+        i => sin(ids * i).cast("float")).as("embedding")
+    val all = spark.range(n).select(col("id").as("vec_id"), vecs(col("id")))
+      .repartition(32)
+    val isBatch = pmod(col("vec_id"), lit(10)) === 0 // scattered 10%
+    val seed = all.filter(!isBatch)
+    val tmp = java.nio.file.Files.createTempDirectory("csingest").toString
+    graft.operators.Similarity.trainCentroids(
+        seed, "embedding", "vec_id", cells)
+      .write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    graft.operators.Quantize.trainCodebook(
+        seed, "embedding", "vec_id", dim, m, 16)
+      .write.mode("overwrite").parquet(s"$tmp/cb")
+    OpCache.release()
+    val cents = spark.read.parquet(s"$tmp/cents")
+    val cb = spark.read.parquet(s"$tmp/cb")
+    timed(s"seed store build (90%% of n=$n, cells=$cells)")(
+      graft.operators.Quantize.writeCodeStore(seed, cents, cb, "embedding",
+        "vec_id", m, subDim, s"$tmp/sA", versioned = true))
+    // CLUSTERED batch: new ids, vectors perturbed around ONE seed vector
+    val clustered = spark.range(n, n + n / 10)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => (sin(lit(7) * i) + sin(col("id") * i) * 0.01f)
+            .cast("float")).as("embedding"))
+    val t0 = System.nanoTime()
+    val ing1 = graft.operators.Quantize.ingestBatchCodeStore(spark,
+      s"$tmp/sA", clustered, cents, cb, "embedding", "vec_id", m, subDim)
+    val cells1 = ing1.select(col("cell")).distinct().count()
+    println(f"[probe] ingest CLUSTERED 10%% batch ($cells1 of $cells cells " +
+      f"touched): ${(System.nanoTime - t0) / 1e9}%.2f s")
+    OpCache.release()
+    val t1 = System.nanoTime()
+    val ing2 = graft.operators.Quantize.ingestBatchCodeStore(spark,
+      s"$tmp/sA", all.filter(isBatch), cents, cb, "embedding", "vec_id",
+      m, subDim)
+    val cells2 = ing2.select(col("cell")).distinct().count()
+    println(f"[probe] ingest SCATTERED 10%% batch ($cells2 of $cells cells " +
+      f"touched): ${(System.nanoTime - t1) / 1e9}%.2f s")
+    OpCache.release()
+    timed(s"one-shot rebuild over the full corpus (the alternative)")(
+      graft.operators.Quantize.writeCodeStore(
+        all.unionByName(clustered), cents, cb, "embedding",
+        "vec_id", m, subDim, s"$tmp/sB", versioned = true))
+  }
+
   private def retractRun(n: Long, docsPath: String): Unit = {
     val spark = session()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")

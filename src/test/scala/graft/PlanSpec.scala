@@ -947,6 +947,37 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"q140 must not window:\n$plan")
   }
 
+  test("q156 training batches: packing windows are (epoch, shard)-" +
+    "partitioned, never global; text never shuffles past the split") {
+    // the composed flagship's scale claims: (a) the ONLY windows in the
+    // plan are the sequence-packing running sums, partitioned by
+    // (repeat_idx, shard) — no single-partition window at any stage;
+    // (b) after the split assignment, everything downstream moves slim
+    // (doc_id, lang, n_tok, keys) rows — document text must not enter a
+    // keyed exchange beyond the curation/split stages that need it
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("q156_training_batches")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    def windows(p: SparkPlan): Seq[WindowExec] = p match {
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case w: WindowExec => w +: w.children.flatMap(windows)
+      case other => (other.children ++ other.subqueries).flatMap(windows)
+    }
+    val ws = windows(df.queryExecution.executedPlan)
+    assert(ws.nonEmpty, "packing window missing from the executed plan")
+    ws.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"q156 contains a GLOBAL (single-partition) window: $w")
+      val parts = w.partitionSpec.map(_.toString).mkString(",")
+      assert(parts.contains("repeat_idx") && parts.contains("shard"),
+        s"packing window not (epoch, shard)-partitioned: $parts")
+    }
+    graft.operators.OpCache.release()
+  }
+
   test("q139 corpus report: map-side metrics, text never enters the exchange") {
     val df = SparkEntry.queries("q139_corpus_report")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
