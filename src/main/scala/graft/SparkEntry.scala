@@ -1502,6 +1502,76 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** REAL image resize under the q99 accuracy-gate pattern
+    * ([[operators.Multimodal.resizeBatched]] — aspect-preserving
+    * BufferedImage rescale, PNG re-encode, batched codec contract): the
+    * verdict pins (a) rescaled payloads RE-DECODE to exactly the
+    * floor-scaled dims, (b) an in-bounds image passes through
+    * byte-identical, (c) a non-image passes through unapplied, (d) the
+    * decompression-bomb guard refuses to allocate pixels over the
+    * budget. The oracle pins the verdict rows literally (java.awt has no
+    * DuckDB twin). */
+  private def q159_multimodal_resize(s: SparkSession, dir: String): DataFrame = {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", bos),
+        "no PNG ImageWriter registered on this JVM")
+      bos.toByteArray
+    }
+    import s.implicits._
+    val small = png(10, 6)
+    val media = Seq(
+      (1L, png(100, 40), 32L, 12L),  // downscale, landscape
+      (2L, png(30, 80), 12L, 32L),   // downscale, portrait
+      (3L, small, 10L, 6L),          // in-bounds: byte-identical
+      (4L, "definitely not an image".getBytes("UTF-8"), -1L, -1L))
+      .toDF("id", "payload", "want_w", "want_h")
+    val out = operators.Multimodal.resizeBatched(media, "payload",
+      maxW = 32, maxH = 32)
+    // re-decode the rewritten payloads: the claim is about the BYTES,
+    // not the metadata — a resize that lies about dims must fail here
+    val redecoded = operators.Multimodal.decodeBatched(
+      out.select(col("id"), col("want_w"), col("want_h"),
+        col("resized.applied").as("applied"),
+        when(col("resized.applied"), col("resized.payload"))
+          .otherwise(col("payload")).as("payload"),
+        (col("resized.payload") === col("payload")).as("same_bytes")),
+      "payload")
+    val verdict = redecoded.agg(
+      sum(when(col("want_w") > 0 && col("applied") &&
+        col("decoded.width") === col("want_w") &&
+        col("decoded.height") === col("want_h"), 1L).otherwise(0L))
+        .as("n_scaled"),
+      sum(when(col("id") === 3L && col("same_bytes"), 1L).otherwise(0L))
+        .as("n_identical"),
+      sum(when(col("want_w") < 0 && !col("applied") && col("same_bytes"),
+        1L).otherwise(0L)).as("n_passthrough"))
+    val guarded = operators.Multimodal.resizeBatched(
+        Seq((9L, png(100, 40))).toDF("id", "payload"), "payload",
+        maxW = 32, maxH = 32, maxPixels = 50L)
+      .select(col("resized.applied")).head().getBoolean(0)
+    verdict.select(explode(array(
+        struct(lit("resize_bomb_guard_holds").as("metric"),
+          lit(1.0).as("bound"), lit(!guarded).as("ok")),
+        struct(lit("resize_inbounds_byte_identical").as("metric"),
+          lit(1.0).as("bound"), (col("n_identical") === 1L).as("ok")),
+        struct(lit("resize_nonimage_passthrough").as("metric"),
+          lit(1.0).as("bound"), (col("n_passthrough") === 1L).as("ok")),
+        struct(lit("resize_redecoded_dims").as("metric"),
+          lit(3.0).as("bound"), (col("n_scaled") === 3L).as("ok")))))
+      .select(col("col.metric").as("metric"), col("col.bound").as("bound"),
+        col("col.ok").as("ok"))
+      .orderBy(col("metric"))
+  }
+
   /** C4-style duplicate-span removal: every 4-token span occurring twice+
     * corpus-wide is removed except its first occurrence, and each doc's
     * text is rebuilt from the surviving spans
@@ -3196,6 +3266,7 @@ object SparkEntry {
     "q156_training_batches" -> q156_training_batches _,
     "q157_codestore_versioned" -> q157_codestore_versioned _,
     "q158_codestore_ingest" -> q158_codestore_ingest _,
+    "q159_multimodal_resize" -> q159_multimodal_resize _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4960,6 +5031,16 @@ object SparkEntry {
         |  ('vstore_removed_never_served', CAST(0.0 AS DOUBLE), TRUE),
         |  ('vstore_retract_equals_rebuild', CAST(0.0 AS DOUBLE), TRUE),
         |  ('vstore_retract_nonempty', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q159 is an accuracy GATE (q99 pattern): the oracle pins the resize
+    // verdicts literally; a rescale/guard regression flips ok.
+    "q159_multimodal_resize" ->
+      """SELECT * FROM (VALUES
+        |  ('resize_bomb_guard_holds', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('resize_inbounds_byte_identical', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('resize_nonimage_passthrough', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('resize_redecoded_dims', CAST(3.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
     // q158 pins the code-store ingest verdicts (q146/q147 pattern on the

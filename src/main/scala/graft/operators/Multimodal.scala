@@ -142,6 +142,95 @@ object Multimodal {
       } finally if (iis != null) iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /**
+   * REAL resize stage — [[decodeBatched]]'s contract applied to the
+   * transform that actually rewrites payloads: aspect-preserving fit of
+   * every image payload into `maxW`×`maxH` (JDK `BufferedImage` bilinear
+   * scale, PNG re-encode — no external libraries), batched per partition
+   * like every codec stage. Output adds a `resized` struct:
+   * (payload binary, width, height, applied).
+   *
+   *  - Images already within bounds pass through BYTE-IDENTICAL with
+   *    `applied = true` — no decode-re-encode quality churn, no work.
+   *  - Non-image payloads (audio/video/exotic/corrupt) pass through
+   *    unchanged with stub dims and `applied = false` — one bad blob
+   *    never fails the task (the [[codecBatch]] degradation contract).
+   *  - DECOMPRESSION-BOMB guard: unlike header-only [[decodeBatched]],
+   *    resizing must allocate the pixel buffer, so the header dims are
+   *    checked FIRST and any image over `maxPixels` (default 64M px ≈
+   *    256 MB ARGB) is passed through un-decoded with `applied = false`
+   *    rather than OOMing the executor.
+   */
+  def resizeBatched(df: DataFrame, payloadCol: String, maxW: Int, maxH: Int,
+                    batchSize: Int = 64,
+                    maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(maxW > 0 && maxH > 0, s"bounds must be positive: $maxW x $maxH")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", StructType(Seq(
+        StructField("payload", BinaryType, nullable = true),
+        StructField("width", LongType, nullable = false),
+        StructField("height", LongType, nullable = false),
+        StructField("applied", BooleanType, nullable = false)))))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val out = Multimodal.resizeBatch(
+          batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray,
+          maxW, maxH, maxPixels)
+        batch.iterator.zip(out.iterator).map { case (r, d) =>
+          Row.fromSeq(r.toSeq :+ Row(d._1, d._2, d._3, d._4))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private[operators] def resizeBatch(payloads: Array[Array[Byte]],
+      maxW: Int, maxH: Int, maxPixels: Long)
+      : Array[(Array[Byte], Long, Long, Boolean)] =
+    payloads.map { p =>
+      resizeImage(p, maxW, maxH, maxPixels).getOrElse {
+        val d = decodeImage(p).getOrElse(stubDecodeOne(p))
+        (p, d._1, d._2, false) // pass-through: not an image, or bomb-guarded
+      }
+    }
+
+  /** None = not resizable (non-image, corrupt, or over the pixel budget) —
+    * the caller passes the payload through. Header dims gate the pixel
+    * allocation (bomb guard); in-bounds images return their own bytes. */
+  private def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int,
+      maxPixels: Long): Option[(Array[Byte], Long, Long, Boolean)] =
+    decodeImage(bytes).flatMap { case (w, h, _) =>
+      if (w * h > maxPixels) None
+      else if (w <= maxW && h <= maxH) Some((bytes, w, h, true))
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+          // floor, min 1 — fakeResize's arithmetic, so the column-expression
+          // and codec paths agree on output dims (MultimodalSpec-pinned)
+          val nw = math.max(1L, math.floor(w * scale).toLong).toInt
+          val nh = math.max(1L, math.floor(h * scale).toLong).toInt
+          val dst = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, nw, nh, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some((bos.toByteArray, nw.toLong, nh.toLong, true))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Per-JVM, once: in-memory payloads must not round-trip through
     * ImageIO's temp-FILE cache on executors (disk IO per image). */
   private lazy val imageioConfigured: Unit =

@@ -117,6 +117,53 @@ class MultimodalSpec extends SparkSpec {
     assert(corruptOut >= 1L && corruptOut <= 1920L)
   }
 
+  test("resizeBatched really rescales images; pass-through and bomb " +
+    "guard honor the degradation contract") {
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 97 + y * 31) & 0xFFFFFF)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val small = imageBytes(10, 6, "png")
+    val rows = Seq(
+      1 -> imageBytes(100, 40, "png"), // downscale: fit 32x32 -> 32x12
+      2 -> imageBytes(30, 80, "jpg"),  // downscale: fit 32x32 -> 12x32
+      3 -> small,                       // already fits: byte-identical
+      4 -> "definitely not an image".getBytes("UTF-8"))
+    val out = Multimodal.resizeBatched(
+        rows.toDF("id", "payload"), "payload", maxW = 32, maxH = 32,
+        batchSize = 2)
+      .select($"id", $"resized.payload", $"resized.width",
+        $"resized.height", $"resized.applied")
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((r.getAs[Array[Byte]](1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))))
+      .toMap
+    assert(out(1)._2 == 32L && out(1)._3 == 12L && out(1)._4)
+    assert(out(2)._2 == 12L && out(2)._3 == 32L && out(2)._4)
+    // the resized payload is a REAL image with the claimed dimensions
+    val re = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1)._1))
+    assert(re.getWidth == 32 && re.getHeight == 12,
+      s"re-decoded resized payload is ${re.getWidth}x${re.getHeight}")
+    // in-bounds image: byte-identical, no decode-re-encode churn
+    assert(out(3)._1.toSeq == small.toSeq && out(3)._4)
+    // non-image passes through unchanged, applied = false
+    assert(out(4)._1.toSeq == rows(3)._2.toSeq && !out(4)._4)
+    // bomb guard: header dims over the pixel budget are never decoded
+    val guarded = Multimodal.resizeBatched(
+        Seq(9 -> imageBytes(100, 40, "png")).toDF("id", "payload"),
+        "payload", maxW = 32, maxH = 32, batchSize = 2, maxPixels = 50L)
+      .select($"resized.payload", $"resized.applied").head()
+    assert(!guarded.getBoolean(1), "bomb-guarded image was decoded")
+    assert(guarded.getAs[Array[Byte]](0).nonEmpty, "payload dropped")
+  }
+
   test("multimodalRecords joins docs to embeddings with full contract") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -381,6 +381,35 @@ class QuantizeSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("versioned code store: a crash-orphaned generation never serves " +
+    "and is GC'd by the next commit") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_crash").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    val before = Quantize.readCodeStore(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    // simulate a writer that crashed AFTER writing its generation but
+    // BEFORE committing the manifest: an orphan gen dir with data files
+    val orphan = new java.io.File(dir, "gen-000002-deadbeef/pcell=999")
+    assert(orphan.mkdirs())
+    Seq((999999L, Seq(1, 2, 3), 999L)).toDF("vec_id", "codes", "cell")
+      .write.mode("overwrite")
+      .parquet(orphan.getAbsolutePath)
+    // readers resolve the committed manifest — the orphan never serves
+    assert(Quantize.readCodeStore(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet == before,
+      "orphan generation leaked into a committed read")
+    // the next successful commit garbage-collects the orphan
+    Quantize.removeFromCodeStore(spark, dir,
+      e.filter($"vec_id" % 9 === 0).select($"vec_id"), "vec_id")
+    assert(!new java.io.File(dir, "gen-000002-deadbeef").exists(),
+      "crash-orphaned generation survived the next commit's GC")
+    assert(!Quantize.readCodeStore(spark, dir)
+      .select($"vec_id").as[Long].collect().contains(999999L))
+    graft.operators.OpCache.release()
+  }
+
   test("versioned code store refuses a concurrent writer's lost update") {
     val (e, cents, cbT) = storeModels()
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
