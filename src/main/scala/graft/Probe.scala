@@ -162,19 +162,18 @@ object Probe {
       OpCache.release()
       val p = spark.read.parquet(s"$tmp/pairs_$n")
       println(s"[probe] near-dup pairs at n=$n: ${p.count()}")
-      measure(s"clusterSafeSplits n=$n (pairs pre-materialized)")(
+      // shuffle form (broadcastLabels = false): the degrade path for an
+      // adversarially duplicate-heavy corpus — one id-keyed corpus join
+      measure(s"clusterSafeSplits n=$n (shuffle form)")(
+        graft.operators.Curate.clusterSafeSplits(
+          docs, "text", "doc_id", p, splits, broadcastLabels = false))
+      // production default: the CLUSTER-bounded label frame broadcasts
+      // (explicit hint — its resolveClusters lineage has opaque stats),
+      // so the corpus never enters a keyed exchange (PlanSpec-gated);
+      // only the star-contraction pays shuffles
+      measure(s"clusterSafeSplits n=$n (broadcast labels — production)")(
         graft.operators.Curate.clusterSafeSplits(
           docs, "text", "doc_id", p, splits))
-      // production shape: the label frame is CLUSTER-bounded, so it
-      // broadcasts — the corpus-side join then shuffles nothing; only
-      // the star-contraction and the slim rep semi-join pay exchanges
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
-      measure(s"clusterSafeSplits n=$n (broadcast on — production)")(
-        graft.operators.Curate.clusterSafeSplits(
-          docs, "text", "doc_id", p, splits))
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     }
   }
 

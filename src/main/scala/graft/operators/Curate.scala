@@ -175,23 +175,33 @@ object Curate {
    * assembled on a |clustered-docs| label frame (a semi-join pulls the
    * representatives' fingerprints, keys are 8-hex strings), and
    * un-clustered documents — the overwhelming majority — take their own
-   * fingerprint AT THE SCAN with no join at all. Near-dup clusters are a
-   * small corpus fraction, so the label frame broadcasts in production
-   * and the corpus never shuffles; the first shape (a corpus-sized
+   * fingerprint AT THE SCAN with no join at all. The label frame is
+   * BROADCAST by default (it is resolveClusters-materialized, so its
+   * stats are opaque to the planner and AQE can only convert the join
+   * AFTER both exchanges ran — an explicit hint is what actually keeps
+   * corpus text out of the wire; PlanSpec-gated). Set
+   * `broadcastLabels = false` for an adversarially duplicate-heavy
+   * corpus whose clustered fraction outgrows executor memory — the join
+   * then degrades to one id-keyed corpus shuffle (the broadcast-off
+   * cost `graft.Probe splits` prices; bucket the corpus by id to make
+   * even that exchange-free). The first shape (a corpus-sized
    * fingerprint frame joined on the cluster id) forced a full-corpus
-   * text shuffle with broadcast off — measured 370 MiB at 500k docs,
-   * `graft.Probe splits`, SURVEY §6.
+   * text shuffle that NO setting could remove — measured 370 MiB at
+   * 500k docs, SURVEY §6.
    */
   def clusterSafeSplits(df: DataFrame, textCol: String, idCol: String,
                         pairs: DataFrame,
-                        splits: Seq[(String, Double)]): DataFrame = {
+                        splits: Seq[(String, Double)],
+                        broadcastLabels: Boolean = true): DataFrame = {
     val ownKey = substring(
       graft.functions.TextFunctions.fingerprint(col(textCol)), 1, 8)
     val reps = graft.operators.Dedup.resolveClusters(pairs)
       .select(col("id").as(idCol), col("cluster_id"))
-    // fingerprints of the REPRESENTATIVES only (|clusters| rows)
+    // fingerprints of the REPRESENTATIVES only (|clusters| rows); the
+    // rep-id frame shares labels' opaque-stats problem — hint it too
+    val repIds = reps.select(col("cluster_id").as(idCol)).distinct()
     val repKey = df
-      .join(reps.select(col("cluster_id").as(idCol)).distinct(),
+      .join(if (broadcastLabels) broadcast(repIds) else repIds,
         Seq(idCol), "left_semi")
       .select(col(idCol).as("__graft_rep_id"),
         ownKey.as("__graft_rep_key"))
@@ -206,7 +216,8 @@ object Curate {
       .join(repKey, col("cluster_id") === col("__graft_rep_id"), "left")
       .select(col(idCol), coalesce(col("__graft_rep_key"),
         sampleKey(col("cluster_id"))).as("__graft_key"))
-    df.join(labels, Seq(idCol), "left")
+    df.join(if (broadcastLabels) broadcast(labels) else labels,
+        Seq(idCol), "left")
       .withColumn("split",
         splitLabel(coalesce(col("__graft_key"), ownKey), splits))
       .drop("__graft_key")

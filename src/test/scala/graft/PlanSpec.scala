@@ -978,6 +978,29 @@ class PlanSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("clusterSafeSplits: document text never enters a keyed exchange") {
+    // the round-14 reshape's claim: every frame joined onto the corpus is
+    // CLUSTER-bounded (representative fingerprints via semi-join; the
+    // label frame), so under production settings (broadcast on — this
+    // session's default) the corpus text reaches the output through
+    // scans only, never a hash/range exchange
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.operators.Curate.clusterSafeSplits(docs, "text",
+      "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    out.collect()
+    val plan = out.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    plan.split("\n\n")
+      .filter(b => b.contains("Exchange") &&
+        !b.contains("RoundRobinPartitioning"))
+      .foreach(b => assert(!b.contains("text#"),
+        s"clusterSafeSplits ships text through a keyed exchange:\n$b"))
+    graft.operators.OpCache.release()
+  }
+
   test("q139 corpus report: map-side metrics, text never enters the exchange") {
     val df = SparkEntry.queries("q139_corpus_report")(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
