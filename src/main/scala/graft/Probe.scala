@@ -227,7 +227,7 @@ object Probe {
     OpCache.release()
     val cents = spark.read.parquet(s"$tmp/cents")
     val cb = spark.read.parquet(s"$tmp/cb")
-    timed(s"seed store build (90%% of n=$n, cells=$cells)")(
+    timed(s"seed store build (90% of n=$n, cells=$cells)")(
       graft.operators.Quantize.writeCodeStore(seed, cents, cb, "embedding",
         "vec_id", m, subDim, s"$tmp/sA", versioned = true))
     // CLUSTERED batch: new ids, vectors perturbed around ONE seed vector

@@ -202,7 +202,14 @@ object Layout {
     // rename refuses an existing name), and a stale writer is REFUSED by
     // the generation check in commitVersioned instead of silently
     // overwriting the other's rewrite (last-swap-wins)
-    val expected = if (versioned) versions(spark, table).last._1 else 0
+    // expected comes from the SUFFIX of the snapshot actually read, not a
+    // second catalog listing — a commit landing between resolveStore and
+    // a re-listing would otherwise move the guard's expectation along
+    // with it and wave the stale rewrite through (the exact lost update
+    // commitVersioned exists to refuse)
+    val expected =
+      if (versioned) target.substring(target.lastIndexOf("__v") + 3).toInt
+      else 0
     val dest =
       if (versioned)
         s"${table}__graft_rw_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -266,9 +273,13 @@ object Layout {
           "the current version")
     }
     val vdest = s"${table}__v${expected + 1}"
+    // only the name-taken case is a concurrent-writer refusal; any other
+    // failure (transient metastore error, fatal) propagates as itself —
+    // the nonce-named staging table survives for retry/diagnosis instead
+    // of a completed full-store rewrite being dropped on a blip
     try spark.sql(s"ALTER TABLE $dest RENAME TO $vdest")
     catch {
-      case e: Throwable =>
+      case e: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
         spark.sql(s"DROP TABLE IF EXISTS $dest")
         throw new IllegalStateException(
           s"rewriteBucketed: another writer took $vdest — retry against " +

@@ -272,7 +272,10 @@ object Quantize {
 
   // ---- versioned code store (manifest + immutable generations) -------
 
-  private val ManifestRe = "_graft_manifest-v(\\d{6})".r
+  // \d{6,}: the writer left-PADS to 6 digits but grows past them — a
+  // {6}-anchored match would stop discovering manifests at v1,000,000
+  // (a year of 30 s streaming micro-batches) and wedge the store
+  private val ManifestRe = "_graft_manifest-v(\\d{6,})".r
 
   private def storeFs(spark: org.apache.spark.sql.SparkSession,
                       path: String): org.apache.hadoop.fs.FileSystem =
@@ -311,11 +314,16 @@ object Quantize {
     } finally in.close()
   }
 
-  /** Commit a manifest ATOMICALLY: write `.tmp`, then one rename — a
-    * concurrent reader resolves either version v-1 or v, never a partial
-    * file. Refuses if the generation moved underneath (a concurrent
-    * writer committed since this writer resolved `expectPrev`):
-    * last-swap-wins would silently drop that writer's cells. */
+  /** Commit a manifest ATOMICALLY: write a NONCE-named `.tmp` (two racing
+    * writers can never truncate each other's staging bytes), then one
+    * no-overwrite rename — a concurrent reader resolves either version
+    * v-1 or v, never a partial file. Refuses if the generation moved
+    * underneath (a concurrent writer committed since this writer
+    * resolved `expectPrev`) — checked BEFORE the rename, and enforced AT
+    * the rename via `FileContext` without the OVERWRITE option, which
+    * fails on an existing destination on every Hadoop filesystem
+    * (plain `FileSystem.rename` silently replaces on POSIX local FS):
+    * last-swap-wins would silently drop the other writer's cells. */
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              path: String, v: Long,
                              entries: Seq[(String, String)]): Unit = {
@@ -326,13 +334,22 @@ object Quantize {
         s"${cur.fold("none")(c => s"v$c")}) — concurrent writer detected; " +
         "retry against the current manifest")
     val tmp = new org.apache.hadoop.fs.Path(path,
-      f"_graft_manifest-v$v%06d.tmp")
+      f"_graft_manifest-v$v%06d.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(entries.sortBy(_._1)
       .map { case (c, d) => s"$c\t$d" }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, manifestFile(path, v)),
-      s"codeStore commit: rename failed for manifest v$v")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(path).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, manifestFile(path, v)) // no OVERWRITE: exclusive
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"codeStore commit: manifest v$v already exists — concurrent " +
+            "writer detected; retry against the current manifest", e)
+    }
   }
 
   /** Write one immutable GENERATION under `path/gen-%06d-<nonce>`: one
@@ -439,18 +456,24 @@ object Quantize {
     newCodes
   }
 
-  /** Drop manifests older than `keepVersions` and any generation leaf
-    * directory no kept manifest references (a cell directory superseded
-    * two commits ago serves no reader that resolved v or v-1). */
+  /** Drop manifests STRICTLY OLDER than the grace floor
+    * (`keepVersions.min`) and any generation leaf directory no surviving
+    * manifest references (a cell directory superseded two commits ago
+    * serves no reader that resolved v or v-1). The floor is a one-sided
+    * cut on purpose: a manifest NEWER than the caller's snapshot — a
+    * concurrent writer's commit that landed between this caller's commit
+    * and its GC listing — is never this GC's to delete, and its
+    * generation directories count as referenced. */
   private def gcStore(spark: org.apache.spark.sql.SparkSession,
                       path: String, keepVersions: Seq[Long]): Unit = {
     val fs = storeFs(spark, path)
-    val keep = keepVersions.toSet
-    val refd = keepVersions
+    val floor = keepVersions.min
+    val surviving = existingManifests(spark, path).filter(_ >= floor)
+    val refd = surviving
       .flatMap(v => readManifest(spark, path, v)).map(_._2).toSet
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
       st.getPath.getName match {
-        case ManifestRe(n) if !keep(n.toLong) => fs.delete(st.getPath, false)
+        case ManifestRe(n) if n.toLong < floor => fs.delete(st.getPath, false)
         case g if g.startsWith("gen-") =>
           val leaves = fs.listStatus(st.getPath).toSeq
             .filter(_.getPath.getName.startsWith("pcell="))
