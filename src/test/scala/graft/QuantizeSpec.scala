@@ -410,6 +410,29 @@ class QuantizeSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("FileContext rename refuses an existing destination — the manifest " +
+    "commit's exclusivity primitive") {
+    // commitManifest's no-clobber guarantee rests on FileContext.rename
+    // WITHOUT Options.Rename.OVERWRITE failing when the destination
+    // exists (plain FileSystem.rename silently replaces on POSIX local
+    // FS) — pin the primitive itself so a Hadoop upgrade that changes it
+    // fails here, not as a silently lost manifest
+    val dir = java.nio.file.Files.createTempDirectory("fc_excl")
+    java.nio.file.Files.write(dir.resolve("a"), "aa".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b"), "bb".getBytes("UTF-8"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dir.toUri, spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[Exception] {
+      fc.rename(new org.apache.hadoop.fs.Path(dir.resolve("a").toString),
+        new org.apache.hadoop.fs.Path(dir.resolve("b").toString))
+    }
+    assert(ex.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException],
+      s"expected FileAlreadyExistsException, got ${ex.getClass}: $ex")
+    // and the loser's bytes were NOT clobbered
+    assert(new String(java.nio.file.Files.readAllBytes(dir.resolve("b")),
+      "UTF-8") == "bb", "existing destination was overwritten")
+  }
+
   test("versioned code store refuses a concurrent writer's lost update") {
     val (e, cents, cbT) = storeModels()
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
