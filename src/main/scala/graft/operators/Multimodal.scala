@@ -82,25 +82,37 @@ object Multimodal {
    * [[fakeDecode]] (pinned in MultimodalSpec).
    */
   def decodeBatched(df: DataFrame, payloadCol: String,
-                    batchSize: Int = 64): DataFrame = {
+                    batchSize: Int = 64): DataFrame =
+    codecStage(df, payloadCol, batchSize, "decoded", StructType(Seq(
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("duration_s", DoubleType, nullable = false))))(
+      payloads => Multimodal.codecBatch(payloads).map(d =>
+        org.apache.spark.sql.Row(d._1, d._2, d._3)))
+
+  /** The shared batched-codec scaffold both [[decodeBatched]] and
+    * [[resizeBatched]] run on: rows stream through `mapPartitions`, are
+    * buffered into `batchSize` groups, `batchFn` is invoked ONCE per
+    * batch (a native codec would hand the whole Array[Array[Byte]] across
+    * the FFI boundary at once), and its structs are appended to the
+    * original columns — one place for the mechanics, so a fix to
+    * null-row handling or batch sizing cannot diverge between stages. */
+  private def codecStage(df: DataFrame, payloadCol: String, batchSize: Int,
+      structName: String, structSchema: StructType)(
+      batchFn: Array[Array[Byte]] => Array[org.apache.spark.sql.Row])
+      : DataFrame = {
     // driver-side argument error, not a per-task Iterator.grouped failure
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     val outSchema = StructType(df.schema.fields :+
-      StructField("decoded", StructType(Seq(
-        StructField("width", LongType, nullable = false),
-        StructField("height", LongType, nullable = false),
-        StructField("duration_s", DoubleType, nullable = false)))))
+      StructField(structName, structSchema))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // one codec call per batch — a native codec would hand the whole
-        // Array[Array[Byte]] across the FFI boundary at once
-        val decoded = Multimodal.codecBatch(
-          batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray)
-        batch.iterator.zip(decoded.iterator).map { case (r, d) =>
-          Row.fromSeq(r.toSeq :+ Row(d._1, d._2, d._3))
+        val out = batchFn(batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray)
+        batch.iterator.zip(out.iterator).map { case (r, d) =>
+          Row.fromSeq(r.toSeq :+ d)
         }
       }
     }
@@ -164,72 +176,67 @@ object Multimodal {
   def resizeBatched(df: DataFrame, payloadCol: String, maxW: Int, maxH: Int,
                     batchSize: Int = 64,
                     maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
-    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     require(maxW > 0 && maxH > 0, s"bounds must be positive: $maxW x $maxH")
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
-    val outSchema = StructType(df.schema.fields :+
-      StructField("resized", StructType(Seq(
-        StructField("payload", BinaryType, nullable = true),
-        StructField("width", LongType, nullable = false),
-        StructField("height", LongType, nullable = false),
-        StructField("applied", BooleanType, nullable = false)))))
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        val out = Multimodal.resizeBatch(
-          batch.map(_.getAs[Array[Byte]](payloadIdx)).toArray,
-          maxW, maxH, maxPixels)
-        batch.iterator.zip(out.iterator).map { case (r, d) =>
-          Row.fromSeq(r.toSeq :+ Row(d._1, d._2, d._3, d._4))
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    codecStage(df, payloadCol, batchSize, "resized", StructType(Seq(
+      StructField("payload", BinaryType, nullable = true),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("applied", BooleanType, nullable = false))))(
+      payloads => resizeBatch(payloads, maxW, maxH, maxPixels).map(d =>
+        org.apache.spark.sql.Row(d._1, d._2, d._3, d._4)))
   }
 
+  /** One header decode per payload: the dims gate pass-through, the bomb
+    * guard, AND the in-bounds fast path, so the reader probe never runs
+    * twice. A failed rescale or re-encode (no PNG writer on this JVM,
+    * corrupt pixel data past a valid header) degrades to pass-through
+    * with `applied = false` — ORIGINAL bytes, never a truncated payload. */
   private[operators] def resizeBatch(payloads: Array[Array[Byte]],
       maxW: Int, maxH: Int, maxPixels: Long)
       : Array[(Array[Byte], Long, Long, Boolean)] =
     payloads.map { p =>
-      resizeImage(p, maxW, maxH, maxPixels).getOrElse {
-        val d = decodeImage(p).getOrElse(stubDecodeOne(p))
-        (p, d._1, d._2, false) // pass-through: not an image, or bomb-guarded
+      decodeImage(p) match {
+        case None => // not an image: stub dims, pass through
+          val d = stubDecodeOne(p)
+          (p, d._1, d._2, false)
+        case Some((w, h, _)) if w * h > maxPixels => // bomb guard
+          (p, w, h, false)
+        case Some((w, h, _)) if w <= maxW && h <= maxH => // already fits
+          (p, w, h, true)
+        case Some((w, h, _)) =>
+          rescale(p, w, h, maxW, maxH).getOrElse((p, w, h, false))
       }
     }
 
-  /** None = not resizable (non-image, corrupt, or over the pixel budget) —
-    * the caller passes the payload through. Header dims gate the pixel
-    * allocation (bomb guard); in-bounds images return their own bytes. */
-  private def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int,
-      maxPixels: Long): Option[(Array[Byte], Long, Long, Boolean)] =
-    decodeImage(bytes).flatMap { case (w, h, _) =>
-      if (w * h > maxPixels) None
-      else if (w <= maxW && h <= maxH) Some((bytes, w, h, true))
-      else try {
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        if (img == null) None
-        else {
-          val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
-          // floor, min 1 — fakeResize's arithmetic, so the column-expression
-          // and codec paths agree on output dims (MultimodalSpec-pinned)
-          val nw = math.max(1L, math.floor(w * scale).toLong).toInt
-          val nh = math.max(1L, math.floor(h * scale).toLong).toInt
-          val dst = new java.awt.image.BufferedImage(
-            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = dst.createGraphics()
-          try {
-            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, nw, nh, null)
-          } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "png", bos)
-          Some((bos.toByteArray, nw.toLong, nh.toLong, true))
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
+  /** None = the pixel decode or PNG re-encode failed — caller passes the
+    * original bytes through. */
+  private def rescale(bytes: Array[Byte], w: Long, h: Long,
+      maxW: Int, maxH: Int): Option[(Array[Byte], Long, Long, Boolean)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+        // floor, min 1 — fakeResize's arithmetic, so the column-expression
+        // and codec paths agree on output dims (MultimodalSpec-pinned)
+        val nw = math.max(1L, math.floor(w * scale).toLong).toInt
+        val nh = math.max(1L, math.floor(h * scale).toLong).toInt
+        val dst = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        // write() returning false (no PNG ImageWriter on this JVM) must
+        // NOT ship the empty buffer as a "resized" payload
+        if (!javax.imageio.ImageIO.write(dst, "png", bos)) None
+        else Some((bos.toByteArray, nw.toLong, nh.toLong, true))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Per-JVM, once: in-memory payloads must not round-trip through
     * ImageIO's temp-FILE cache on executors (disk IO per image). */

@@ -456,14 +456,22 @@ object Quantize {
     newCodes
   }
 
+  private val TmpManifestRe = "_graft_manifest-v(\\d{6,})\\.tmp-.*".r
+
   /** Drop manifests STRICTLY OLDER than the grace floor
     * (`keepVersions.min`) and any generation leaf directory no surviving
     * manifest references (a cell directory superseded two commits ago
-    * serves no reader that resolved v or v-1). The floor is a one-sided
-    * cut on purpose: a manifest NEWER than the caller's snapshot — a
-    * concurrent writer's commit that landed between this caller's commit
-    * and its GC listing — is never this GC's to delete, and its
-    * generation directories count as referenced. */
+    * serves no reader that resolved v or v-1). Two version gates keep
+    * this safe against CONCURRENT writers, whose artifacts are never
+    * this GC's to delete:
+    *  - a manifest at or above the floor is never dropped, even if it
+    *    landed after the caller's snapshot;
+    *  - an UNREFERENCED generation (or crashed `.tmp-` staging file) is
+    *    dropped only when the version its NAME targets is ≤ the floor —
+    *    an in-flight writer's generation always targets a version past
+    *    the current one, so it is structurally spared; a crash orphan is
+    *    collected once the floor passes its target (one or two commits
+    *    later, QuantizeSpec-gated). */
   private def gcStore(spark: org.apache.spark.sql.SparkSession,
                       path: String, keepVersions: Seq[Long]): Unit = {
     val fs = storeFs(spark, path)
@@ -474,7 +482,10 @@ object Quantize {
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
       st.getPath.getName match {
         case ManifestRe(n) if n.toLong < floor => fs.delete(st.getPath, false)
-        case g if g.startsWith("gen-") =>
+        case TmpManifestRe(n) if n.toLong <= floor =>
+          fs.delete(st.getPath, false) // crashed commit's staging file
+        case g if g.startsWith("gen-") &&
+            g.stripPrefix("gen-").takeWhile(_.isDigit).toLong <= floor =>
           val leaves = fs.listStatus(st.getPath).toSeq
             .filter(_.getPath.getName.startsWith("pcell="))
           leaves.filterNot(l => refd(s"$g/${l.getPath.getName}"))
@@ -582,8 +593,10 @@ object Quantize {
     // refuse BEFORE the swap: an empty manifest would serve nothing and
     // readCodeStore could no longer infer a schema
     if (merged.isEmpty) {
-      // drop only the orphan generation just written: every committed
-      // manifest (current AND grace) keeps its data
+      // the (empty) generation just written is an orphan; gcStore's
+      // version gate collects it once the floor passes its target —
+      // never immediately, because an identically-named in-flight
+      // concurrent writer's generation is indistinguishable from ours
       gcStore(spark, path, existingManifests(spark, path))
       throw new IllegalArgumentException(
         "removeFromCodeStore: retraction would empty the store " +

@@ -182,6 +182,13 @@ object StreamingFlows {
         val survivors = graft.operators.Dedup.ingestBatch(
           batch.sparkSession, batch, textCol, idCol, table)
         onBatch(survivors, batchId)
+        // each ingest step persists batch-scoped intermediates (the
+        // materialized pre-append snapshot among them) through OpCache;
+        // a continuous stream must release them per micro-batch or
+        // executor storage grows one pinned RDD per batch forever.
+        // Releasing here is safe: onBatch has returned, and an OpCache
+        // release only forfeits cache reuse, never correctness.
+        graft.operators.OpCache.release()
         ()
       }
 
@@ -211,6 +218,13 @@ object StreamingFlows {
           batch.sparkSession, batch, textCol, idCol, table,
           shingleK, numHashes, bands, threshold)
         onBatch(survivors, batchId)
+        // each ingest step persists batch-scoped intermediates (the
+        // materialized pre-append snapshot among them) through OpCache;
+        // a continuous stream must release them per micro-batch or
+        // executor storage grows one pinned RDD per batch forever.
+        // Releasing here is safe: onBatch has returned, and an OpCache
+        // release only forfeits cache reuse, never correctness.
+        graft.operators.OpCache.release()
         ()
       }
 
@@ -237,6 +251,13 @@ object StreamingFlows {
           batch.sparkSession, batch, table, centroids, vecCol, idCol,
           probes, tau)
         onBatch(survivors, batchId)
+        // each ingest step persists batch-scoped intermediates (the
+        // materialized pre-append snapshot among them) through OpCache;
+        // a continuous stream must release them per micro-batch or
+        // executor storage grows one pinned RDD per batch forever.
+        // Releasing here is safe: onBatch has returned, and an OpCache
+        // release only forfeits cache reuse, never correctness.
+        graft.operators.OpCache.release()
         ()
       }
 
@@ -264,6 +285,7 @@ object StreamingFlows {
           batch.sparkSession, path, batch, centroids, codebook,
           vecCol, idCol, m, subDim)
         onBatch(ingested, batchId)
+        graft.operators.OpCache.release() // see streamingIngest's note
         ()
       }
 

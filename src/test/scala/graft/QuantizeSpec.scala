@@ -400,11 +400,19 @@ class QuantizeSpec extends SparkSpec {
     assert(Quantize.readCodeStore(spark, dir)
       .select($"vec_id").as[Long].collect().toSet == before,
       "orphan generation leaked into a committed read")
-    // the next successful commit garbage-collects the orphan
+    // first commit: the GC floor (v1) has not passed the orphan's target
+    // (v2), so it is SPARED — it could equally be an in-flight concurrent
+    // writer's generation, which is never this GC's to delete
     Quantize.removeFromCodeStore(spark, dir,
       e.filter($"vec_id" % 9 === 0).select($"vec_id"), "vec_id")
+    assert(new java.io.File(dir, "gen-000002-deadbeef").exists(),
+      "GC deleted a generation whose target version is past the floor " +
+        "(an in-flight writer's data would be destroyed)")
+    // second commit: floor = v2 reaches the orphan's target — collected
+    Quantize.removeFromCodeStore(spark, dir,
+      e.filter($"vec_id" % 11 === 3).select($"vec_id"), "vec_id")
     assert(!new java.io.File(dir, "gen-000002-deadbeef").exists(),
-      "crash-orphaned generation survived the next commit's GC")
+      "crash-orphaned generation survived past the GC floor")
     assert(!Quantize.readCodeStore(spark, dir)
       .select($"vec_id").as[Long].collect().contains(999999L))
     graft.operators.OpCache.release()

@@ -463,7 +463,6 @@ class StreamingSpec extends SparkSpec {
   test("streaming code-store ingest: stream equals sequential batches; " +
     "replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
-    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val dirS = java.nio.file.Files.createTempDirectory("cs_ing_s").toString
     val dirQ = java.nio.file.Files.createTempDirectory("cs_ing_q").toString
     // 4-dim vectors, m=2 subspaces of 2; hand-built models (stored with
