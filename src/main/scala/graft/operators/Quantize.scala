@@ -240,9 +240,19 @@ object Quantize {
       require(codeStoreVersion(spark, path).isEmpty,
         s"writeCodeStore: $path already holds a versioned store " +
           "(retract/rebuild through its lifecycle ops instead)")
+      // a versioned write onto a FLAT store would strand the old cell=
+      // data: the manifest serves only the new generation, so the flat
+      // rows silently vanish from reads yet are never GC'd (gcStore only
+      // collects gen-/models-/manifest names) — refuse anything non-empty
+      val fs = storeFs(spark, path)
+      val p = new org.apache.hadoop.fs.Path(path)
+      require(!fs.exists(p) || fs.listStatus(p).isEmpty,
+        s"writeCodeStore: $path is not empty — migrate an existing flat " +
+          "store with enableCodeStoreVersioning instead of overwriting it")
+      val models = writeModels(spark, path, 1L, centroids, codebook)
       val entries = writeGeneration(spark, codes, path, 1L)
       require(entries.nonEmpty, "writeCodeStore: empty corpus")
-      commitManifest(spark, path, 1L, entries)
+      commitManifest(spark, path, 1L, entries, Map("models" -> models))
     } else {
       // co-locate each cell before the partitioned write: without this,
       // EVERY write task appends a file to EVERY cell directory —
@@ -302,9 +312,13 @@ object Quantize {
   private def manifestFile(path: String, v: Long) =
     new org.apache.hadoop.fs.Path(path, f"_graft_manifest-v$v%06d")
 
-  /** Manifest = sorted `cellValue<TAB>relativeCellDir` lines. */
-  private def readManifest(spark: org.apache.spark.sql.SparkSession,
-                           path: String, v: Long): Seq[(String, String)] = {
+  /** Manifest = optional `@key<TAB>value` METADATA lines (sorted first:
+    * `@models` → the model-artifact directory codes were produced with,
+    * [[storedModels]]) followed by sorted `cellValue<TAB>relativeCellDir`
+    * lines. Pre-metadata manifests are plain cell lines — absent keys
+    * simply read as an empty meta map. */
+  private def readManifestLines(spark: org.apache.spark.sql.SparkSession,
+                                path: String, v: Long): Seq[(String, String)] = {
     val fs = storeFs(spark, path)
     val in = fs.open(manifestFile(path, v))
     try {
@@ -313,6 +327,19 @@ object Quantize {
         .map { l => val a = l.split("\t", 2); (a(0), a(1)) }
     } finally in.close()
   }
+
+  /** The (cellValue, relativeCellDir) entries of manifest `v`. */
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String, v: Long): Seq[(String, String)] =
+    readManifestLines(spark, path, v).filterNot(_._1.startsWith("@"))
+
+  /** The `@key` metadata of manifest `v`, keys without the `@`. */
+  private[graft] def readManifestMeta(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, v: Long)
+      : Map[String, String] =
+    readManifestLines(spark, path, v).collect {
+      case (k, value) if k.startsWith("@") => (k.stripPrefix("@"), value)
+    }.toMap
 
   /** Commit a manifest ATOMICALLY: write a NONCE-named `.tmp` (two racing
     * writers can never truncate each other's staging bytes), then one
@@ -326,7 +353,8 @@ object Quantize {
     * last-swap-wins would silently drop the other writer's cells. */
   private def commitManifest(spark: org.apache.spark.sql.SparkSession,
                              path: String, v: Long,
-                             entries: Seq[(String, String)]): Unit = {
+                             entries: Seq[(String, String)],
+                             meta: Map[String, String] = Map.empty): Unit = {
     val fs = storeFs(spark, path)
     val cur = codeStoreVersion(spark, path)
     require(cur.forall(_ == v - 1),
@@ -336,8 +364,10 @@ object Quantize {
     val tmp = new org.apache.hadoop.fs.Path(path,
       f"_graft_manifest-v$v%06d.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write(entries.sortBy(_._1)
-      .map { case (c, d) => s"$c\t$d" }.mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      (meta.toSeq.sortBy(_._1).map { case (k, x) => s"@$k\t$x" } ++
+        entries.sortBy(_._1).map { case (c, d) => s"$c\t$d" })
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new org.apache.hadoop.fs.Path(path).toUri,
@@ -349,6 +379,15 @@ object Quantize {
         throw new IllegalArgumentException(
           s"codeStore commit: manifest v$v already exists — concurrent " +
             "writer detected; retry against the current manifest", e)
+      case e: java.io.FileNotFoundException =>
+        // a racing commit's GC collected this writer's staging file (its
+        // target version had fallen to the age/floor gate) — the commit
+        // was doomed either way; refuse with the same message instead of
+        // surfacing a raw FS error (uniform refusal path)
+        throw new IllegalArgumentException(
+          s"codeStore commit: manifest v$v staging file vanished — " +
+            "concurrent writer detected; retry against the current manifest",
+          e)
     }
   }
 
@@ -374,6 +413,43 @@ object Quantize {
       .map(_.getPath.getName).filter(_.startsWith("pcell="))
       .map(d => (d.stripPrefix("pcell="), s"$genDir/$d"))
   }
+
+  /** Persist the store's MODEL artifacts (IVF centroids + PQ codebook)
+    * under `path/models-%06d-<nonce>/{centroids,codebook}` — the models
+    * are part of the store's state (codes are meaningless without the
+    * models that produced them), referenced from the manifest (`@models`)
+    * so readers always pair the two, and GC'd exactly like generations
+    * (nonce-unique per attempt, collected once no surviving manifest
+    * references them and the version gate passes). Returns the relative
+    * directory for the manifest's `@models` line. */
+  private def writeModels(spark: org.apache.spark.sql.SparkSession,
+                          path: String, gen: Long, centroids: DataFrame,
+                          codebook: DataFrame): String = {
+    val dir =
+      f"models-$gen%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val base = path.stripSuffix("/")
+    centroids.write.mode("overwrite").parquet(s"$base/$dir/centroids")
+    codebook.write.mode("overwrite").parquet(s"$base/$dir/codebook")
+    dir
+  }
+
+  /**
+   * The (centroids, codebook) model frames the CURRENT manifest references
+   * — the pair every read/serve/ingest against this store must use (codes
+   * encode distances to THESE codewords; any other models silently score
+   * garbage). None for flat stores and for versioned stores migrated by
+   * [[enableCodeStoreVersioning]] before a [[retrainCodeStore]] recorded
+   * models (their models live with the caller, the pre-r15 contract).
+   */
+  def storedModels(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Option[(DataFrame, DataFrame)] =
+    codeStoreVersion(spark, path).flatMap { v =>
+      readManifestMeta(spark, path, v).get("models").map { d =>
+        val base = path.stripSuffix("/")
+        (spark.read.parquet(s"$base/$d/centroids"),
+          spark.read.parquet(s"$base/$d/codebook"))
+      }
+    }
 
   /**
    * Convert a FLAT [[writeCodeStore]] directory into its VERSIONED form —
@@ -410,11 +486,10 @@ object Quantize {
    * Ingest-append for the VERSIONED code store — the growth half of its
    * lifecycle ([[Dedup.ingestBatchSemDedup]]'s discipline applied to the
    * ANN-serving artifact): encode and assign the batch with the STORED
-   * models (pass the centroid/codebook frames kept with the store —
-   * re-training would shift every cell boundary and invalidate old
-   * codes), SKIP ids the store already holds (one id-projected anti-join
-   * — which makes the step IDEMPOTENT, so a crash-replayed batch appends
-   * nothing and a streaming wrapper inherits exactly-once effect), then
+   * models (pass the frames [[storedModels]] resolves — re-training would
+   * shift every cell boundary and invalidate old codes), SKIP ids the
+   * store already holds (idempotence: a crash-replayed batch appends
+   * nothing, so a streaming wrapper inherits exactly-once effect), then
    * rewrite ONLY the touched cells into a new generation (old cell rows ∪
    * new codes — each touched cell comes back as ONE file, so ingest is
    * self-compacting; probe-time file counts never grow with ingest
@@ -422,70 +497,143 @@ object Quantize {
    * are re-listed, never read. Afterwards the store equals a one-shot
    * [[writeCodeStore]] over the union (QuantizeSpec-gated) and manifest
    * pruning is intact. Returns the newly-ingested (idCol, codes, cell)
-   * rows. O(touched cells) I/O; concurrent-writer and reader guarantees
-   * are [[removeFromCodeStore]]'s (same commit path).
+   * rows. Concurrent-writer and reader guarantees are
+   * [[removeFromCodeStore]]'s (same commit path).
+   *
+   * BOUNDED IDEMPOTENCE CHECK — the per-batch read does not scale with
+   * the store: the already-held anti-join reads only the cells the batch
+   * ASSIGNS to, because with the stored models the same (id, vector)
+   * always lands in the same cell — an already-held id can only collide
+   * inside its own assigned cell. Total per-ingest I/O is therefore
+   * O(assigned cells), execution-gated in QuantizeSpec (every
+   * NON-assigned cell's files are corrupted before an ingest, which must
+   * still succeed) and priced by `graft.Probe csingest`. The one case
+   * this contract excludes: re-ingesting an id with a DIFFERENT vector
+   * may assign to a different cell, escape the check, and store the id
+   * twice — id→vector bindings must be stable across ingests (a changed
+   * document is a retract + re-ingest, [[removeFromCodeStore]] first,
+   * the same discipline the raw-vector store needs anyway for
+   * [[ivfPqRerank]]'s drift contract). Callers that cannot guarantee it
+   * pass `fullIdCheck = true` for the legacy whole-store id scan
+   * (exact for arbitrary bindings; O(store ids) read per batch).
+   *
+   * In-batch duplicate ids are collapsed (`dropDuplicates(idCol)`) before
+   * the anti-join — duplicates WITHIN one batch would otherwise all
+   * survive a store-only check and serve the same corpus_id twice,
+   * permanently (a later replay sees the id held and no-ops).
    */
   def ingestBatchCodeStore(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, centroids: DataFrame,
       codebook: DataFrame, vecCol: String, idCol: String,
-      m: Int, subDim: Int): DataFrame = {
+      m: Int, subDim: Int, fullIdCheck: Boolean = false): DataFrame = {
     val v = codeStoreVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"ingestBatchCodeStore: $path is not a versioned store — " +
           "enableCodeStoreVersioning first (appends need atomic swaps)"))
     val base = path.stripSuffix("/")
     val entries = readManifest(spark, path, v)
-    val store = spark.read.parquet(entries.map(e => s"$base/${e._2}"): _*)
-    // skip already-held ids (idempotence; batch-bounded work)
-    val fresh = batch.join(store.select(col(idCol)), Seq(idCol), "left_anti")
-    val newCodes = OpCache.materialize(
-      assembleCodes(fresh, centroids, codebook, vecCol, idCol, m, subDim))
+    // encode/assign FIRST (batch-bounded compute, no store I/O) — the
+    // assignment is what bounds the idempotence read to the batch's cells
+    val batchCodes = OpCache.materialize(assembleCodes(
+      batch.dropDuplicates(Seq(idCol)), centroids, codebook, vecCol, idCol,
+      m, subDim))
+    val assigned = batchCodes.select(col("cell").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet // batch-bounded driver list
+    if (assigned.isEmpty) return batchCodes // empty batch
+    val checkDirs = (if (fullIdCheck) entries
+      else entries.filter(e => assigned(e._1))).map(e => s"$base/${e._2}")
+    // skip already-held ids (idempotence; reads only checkDirs' files)
+    val newCodes = if (checkDirs.isEmpty) batchCodes
+      else OpCache.materialize(batchCodes.join(
+        spark.read.schema(batchCodes.schema).parquet(checkDirs: _*)
+          .select(col(idCol)),
+        Seq(idCol), "left_anti"))
     val touched = newCodes.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // batch-bounded driver list
-    if (touched.isEmpty) return newCodes // nothing new to add
+    if (touched.isEmpty) return newCodes // replay: nothing new, no commit
     val touchedOld = entries.filter(e => touched(e._1))
     val oldRows = if (touchedOld.isEmpty) newCodes.filter(lit(false))
-      else spark.read.schema(store.schema)
+      else spark.read.schema(batchCodes.schema)
         .parquet(touchedOld.map(e => s"$base/${e._2}"): _*)
     val merged = oldRows.unionByName(
       newCodes.select(oldRows.columns.map(col): _*))
     val freshEntries = writeGeneration(spark, merged, path, v + 1)
     commitManifest(spark, path, v + 1,
-      entries.filterNot(e => touched(e._1)) ++ freshEntries)
+      entries.filterNot(e => touched(e._1)) ++ freshEntries,
+      readManifestMeta(spark, path, v)) // models pointer survives ingest
     gcStore(spark, path, Seq(v, v + 1))
     newCodes
   }
 
   private val TmpManifestRe = "_graft_manifest-v(\\d{6,})\\.tmp-.*".r
+  // anchored like ManifestRe: a foreign directory that merely starts with
+  // "gen-"/"models-" (or has a non-digit version) must be SKIPPED, not
+  // throw from a toLong on an empty digit prefix — gcStore runs after
+  // every commit, so one stray name would wedge every later lifecycle op
+  private val GenRe = "gen-(\\d{6,})-.*".r
+  private val ModelsRe = "models-(\\d{6,})-.*".r
+
+  /** Orphans whose target version is PAST the floor but at or below the
+    * CURRENT manifest cannot belong to an in-flight writer (those always
+    * target current+1) — but for a moment they are indistinguishable from
+    * a still-racing DOOMED writer's staging artifacts, so they are only
+    * collected once untouched for this long. 24 h: far past any write
+    * job's lifetime, short enough that a quiet store doesn't hoard crash
+    * debris for months (see [[gcCodeStore]]). */
+  private[graft] val DefaultOrphanHorizonMs: Long = 24L * 3600 * 1000
 
   /** Drop manifests STRICTLY OLDER than the grace floor
-    * (`keepVersions.min`) and any generation leaf directory no surviving
+    * (`keepVersions.min`) and any generation/models artifact no surviving
     * manifest references (a cell directory superseded two commits ago
-    * serves no reader that resolved v or v-1). Two version gates keep
-    * this safe against CONCURRENT writers, whose artifacts are never
-    * this GC's to delete:
+    * serves no reader that resolved v or v-1). Version gates keep this
+    * safe against CONCURRENT writers, whose artifacts are never this
+    * GC's to delete:
     *  - a manifest at or above the floor is never dropped, even if it
     *    landed after the caller's snapshot;
-    *  - an UNREFERENCED generation (or crashed `.tmp-` staging file) is
-    *    dropped only when the version its NAME targets is ≤ the floor —
-    *    an in-flight writer's generation always targets a version past
-    *    the current one, so it is structurally spared; a crash orphan is
-    *    collected once the floor passes its target (one or two commits
-    *    later, QuantizeSpec-gated). */
+    *  - an UNREFERENCED generation/models dir (or crashed `.tmp-`
+    *    staging file) is dropped when the version its NAME targets is ≤
+    *    the floor (strictly < for `.tmp-`: a doomed racer targeting
+    *    exactly the floor must be REFUSED by its own commit, not trip a
+    *    raw FileNotFoundException mid-rename) — an in-flight writer's
+    *    artifacts always target a version past the current one, so they
+    *    are structurally spared; a crash orphan is collected once the
+    *    floor passes its target (one or two commits later,
+    *    QuantizeSpec-gated);
+    *  - AGE FALLBACK for quiet stores: an unreferenced artifact whose
+    *    target is past the floor but ≤ the CURRENT version — a floor
+    *    that never advances would otherwise keep it forever — is
+    *    collected once untouched for `horizonMs`. An orphan targeting
+    *    current+1 is indistinguishable from an in-flight writer by
+    *    version alone and is NEVER age-collected; the next successful
+    *    commit moves `current` onto it, after which age (or the floor)
+    *    picks it up. */
   private def gcStore(spark: org.apache.spark.sql.SparkSession,
-                      path: String, keepVersions: Seq[Long]): Unit = {
+                      path: String, keepVersions: Seq[Long],
+                      horizonMs: Long = DefaultOrphanHorizonMs): Unit = {
     val fs = storeFs(spark, path)
     val floor = keepVersions.min
-    val surviving = existingManifests(spark, path).filter(_ >= floor)
+    val manifests = existingManifests(spark, path)
+    val current = manifests.last // gcStore only runs on committed stores
+    val surviving = manifests.filter(_ >= floor)
     val refd = surviving
       .flatMap(v => readManifest(spark, path, v)).map(_._2).toSet
+    val refdModels = surviving
+      .flatMap(v => readManifestMeta(spark, path, v).get("models")).toSet
+    val cutoff = System.currentTimeMillis() - horizonMs
+    // one level deep: a writer creating files inside pcell= children
+    // bumps the child dir's mtime even when the top dir's is stale
+    def idle(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime < cutoff && (!st.isDirectory ||
+        fs.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+    def doomed(n: Long, st: org.apache.hadoop.fs.FileStatus): Boolean =
+      n <= floor || (n <= current && idle(st))
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
       st.getPath.getName match {
         case ManifestRe(n) if n.toLong < floor => fs.delete(st.getPath, false)
-        case TmpManifestRe(n) if n.toLong <= floor =>
+        case TmpManifestRe(n) if n.toLong < floor ||
+            (n.toLong <= current && idle(st)) =>
           fs.delete(st.getPath, false) // crashed commit's staging file
-        case g if g.startsWith("gen-") &&
-            g.stripPrefix("gen-").takeWhile(_.isDigit).toLong <= floor =>
+        case g @ GenRe(n) if doomed(n.toLong, st) =>
           val leaves = fs.listStatus(st.getPath).toSeq
             .filter(_.getPath.getName.startsWith("pcell="))
           leaves.filterNot(l => refd(s"$g/${l.getPath.getName}"))
@@ -493,9 +641,34 @@ object Quantize {
           if (fs.listStatus(st.getPath).toSeq
             .forall(!_.getPath.getName.startsWith("pcell=")))
             fs.delete(st.getPath, true) // only _SUCCESS markers left
+        case ms @ ModelsRe(n) if !refdModels(ms) && doomed(n.toLong, st) =>
+          fs.delete(st.getPath, true)
         case _ => ()
       }
     }
+  }
+
+  /**
+   * Maintenance sweep for QUIET stores: commit-time GC only runs when a
+   * commit happens, so a crashed writer's orphan on a low-write store
+   * would otherwise survive until a floor that may never advance. Applies
+   * the same version gates as commit-time GC (current + one grace
+   * manifest kept) plus the age fallback: an unreferenced artifact whose
+   * target version is ≤ the current manifest and that has been untouched
+   * for `orphanHorizonMs` is collected. No-op on flat or empty stores.
+   * Safe to run concurrently with readers and writers — everything a
+   * surviving manifest references, and every artifact an in-flight
+   * writer could own (target > current, or younger than the horizon),
+   * is structurally spared (QuantizeSpec-gated).
+   */
+  def gcCodeStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  orphanHorizonMs: Long = DefaultOrphanHorizonMs): Unit = {
+    val ms = existingManifests(spark, path)
+    // floor = current-1 even when only ONE manifest exists: a v1 store's
+    // floor must not reach v1, or a still-racing doomed initial writer's
+    // generation would fall to the VERSION gate with no age protection
+    if (ms.nonEmpty)
+      gcStore(spark, path, Seq(ms.last - 1, ms.last), orphanHorizonMs)
   }
 
   /**
@@ -602,7 +775,57 @@ object Quantize {
         "removeFromCodeStore: retraction would empty the store " +
           "(drop the store directory instead)")
     }
-    commitManifest(spark, path, v + 1, merged)
+    commitManifest(spark, path, v + 1, merged,
+      readManifestMeta(spark, path, v)) // models pointer survives retraction
+    gcStore(spark, path, Seq(v, v + 1))
+  }
+
+  /**
+   * MODEL-GENERATION migration for the versioned code store — the leg
+   * that completes the ANN lifecycle: centroids and codebook are
+   * training-time artifacts, frozen at store creation ([[writeCodeStore]]
+   * records them in the manifest; [[ingestBatchCodeStore]] deliberately
+   * never retrains — per-batch retraining would shift every cell boundary
+   * and invalidate old codes), so a DRIFTING corpus degrades recall with
+   * no recourse short of a rebuild. This is that rebuild, inside the
+   * store's own atomicity envelope: train FRESH models on `corpus`,
+   * re-encode ALL of `corpus` into a complete new generation, persist the
+   * new models next to it, and commit both behind the same single
+   * manifest rename — a concurrent reader resolves either (old codes, old
+   * models) or (new codes, new models), never a mixed pair
+   * (QuantizeSpec reader-loop gated); a concurrent writer is refused by
+   * the generation check exactly like [[removeFromCodeStore]].
+   *
+   * `corpus` defines the new store content: pass the raw-vector store's
+   * current rows (the code store holds only codes — re-encoding needs the
+   * vectors; at 100 TB that is one full corpus pass, the same unit as the
+   * initial build, amortized over a retrain cadence, vs the per-batch
+   * O(assigned cells) of ingest). Afterwards [[storedModels]] returns the
+   * NEW models and the store equals a one-shot
+   * `writeCodeStore(corpus, newModels, …)` (q160-gated); recall
+   * before/after on a drifted corpus is measured by `graft.Probe retrain`
+   * (SURVEY §6).
+   */
+  def retrainCodeStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String, corpus: DataFrame, vecCol: String,
+                       idCol: String, dim: Int, m: Int, ksub: Int,
+                       cells: Int, iters: Int = 2): Unit = {
+    require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val v = codeStoreVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"retrainCodeStore: $path is not a versioned store — " +
+          "enableCodeStoreVersioning first (model swaps need atomic swaps)"))
+    val cents = OpCache.materialize(
+      Similarity.trainCentroids(corpus, vecCol, idCol, cells, iters))
+    val cb = OpCache.materialize(
+      trainCodebook(corpus, vecCol, idCol, dim, m, ksub, iters))
+    val models = writeModels(spark, path, v + 1, cents, cb)
+    val codes = assembleCodes(corpus, cents, cb, vecCol, idCol, m, dim / m)
+    val entries = writeGeneration(spark, codes, path, v + 1)
+    require(entries.nonEmpty, "retrainCodeStore: empty corpus")
+    // one atomic swap commits codes AND models together; on refusal the
+    // orphan generation/models dirs fall to gcStore's version/age gates
+    commitManifest(spark, path, v + 1, entries, Map("models" -> models))
     gcStore(spark, path, Seq(v, v + 1))
   }
 

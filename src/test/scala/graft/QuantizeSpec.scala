@@ -441,6 +441,253 @@ class QuantizeSpec extends SparkSpec {
       "UTF-8") == "bb", "existing destination was overwritten")
   }
 
+  // --- round-15 gates: bounded ingest, age GC, models lifecycle --------
+
+  /** Overwrite every parquet data file under `dir` with garbage: any scan
+    * that touches one of these files MUST fail, so an operation that
+    * succeeds provably never read them (execution-level pruning proof,
+    * stronger than a numFiles metric). */
+  private def corruptParquet(dir: java.io.File): Int = {
+    val files = Option(dir.listFiles).getOrElse(Array.empty)
+    files.map { f =>
+      if (f.isDirectory) corruptParquet(f)
+      else if (f.getName.endsWith(".parquet")) {
+        java.nio.file.Files.write(f.toPath,
+          "corrupted-on-purpose".getBytes("UTF-8"))
+        1
+      } else 0
+    }.sum
+  }
+
+  test("ingest idempotence check is cell-bounded: every non-assigned " +
+    "cell's files corrupted, ingest and replay still succeed") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_bound").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    // a batch of NEW ids carrying vectors copied from ONE cell's corpus
+    // rows — same models + same vectors ⇒ assigns to exactly that cell
+    val assigned = graft.operators.Similarity.ivfAssign(
+      e, cents, "embedding", "vec_id")
+    val oneCell = assigned.select($"cell").head().get(0)
+    val batch = e.join(
+        assigned.filter($"cell" === oneCell).select($"vec_id"),
+        Seq("vec_id"), "left_semi")
+      .limit(20)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val batchIds = batch.select($"vec_id").as[Long].collect().toSet
+    assert(batchIds.size == 20)
+    // corrupt EVERY other cell's data files in the committed generation
+    val gens = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    assert(gens.length == 1)
+    val corrupted = gens.head.listFiles
+      .filter(l => l.getName.startsWith("pcell=") &&
+        l.getName != s"pcell=$oneCell")
+      .map(corruptParquet).sum
+    assert(corrupted >= 2, s"fixture degenerate: only $corrupted non-" +
+      "assigned cell files — the pruning proof needs cells to avoid")
+    // the bounded check must read ONLY pcell=<oneCell> — success = proof
+    val ing = Quantize.ingestBatchCodeStore(spark, dir, batch, cents, cbT,
+      "embedding", "vec_id", 4, 16)
+    assert(ing.select($"vec_id").as[Long].collect().toSet == batchIds)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L))
+    // the replayed batch's check reads the NEW generation's assigned cell
+    assert(Quantize.ingestBatchCodeStore(spark, dir, batch, cents, cbT,
+      "embedding", "vec_id", 4, 16).count() == 0,
+      "replay re-appended through the bounded check")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L))
+    // the touched cell's rewrite carried old rows + new ids
+    val newGen = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-000002"))
+    assert(newGen.length == 1)
+    val cellRows = spark.read.parquet(
+        s"${newGen.head.getAbsolutePath}/pcell=$oneCell")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(batchIds.subsetOf(cellRows), "ingested ids missing from cell")
+    assert((cellRows -- batchIds).nonEmpty, "old cell rows were dropped")
+    // negative control: the legacy whole-store check MUST hit the
+    // corruption — proves the fixture would catch an unbounded read
+    val fresh = batch.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    intercept[Throwable] {
+      Quantize.ingestBatchCodeStore(spark, dir, fresh, cents, cbT,
+        "embedding", "vec_id", 4, 16, fullIdCheck = true).count()
+    }
+    graft.operators.OpCache.release()
+  }
+
+  test("ingest collapses in-batch duplicate ids; fullIdCheck catches a " +
+    "changed-vector re-ingest the bounded contract excludes") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_dup").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    // one NEW id arriving twice in the same batch: exactly one row lands
+    val v = e.orderBy($"vec_id").limit(1).select($"embedding")
+      .as[Seq[Float]].head()
+    val dup = Seq((7777777L, v), (7777777L, v)).toDF("vec_id", "embedding")
+    assert(Quantize.ingestBatchCodeStore(spark, dir, dup, cents, cbT,
+      "embedding", "vec_id", 4, 16).count() == 1)
+    assert(Quantize.readCodeStore(spark, dir)
+      .filter($"vec_id" === 7777777L).count() == 1,
+      "in-batch duplicate id stored twice")
+    // an EXISTING id re-ingested with a different vector that assigns to
+    // a DIFFERENT cell: outside the bounded contract (id→vector bindings
+    // must be stable); fullIdCheck = true catches it exactly
+    val assigned = graft.operators.Similarity.ivfAssign(
+      e, cents, "embedding", "vec_id")
+    val cells2 = assigned.groupBy($"cell")
+      .agg(min($"vec_id").as("vec_id")).limit(2)
+      .join(e, Seq("vec_id")).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    assert(cells2.length == 2)
+    val moved = Seq((cells2(0)._1, cells2(1)._2)).toDF("vec_id", "embedding")
+    assert(Quantize.ingestBatchCodeStore(spark, dir, moved, cents, cbT,
+      "embedding", "vec_id", 4, 16, fullIdCheck = true).count() == 0,
+      "fullIdCheck missed an id held in a non-assigned cell")
+    assert(Quantize.readCodeStore(spark, dir)
+      .filter($"vec_id" === cells2(0)._1).count() == 1)
+    graft.operators.OpCache.release()
+  }
+
+  test("gcCodeStore age fallback collects idle orphans on a quiet store, " +
+    "spares fresh and future-versioned artifacts") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_age").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    def mkOrphan(name: String, stale: Boolean): java.io.File = {
+      val leaf = new java.io.File(dir, s"$name/pcell=999")
+      assert(leaf.mkdirs())
+      val f = new java.io.File(leaf, "part-junk.parquet")
+      java.nio.file.Files.write(f.toPath, "junk".getBytes("UTF-8"))
+      if (stale) Seq(leaf.getParentFile, leaf, f)
+        .foreach(p => assert(p.setLastModified(old)))
+      leaf.getParentFile
+    }
+    val staleCur = mkOrphan("gen-000001-aaaaaaaa", stale = true)
+    val freshCur = mkOrphan("gen-000001-bbbbbbbb", stale = false)
+    val staleFuture = mkOrphan("gen-000002-cccccccc", stale = true)
+    val staleTmp = new java.io.File(dir, "_graft_manifest-v000001.tmp-dd")
+    java.nio.file.Files.write(staleTmp.toPath, "junk".getBytes("UTF-8"))
+    assert(staleTmp.setLastModified(old))
+    // age the REFERENCED artifacts too: age alone must never collect them
+    val planted = Set(staleCur, freshCur, staleFuture).map(_.getName)
+    new java.io.File(dir).listFiles.filter(f =>
+        !planted(f.getName) &&
+          (f.getName.startsWith("models-") || f.getName.startsWith("gen-")))
+      .foreach { d =>
+        d.setLastModified(old)
+        Option(d.listFiles).getOrElse(Array.empty)
+          .foreach(c => c.setLastModified(old))
+      }
+    val before = Quantize.readCodeStore(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet
+    Quantize.gcCodeStore(spark, dir) // default 24 h horizon
+    assert(!staleCur.exists(), "idle orphan at ≤ current survived age GC")
+    assert(!staleTmp.exists(), "idle tmp staging file survived age GC")
+    assert(freshCur.exists(),
+      "a YOUNG orphan was age-collected — a racing doomed writer's " +
+        "staging data is not this GC's to delete")
+    assert(staleFuture.exists(),
+      "an orphan targeting current+1 was collected — indistinguishable " +
+        "from an in-flight writer by version")
+    assert(Quantize.storedModels(spark, dir).nonEmpty,
+      "the referenced models dir was collected")
+    assert(Quantize.readCodeStore(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet == before,
+      "age GC touched referenced data")
+    // a foreign name with a gen- prefix must be SKIPPED, not crash GC
+    assert(new java.io.File(dir, "gen-").mkdirs())
+    assert(new java.io.File(dir, "gen-notaversion").mkdirs())
+    Quantize.gcCodeStore(spark, dir)
+    Quantize.removeFromCodeStore(spark, dir,
+      e.filter($"vec_id" % 17 === 0).select($"vec_id"), "vec_id")
+    assert(new java.io.File(dir, "gen-").exists() &&
+      new java.io.File(dir, "gen-notaversion").exists())
+    graft.operators.OpCache.release()
+  }
+
+  test("writeCodeStore(versioned) refuses a non-empty path — a flat " +
+    "store must migrate, not be shadowed") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_flatclash").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16, dir)
+    val ex = intercept[IllegalArgumentException] {
+      Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+        dir, versioned = true)
+    }
+    assert(ex.getMessage.contains("enableCodeStoreVersioning"),
+      ex.getMessage)
+    assert(Quantize.codeStoreVersion(spark, dir).isEmpty,
+      "refused versioned write left a manifest behind")
+    graft.operators.OpCache.release()
+  }
+
+  test("retrainCodeStore: new models + full re-encode behind one swap; " +
+    "equals one-shot with the stored models; old models GC'd past grace") {
+    val (e, cents, cbT) = storeModels()
+    val half = e.filter($"vec_id" % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_retrain").toString
+    Quantize.writeCodeStore(half, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    def ids(p: String): Set[Long] =
+      Quantize.readCodeStore(spark, p).select($"vec_id")
+        .as[Long].collect().toSet
+    val halfIds = ids(dir)
+    val allIds = e.select($"vec_id").as[Long].collect().toSet
+    // reader loop across the migration: every read resolves EITHER the
+    // old store or the new one, never a mixed generation
+    val valid = Set(halfIds, allIds)
+    @volatile var stop = false
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val got = ids(dir)
+        assert(valid.contains(got),
+          s"reader observed a mixed-generation id set of size ${got.size}")
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    })
+    reader.start()
+    // the corpus DRIFTED (doubled); retrain over the full current corpus
+    try Quantize.retrainCodeStore(spark, dir, e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8, cells = 8)
+    finally { stop = true; reader.join(60000) }
+    assert(failure.get() == null,
+      s"concurrent reader failed during retrain: ${failure.get()}")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L))
+    // the manifest now pairs the new codes with the NEW models
+    val (c2, cb2) = Quantize.storedModels(spark, dir).getOrElse(
+      fail("retrained store lost its models pointer"))
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_retrain_os").toString
+    Quantize.writeCodeStore(e, c2, cb2, "embedding", "vec_id", 4, 16,
+      dir2, versioned = true)
+    def rows(p: String) = Quantize.readCodeStore(spark, p)
+      .select($"vec_id", $"codes", $"cell".cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(rows(dir) == rows(dir2),
+      "retrained store diverges from a one-shot build with its own models")
+    // serving through the stored models works end-to-end
+    val topk = Quantize.ivfPqTopKFromStore(spark, dir,
+        e.filter($"vec_id" === 1), c2, cb2, "embedding", "vec_id",
+        4, 16, k = 5, nProbe = 3)
+    assert(topk.count() > 0)
+    // grace: the OLD models dir survives exactly one generation (the v1
+    // manifest still references it), then falls to GC on the next commit
+    def modelDirs() = new java.io.File(dir).list()
+      .filter(_.startsWith("models-")).sorted.toSeq
+    assert(modelDirs().size == 2, s"expected old+new models: ${modelDirs()}")
+    Quantize.removeFromCodeStore(spark, dir,
+      e.filter($"vec_id" % 19 === 1).select($"vec_id"), "vec_id")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(3L))
+    assert(modelDirs().size == 1 &&
+      modelDirs().head.startsWith("models-000002"),
+      s"old models not GC'd past grace: ${modelDirs()}")
+    assert(Quantize.storedModels(spark, dir).nonEmpty)
+    graft.operators.OpCache.release()
+  }
+
   test("versioned code store refuses a concurrent writer's lost update") {
     val (e, cents, cbT) = storeModels()
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
