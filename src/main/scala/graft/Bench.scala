@@ -73,7 +73,8 @@ object Bench {
     "q152_decontaminated_splits", "q153_repeat_plan",
     "q154_cluster_safe_splits", "q155_epoch_materialize",
     "q156_training_batches", "q157_codestore_versioned",
-    "q158_codestore_ingest", "q159_multimodal_resize")
+    "q158_codestore_ingest", "q159_multimodal_resize",
+    "q160_codestore_retrain", "q161_training_batches_stored")
 
   private val RUNS = 5
 

@@ -124,6 +124,11 @@ object Probe {
         .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case Some("csingest") => csIngestRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(100000L))
+      case Some("cscadence") => csCadenceRun(
+        args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
+        args.drop(2).headOption.map(_.toInt).getOrElse(12))
+      case Some("retrain") => retrainRun(args.drop(1).headOption
+        .map(_.toLong).getOrElse(50000L))
       case Some("retract") => retractRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
         args.drop(2).headOption
@@ -230,31 +235,213 @@ object Probe {
     timed(s"seed store build (90% of n=$n, cells=$cells)")(
       graft.operators.Quantize.writeCodeStore(seed, cents, cb, "embedding",
         "vec_id", m, subDim, s"$tmp/sA", versioned = true))
+    // per-ingest input-byte accounting: the r15 bounded idempotence check
+    // must read only the batch's ASSIGNED cells' files, so input read per
+    // ingest scales with cells touched (≈ batch spread), never store size
+    def measuredIngest(label: String, batch: org.apache.spark.sql.DataFrame)
+        : Unit = {
+      inputRead.reset()
+      val t0 = System.nanoTime()
+      val ing = graft.operators.Quantize.ingestBatchCodeStore(spark,
+        s"$tmp/sA", batch, cents, cb, "embedding", "vec_id", m, subDim)
+      val c = ing.select(col("cell")).distinct().count()
+      Thread.sleep(500) // let the listener bus drain task-end events
+      println(f"[probe] ingest $label ($c of $cells cells touched): " +
+        f"${(System.nanoTime - t0) / 1e9}%.2f s, " +
+        f"input read ${inputRead.sum() / 1048576.0}%.1f MiB")
+      OpCache.release()
+    }
+    // FIXED 1000-id clustered batch: its input read must stay flat as the
+    // store decade grows (run the probe at two n's and compare this line)
+    measuredIngest("FIXED 1k clustered batch", spark.range(10 * n, 10 * n + 1000)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => (sin(lit(7) * i) + sin(col("id") * i) * 0.001f)
+            .cast("float")).as("embedding")))
     // CLUSTERED batch: new ids, vectors perturbed around ONE seed vector
     val clustered = spark.range(n, n + n / 10)
       .select(col("id").as("vec_id"),
         transform(sequence(lit(1), lit(dim)),
           i => (sin(lit(7) * i) + sin(col("id") * i) * 0.01f)
             .cast("float")).as("embedding"))
-    val t0 = System.nanoTime()
-    val ing1 = graft.operators.Quantize.ingestBatchCodeStore(spark,
-      s"$tmp/sA", clustered, cents, cb, "embedding", "vec_id", m, subDim)
-    val cells1 = ing1.select(col("cell")).distinct().count()
-    println(f"[probe] ingest CLUSTERED 10%% batch ($cells1 of $cells cells " +
-      f"touched): ${(System.nanoTime - t0) / 1e9}%.2f s")
-    OpCache.release()
-    val t1 = System.nanoTime()
-    val ing2 = graft.operators.Quantize.ingestBatchCodeStore(spark,
-      s"$tmp/sA", all.filter(isBatch), cents, cb, "embedding", "vec_id",
-      m, subDim)
-    val cells2 = ing2.select(col("cell")).distinct().count()
-    println(f"[probe] ingest SCATTERED 10%% batch ($cells2 of $cells cells " +
-      f"touched): ${(System.nanoTime - t1) / 1e9}%.2f s")
-    OpCache.release()
+    measuredIngest("CLUSTERED 10% batch", clustered)
+    measuredIngest("SCATTERED 10% batch", all.filter(isBatch))
+    // replay of the scattered batch: the idempotence check alone (no
+    // rewrite) — its read must also be assigned-cells-bounded
+    measuredIngest("REPLAY scattered batch", all.filter(isBatch))
     timed(s"one-shot rebuild over the full corpus (the alternative)")(
       graft.operators.Quantize.writeCodeStore(
         all.unionByName(clustered), cents, cb, "embedding",
         "vec_id", m, subDim, s"$tmp/sB", versioned = true))
+  }
+
+  /** Streaming code-store ingest at CADENCE (r15): drive
+    * [[graft.streaming.StreamingFlows.streamingIngestCodeStore]] for
+    * `batches` micro-batches of 1k new vectors each against an n-vector
+    * seed store and measure, after EVERY tick, the claims the store's
+    * scaladoc makes about cadence: manifests stay exactly current+grace
+    * (GC reclaims the chain as it grows), every cell stays ONE file
+    * (self-compacting ingest — probe-time file counts never grow with
+    * cadence), and no staging debris accumulates. A claim that only
+    * holds for two hand-run ingests (q158's shape) is not a claim about
+    * a 30 s cadence — this is the N-tick evidence. */
+  private def csCadenceRun(n: Long, batches: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    val dim = 64
+    val (m, subDim) = (16, 4)
+    val cells = math.max(16, (n / 1000).toInt)
+    def vecs(ids: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), lit(dim)),
+        i => sin(ids * i).cast("float")).as("embedding")
+    val seed = spark.range(n).select(col("id").as("vec_id"), vecs(col("id")))
+      .repartition(32)
+    val tmp = java.nio.file.Files.createTempDirectory("cscadence").toString
+    graft.operators.Similarity.trainCentroids(seed, "embedding", "vec_id",
+      cells).write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    graft.operators.Quantize.trainCodebook(seed, "embedding", "vec_id",
+      dim, m, 16).write.mode("overwrite").parquet(s"$tmp/cb")
+    OpCache.release()
+    val cents = spark.read.parquet(s"$tmp/cents")
+    val cb = spark.read.parquet(s"$tmp/cb")
+    val store = s"$tmp/store"
+    timed(s"seed store build (n=$n, cells=$cells)")(
+      graft.operators.Quantize.writeCodeStore(seed, cents, cb, "embedding",
+        "vec_id", m, subDim, store, versioned = true))
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    val q = graft.streaming.StreamingFlows.streamingIngestCodeStore(
+        in.toDF().select(col("value").as("vec_id"), vecs(col("value"))),
+        store, cents, cb, "embedding", "vec_id", m, subDim,
+        s"$tmp/ckpt")
+      .start()
+    try (1 to batches).foreach { tick =>
+      val t0 = System.nanoTime()
+      in.addData((n + (tick - 1) * 1000L) until (n + tick * 1000L))
+      q.processAllAvailable()
+      val names = new java.io.File(store).list().toSeq
+      val committed = names.filter(x =>
+        x.startsWith("_graft_manifest-v") && !x.contains(".tmp"))
+      val tmps = names.count(_.contains(".tmp"))
+      val gens = names.count(_.startsWith("gen-"))
+      val sdf = graft.operators.Quantize.readCodeStore(spark, store)
+      val files = sdf.inputFiles.length
+      val cellsNow = sdf.select(col("cell")).distinct().count()
+      OpCache.release()
+      println(f"[probe] tick $tick%2d: ${(System.nanoTime - t0) / 1e9}%5.2f s" +
+        f" | manifests ${committed.size} (${committed.minBy(identity)}.." +
+        f"${committed.maxBy(identity)}) tmp $tmps gen-dirs $gens" +
+        f" | files $files for $cellsNow cells" +
+        (if (files == cellsNow) " (ONE file/cell)" else " FRAGMENTED"))
+    } finally q.stop()
+    val bytes = {
+      def du(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles.map(du).sum else f.length()
+      du(new java.io.File(store))
+    }
+    println(f"[probe] store after $batches ticks: ${bytes / 1048576.0}%.1f MiB" +
+      f" (${n + batches * 1000L} vectors)")
+  }
+
+  /** Model drift → retrain recall study (r15,
+    * [[graft.operators.Quantize.retrainCodeStore]]): a store's centroids
+    * and codebook are trained on corpus A; a DRIFTED corpus B (a vector
+    * family the A-models never saw) is ingested with the stale models —
+    * the contractually correct move, ingest never retrains — and
+    * recall@10 against exact brute-force cosine is measured for drifted
+    * queries BEFORE and AFTER `retrainCodeStore` over A∪B. The delta is
+    * the number the migration leg exists to buy back; q160 gates the
+    * migration's correctness, this prices its value. */
+  private def retrainRun(n: Long): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val dim = 64
+    val (m, subDim) = (16, 4)
+    val cells = math.max(16, (n / 1000).toInt)
+    val a = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => sin(col("id") * i).cast("float")).as("embedding"))
+      .repartition(32)
+    // drift: a NEW TIGHT DOMAIN (all B vectors cluster around one point
+    // the A-models never saw — a fresh data source arriving, the
+    // realistic drift shape): the stale coarse quantizer funnels the
+    // whole domain into its one or two nearest cells, and the stale
+    // codebook has no codewords for the domain's fine structure
+    val b = spark.range(n, n + n / 2).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(dim)),
+          i => (sin(lit(7) * i) + sin(col("id") * i) * 0.2)
+            .cast("float")).as("embedding"))
+      .repartition(32)
+    val tmp = java.nio.file.Files.createTempDirectory("retrain").toString
+    graft.operators.Similarity.trainCentroids(a, "embedding", "vec_id",
+      cells).write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    graft.operators.Quantize.trainCodebook(a, "embedding", "vec_id",
+      dim, m, 16).write.mode("overwrite").parquet(s"$tmp/cb")
+    OpCache.release()
+    val cents0 = spark.read.parquet(s"$tmp/cents")
+    val cb0 = spark.read.parquet(s"$tmp/cb")
+    val store = s"$tmp/store"
+    timed(s"store build over A (n=$n, cells=$cells)")(
+      graft.operators.Quantize.writeCodeStore(a, cents0, cb0, "embedding",
+        "vec_id", m, subDim, store, versioned = true))
+    timed(s"ingest DRIFTED B (${n / 2} vectors, stale models)")(
+      graft.operators.Quantize.ingestBatchCodeStore(spark, store, b,
+        cents0, cb0, "embedding", "vec_id", m, subDim).count())
+    OpCache.release()
+    val corpus = a.unionByName(b)
+    val queries = b.filter(pmod(col("vec_id"), lit(997)) === 0)
+    val k = 10
+    val exact = OpCache.materialize(graft.operators.Similarity
+      .bruteForceTopK(corpus, queries, "embedding", "vec_id", k)
+      .select(col("query_id"), col("corpus_id")))
+    def recall(cents: org.apache.spark.sql.DataFrame,
+               cb: org.apache.spark.sql.DataFrame): Double = {
+      val ann = graft.operators.Quantize.ivfPqTopKFromStore(spark, store,
+          queries, cents, cb, "embedding", "vec_id", m, subDim, k,
+          nProbe = 4)
+        .select(col("query_id"), col("corpus_id"))
+      val hit = ann.join(exact, Seq("query_id", "corpus_id"), "left_semi")
+        .count()
+      val nq = queries.count()
+      val r = hit.toDouble / (nq * k)
+      OpCache.release()
+      r
+    }
+    // the SERVING-COST face of drift: ADC scores every code inside the
+    // probed cells (no shortlist cap), so recall survives stale models —
+    // what degrades is PRUNING POWER: drifted vectors pile into the few
+    // stale cells nearest their region, and every drifted query then
+    // scans those swollen cells. Candidates-per-query and max cell size
+    // are the drift tax; retrain re-tiles the space and takes it back.
+    def pruneStats(cents: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val cand = graft.operators.Quantize.prunedCodeStore(spark, store,
+        queries, cents, "embedding", "vec_id", nProbe = 4).count()
+      val maxCell = graft.operators.Quantize.readCodeStore(spark, store)
+        .groupBy(col("cell")).count().agg(max(col("count")))
+        .collect()(0).getLong(0)
+      OpCache.release()
+      (cand, maxCell)
+    }
+    val stale = recall(cents0, cb0)
+    val (candStale, maxCellStale) = pruneStats(cents0)
+    println(f"[probe] STALE models: recall@$k $stale%.3f, " +
+      f"$candStale codes scanned for the query batch, " +
+      f"max cell $maxCellStale rows")
+    timed(s"retrainCodeStore over A∪B (${n + n / 2} vectors)")(
+      graft.operators.Quantize.retrainCodeStore(spark, store, corpus,
+        "embedding", "vec_id", dim, m, 16, cells))
+    OpCache.release()
+    val (cents1, cb1) = graft.operators.Quantize.storedModels(spark, store)
+      .getOrElse(throw new IllegalStateException("no stored models"))
+    val fresh = recall(cents1, cb1)
+    val (candFresh, maxCellFresh) = pruneStats(cents1)
+    println(f"[probe] RETRAINED models: recall@$k $fresh%.3f " +
+      f"(stale $stale%.3f), $candFresh codes scanned " +
+      f"(stale $candStale, ${candStale.toDouble / candFresh}%.1fx), " +
+      f"max cell $maxCellFresh rows (stale $maxCellStale)")
   }
 
   private def retractRun(n: Long, docsPath: String): Unit = {

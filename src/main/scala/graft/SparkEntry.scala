@@ -1527,15 +1527,42 @@ object SparkEntry {
       bos.toByteArray
     }
     import s.implicits._
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) { img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF); y += 1 }
+        x += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "jpg", bos),
+        "no JPEG ImageWriter registered on this JVM")
+      bos.toByteArray
+    }
     val small = png(10, 6)
     val media = Seq(
       (1L, png(100, 40), 32L, 12L),  // downscale, landscape
       (2L, png(30, 80), 12L, 32L),   // downscale, portrait
       (3L, small, 10L, 6L),          // in-bounds: byte-identical
-      (4L, "definitely not an image".getBytes("UTF-8"), -1L, -1L))
+      (4L, "definitely not an image".getBytes("UTF-8"), -1L, -1L),
+      (5L, jpeg(200, 100), 32L, 16L)) // downscale, FORMAT-PRESERVING
       .toDF("id", "payload", "want_w", "want_h")
     val out = operators.Multimodal.resizeBatched(media, "payload",
       maxW = 32, maxH = 32)
+    // format preservation is a claim about the BYTES: the resized JPEG
+    // payload must carry the JPEG magic (not PNG's) and, being a
+    // downscaled re-encode of a photographic-ish gradient, be SMALLER
+    // than its input — the storage contract a 100 TB image corpus needs
+    val jrow = out.filter(col("id") === 5L)
+      .select(col("resized.payload"), col("payload")).head()
+    val (jres, jorig) =
+      (jrow.getAs[Array[Byte]](0), jrow.getAs[Array[Byte]](1))
+    val jpegStaysJpeg = jres != null && jres.length >= 3 &&
+      jres(0) == 0xFF.toByte && jres(1) == 0xD8.toByte &&
+      jres(2) == 0xFF.toByte
+    val jpegSmaller = jres != null && jres.length < jorig.length
     // re-decode the rewritten payloads: the claim is about the BYTES,
     // not the metadata — a resize that lies about dims must fail here
     val redecoded = operators.Multimodal.decodeBatched(
@@ -1563,10 +1590,14 @@ object SparkEntry {
           lit(1.0).as("bound"), lit(!guarded).as("ok")),
         struct(lit("resize_inbounds_byte_identical").as("metric"),
           lit(1.0).as("bound"), (col("n_identical") === 1L).as("ok")),
+        struct(lit("resize_jpeg_smaller").as("metric"),
+          lit(1.0).as("bound"), lit(jpegSmaller).as("ok")),
+        struct(lit("resize_jpeg_stays_jpeg").as("metric"),
+          lit(1.0).as("bound"), lit(jpegStaysJpeg).as("ok")),
         struct(lit("resize_nonimage_passthrough").as("metric"),
           lit(1.0).as("bound"), (col("n_passthrough") === 1L).as("ok")),
         struct(lit("resize_redecoded_dims").as("metric"),
-          lit(3.0).as("bound"), (col("n_scaled") === 3L).as("ok")))))
+          lit(4.0).as("bound"), (col("n_scaled") === 4L).as("ok")))))
       .select(col("col.metric").as("metric"), col("col.bound").as("bound"),
         col("col.ok").as("ok"))
       .orderBy(col("metric"))
@@ -3084,6 +3115,179 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("repeat_idx"))
   }
 
+  /** MODEL-GENERATION migration gate
+    * ([[operators.Quantize.retrainCodeStore]] — the ANN lifecycle's last
+    * leg: models were frozen at store creation, so a drifted corpus had
+    * no recourse short of an un-guarded manual rebuild): a store built
+    * over HALF the corpus with models trained on that half drifts (the
+    * full corpus arrives); retrain trains fresh models on the full
+    * corpus and re-encodes everything behind ONE manifest swap. The
+    * verdict pins: the retrained store equals a one-shot build with the
+    * models the manifest now references ([[operators.Quantize.storedModels]]
+    * — readers always pair codes with their models), serving works off
+    * the stored models, the generation chain lands at v2 with both the
+    * grace and current manifests, and BOTH model artifacts exist (the
+    * outgoing one referenced by the grace manifest, GC'd one commit
+    * later — QuantizeSpec-gated). Oracle pins the verdict rows literally
+    * (q157's pattern). */
+  private def q160_codestore_retrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val half = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val cents0 = Similarity.trainCentroids(half, "embedding", "vec_id", k = 8)
+    val cb0 = operators.Quantize.trainCodebook(half, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q160_$pid"
+    val (dirA, dirB) = (s"$base/store", s"$base/oneshot")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    operators.Quantize.writeCodeStore(half, cents0, cb0, "embedding",
+      "vec_id", 4, 16, dirA, versioned = true)
+    // the corpus DOUBLED since the models were trained — migrate
+    operators.Quantize.retrainCodeStore(s, dirA, e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8, cells = 8)
+    val (c2, cb2) = operators.Quantize.storedModels(s, dirA).getOrElse(
+      throw new IllegalStateException("retrained store lost its models"))
+    operators.Quantize.writeCodeStore(e, c2, cb2, "embedding", "vec_id",
+      4, 16, dirB, versioned = true)
+    val got = operators.Quantize.readCodeStore(s, dirA)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
+    val want = operators.Quantize.readCodeStore(s, dirB)
+      .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
+    val joined = operators.OpCache.materialize(
+      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+        .agg(
+          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+            .otherwise(0)), lit(0)).as("bad"),
+          count(lit(1)).as("n")))
+    val served = operators.Quantize.ivfPqTopKFromStore(s, dirA,
+      e.filter(col("vec_id") === 1), c2, cb2, "embedding", "vec_id",
+      4, 16, k = 10, nProbe = 3).count()
+    val manifests = new java.io.File(dirA).list()
+      .filter(_.startsWith("_graft_manifest")).sorted.toSeq
+    val chainOk = operators.Quantize.codeStoreVersion(s, dirA)
+      .contains(2L) &&
+      manifests == Seq("_graft_manifest-v000001", "_graft_manifest-v000002")
+    val modelDirs = new java.io.File(dirA).list()
+      .count(_.startsWith("models-"))
+    joined.select(
+        lit("retrain_equals_oneshot_with_stored_models").as("metric"),
+        lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
+      .unionByName(joined.select(
+        lit("retrain_nonempty").as("metric"), lit(1.0).as("bound"),
+        (col("n") >= 1).as("ok")))
+      .unionByName(Seq(
+        ("retrain_generation_chain", 2.0, chainOk),
+        ("retrain_models_grace_kept", 2.0, modelDirs == 2),
+        ("retrain_serves_from_stored_models", 1.0, served > 0L))
+        .toDF("metric", "bound", "ok"))
+      .orderBy(col("metric"))
+  }
+
+  /** The q156 training flagship served OFF THE STANDING STORE — the
+    * PRODUCTION composition (no 100 TB deployment recomputes the exact
+    * all-pairs tier per training run): near-dup candidates come from the
+    * LSH ingest store's band self-join
+    * ([[operators.Dedup.minhashLshPairsFromStore]], written at
+    * 32 bands × 2 rows so a j ≥ 0.6 pair escapes banding with
+    * probability ≈ 6·10⁻⁷) and are upgraded to EXACT Jaccard at
+    * pair-bounded cost ([[operators.Dedup.jaccardVerifyPairs]]); the
+    * splits, repeat plan, epochs, order, and packing are q156's chain.
+    * Benched as the production flagship's tracked wall-time (store build
+    * included — the one-time ingest cost the serving path amortizes).
+    * The verdict pins the PARITY the VERDICT asked for: the store-served
+    * pair set and the resulting split assignment EQUAL q156's exact
+    * tier, no stored near-dup pair crosses a split boundary, every
+    * multi-doc packed bin respects the token budget, and batches exist.
+    * The exact tier runs here as the oracle side of that comparison —
+    * gate cost, like q156 itself. */
+  private def q161_training_batches_stored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val curated = operators.OpCache.track(
+      Dedup.exact(
+        parallelize(t(s, dir, "documents"))
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.6),
+        "text", "doc_id").persist())
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q161_lsh_$pid"
+    Seq(s"${tbl}_bands", s"${tbl}_sigs").foreach(dropLocalTable(s, _))
+    Dedup.writeLshStore(curated, "text", "doc_id", tbl,
+      shingleK = 3, numHashes = 64, bands = 32, buckets = 8)
+    // threshold 0 keeps every band collision: candidates, not verdicts —
+    // the exact upgrade below is the filter
+    val cand = Dedup.minhashLshPairsFromStore(s, tbl, numHashes = 64,
+      threshold = 0.0)
+    val pairsStore = operators.OpCache.materialize(
+      Dedup.jaccardVerifyPairs(curated, "text", "doc_id", cand,
+        shingleK = 3, threshold = 0.6))
+    val pairsExact = operators.OpCache.materialize(
+      Dedup.jaccardSelfJoin(curated, "text", "doc_id",
+        shingleK = 3, threshold = 0.6))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val splitsStore = operators.OpCache.materialize(
+      operators.Curate.clusterSafeSplits(curated, "text", "doc_id",
+          pairsStore, splits)
+        .select(col("doc_id"), col("lang"), col("split"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")))
+    val splitsExact = operators.Curate.clusterSafeSplits(curated, "text",
+        "doc_id", pairsExact, splits)
+      .select(col("doc_id"), col("split").as("split_x"))
+    val pairDiff = pairsStore.select(col("id_a"), col("id_b"), lit(1).as("l"))
+      .join(pairsExact.select(col("id_a"), col("id_b"), lit(1).as("r")),
+        Seq("id_a", "id_b"), "full_outer")
+      .filter(col("l").isNull || col("r").isNull).count()
+    val splitDiff = splitsStore.select(col("doc_id"), col("split"))
+      .join(splitsExact, Seq("doc_id"), "full_outer")
+      .filter(col("split").isNull || col("split_x").isNull ||
+        col("split") =!= col("split_x")).count()
+    val leaks = pairsStore
+      .join(splitsStore.select(col("doc_id").as("id_a"),
+        col("split").as("sa")), Seq("id_a"))
+      .join(splitsStore.select(col("doc_id").as("id_b"),
+        col("split").as("sb")), Seq("id_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    // the production chain downstream of the store-served splits
+    val train = splitsStore.filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val plan = operators.Curate.repeatPlan(train, "lang", "n_tok",
+      budgetTokens = 150000L,
+      weights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15,
+        "fr" -> 0.1, "zh" -> 0.05),
+      maxEpochs = 8.0)
+    val epochs = operators.Curate
+      .materializeRepeats(train, plan, "lang", "doc_id")
+      .withColumn("okey",
+        operators.Curate.epochOrderKey(col("doc_id"), col("repeat_idx")))
+    val packed = operators.Curate.packSequences(epochs, "doc_id", "n_tok",
+      budget = 2048L, shards = 8,
+      epochCol = Some("repeat_idx"), orderCol = Some("okey"))
+    // packSequences is concatenate-then-cut: a doc crossing a bin
+    // boundary SPILLS (never splits), so per-bin token sums may exceed
+    // the budget by one spill — the layout invariant is that every doc
+    // STARTS inside its bin: bin_offset ∈ [0, budget)
+    val bins = operators.OpCache.materialize(
+      packed.agg(count(lit(1)).as("nrows"),
+        coalesce(sum(when(col("bin_offset") < 0L ||
+          col("bin_offset") >= 2048L, 1L).otherwise(0L)), lit(0L))
+          .as("badoff")))
+    bins.select(
+        lit("stored_flagship_batches").as("metric"), lit(1.0).as("bound"),
+        (col("nrows") >= 1L).as("ok"))
+      .unionByName(bins.select(
+        lit("stored_pack_budget").as("metric"), lit(0.0).as("bound"),
+        (col("badoff") === 0L).as("ok")))
+      .unionByName(Seq(
+        ("stored_pairs_equal_exact", 0.0, pairDiff == 0L),
+        ("stored_splits_equal_exact", 0.0, splitDiff == 0L),
+        ("stored_splits_leakfree", 0.0, leaks == 0L))
+        .toDF("metric", "bound", "ok"))
+      .orderBy(col("metric"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -3267,6 +3471,8 @@ object SparkEntry {
     "q157_codestore_versioned" -> q157_codestore_versioned _,
     "q158_codestore_ingest" -> q158_codestore_ingest _,
     "q159_multimodal_resize" -> q159_multimodal_resize _,
+    "q160_codestore_retrain" -> q160_codestore_retrain _,
+    "q161_training_batches_stored" -> q161_training_batches_stored _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5039,8 +5245,10 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('resize_bomb_guard_holds', CAST(1.0 AS DOUBLE), TRUE),
         |  ('resize_inbounds_byte_identical', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('resize_jpeg_smaller', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('resize_jpeg_stays_jpeg', CAST(1.0 AS DOUBLE), TRUE),
         |  ('resize_nonimage_passthrough', CAST(1.0 AS DOUBLE), TRUE),
-        |  ('resize_redecoded_dims', CAST(3.0 AS DOUBLE), TRUE))
+        |  ('resize_redecoded_dims', CAST(4.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
     // q158 pins the code-store ingest verdicts (q146/q147 pattern on the
@@ -5051,6 +5259,32 @@ object SparkEntry {
         |  ('cstore_ingest_one_file_per_cell', CAST(1.0 AS DOUBLE), TRUE),
         |  ('cstore_ingest_replay_noop', CAST(0.0 AS DOUBLE), TRUE),
         |  ('cstore_ingest_seq_equals_oneshot', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q160 pins the model-generation migration verdicts (q157's pattern
+    // on the retrain leg): retrained ≡ one-shot with the manifest's own
+    // models, chain + grace policy, serving through storedModels.
+    "q160_codestore_retrain" ->
+      """SELECT * FROM (VALUES
+        |  ('retrain_equals_oneshot_with_stored_models',
+        |   CAST(0.0 AS DOUBLE), TRUE),
+        |  ('retrain_generation_chain', CAST(2.0 AS DOUBLE), TRUE),
+        |  ('retrain_models_grace_kept', CAST(2.0 AS DOUBLE), TRUE),
+        |  ('retrain_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('retrain_serves_from_stored_models', CAST(1.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q161 pins the store-served flagship's parity against q156's exact
+    // tier (pair set and split assignment equal), leak-freedom on the
+    // served pairs, and the packing contract — all boolean verdicts, so
+    // the oracle is the literal row set.
+    "q161_training_batches_stored" ->
+      """SELECT * FROM (VALUES
+        |  ('stored_flagship_batches', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('stored_pack_budget', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('stored_pairs_equal_exact', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('stored_splits_equal_exact', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('stored_splits_leakfree', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
     // q150 recomputes the whole boilerplate-removal composition from

@@ -779,6 +779,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /**
+   * EXACT Jaccard verification over a caller-supplied candidate PAIR set
+   * — [[jaccardSelfJoin]]'s verify kernel factored out so candidates from
+   * ANY blocking tier (the LSH ingest store's band collisions via
+   * [[minhashLshPairsFromStore]], SimHash buckets, an ANN shortlist) can
+   * be upgraded from estimated to exact similarity at PAIR-BOUNDED cost:
+   * only the candidate pairs' shingle sets attach (two id-keyed joins);
+   * no all-pairs shape anywhere. Output: (id_a, id_b, jaccard) for pairs
+   * at or above `threshold` — the same shingle normalization and the same
+   * codegen'd sorted-merge intersection as [[jaccardSelfJoin]], so
+   * store-candidates + this equals the exact self-join tier exactly
+   * whenever the blocking tier's recall is 1 (q161 pins this at
+   * 32-band × 2-row LSH, where a j ≥ 0.6 pair escapes banding with
+   * probability (1−0.6²)³² ≈ 6·10⁻⁷).
+   */
+  def jaccardVerifyPairs(df: DataFrame, textCol: String, idCol: String,
+                         pairs: DataFrame, shingleK: Int = 3,
+                         threshold: Double = 0.6): DataFrame = {
+    val sets = OpCache.track(df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
+      .withColumn("len", size(col("sh")))
+      .persist())
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      col("len").as("__len_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("len").as("__len_b"))
+    val inter = graft.functions.expressions.GraftExpressions
+      .sortedIntersectSize(col("sh_a"), col("sh_b"))
+    pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("__inter", inter)
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") /
+          (col("__len_a") + col("__len_b") - col("__inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The blocking stage of [[jaccardSelfJoin]]: (persisted shingle sets as
     * (id, sh, len), candidate pairs surviving the prefix + position +
     * length filters, pre-verify). Exposed `private[graft]` so the scale

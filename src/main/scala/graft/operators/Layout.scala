@@ -71,6 +71,97 @@ object Layout {
     vs.last._2
   }
 
+  // ---- append/rewrite commit protocol (versioned stores) --------------
+  //
+  // Catalog operations have no compare-and-swap, so an append racing a
+  // rewrite used to be SILENTLY lost: the rewrite's file snapshot predates
+  // the append, its view repoint serves a store without those rows, and
+  // nothing ever says so. Versioned stores now serialize commits through a
+  // TOKEN CHAIN — one-byte files `_t%09d` (content: kind `a`ppend or
+  // `r`ewrite) in `_graft_coord/` inside
+  // the CURRENT backing table's directory (underscore-prefixed: invisible
+  // to file indexes; dies with the version, so stale tokens cannot poison
+  // a recreated store). A commit is one exclusive `FileContext.rename`
+  // (the [[graft.operators.Quantize]] manifest primitive): exactly one
+  // writer owns any sequence number.
+  //
+  //  - an APPEND writes its data, then commits token seq+1 kind `a`;
+  //    losing the CAS to other appends just retries higher, losing it to
+  //    a REWRITE token refuses loudly (the rewrite may or may not have
+  //    snapshotted the rows — never silently);
+  //  - a REWRITE records the latest seq BEFORE listing files, and its
+  //    commit token CAS fails iff ANY commit landed since — so a rewrite
+  //    that swaps provably snapshotted every committed append, and one
+  //    that didn't is refused and its staging dropped (retry re-reads);
+  //  - kind `r` is a TOMBSTONE on the version: once present, the version
+  //    is closed — later appends/rewrites resolving it are refused (the
+  //    view repoint is mid-flight or crashed; see recovery note below).
+  //
+  // Crash recovery (window: rewrite crashed between its token commit and
+  // the view repoint — one catalog op wide): either complete the swap
+  // (`CREATE OR REPLACE VIEW <table> AS SELECT * FROM <table>__vN+1`) or
+  // drop the staged `__vN+1`/staging table and delete the `r` token file.
+  // An append crashing between data write and token leaves its rows
+  // committed but unprotected for the one rewrite in flight — the
+  // pre-protocol grade, now bounded to that window.
+  // the sequence number alone is the filename — the KIND lives in the
+  // file's one-byte content, never in the name, so an append and a
+  // rewrite racing toward the same sequence contend for the SAME rename
+  // destination (a kind-suffixed name would let both exclusive renames
+  // succeed and the CAS would never conflict)
+  private val TokenRe = "_t(\\d{9,})".r
+
+  private[graft] def coordPath(spark: SparkSession,
+                        target: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      meta(spark, target).location.toString, "_graft_coord")
+
+  /** (seq, kind) tokens at `coord`, ascending by seq. */
+  private def listTokens(spark: SparkSession,
+                         coord: org.apache.hadoop.fs.Path)
+      : Seq[(Long, String)] = {
+    val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(coord)) Seq.empty
+    else fs.listStatus(coord).toSeq.collect {
+      case st if TokenRe.pattern.matcher(st.getPath.getName).matches() =>
+        val TokenRe(n) = st.getPath.getName: @unchecked
+        val in = fs.open(st.getPath)
+        val kind = try in.readByte().toChar.toString finally in.close()
+        (n.toLong, kind)
+    }.sortBy(_._1)
+  }
+
+  /** Exclusive-create token `seq` of `kind` ("a" append, "r" rewrite);
+    * false = the seq is taken (another writer committed first). */
+  private[graft] def commitToken(spark: SparkSession,
+                          coord: org.apache.hadoop.fs.Path, seq: Long,
+                          kind: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = coord.getFileSystem(conf)
+    fs.mkdirs(coord)
+    val tmp = new org.apache.hadoop.fs.Path(coord,
+      s"_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(kind.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(coord.toUri, conf)
+    try {
+      fc.rename(tmp, new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"))
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false); false
+    }
+  }
+
+  private def refuseClosed(spark: SparkSession,
+                           coord: org.apache.hadoop.fs.Path, op: String,
+                           target: String): Unit =
+    if (listTokens(spark, coord).exists(_._2 == "r"))
+      throw new IllegalStateException(
+        s"$op: a rewrite already committed from $target — the store moved " +
+          "(or a rewrite commit is mid-swap; complete or roll back its " +
+          "view repoint); retry against the current version")
+
   /**
    * Append rows to a bucketed store under the store's OWN bucket spec,
    * read from the catalog — one new file per touched bucket, and the
@@ -79,6 +170,17 @@ object Layout {
    * caller parameter removes the mismatched-spec footgun entirely and
    * makes every ingest path (`Dedup.ingestBatch*`) versioning-aware for
    * free via [[resolveStore]].
+   *
+   * On a VERSIONED store ([[enableVersioning]]) the append participates
+   * in the commit-token protocol above: racing a
+   * [[rewriteBucketed]]/[[compactBucketed]] now REFUSES loudly instead of
+   * silently losing the batch to the rewrite's pre-append snapshot
+   * (LayoutSpec-gated both ways). The refusal means the batch may or may
+   * not be in the new version — id-idempotent ingest paths
+   * (`Dedup.ingestBatch*`, whose anti-join skips already-held ids) simply
+   * retry; raw callers must re-check. Plain (non-versioned) tables keep
+   * the documented single-writer contract — version the store if writers
+   * are truly concurrent.
    */
   def appendBucketed(spark: SparkSession, df: DataFrame,
                      table: String): Unit = {
@@ -89,12 +191,34 @@ object Layout {
     val bcols = spec.bucketColumnNames
     val scols =
       if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bcols
+    val coord = if (target != table) Some(coordPath(spark, target)) else None
+    coord.foreach(refuseClosed(spark, _, "appendBucketed", target))
     df.write
       .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
       .sortBy(scols.head, scols.tail: _*)
       .mode("append")
       .format("parquet")
       .saveAsTable(target)
+    coord.foreach { c =>
+      // commit AFTER the data lands: a rewrite whose token CAS succeeds
+      // past ours therefore listed files written before our token — ours
+      // included; one that read older tokens fails ITS CAS and is refused.
+      // The `r` check runs before EVERY attempt (not just on CAS failure):
+      // a tombstone that landed before our first listing must refuse, not
+      // be silently skipped past by taking the next free sequence
+      var committed = false
+      while (!committed) {
+        val ts = listTokens(spark, c)
+        if (ts.exists(_._2 == "r"))
+          throw new IllegalStateException(
+            s"appendBucketed: a rewrite committed from $target while " +
+              "this append ran — the batch may not be in the new " +
+              "version; retry against the current version " +
+              "(id-idempotent ingest paths are safe to re-run)")
+        committed = commitToken(spark, c,
+          ts.lastOption.map(_._1).getOrElse(0L) + 1, "a")
+      }
+    }
   }
 
   /**
@@ -176,7 +300,15 @@ object Layout {
    * is the per-partition form for the cell-partitioned code store).
    */
   def rewriteBucketed(spark: SparkSession, table: String)
-                     (transform: DataFrame => DataFrame): Unit = {
+                     (transform: DataFrame => DataFrame): Unit =
+    rewriteBucketed(spark, table, () => ())(transform)
+
+  /** [[rewriteBucketed]] with a deterministic-interleaving seam: the
+    * LayoutSpec race gates inject an append (or a competing rewrite)
+    * between the staging write and the commit. */
+  private[graft] def rewriteBucketed(spark: SparkSession, table: String,
+                                     beforeCommit: () => Unit)
+                                    (transform: DataFrame => DataFrame): Unit = {
     val target = resolveStore(spark, table)
     val m = meta(spark, target)
     val spec = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -214,6 +346,15 @@ object Layout {
       if (versioned)
         s"${table}__graft_rw_${java.util.UUID.randomUUID().toString.take(8)}"
       else s"${table}__graft_compact"
+    // token snapshot BEFORE the file listing below (spark.read builds its
+    // file index eagerly): commit-token CAS success at seq0+1 then proves
+    // no append committed after this point — every committed append's
+    // files were on disk when the listing ran (appends token AFTER their
+    // data lands)
+    val coord = if (versioned) Some(coordPath(spark, target)) else None
+    coord.foreach(refuseClosed(spark, _, "rewriteBucketed", target))
+    val seq0 = coord.map(c =>
+      listTokens(spark, c).lastOption.map(_._1).getOrElse(0L))
     spark.sql(s"DROP TABLE IF EXISTS $dest")
     // read the table's FILES by path, not the catalog table: the bucketed
     // relation already claims HashPartitioning(bcols, n), so the
@@ -231,8 +372,9 @@ object Layout {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(dest)
+    beforeCommit()
     if (versioned) {
-      commitVersioned(spark, table, expected, dest)
+      commitVersioned(spark, table, expected, dest, coord.get, seq0.get)
     } else {
       // rename chain: the store name is unbound for exactly ONE catalog
       // op (between the two renames) and a crash leaves the data bound
@@ -255,15 +397,18 @@ object Layout {
    * the staged table dropped, because last-swap-wins would serve a store
    * missing that writer's changes; retry the whole rewrite against the
    * current version. The rename itself refuses an already-taken version
-   * name, closing the check-to-rename window. Appends
-   * ([[appendBucketed]]) do not bump the generation: an append racing a
-   * rewrite can still be lost to the rewrite's pre-append snapshot —
-   * single-writer discipline (or an external lock) remains the contract
-   * BETWEEN append and rewrite; this guard makes rewrite-vs-rewrite
-   * races loud instead of silent.
+   * name, closing the check-to-rename window. Appends participate
+   * through the commit-token chain (the protocol note above
+   * [[appendBucketed]]): the token CAS at `seq0 + 1` refuses this commit
+   * if ANY append committed after the rewrite's file-listing snapshot —
+   * an interleaved append is either provably included or the rewrite is
+   * refused, never silently dropped (LayoutSpec-gated); the committed
+   * `r` token then closes the outgoing version against late appends.
    */
   private[graft] def commitVersioned(spark: SparkSession, table: String,
-                                     expected: Int, dest: String): Unit = {
+                                     expected: Int, dest: String,
+                                     coord: org.apache.hadoop.fs.Path,
+                                     seq0: Long): Unit = {
     val cur = versions(spark, table).last._1
     if (cur != expected) {
       spark.sql(s"DROP TABLE IF EXISTS $dest")
@@ -271,6 +416,13 @@ object Layout {
         s"rewriteBucketed: $table generation moved (expected __v$expected," +
           s" found __v$cur) — concurrent writer detected; retry against " +
           "the current version")
+    }
+    if (!commitToken(spark, coord, seq0 + 1, "r")) {
+      spark.sql(s"DROP TABLE IF EXISTS $dest")
+      throw new IllegalStateException(
+        s"rewriteBucketed: an append (or another rewrite) committed to " +
+          s"$table after this rewrite's file snapshot — its rows are not " +
+          "in the staged result; retry against the current version")
     }
     val vdest = s"${table}__v${expected + 1}"
     // only the name-taken case is a concurrent-writer refusal; any other

@@ -158,10 +158,18 @@ object Multimodal {
    * REAL resize stage — [[decodeBatched]]'s contract applied to the
    * transform that actually rewrites payloads: aspect-preserving fit of
    * every image payload into `maxW`×`maxH` (JDK `BufferedImage` bilinear
-   * scale, PNG re-encode — no external libraries), batched per partition
+   * scale — no external libraries), batched per partition
    * like every codec stage. Output adds a `resized` struct:
    * (payload binary, width, height, applied).
    *
+   *  - FORMAT-PRESERVING re-encode: a JPEG comes back as a JPEG (at
+   *    `jpegQuality`, default 0.85 — the one lossy knob, documented
+   *    here), PNG as PNG, GIF/BMP likewise; PNG is the fallback only
+   *    when the JVM has no writer for the source format. A downscaled
+   *    photographic JPEG re-encoded as PNG is typically several times
+   *    LARGER than the original — the exact storage/bandwidth regression
+   *    this avoids on a real image corpus, where JPEG dominates
+   *    (q159-gated: JPEG in → JPEG magic out, smaller than the input).
    *  - Images already within bounds pass through BYTE-IDENTICAL with
    *    `applied = true` — no decode-re-encode quality churn, no work.
    *  - Non-image payloads (audio/video/exotic/corrupt) pass through
@@ -175,24 +183,27 @@ object Multimodal {
    */
   def resizeBatched(df: DataFrame, payloadCol: String, maxW: Int, maxH: Int,
                     batchSize: Int = 64,
-                    maxPixels: Long = 64L * 1024 * 1024): DataFrame = {
+                    maxPixels: Long = 64L * 1024 * 1024,
+                    jpegQuality: Float = 0.85f): DataFrame = {
     require(maxW > 0 && maxH > 0, s"bounds must be positive: $maxW x $maxH")
+    require(jpegQuality > 0f && jpegQuality <= 1f,
+      s"jpegQuality must be in (0, 1], got $jpegQuality")
     codecStage(df, payloadCol, batchSize, "resized", StructType(Seq(
       StructField("payload", BinaryType, nullable = true),
       StructField("width", LongType, nullable = false),
       StructField("height", LongType, nullable = false),
       StructField("applied", BooleanType, nullable = false))))(
-      payloads => resizeBatch(payloads, maxW, maxH, maxPixels).map(d =>
-        org.apache.spark.sql.Row(d._1, d._2, d._3, d._4)))
+      payloads => resizeBatch(payloads, maxW, maxH, maxPixels, jpegQuality)
+        .map(d => org.apache.spark.sql.Row(d._1, d._2, d._3, d._4)))
   }
 
   /** One header decode per payload: the dims gate pass-through, the bomb
     * guard, AND the in-bounds fast path, so the reader probe never runs
-    * twice. A failed rescale or re-encode (no PNG writer on this JVM,
+    * twice. A failed rescale or re-encode (no writer on this JVM,
     * corrupt pixel data past a valid header) degrades to pass-through
     * with `applied = false` — ORIGINAL bytes, never a truncated payload. */
   private[operators] def resizeBatch(payloads: Array[Array[Byte]],
-      maxW: Int, maxH: Int, maxPixels: Long)
+      maxW: Int, maxH: Int, maxPixels: Long, jpegQuality: Float = 0.85f)
       : Array[(Array[Byte], Long, Long, Boolean)] =
     payloads.map { p =>
       decodeImage(p) match {
@@ -204,14 +215,15 @@ object Multimodal {
         case Some((w, h, _)) if w <= maxW && h <= maxH => // already fits
           (p, w, h, true)
         case Some((w, h, _)) =>
-          rescale(p, w, h, maxW, maxH).getOrElse((p, w, h, false))
+          rescale(p, w, h, maxW, maxH, jpegQuality).getOrElse((p, w, h, false))
       }
     }
 
-  /** None = the pixel decode or PNG re-encode failed — caller passes the
+  /** None = the pixel decode or re-encode failed — caller passes the
     * original bytes through. */
   private def rescale(bytes: Array[Byte], w: Long, h: Long,
-      maxW: Int, maxH: Int): Option[(Array[Byte], Long, Long, Boolean)] =
+      maxW: Int, maxH: Int, jpegQuality: Float)
+      : Option[(Array[Byte], Long, Long, Boolean)] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
@@ -230,11 +242,40 @@ object Multimodal {
             java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, nw, nh, null)
         } finally g.dispose()
+        // format-preserving: re-encode in the SOURCE format (the sniffed
+        // magic — the format that actually decoded), falling back to PNG
+        // only when this JVM registers no writer for it
+        encodeImage(dst, sniffFormat(bytes).getOrElse("png"), jpegQuality)
+          .orElse(encodeImage(dst, "png", jpegQuality))
+          .map(out => (out, nw.toLong, nh.toLong, true))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Encode `img` as `format`; None when no writer exists or it refuses
+    * the image — the caller decides the fallback. JPEG goes through an
+    * explicit `ImageWriteParam` so the quality knob is a real contract,
+    * not the writer's unspecified default. */
+  private def encodeImage(img: java.awt.image.BufferedImage, format: String,
+                          jpegQuality: Float): Option[Array[Byte]] =
+    try {
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName(format)
+      if (!writers.hasNext) None
+      else {
+        val writer = writers.next()
         val bos = new java.io.ByteArrayOutputStream()
-        // write() returning false (no PNG ImageWriter on this JVM) must
-        // NOT ship the empty buffer as a "resized" payload
-        if (!javax.imageio.ImageIO.write(dst, "png", bos)) None
-        else Some((bos.toByteArray, nw.toLong, nh.toLong, true))
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          val param = writer.getDefaultWriteParam
+          if (format == "jpg" && param.canWriteCompressed) {
+            param.setCompressionMode(
+              javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            param.setCompressionQuality(jpegQuality)
+          }
+          writer.write(null,
+            new javax.imageio.IIOImage(img, null, null), param)
+        } finally { writer.dispose(); ios.close() }
+        Some(bos.toByteArray).filter(_.nonEmpty)
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -245,13 +286,20 @@ object Multimodal {
 
   /** Magic-number sniff for the formats the JDK decodes out of the box —
     * keeps the non-image path at a 4-byte compare instead of an ImageIO
-    * reader probe per payload. */
-  private def imageMagic(b: Array[Byte]): Boolean =
-    b != null && b.length >= 4 && (
-      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
-      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
-      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
-      (b(0) == 'B' && b(1) == 'M'))
+    * reader probe per payload. Returns the ImageIO format name, which is
+    * also what [[resizeBatched]]'s format-preserving re-encode targets. */
+  private def sniffFormat(b: Array[Byte]): Option[String] =
+    if (b == null || b.length < 4) None
+    else if (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte)
+      Some("jpg")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8')
+      Some("gif")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else None
+
+  private def imageMagic(b: Array[Byte]): Boolean = sniffFormat(b).nonEmpty
 
   /** Stub fallback: same content-derived pseudo-features as [[fakeDecode]]
     * (xxhash64 with Spark's seed 42), computed JVM-side. */

@@ -74,7 +74,10 @@ class LayoutSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $stale")
     Seq("zz").toDF("fp").write.format("parquet").saveAsTable(stale)
     val ex = intercept[IllegalStateException] {
-      Layout.commitVersioned(spark, tbl, expected = 1, dest = stale)
+      // coord/seq0 are immaterial here: the generation check refuses
+      // BEFORE the token CAS (the stale writer resolved __v1, now __v2)
+      Layout.commitVersioned(spark, tbl, expected = 1, dest = stale,
+        coord = Layout.coordPath(spark, s"${tbl}__v2"), seq0 = 0L)
     }
     assert(ex.getMessage.contains("concurrent writer"), ex.getMessage)
     // the refused commit changed NOTHING a reader can see, and dropped
@@ -88,6 +91,82 @@ class LayoutSpec extends SparkSpec {
     Layout.compactBucketed(spark, tbl)
     assert(spark.table(tbl).as[String].collect().toSet == content,
       "post-refusal compaction lost content")
+    OpCache.release()
+  }
+
+  test("an append interleaved into a rewrite is never dropped: the " +
+    "rewrite is refused and the appended rows stay visible") {
+    val tbl = s"layoutspec_ar_$pid"
+    spark.sql(s"DROP VIEW IF EXISTS $tbl")
+    (1 to 4).foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${tbl}__v$v"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    // the lost-update interleaving: the rewrite has SNAPSHOTTED the files
+    // and staged its result; the append lands before the commit
+    val ex = intercept[IllegalStateException] {
+      Layout.rewriteBucketed(spark, tbl, () =>
+        Layout.appendBucketed(spark,
+          Seq("x y").toDF("text")
+            .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
+      )(identity)
+    }
+    assert(ex.getMessage.contains("after this rewrite's file snapshot"),
+      ex.getMessage)
+    assert(spark.table(tbl).count() == 3,
+      "the interleaved append's rows were dropped")
+    assert(!spark.catalog.tableExists(s"${tbl}__v2"),
+      "refused rewrite advanced the generation")
+    // the refused rewrite left no tombstone: a retry sees the appended
+    // rows (fresh snapshot) and swaps cleanly
+    Layout.compactBucketed(spark, tbl)
+    assert(spark.table(tbl).count() == 3,
+      "post-refusal compaction lost the appended rows")
+    // inverse direction: an append that starts against a version a
+    // rewrite CLOSED (token committed, repoint pending or done) refuses
+    // loudly instead of writing into the superseded table — plant the
+    // tombstone the way a mid-swap rewrite leaves it
+    val closed = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
+    assert(Layout.commitToken(spark, closed, 1L, "r"))
+    val ex2 = intercept[IllegalStateException] {
+      Layout.appendBucketed(spark,
+        Seq("p q").toDF("text")
+          .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
+    }
+    assert(ex2.getMessage.contains("rewrite"), ex2.getMessage)
+    assert(spark.table(tbl).count() == 3,
+      "append into a closed version landed anyway")
+    OpCache.release()
+  }
+
+  test("append commit tokens: sequential appends chain, rewrites see them") {
+    val tbl = s"layoutspec_tok_$pid"
+    spark.sql(s"DROP VIEW IF EXISTS $tbl")
+    (1 to 4).foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${tbl}__v$v"))
+    Dedup.writeFingerprintStore(
+      Seq("a b").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    def append(t: String): Unit = Layout.appendBucketed(spark,
+      Seq(t).toDF("text")
+        .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
+    append("c d")
+    append("e f")
+    // both appends committed tokens in the current version's coord dir
+    val coord = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
+    val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokens = fs.listStatus(coord).map(_.getPath.getName).sorted.toSeq
+    assert(tokens == Seq("_t000000001", "_t000000002"), tokens.toString)
+    // a clean rewrite includes them and the NEW version starts a fresh
+    // token chain (the old coord dies with the old version's directory)
+    Layout.compactBucketed(spark, tbl)
+    assert(spark.table(tbl).count() == 3, "compaction lost appended rows")
+    val coord2 = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
+    assert(coord2 != coord)
+    assert(!fs.exists(coord2) ||
+      fs.listStatus(coord2).isEmpty, "new version inherited stale tokens")
+    // and appends keep working against the new version
+    append("g h")
+    assert(spark.table(tbl).count() == 4)
     OpCache.release()
   }
 
