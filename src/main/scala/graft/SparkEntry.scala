@@ -1504,13 +1504,16 @@ object SparkEntry {
 
   /** REAL image resize under the q99 accuracy-gate pattern
     * ([[operators.Multimodal.resizeBatched]] — aspect-preserving
-    * BufferedImage rescale, PNG re-encode, batched codec contract): the
-    * verdict pins (a) rescaled payloads RE-DECODE to exactly the
-    * floor-scaled dims, (b) an in-bounds image passes through
-    * byte-identical, (c) a non-image passes through unapplied, (d) the
-    * decompression-bomb guard refuses to allocate pixels over the
-    * budget. The oracle pins the verdict rows literally (java.awt has no
-    * DuckDB twin). */
+    * BufferedImage rescale, FORMAT-PRESERVING re-encode, batched codec
+    * contract): the verdict pins (a) rescaled payloads RE-DECODE to
+    * exactly the floor-scaled dims, (b) an in-bounds image passes
+    * through byte-identical, (c) a non-image passes through unapplied,
+    * (d) the decompression-bomb guard refuses to allocate pixels over
+    * the budget, and (e, r15) a JPEG input comes back with the JPEG
+    * magic AND smaller than its input — the storage contract a 100 TB
+    * photographic corpus needs (a PNG re-encode of a downscaled JPEG is
+    * typically LARGER than the original). The oracle pins the verdict
+    * rows literally (java.awt has no DuckDB twin). */
   private def q159_multimodal_resize(s: SparkSession, dir: String): DataFrame = {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(

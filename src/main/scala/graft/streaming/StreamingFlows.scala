@@ -271,7 +271,16 @@ object StreamingFlows {
    * QuantizeSpec-gated), and only touched cells are rewritten into a new
    * generation behind one atomic manifest swap, so concurrent ANN
    * serving never observes a partial ingest. StreamingSpec gates
-   * stream ≡ sequential-batch store equality.
+   * stream ≡ sequential-batch store equality; `graft.Probe cscadence`
+   * measures the cadence claims (manifests stay current+grace, one file
+   * per cell, no staging debris across micro-batches).
+   *
+   * Inherits [[graft.operators.Quantize.ingestBatchCodeStore]]'s
+   * BOUNDED idempotence contract: the already-held check reads only the
+   * batch's assigned cells, so each tick's I/O is batch-proportional at
+   * any store size — which requires STABLE id→vector bindings on the
+   * stream (a changed document must flow retract-then-reingest, not a
+   * bare re-emit with a new embedding).
    */
   def streamingIngestCodeStore(stream: DataFrame, path: String,
       centroids: DataFrame, codebook: DataFrame, vecCol: String,

@@ -103,6 +103,31 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("jaccardVerifyPairs upgrades ANY candidate set to the exact tier: " +
+    "superset in, exact pair set out, identical jaccard values") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter($"doc_id" < 300)
+    val exact = Dedup.jaccardSelfJoin(docs, "text", "doc_id", 3, 0.6)
+      .select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // candidates = the TRUE pairs plus deliberate junk (dissimilar pairs
+    // and duplicates) — the verify kernel must keep exactly the true
+    // pairs at exactly the self-join's jaccard values
+    val junk = docs.alias("a").join(docs.alias("b"),
+        col("a.doc_id") + 250 === col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val cands = exact.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b")
+      .unionByName(junk)
+      .unionByName(exact.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b"))
+    val verified = Dedup.jaccardVerifyPairs(docs, "text", "doc_id", cands,
+        shingleK = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(verified == exact,
+      s"missing=${(exact -- verified).take(3)}, extra=${(verified -- exact).take(3)}")
+    graft.operators.OpCache.release()
+  }
+
   test("embedding near-dup finds crafted duplicate vectors (exact mode)") {
     val v1 = Array(1.0f, 0.0f, 0.0f)
     val v1b = Array(0.999f, 0.01f, 0.0f) // ~same direction

@@ -167,6 +167,19 @@ class LayoutSpec extends SparkSpec {
     // and appends keep working against the new version
     append("g h")
     assert(spark.table(tbl).count() == 4)
+    // append-vs-append: competing appends' tokens (planted the way
+    // racing appendBucketed calls leave them) are benign — the next
+    // append chains past them to the next free sequence, no refusal
+    // (only an `r` token refuses; appends never conflict on data)
+    val c3 = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
+    assert(Layout.commitToken(spark, c3, 2L, "a"))
+    assert(Layout.commitToken(spark, c3, 3L, "a"))
+    append("i j")
+    assert(spark.table(tbl).count() == 5,
+      "append lost to a benign append-token conflict")
+    val after = fs.listStatus(c3).map(_.getPath.getName).sorted.toSeq
+    assert(after.contains("_t000000004"),
+      s"append did not chain past the planted tokens: $after")
     OpCache.release()
   }
 
