@@ -163,6 +163,61 @@ object Layout {
           "view repoint); retry against the current version")
 
   /**
+   * Crash recovery for a versioned store whose rewrite died MID-COMMIT —
+   * the one window the token protocol leaves open (the rewrite's `r`
+   * token committed, the view repoint never ran): the version stays
+   * CLOSED — appends and rewrites refuse with the mid-swap message —
+   * until this runs. Run it only when the crashed writer is KNOWN dead;
+   * it inspects the state and finishes the commit one way or the other
+   * (LayoutSpec-gated on both states):
+   *  - `<table>__v(N+1)` exists (the crash hit between the rename and
+   *    the repoint): COMPLETE the swap — the staged result is a fully
+   *    written store, so repoint the view to it and drop superseded
+   *    versions, exactly what [[commitVersioned]] would have done;
+   *  - no next version (the crash hit between the token and the rename):
+   *    ROLL BACK — delete the `r` tombstone so the current version
+   *    accepts commits again, and drop any orphaned `__graft_rw_*`
+   *    staging tables the dead writer left.
+   * Returns true if it changed anything; false on plain stores and on
+   * healthy versioned stores (safe to run on a schedule).
+   */
+  def recoverVersioned(spark: SparkSession, table: String): Boolean = {
+    if (resolveStore(spark, table) == table) return false
+    // the SERVING version comes from the VIEW's definition, not from
+    // resolveStore: in the crashed-mid-swap state the highest __vN table
+    // IS the renamed-but-never-repointed staging result, so the two
+    // diverge — exactly the divergence this op exists to repair
+    // (LayoutSpec-caught; resolveStore here would inspect the staged
+    // table's empty coord dir and see a healthy store)
+    val viewText = meta(spark, table).viewText.getOrElse(return false)
+    val vRe = ("__v(\\d+)").r
+    val cur = vRe.findAllMatchIn(viewText).map(_.group(1).toInt).toSeq
+      .lastOption.getOrElse(return false)
+    val coord = coordPath(spark, s"${table}__v$cur")
+    val closed = listTokens(spark, coord).filter(_._2 == "r")
+    if (closed.isEmpty) return false
+    val newer = versions(spark, table).map(_._1).filter(_ > cur)
+    if (newer.nonEmpty) {
+      spark.sql(s"CREATE OR REPLACE VIEW $table AS " +
+        s"SELECT * FROM ${table}__v${newer.min}")
+      versions(spark, table).dropRight(2)
+        .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
+    } else {
+      val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      closed.foreach { case (seq, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"), false)
+      }
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val db = id.database.getOrElse(
+        spark.sessionState.catalog.getCurrentDatabase)
+      spark.sessionState.catalog
+        .listTables(db, s"${id.table}__graft_rw_*")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.table}"))
+    }
+    true
+  }
+
+  /**
    * Append rows to a bucketed store under the store's OWN bucket spec,
    * read from the catalog — one new file per touched bucket, and the
    * bucketing (so the exchange-free join) survives any number of appends

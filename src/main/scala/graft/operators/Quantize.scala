@@ -252,7 +252,8 @@ object Quantize {
       val models = writeModels(spark, path, 1L, centroids, codebook)
       val entries = writeGeneration(spark, codes, path, 1L)
       require(entries.nonEmpty, "writeCodeStore: empty corpus")
-      commitManifest(spark, path, 1L, entries, Map("models" -> models))
+      commitManifest(spark, path, 1L, entries,
+        Map("models" -> models, "pq" -> s"$m\t$subDim"))
     } else {
       // co-locate each cell before the partitioned write: without this,
       // EVERY write task appends a file to EVERY cell directory —
@@ -825,8 +826,66 @@ object Quantize {
     require(entries.nonEmpty, "retrainCodeStore: empty corpus")
     // one atomic swap commits codes AND models together; on refusal the
     // orphan generation/models dirs fall to gcStore's version/age gates
-    commitManifest(spark, path, v + 1, entries, Map("models" -> models))
+    commitManifest(spark, path, v + 1, entries,
+      Map("models" -> models, "pq" -> s"$m\t${dim / m}"))
     gcStore(spark, path, Seq(v, v + 1))
+  }
+
+  /**
+   * The full self-describing PQ state the CURRENT manifest carries:
+   * (centroids, codebook, m, subDim) — everything serving and ingest
+   * need, resolved from the store itself so callers cannot pair codes
+   * with the wrong models or the wrong subspace geometry (the footgun
+   * [[ingestBatchCodeStore]]'s scaladoc warns about, closed at the API).
+   * None for flat stores and for versioned stores migrated by
+   * [[enableCodeStoreVersioning]] before any models were recorded.
+   */
+  def storedPq(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[(DataFrame, DataFrame, Int, Int)] =
+    codeStoreVersion(spark, path).flatMap { v =>
+      val meta = readManifestMeta(spark, path, v)
+      for {
+        d <- meta.get("models")
+        pq <- meta.get("pq")
+      } yield {
+        val base = path.stripSuffix("/")
+        val a = pq.split("\t", 2)
+        (spark.read.parquet(s"$base/$d/centroids"),
+          spark.read.parquet(s"$base/$d/codebook"),
+          a(0).toInt, a(1).toInt)
+      }
+    }
+
+  /** [[ingestBatchCodeStore]] with models AND geometry resolved from the
+    * manifest ([[storedPq]]) — the safe ingest form: the batch is always
+    * encoded with exactly the models the store's codes were produced
+    * with. Refuses stores that carry no recorded models. */
+  def ingestBatchCodeStoreStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, vecCol: String, idCol: String,
+      fullIdCheck: Boolean = false): DataFrame = {
+    val (cents, cb, m, subDim) = storedPq(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ingestBatchCodeStoreStored: $path records no models — write the " +
+          "store versioned (or retrainCodeStore once) to record them, or " +
+          "pass models explicitly via ingestBatchCodeStore"))
+    ingestBatchCodeStore(spark, path, batch, cents, cb, vecCol, idCol,
+      m, subDim, fullIdCheck)
+  }
+
+  /** [[ivfPqTopKFromStore]] with models and geometry resolved from the
+    * manifest ([[storedPq]]) — the safe serving form; same pruned scan,
+    * identical results to the explicit-models call (QuantizeSpec- and
+    * PlanSpec-gated). */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 2, includeSelf: Boolean = false): DataFrame = {
+    val (cents, cb, m, subDim) = storedPq(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ivfPqTopKStored: $path records no models — write the store " +
+          "versioned (or retrainCodeStore once) to record them, or pass " +
+          "models explicitly via ivfPqTopKFromStore"))
+    ivfPqTopKFromStore(spark, path, queries, cents, cb, vecCol, idCol,
+      m, subDim, k, nProbe, includeSelf)
   }
 
   private def removeFlat(spark: org.apache.spark.sql.SparkSession,

@@ -183,6 +183,58 @@ class LayoutSpec extends SparkSpec {
     OpCache.release()
   }
 
+  test("recoverVersioned finishes a crashed rewrite commit: roll back " +
+    "before the rename, complete after it") {
+    val tbl = s"layoutspec_rec_$pid"
+    spark.sql(s"DROP VIEW IF EXISTS $tbl")
+    (Seq(s"${tbl}__graft_rw_dead") ++ (1 to 4).map(v => s"${tbl}__v$v"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d", "e f").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    // healthy store: recovery is a no-op (safe on a schedule)
+    assert(!Layout.recoverVersioned(spark, tbl))
+    // CASE 1 — writer died between its token and the rename: the version
+    // is closed (appends refuse) and an orphan staging table lingers
+    val coord1 = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
+    assert(Layout.commitToken(spark, coord1, 1L, "r"))
+    Seq("zz").toDF("fp").write.format("parquet")
+      .saveAsTable(s"${tbl}__graft_rw_dead")
+    def append(t: String): Unit = Layout.appendBucketed(spark,
+      Seq(t).toDF("text")
+        .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
+    intercept[IllegalStateException] { append("x y") }
+    assert(Layout.recoverVersioned(spark, tbl), "rollback not detected")
+    append("x y") // the version accepts commits again
+    assert(spark.table(tbl).count() == 4)
+    assert(!spark.catalog.tableExists(s"${tbl}__graft_rw_dead"),
+      "orphan staging table survived rollback")
+    // CASE 2 — writer died between the rename and the repoint: __v2
+    // exists and is complete, the view still serves __v1, and the dead
+    // writer's `r` token sits in __v1's coord (where it committed it)
+    Layout.writeBucketed(
+      spark.table(tbl).unionByName(Seq("recovered-row").toDF("fp")),
+      s"${tbl}__v2", Seq("fp"), 2)
+    val coord2 = Layout.coordPath(spark, s"${tbl}__v1")
+    // CASE 1's rollback deleted _t1 and the append re-took seq 1: the
+    // dead rewrite's token goes at the next free sequence, 2
+    assert(Layout.commitToken(spark, coord2, 2L, "r"))
+    // an append in this state resolves the HIGHEST version (__v2, the
+    // renamed staging), lands there, and must SURVIVE the recovery —
+    // invisible to readers only until the swap completes
+    append("p q")
+    assert(spark.table(tbl).count() == 4,
+      "pre-recovery readers must still serve the old version")
+    assert(Layout.recoverVersioned(spark, tbl), "completion not detected")
+    assert(spark.table(tbl).count() == 6, // 5 staged + 1 mid-crash append
+      "completed swap must serve the staged store plus the append")
+    // healthy again: appends work against the new version's chain
+    assert(!Layout.recoverVersioned(spark, tbl))
+    append("r s")
+    assert(spark.table(tbl).count() == 7)
+    OpCache.release()
+  }
+
   test("plain-table rewrite: rename-chain swap, crash leftovers recovered") {
     val tbl = s"layoutspec_plain_$pid"
     Seq(tbl, s"${tbl}__graft_compact", s"${tbl}__graft_old")

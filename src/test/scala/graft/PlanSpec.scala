@@ -313,6 +313,31 @@ class PlanSpec extends SparkSpec {
       s"versioned scan roots must be cell leaf dirs, got $scannedRoots")
     assert(scannedRoots.size <= 2,
       s"more than 2 probed cell dirs entered the scan: $scannedRoots")
+    // the pruning contract must survive a RETRAIN (full fresh generation
+    // + fresh models behind one swap), served through the manifest's own
+    // PQ state — the self-describing production form
+    graft.operators.Quantize.retrainCodeStore(spark, dir, emb,
+      "embedding", "vec_id", dim = 64, m = 4, ksub = 8, cells = 8)
+    val topk2 = graft.operators.Quantize.ivfPqTopKStored(
+      spark, dir, queries, "embedding", "vec_id", k = 5, nProbe = 2)
+    assert(topk2.collect().nonEmpty, "retrained store top-k returned no rows")
+    // the manifest-recorded MODELS live inside the store path too
+    // (models-*/centroids|codebook — the stored-PQ form reads them, KB
+    // frames, deliberately); the pruning gate is about the CELL scans
+    val storeScans2 = walk(topk2.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.mkString(",").contains("pcell="))
+      .filter(_.relation.location.rootPaths.mkString(",").contains("pq_vstore"))
+    assert(storeScans2.nonEmpty, "retrained store scan not found")
+    val totalFiles2 =
+      graft.operators.Quantize.readCodeStore(spark, dir).inputFiles.length
+    val readFiles2 =
+      storeScans2.flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    assert(readFiles2 <= 2 && readFiles2 < totalFiles2,
+      s"retrained probe must scan only its ≤2 probed cells' files: " +
+        s"read $readFiles2 of $totalFiles2")
+    assert(storeScans2
+      .flatMap(_.relation.location.rootPaths.map(_.getName)).distinct
+      .forall(_.startsWith("pcell=")), "retrained scan roots not cell leaves")
     graft.operators.OpCache.release()
   }
 

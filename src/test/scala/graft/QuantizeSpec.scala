@@ -688,6 +688,65 @@ class QuantizeSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("storedPq self-describing serving/ingest: manifest-resolved calls " +
+    "equal the explicit-model calls; geometry survives a retrain; flat " +
+    "stores refuse") {
+    val (e, cents, cbT) = storeModels()
+    val m3 = pmod($"vec_id", lit(3))
+    val dir = java.nio.file.Files.createTempDirectory("pq_stored").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("pq_stored2").toString
+    Quantize.writeCodeStore(e.filter(m3 === 0), cents, cbT,
+      "embedding", "vec_id", 4, 16, dir, versioned = true)
+    val (_, _, m1, sd1) = Quantize.storedPq(spark, dir).getOrElse(
+      fail("versioned store records no PQ state"))
+    assert((m1, sd1) == ((4, 16)), s"geometry mangled: $m1/$sd1")
+    // manifest-resolved ingest ≡ the explicit-models ingest
+    Quantize.ingestBatchCodeStoreStored(spark, dir, e.filter(m3 === 1),
+      "embedding", "vec_id")
+    Quantize.writeCodeStore(e.filter(m3 === 0), cents, cbT,
+      "embedding", "vec_id", 4, 16, dir2, versioned = true)
+    Quantize.ingestBatchCodeStore(spark, dir2, e.filter(m3 === 1),
+      cents, cbT, "embedding", "vec_id", 4, 16)
+    def rows(p: String) = Quantize.readCodeStore(spark, p)
+      .select($"vec_id", $"codes", $"cell".cast("long"))
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(rows(dir) == rows(dir2),
+      "stored-form ingest diverges from the explicit-models ingest")
+    // manifest-resolved serving ≡ the explicit-models serving
+    val q = e.filter($"vec_id" === 1)
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"corpus_id", $"rank")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(
+      served(Quantize.ivfPqTopKStored(spark, dir, q, "embedding", "vec_id",
+        k = 5, nProbe = 3)) ==
+      served(Quantize.ivfPqTopKFromStore(spark, dir, q, cents, cbT,
+        "embedding", "vec_id", 4, 16, k = 5, nProbe = 3)),
+      "stored-form serving diverges from the explicit-models serving")
+    // a retrain may change the GEOMETRY too (m=4 → m=8): callers that
+    // hardcode m/subDim break; the self-describing form keeps serving
+    Quantize.retrainCodeStore(spark, dir, e, "embedding", "vec_id",
+      dim = 64, m = 8, ksub = 8, cells = 8)
+    val (_, _, m2, sd2) = Quantize.storedPq(spark, dir).getOrElse(
+      fail("retrained store lost its PQ state"))
+    assert((m2, sd2) == ((8, 8)), s"retrained geometry wrong: $m2/$sd2")
+    assert(Quantize.ivfPqTopKStored(spark, dir, q, "embedding", "vec_id",
+      k = 5, nProbe = 3).count() > 0)
+    // flat stores record nothing — both stored forms refuse loudly
+    val flat = java.nio.file.Files.createTempDirectory("pq_stored_f").toString
+    Quantize.writeCodeStore(e.filter(m3 === 0), cents, cbT,
+      "embedding", "vec_id", 4, 16, flat)
+    assert(Quantize.storedPq(spark, flat).isEmpty)
+    intercept[IllegalArgumentException] {
+      Quantize.ivfPqTopKStored(spark, flat, q, "embedding", "vec_id", k = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Quantize.ingestBatchCodeStoreStored(spark, flat, e.filter(m3 === 1),
+        "embedding", "vec_id")
+    }
+    graft.operators.OpCache.release()
+  }
+
   test("versioned code store refuses a concurrent writer's lost update") {
     val (e, cents, cbT) = storeModels()
     val dir = java.nio.file.Files.createTempDirectory("pq_race").toString
