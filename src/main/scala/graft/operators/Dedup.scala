@@ -797,7 +797,14 @@ object Dedup {
   def jaccardVerifyPairs(df: DataFrame, textCol: String, idCol: String,
                          pairs: DataFrame, shingleK: Int = 3,
                          threshold: Double = 0.6): DataFrame = {
-    val sets = OpCache.track(df.select(col(idCol).as("id"),
+    // pair-bounded means pair-bounded: shingle ONLY the ids the candidate
+    // pairs touch (a 10^9-doc corpus with 10^4 candidates must not pay a
+    // corpus-wide shingle/sort pass for a 2·10^4-id verify)
+    val touched = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val sets = OpCache.track(df
+      .join(touched, df(idCol) === touched("id"), "left_semi")
+      .select(col(idCol).as("id"),
         sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
       .withColumn("len", size(col("sh")))
       .persist())

@@ -179,9 +179,17 @@ object Layout {
    *    accepts commits again, and drop any orphaned `__graft_rw_*`
    *    staging tables the dead writer left.
    * Returns true if it changed anything; false on plain stores and on
-   * healthy versioned stores (safe to run on a schedule).
+   * healthy versioned stores. The COMPLETION branch is always safe (a
+   * live writer's own repoint of the same target is idempotent); the
+   * ROLLBACK branch DESTROYS a live writer's staged result if that
+   * writer is merely slow between its token and its rename, so it only
+   * fires once the tombstone has been idle past `rollbackHorizonMs`
+   * (default 24 h, the [[graft.operators.Quantize.gcCodeStore]] orphan
+   * discipline) — pass 0 only when the crashed writer is KNOWN dead.
    */
-  def recoverVersioned(spark: SparkSession, table: String): Boolean = {
+  def recoverVersioned(spark: SparkSession, table: String,
+                       rollbackHorizonMs: Long = 24L * 3600 * 1000)
+      : Boolean = {
     if (resolveStore(spark, table) == table) return false
     // the SERVING version comes from the VIEW's definition, not from
     // resolveStore: in the crashed-mid-swap state the highest __vN table
@@ -204,15 +212,24 @@ object Layout {
         .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
     } else {
       val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      closed.foreach { case (seq, _) =>
+      val cutoff = System.currentTimeMillis() - rollbackHorizonMs
+      val stale = closed.filter { case (seq, _) =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"))
+          .getModificationTime < cutoff
+      }
+      if (stale.size < closed.size) return false // maybe a live writer
+      stale.foreach { case (seq, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"), false)
       }
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
       val db = id.database.getOrElse(
         spark.sessionState.catalog.getCurrentDatabase)
+      // qualify the drop: an unqualified DROP resolves in the session's
+      // CURRENT database, which for a qualified store name would spare
+      // the real orphan and could hit an unrelated same-named table
       spark.sessionState.catalog
         .listTables(db, s"${id.table}__graft_rw_*")
-        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.table}"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.${t.table}"))
     }
     true
   }
@@ -273,6 +290,17 @@ object Layout {
         committed = commitToken(spark, c,
           ts.lastOption.map(_._1).getOrElse(0L) + 1, "a")
       }
+      // the coord dir dies with its version: if TWO rewrites completed
+      // inside this append's write→token window, the grace policy has
+      // already DROPPED the target table (rows included) and the loop
+      // above just recreated an empty coord under the dead directory and
+      // "committed" into it — re-resolve and refuse if the store moved,
+      // so that pathological window is loud too, never silent
+      if (resolveStore(spark, table) != target)
+        throw new IllegalStateException(
+          s"appendBucketed: $table moved past $target while this append " +
+            "ran — the batch is not in the current version; retry " +
+            "(id-idempotent ingest paths are safe to re-run)")
     }
   }
 

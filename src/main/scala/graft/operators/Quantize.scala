@@ -243,15 +243,27 @@ object Quantize {
       // a versioned write onto a FLAT store would strand the old cell=
       // data: the manifest serves only the new generation, so the flat
       // rows silently vanish from reads yet are never GC'd (gcStore only
-      // collects gen-/models-/manifest names) — refuse anything non-empty
+      // collects gen-/models-/manifest names). Refuse FOREIGN content —
+      // but graft's own uncommitted artifact names (a crashed or
+      // empty-corpus FIRST attempt leaves gen-/models- orphans and no
+      // manifest) must not wedge the retry forever; they are exactly
+      // what the age GC collects once a commit exists
       val fs = storeFs(spark, path)
       val p = new org.apache.hadoop.fs.Path(path)
-      require(!fs.exists(p) || fs.listStatus(p).isEmpty,
-        s"writeCodeStore: $path is not empty — migrate an existing flat " +
-          "store with enableCodeStoreVersioning instead of overwriting it")
-      val models = writeModels(spark, path, 1L, centroids, codebook)
+      val foreign = if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath.getName).filterNot {
+          case GenRe(_) | ModelsRe(_) | TmpManifestRe(_) => true
+          case n => n.startsWith("_") // _SUCCESS-class markers
+        }
+      require(foreign.isEmpty,
+        s"writeCodeStore: $path is not empty (${foreign.take(3).mkString(",")})" +
+          " — migrate an existing flat store with enableCodeStoreVersioning" +
+          " instead of overwriting it")
+      // generation first, models second: the empty-corpus refusal below
+      // then leaves at most one orphan dir for the retry's age GC
       val entries = writeGeneration(spark, codes, path, 1L)
       require(entries.nonEmpty, "writeCodeStore: empty corpus")
+      val models = writeModels(spark, path, 1L, centroids, codebook)
       commitManifest(spark, path, 1L, entries,
         Map("models" -> models, "pq" -> s"$m\t$subDim"))
     } else {
@@ -526,12 +538,40 @@ object Quantize {
   def ingestBatchCodeStore(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, centroids: DataFrame,
       codebook: DataFrame, vecCol: String, idCol: String,
-      m: Int, subDim: Int, fullIdCheck: Boolean = false): DataFrame = {
+      m: Int, subDim: Int, fullIdCheck: Boolean = false): DataFrame =
+    ingestCodeStore(spark, path, batch, centroids, codebook, vecCol, idCol,
+      m, subDim, fullIdCheck, expectModels = None)
+
+  private def ingestCodeStore(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, vecCol: String, idCol: String,
+      m: Int, subDim: Int, fullIdCheck: Boolean,
+      expectModels: Option[String]): DataFrame = {
     val v = codeStoreVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"ingestBatchCodeStore: $path is not a versioned store — " +
           "enableCodeStoreVersioning first (appends need atomic swaps)"))
     val base = path.stripSuffix("/")
+    val meta = readManifestMeta(spark, path, v)
+    // a geometry-changing retrain commits @pq with the new split; a
+    // caller still holding the OLD models would otherwise merge
+    // m-element code rows into a store whose manifest claims a different
+    // m — mixed-geometry rows that ADC then scores as garbage. Model
+    // CONTENT at the same geometry cannot be checked from frames — the
+    // Stored form closes that by pinning the @models identity instead.
+    meta.get("pq").foreach { pq =>
+      require(pq == s"$m\t$subDim",
+        s"ingestBatchCodeStore: $path records PQ geometry " +
+          s"${pq.replace("\t", "/")} but the batch was encoded at " +
+          s"$m/$subDim — the stored models moved (retrain committed?); " +
+          "re-resolve via ingestBatchCodeStoreStored or storedPq")
+    }
+    expectModels.foreach { d =>
+      require(meta.get("models").contains(d),
+        s"ingestBatchCodeStore: $path's models moved (expected $d, found " +
+          s"${meta.getOrElse("models", "none")}) — a retrain committed " +
+          "since the models were resolved; retry against the current store")
+    }
     val entries = readManifest(spark, path, v)
     // encode/assign FIRST (batch-bounded compute, no store I/O) — the
     // assignment is what bounds the idempotence read to the batch's cells
@@ -561,7 +601,7 @@ object Quantize {
     val freshEntries = writeGeneration(spark, merged, path, v + 1)
     commitManifest(spark, path, v + 1,
       entries.filterNot(e => touched(e._1)) ++ freshEntries,
-      readManifestMeta(spark, path, v)) // models pointer survives ingest
+      meta) // models pointer + geometry survive ingest
     gcStore(spark, path, Seq(v, v + 1))
     newCodes
   }
@@ -859,17 +899,31 @@ object Quantize {
   /** [[ingestBatchCodeStore]] with models AND geometry resolved from the
     * manifest ([[storedPq]]) — the safe ingest form: the batch is always
     * encoded with exactly the models the store's codes were produced
-    * with. Refuses stores that carry no recorded models. */
+    * with, and the resolved @models IDENTITY is re-checked at ingest
+    * time, so a retrain committing between resolve and ingest (same
+    * geometry, different codewords — undetectable from the frames alone)
+    * is refused instead of mixing old-model codes into the new-model
+    * store. Refuses stores that carry no recorded models. */
   def ingestBatchCodeStoreStored(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, vecCol: String, idCol: String,
       fullIdCheck: Boolean = false): DataFrame = {
-    val (cents, cb, m, subDim) = storedPq(spark, path).getOrElse(
+    val v = codeStoreVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"ingestBatchCodeStoreStored: $path is not a versioned store"))
+    val meta = readManifestMeta(spark, path, v)
+    val resolved = for { d <- meta.get("models"); pq <- meta.get("pq") }
+      yield (d, pq.split("\t", 2))
+    val (d, pq) = resolved.getOrElse(
       throw new IllegalArgumentException(
         s"ingestBatchCodeStoreStored: $path records no models — write the " +
           "store versioned (or retrainCodeStore once) to record them, or " +
           "pass models explicitly via ingestBatchCodeStore"))
-    ingestBatchCodeStore(spark, path, batch, cents, cb, vecCol, idCol,
-      m, subDim, fullIdCheck)
+    val base = path.stripSuffix("/")
+    ingestCodeStore(spark, path, batch,
+      spark.read.parquet(s"$base/$d/centroids"),
+      spark.read.parquet(s"$base/$d/codebook"),
+      vecCol, idCol, pq(0).toInt, pq(1).toInt, fullIdCheck,
+      expectModels = Some(d))
   }
 
   /** [[ivfPqTopKFromStore]] with models and geometry resolved from the

@@ -204,7 +204,12 @@ class LayoutSpec extends SparkSpec {
       Seq(t).toDF("text")
         .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
     intercept[IllegalStateException] { append("x y") }
-    assert(Layout.recoverVersioned(spark, tbl), "rollback not detected")
+    // a FRESH tombstone could be a merely-slow LIVE writer between its
+    // token and its rename — the default horizon refuses to roll back
+    assert(!Layout.recoverVersioned(spark, tbl),
+      "rollback destroyed a possibly-live writer's commit")
+    assert(Layout.recoverVersioned(spark, tbl, rollbackHorizonMs = 0L),
+      "rollback not detected")
     append("x y") // the version accepts commits again
     assert(spark.table(tbl).count() == 4)
     assert(!spark.catalog.tableExists(s"${tbl}__graft_rw_dead"),
