@@ -74,7 +74,8 @@ object Bench {
     "q154_cluster_safe_splits", "q155_epoch_materialize",
     "q156_training_batches", "q157_codestore_versioned",
     "q158_codestore_ingest", "q159_multimodal_resize",
-    "q160_codestore_retrain", "q161_training_batches_stored")
+    "q160_codestore_retrain", "q161_training_batches_stored",
+    "q162_repetition_rules")
 
   private val RUNS = 5
 

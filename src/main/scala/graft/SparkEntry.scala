@@ -3291,6 +3291,36 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Gopher repetition rules ([[TextFunctions.repetitionStats]] /
+    * [[TextFunctions.gopherRepetitionKeep]], Rae et al. 2021 A1 —
+    * public): repetitive documents are the quality failure
+    * [[TextFunctions.qualityScore]]'s length/punctuation signals cannot
+    * see. The fixture text carries no newlines, so duplicate LINES are
+    * planted on every third document (q150's planting pattern); word-
+    * gram repetition comes from the fixture's own tiny vocabulary. FULL
+    * DuckDB oracle: every fraction recomputed from first principles
+    * (explode + group-by counts vs the operator's sorted run-length
+    * fold — two different algorithms, same definitions). */
+  private def q162_repetition_rules(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("t2", {
+      val raw = coalesce(col("text"), lit(""))
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(raw, lit("\n"), substring(raw, 1, 40),
+          lit("\n"), substring(raw, 1, 40)))
+        .otherwise(raw)
+    })
+    docs.select(col("doc_id"),
+        TextFunctions.repetitionStats(col("t2")).as("r"),
+        TextFunctions.gopherRepetitionKeep(col("t2")).as("keep"))
+      .select(col("doc_id"), col("r.n_lines").as("n_lines"),
+        col("r.dup_line_frac").as("dup_line_frac"),
+        col("r.dup_line_char_frac").as("dup_line_char_frac"),
+        col("r.top_bigram_char_frac").as("top_bigram_char_frac"),
+        col("r.dup_5gram_char_frac").as("dup_5gram_char_frac"),
+        col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val quality = docs.filter(
@@ -3476,6 +3506,7 @@ object SparkEntry {
     "q159_multimodal_resize" -> q159_multimodal_resize _,
     "q160_codestore_retrain" -> q160_codestore_retrain _,
     "q161_training_batches_stored" -> q161_training_batches_stored _,
+    "q162_repetition_rules" -> q162_repetition_rules _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5290,6 +5321,81 @@ object SparkEntry {
         |  ('stored_splits_leakfree', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q162 recomputes the Gopher repetition fractions from first
+    // principles: explode + group-by counts per (doc, line/gram), where
+    // the operator folds sorted runs — two algorithms, one definition.
+    // Ties on the top-bigram count break toward the longer gram on both
+    // sides; dup-after-first = sum((c-1)*len) over repeated values.
+    "q162_repetition_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN coalesce(text,'') || chr(10) ||
+        |           substr(coalesce(text,''), 1, 40) || chr(10) ||
+        |           substr(coalesce(text,''), 1, 40)
+        |      ELSE coalesce(text,'') END AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, length(t) AS chars,
+        |    string_split(t, chr(10)) AS lines,
+        |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(t)), '\s+') END AS w
+        |  FROM d),
+        |lx AS (
+        |  SELECT doc_id, l, count(*) AS c, length(l) AS len
+        |  FROM base, UNNEST(lines) AS u(l)
+        |  GROUP BY doc_id, l, length(l)),
+        |lstat AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN (c - 1) * len
+        |      ELSE 0 END), 0) AS BIGINT) AS dup_after
+        |  FROM lx GROUP BY doc_id),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        |  FROM base, UNNEST(range(1, len(w))) AS r(i)
+        |  WHERE len(w) >= 2),
+        |g2c AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
+        |        FROM g2 GROUP BY doc_id, g),
+        |g2m AS (SELECT doc_id, max(c) AS mc FROM g2c GROUP BY doc_id),
+        |g2s AS (
+        |  SELECT g2c.doc_id, any_value(g2m.mc) AS mc, max(g2c.len) AS ml
+        |  FROM g2c JOIN g2m ON g2c.doc_id = g2m.doc_id AND g2c.c = g2m.mc
+        |  GROUP BY g2c.doc_id),
+        |g5 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        |  FROM base, UNNEST(range(1, len(w) - 3)) AS r(i)
+        |  WHERE len(w) >= 5),
+        |g5s AS (
+        |  SELECT doc_id, CAST(coalesce(sum(c * len)
+        |      FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup5
+        |  FROM (SELECT doc_id, g, count(*) AS c, length(g) AS len
+        |        FROM g5 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |fr AS (
+        |  SELECT b.doc_id, CAST(ls.n_lines AS INT) AS n_lines,
+        |    round(CASE WHEN ls.n_lines > 0 THEN
+        |      (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
+        |      ELSE 0 END, 4) AS dup_line_frac,
+        |    round(CASE WHEN b.chars > 0 THEN
+        |      ls.dup_after / CAST(b.chars AS DOUBLE) ELSE 0 END, 4)
+        |      AS dup_line_char_frac,
+        |    round(CASE WHEN b.chars > 0 THEN
+        |      coalesce(g2s.mc * g2s.ml, 0) / CAST(b.chars AS DOUBLE)
+        |      ELSE 0 END, 4) AS top_bigram_char_frac,
+        |    round(least(1.0, CASE WHEN b.chars > 0 THEN
+        |      coalesce(g5s.dup5, 0) / CAST(b.chars AS DOUBLE)
+        |      ELSE 0 END), 4) AS dup_5gram_char_frac
+        |  FROM base b
+        |  JOIN lstat ls ON b.doc_id = ls.doc_id
+        |  LEFT JOIN g2s ON b.doc_id = g2s.doc_id
+        |  LEFT JOIN g5s ON b.doc_id = g5s.doc_id)
+        |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+        |  top_bigram_char_frac, dup_5gram_char_frac,
+        |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AND
+        |   top_bigram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15)
+        |  AS keep
+        |FROM fr ORDER BY doc_id""".stripMargin,
     // q150 recomputes the whole boilerplate-removal composition from
     // exact counts: the planted footer, the stride-1 trigram windows
     // (whole-text window for short docs, shingles' contract), the

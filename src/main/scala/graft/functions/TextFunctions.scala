@@ -153,6 +153,152 @@ object TextFunctions {
     round((lenOk + wordOk + swOk + punctOk + alphaOk) / 5.0, 2)
   }
 
+  // --- repetition / quality rules (Gopher, Rae et al. 2021) -------------
+
+  /** Run-length statistics of a SORTED string array, folded in ONE pass:
+    * struct(mc = the longest run length, ml = the longest element among
+    * the longest runs, dup = Σ over runs of length ≥ 2 of
+    * run·length(element)). One `array_sort` + one `aggregate` — O(n log n)
+    * per document, NOT the O(n²) filter-per-distinct-element shape, which
+    * would be quadratic in document length for the n-gram arrays (a 100k
+    * -word web document would pay 10¹⁰ comparisons). */
+  private def runStats(sorted: Column): Column = {
+    val zero = struct(
+      lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("mc"), lit(0L).as("ml"), lit(0L).as("dup"),
+      lit(0L).as("dupd"))
+    // close the open run into (mc, ml, dup, dupd): ties on run length
+    // keep the LONGEST element (deterministic; the DuckDB oracle mirrors
+    // it); dupd counts each repeated element's chars ONCE, so callers
+    // can form "occurrences after the first" as dup - dupd
+    def close(acc: Column) = {
+      val prev = acc.getField("prev")
+      val run = acc.getField("run")
+      val plen = coalesce(length(prev).cast("long"), lit(0L))
+      val mc = when(run > acc.getField("mc"), run)
+        .otherwise(acc.getField("mc"))
+      val ml = when(run > acc.getField("mc"), plen)
+        .when(run === acc.getField("mc"),
+          greatest(acc.getField("ml"), plen))
+        .otherwise(acc.getField("ml"))
+      val dup = acc.getField("dup") +
+        when(run >= 2L, run * plen).otherwise(lit(0L))
+      val dupd = acc.getField("dupd") +
+        when(run >= 2L, plen).otherwise(lit(0L))
+      (mc, ml, dup, dupd)
+    }
+    aggregate(sorted, zero,
+      (acc, x) => {
+        val same = acc.getField("prev").isNotNull &&
+          x === acc.getField("prev")
+        val (mc, ml, dup, dupd) = close(acc)
+        when(same, struct(acc.getField("prev").as("prev"),
+            (acc.getField("run") + 1L).as("run"),
+            acc.getField("mc").as("mc"), acc.getField("ml").as("ml"),
+            acc.getField("dup").as("dup"), acc.getField("dupd").as("dupd")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            when(acc.getField("prev").isNotNull, mc)
+              .otherwise(acc.getField("mc")).as("mc"),
+            when(acc.getField("prev").isNotNull, ml)
+              .otherwise(acc.getField("ml")).as("ml"),
+            when(acc.getField("prev").isNotNull, dup)
+              .otherwise(acc.getField("dup")).as("dup"),
+            when(acc.getField("prev").isNotNull, dupd)
+              .otherwise(acc.getField("dupd")).as("dupd")))
+      },
+      acc => {
+        val (mc, ml, dup, dupd) = close(acc)
+        val live = acc.getField("prev").isNotNull
+        struct(
+          when(live, mc).otherwise(lit(0L)).as("mc"),
+          when(live, ml).otherwise(lit(0L)).as("ml"),
+          when(live, dup).otherwise(lit(0L)).as("dup"),
+          when(live, dupd).otherwise(lit(0L)).as("dupd"))
+      })
+  }
+
+  /** The word k-grams of `text` as single-space-joined strings; empty
+    * array when the document has fewer than k words (no degenerate
+    * whole-text gram — [[shingles]]' short-doc fallback is a DEDUP
+    * contract, not a repetition-measurement one). */
+  private def wordGrams(text: Column, k: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= k,
+        transform(sequence(lit(1), size(w) - (k - 1)),
+          i => concat_ws(" ", slice(w, i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Repetition statistics for quality filtering (Gopher / MassiveText,
+   * Rae et al. 2021 appendix A1 — public): repetitive documents (boiler-
+   * plate, scraped listings, degenerate generations) poison training
+   * corpora and none of the length/punctuation signals in
+   * [[qualityScore]] see them. Returns a struct of per-document
+   * fractions, each a pure column expression (no shuffle, no UDF —
+   * a scan-speed map stage at 100 TB):
+   *
+   *  - `dup_line_frac`: duplicate lines / lines (lines split on `\n`
+   *    from the RAW text — no lowering; a repeated line is repetition
+   *    whatever its case);
+   *  - `dup_line_char_frac`: characters in the occurrences AFTER the
+   *    first of each repeated line / total characters;
+   *  - `top_bigram_char_frac`: count·chars of the most frequent word
+   *    2-gram / total characters (ties broken toward the longer gram);
+   *  - `dup_5gram_char_frac`: Σ count·chars over word 5-grams occurring
+   *    ≥ 2 times / total characters, clamped to 1 (overlapping
+   *    occurrences each count, the standard reimplementation reading).
+   *
+   * Word grams use [[tokens]] (lowercased, whitespace-split) joined by
+   * one space. Blank text yields all-zero fractions. q162 pins every
+   * definition against a full DuckDB recomputation.
+   */
+  def repetitionStats(text: Column): Column = {
+    val raw = coalesce(text, lit(""))
+    val chars = length(raw).cast("double")
+    val lines = split(raw, "\n")
+    val nl = size(lines).cast("double")
+    val lineStats = runStats(array_sort(lines))
+    val dupLineFrac =
+      when(nl > 0, (nl - size(array_distinct(lines)).cast("double")) / nl)
+        .otherwise(lit(0.0))
+    val dupLineCharFrac = when(chars > 0,
+        // dup counts ALL occurrences of repeated lines; dupd counts each
+        // repeated line once — dup - dupd = the occurrences AFTER the
+        // first, all from the same single fold
+        (lineStats.getField("dup") - lineStats.getField("dupd"))
+          .cast("double") / chars)
+      .otherwise(lit(0.0))
+    val bi = runStats(array_sort(wordGrams(raw, 2)))
+    val topBigramCharFrac = when(chars > 0,
+        (bi.getField("mc") * bi.getField("ml")).cast("double") / chars)
+      .otherwise(lit(0.0))
+    val five = runStats(array_sort(wordGrams(raw, 5)))
+    val dup5CharFrac = least(lit(1.0),
+      when(chars > 0, five.getField("dup").cast("double") / chars)
+        .otherwise(lit(0.0)))
+    struct(
+      size(lines).as("n_lines"),
+      round(dupLineFrac, 4).as("dup_line_frac"),
+      round(dupLineCharFrac, 4).as("dup_line_char_frac"),
+      round(topBigramCharFrac, 4).as("top_bigram_char_frac"),
+      round(dup5CharFrac, 4).as("dup_5gram_char_frac"))
+  }
+
+  /** Gopher's repetition KEEP rule over the [[repetitionStats]] subset
+    * implemented here, at the paper's published thresholds (Rae et al.
+    * 2021 A1): duplicate line fraction ≤ 0.30, duplicate line character
+    * fraction ≤ 0.20, top 2-gram character fraction ≤ 0.20, duplicate
+    * 5-gram character fraction ≤ 0.15. Compose with [[qualityScore]] —
+    * the two filters see disjoint failure modes. */
+  def gopherRepetitionKeep(text: Column): Column = {
+    val s = repetitionStats(text)
+    s.getField("dup_line_frac") <= 0.30 &&
+      s.getField("dup_line_char_frac") <= 0.20 &&
+      s.getField("top_bigram_char_frac") <= 0.20 &&
+      s.getField("dup_5gram_char_frac") <= 0.15
+  }
+
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and
   // RE2 (DuckDB, used by the oracle) agree exactly: character classes,

@@ -108,6 +108,38 @@ class TextFunctionsSpec extends SparkSpec {
       (4L, 0.0, 1.0)))
   }
 
+  test("repetitionStats matches hand-computed Gopher fractions; blank " +
+    "and short docs are all-zero; keep rule applies the A1 thresholds") {
+    import graft.functions.TextFunctions.{repetitionStats, gopherRepetitionKeep}
+    // "a b a b a\nx y\nx y": 17 chars, 3 lines (1 duplicate pair),
+    // 9 words, bigram counts {a b:2, b a:2, x y:2, a x:1, y x:1},
+    // all five 5-grams unique
+    val df = Seq(
+      (1L, "a b a b a\nx y\nx y"),
+      (2L, ""),                 // blank: all zeros, 1 empty line
+      (3L, "one two"),          // no 5-grams, unique bigram
+      (4L, "w w w w w w w w"))  // degenerate: one repeated word
+      .toDF("id", "text")
+    val out = df.select($"id", repetitionStats($"text").as("r"),
+        gopherRepetitionKeep($"text").as("keep"))
+      .select($"id", $"r.n_lines", $"r.dup_line_frac",
+        $"r.dup_line_char_frac", $"r.top_bigram_char_frac",
+        $"r.dup_5gram_char_frac", $"keep")
+      .as[(Long, Int, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: dup_line 1/3; after-first chars of "x y" = 3/17; top bigram
+    // mc=2, longest tied gram len 3 → 6/17; no duplicate 5-grams
+    assert(out(1L) == ((1L, 3, 0.3333, 0.1765, 0.3529, 0.0, false)),
+      out(1L).toString) // dup_line_frac 0.3333 > 0.30 → filtered
+    assert(out(2L) == ((2L, 1, 0.0, 0.0, 0.0, 0.0, true)), out(2L).toString)
+    // doc 3: single bigram "one two" (7 chars) count 1 → 7/7 = 1.0 > 0.2
+    assert(out(3L) == ((3L, 1, 0.0, 0.0, 1.0, 0.0, false)), out(3L).toString)
+    // doc 4: 15 chars; "w w" count 7, len 3 → 21/15 > 1 (overlaps) —
+    // unclamped by design for the top gram; 5-grams "w w w w w" count 4,
+    // len 9 → 36/15 clamped to 1.0 → filtered on both gram rules
+    assert(out(4L) == ((4L, 1, 0.0, 0.0, 1.4, 1.0, false)), out(4L).toString)
+  }
+
   test("contamination report counts distinct shared n-grams per train doc") {
     val eval = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
