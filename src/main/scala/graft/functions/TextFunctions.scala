@@ -155,79 +155,94 @@ object TextFunctions {
 
   // --- repetition / quality rules (Gopher, Rae et al. 2021) -------------
 
-  /** Run-length statistics of a SORTED string array, folded in ONE pass:
-    * struct(mc = the longest run length, ml = the longest element among
-    * the longest runs, dup = Σ over runs of length ≥ 2 of
-    * run·length(element)). One `array_sort` + one `aggregate` — O(n log n)
-    * per document, NOT the O(n²) filter-per-distinct-element shape, which
-    * would be quadratic in document length for the n-gram arrays (a 100k
-    * -word web document would pay 10¹⁰ comparisons). */
-  private def runStats(sorted: Column): Column = {
-    val zero = struct(
-      lit(null).cast("string").as("prev"), lit(0L).as("run"),
-      lit(0L).as("mc"), lit(0L).as("ml"), lit(0L).as("dup"),
-      lit(0L).as("dupd"))
-    // close the open run into (mc, ml, dup, dupd): ties on run length
-    // keep the LONGEST element (deterministic; the DuckDB oracle mirrors
-    // it); dupd counts each repeated element's chars ONCE, so callers
-    // can form "occurrences after the first" as dup - dupd
-    def close(acc: Column) = {
-      val prev = acc.getField("prev")
+  /** Characters of the duplicate elements of a SORTED string array —
+    * `afterFirstOnly = true` counts only the occurrences AFTER the first
+    * of each repeated value (element i where s(i) = s(i−1)); false
+    * counts EVERY occurrence of a repeated value (s(i) equals a
+    * neighbor). A scalar long fold over indices with `element_at`
+    * adjacency compares — the first cut carried a string-struct
+    * accumulator through the fold and interpreted HOF evaluation made
+    * it the slowest query in the bench (29 s at sf0.1 for a map stage);
+    * longs-only accumulators cut it to scan speed. O(n log n)/doc with
+    * the sort, never the O(n²) filter-per-distinct-element shape. */
+  private def sortedDupChars(sorted: Column,
+                             afterFirstOnly: Boolean): Column = {
+    val n = size(sorted)
+    when(n >= 2,
+        aggregate(sequence(lit(2), n), lit(0L), (acc, i) => {
+          val eqPrev = element_at(sorted, i) === element_at(sorted, i - 1)
+          val dup = if (afterFirstOnly) eqPrev
+            else eqPrev || (i < n &&
+              element_at(sorted, i) === element_at(sorted, i + 1))
+          acc + when(dup, length(element_at(sorted, i)).cast("long"))
+            .otherwise(lit(0L))
+        }) + (if (afterFirstOnly) lit(0L)
+          // the FIRST element of the array never satisfies eqPrev; under
+          // all-occurrences semantics it still counts when it heads a run
+          else when(element_at(sorted, lit(1)) === element_at(sorted, lit(2)),
+            length(element_at(sorted, lit(1))).cast("long"))
+            .otherwise(lit(0L))))
+      .otherwise(lit(0L))
+  }
+
+  /** (mc = longest run length, ml = longest element among the longest
+    * runs — ties toward the longer element) of a SORTED string array,
+    * via an index fold whose accumulator is three LONGS (see
+    * [[sortedDupChars]] on why no strings ride the accumulator). */
+  private def topRun(sorted: Column): Column = {
+    val n = size(sorted)
+    val zero = struct(lit(1L).as("run"), lit(0L).as("mc"), lit(0L).as("ml"))
+    def closed(acc: Column, endLen: Column) = {
       val run = acc.getField("run")
-      val plen = coalesce(length(prev).cast("long"), lit(0L))
       val mc = when(run > acc.getField("mc"), run)
         .otherwise(acc.getField("mc"))
-      val ml = when(run > acc.getField("mc"), plen)
+      val ml = when(run > acc.getField("mc"), endLen)
         .when(run === acc.getField("mc"),
-          greatest(acc.getField("ml"), plen))
+          greatest(acc.getField("ml"), endLen))
         .otherwise(acc.getField("ml"))
-      val dup = acc.getField("dup") +
-        when(run >= 2L, run * plen).otherwise(lit(0L))
-      val dupd = acc.getField("dupd") +
-        when(run >= 2L, plen).otherwise(lit(0L))
-      (mc, ml, dup, dupd)
+      (mc, ml)
     }
-    aggregate(sorted, zero,
-      (acc, x) => {
-        val same = acc.getField("prev").isNotNull &&
-          x === acc.getField("prev")
-        val (mc, ml, dup, dupd) = close(acc)
-        when(same, struct(acc.getField("prev").as("prev"),
-            (acc.getField("run") + 1L).as("run"),
-            acc.getField("mc").as("mc"), acc.getField("ml").as("ml"),
-            acc.getField("dup").as("dup"), acc.getField("dupd").as("dupd")))
-          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
-            when(acc.getField("prev").isNotNull, mc)
-              .otherwise(acc.getField("mc")).as("mc"),
-            when(acc.getField("prev").isNotNull, ml)
-              .otherwise(acc.getField("ml")).as("ml"),
-            when(acc.getField("prev").isNotNull, dup)
-              .otherwise(acc.getField("dup")).as("dup"),
-            when(acc.getField("prev").isNotNull, dupd)
-              .otherwise(acc.getField("dupd")).as("dupd")))
-      },
-      acc => {
-        val (mc, ml, dup, dupd) = close(acc)
-        val live = acc.getField("prev").isNotNull
-        struct(
-          when(live, mc).otherwise(lit(0L)).as("mc"),
-          when(live, ml).otherwise(lit(0L)).as("ml"),
-          when(live, dup).otherwise(lit(0L)).as("dup"),
-          when(live, dupd).otherwise(lit(0L)).as("dupd"))
-      })
+    when(n >= 1,
+        aggregate(sequence(lit(2), greatest(n, lit(2))), zero, (acc, i) => {
+          val inRange = i <= n
+          val same = inRange &&
+            element_at(sorted, i) === element_at(sorted, i - 1)
+          val (mc, ml) =
+            closed(acc, length(element_at(sorted, i - 1)).cast("long"))
+          when(!inRange, acc) // n == 1: sequence(2,2) probes past the end
+            .when(same, struct((acc.getField("run") + 1L).as("run"),
+              acc.getField("mc").as("mc"), acc.getField("ml").as("ml")))
+            .otherwise(struct(lit(1L).as("run"), mc.as("mc"), ml.as("ml")))
+        }, acc => {
+          val (mc, ml) =
+            closed(acc, length(element_at(sorted, n)).cast("long"))
+          struct(mc.as("mc"), ml.as("ml"))
+        }))
+      .otherwise(struct(lit(0L).as("mc"), lit(0L).as("ml")))
   }
+
+  /** Evaluate `c` ONCE per row and hand it to `f` as a BOUND lambda
+    * variable: expressions CAPTURED inside higher-order-function lambdas
+    * are re-evaluated on every element (HOF lambdas are exempt from
+    * subexpression elimination — the [[winnow]] materialization note),
+    * so an O(n) fold whose lambda references a captured
+    * `array_sort(grams)` silently re-tokenizes and re-sorts the document
+    * PER ELEMENT — O(n²·sort), measured as 29 s for a 5k-doc map stage
+    * before this binding. A lambda VARIABLE is a slot read. */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
 
   /** The word k-grams of `text` as single-space-joined strings; empty
     * array when the document has fewer than k words (no degenerate
     * whole-text gram — [[shingles]]' short-doc fallback is a DEDUP
     * contract, not a repetition-measurement one). */
-  private def wordGrams(text: Column, k: Int): Column = {
-    val w = tokens(text)
-    when(size(w) >= k,
-        transform(sequence(lit(1), size(w) - (k - 1)),
-          i => concat_ws(" ", slice(w, i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def wordGrams(text: Column, k: Int): Column =
+    bindOnce(tokens(text)) { w =>
+      when(size(w) >= k,
+          transform(sequence(lit(1), size(w) - (k - 1)),
+            i => concat_ws(" ", slice(w, i, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
 
   /**
    * Repetition statistics for quality filtering (Gopher / MassiveText,
@@ -252,30 +267,38 @@ object TextFunctions {
    * Word grams use [[tokens]] (lowercased, whitespace-split) joined by
    * one space. Blank text yields all-zero fractions. q162 pins every
    * definition against a full DuckDB recomputation.
+   *
+   * Relation to [[graft.operators.TextProfile.repetitionScores]] (q88):
+   * that is the corpus-PROFILING face — occurrence-fraction units, n
+   * parametric, computed by an (id, gram) shuffle + group-by, the right
+   * shape when the per-gram counts are themselves wanted downstream.
+   * This is the FILTER face: the paper's character-fraction units and
+   * line rules at its published thresholds, computed entirely inside the
+   * scan (sorted run-length fold per row, no shuffle) — at 100 TB the
+   * keep/drop decision costs a map stage, not a corpus-wide gram
+   * exchange.
    */
   def repetitionStats(text: Column): Column = {
     val raw = coalesce(text, lit(""))
     val chars = length(raw).cast("double")
     val lines = split(raw, "\n")
     val nl = size(lines).cast("double")
-    val lineStats = runStats(array_sort(lines))
     val dupLineFrac =
       when(nl > 0, (nl - size(array_distinct(lines)).cast("double")) / nl)
         .otherwise(lit(0.0))
     val dupLineCharFrac = when(chars > 0,
-        // dup counts ALL occurrences of repeated lines; dupd counts each
-        // repeated line once — dup - dupd = the occurrences AFTER the
-        // first, all from the same single fold
-        (lineStats.getField("dup") - lineStats.getField("dupd"))
+        bindOnce(array_sort(lines))(s =>
+          sortedDupChars(s, afterFirstOnly = true))
           .cast("double") / chars)
       .otherwise(lit(0.0))
-    val bi = runStats(array_sort(wordGrams(raw, 2)))
+    val bi = bindOnce(array_sort(wordGrams(raw, 2)))(topRun)
     val topBigramCharFrac = when(chars > 0,
         (bi.getField("mc") * bi.getField("ml")).cast("double") / chars)
       .otherwise(lit(0.0))
-    val five = runStats(array_sort(wordGrams(raw, 5)))
     val dup5CharFrac = least(lit(1.0),
-      when(chars > 0, five.getField("dup").cast("double") / chars)
+      when(chars > 0,
+        bindOnce(array_sort(wordGrams(raw, 5)))(s =>
+          sortedDupChars(s, afterFirstOnly = false)).cast("double") / chars)
         .otherwise(lit(0.0)))
     struct(
       size(lines).as("n_lines"),

@@ -27,6 +27,12 @@ object TextProfile {
    * size and safe at 100 TB. Short docs (≤ n tokens) collapse to one
    * whole-text shingle (the [[TextFunctions.shingles]] edge), scoring
    * dup 0 / top 1.
+   *
+   * For the keep/drop FILTER at the paper's published thresholds (its
+   * character-fraction units plus the duplicate-LINE rules), use
+   * [[TextFunctions.repetitionStats]] / `gopherRepetitionKeep` (q162):
+   * shuffle-free per-row column expressions — the cheaper shape when
+   * only the decision is needed.
    */
   def repetitionScores(df: DataFrame, textCol: String, idCol: String,
                        n: Int): DataFrame = {
