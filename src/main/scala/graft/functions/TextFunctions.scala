@@ -224,7 +224,7 @@ object TextFunctions {
   /** Evaluate `c` ONCE per row and hand it to `f` as a BOUND lambda
     * variable: expressions CAPTURED inside higher-order-function lambdas
     * are re-evaluated on every element (HOF lambdas are exempt from
-    * subexpression elimination — the [[winnow]] materialization note),
+    * subexpression elimination — the [[winnowFromGramHashes]] materialization note),
     * so an O(n) fold whose lambda references a captured
     * `array_sort(grams)` silently re-tokenizes and re-sorts the document
     * PER ELEMENT — O(n²·sort), measured as 29 s for a 5k-doc map stage
