@@ -3291,33 +3291,46 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
-  /** Gopher repetition rules ([[TextFunctions.repetitionStats]] /
-    * [[TextFunctions.gopherRepetitionKeep]], Rae et al. 2021 A1 —
-    * public): repetitive documents are the quality failure
+  /** Struct field names of [[TextFunctions.repetitionStats]] in struct
+    * order — q162's output columns and the oracle generator's select
+    * list derive from ONE list so the two can never drift. */
+  private val repetitionFields: Seq[String] =
+    Seq("n_lines", "dup_line_frac", "dup_line_char_frac",
+      "n_paras", "dup_para_frac", "dup_para_char_frac") ++
+      TextFunctions.topGramKs.map(k => s"top_${k}gram_char_frac") ++
+      TextFunctions.dupGramKs.map(k => s"dup_${k}gram_char_frac")
+
+  /** Gopher repetition rules — the COMPLETE A1 family
+    * ([[TextFunctions.repetitionStats]] /
+    * [[TextFunctions.gopherRepetitionKeep]], Rae et al. 2021 — public):
+    * repetitive documents are the quality failure
     * [[TextFunctions.qualityScore]]'s length/punctuation signals cannot
     * see. The fixture text carries no newlines, so duplicate LINES are
-    * planted on every third document (q150's planting pattern); word-
-    * gram repetition comes from the fixture's own tiny vocabulary. FULL
+    * planted on every third document (q150's planting pattern) and
+    * duplicate blank-line-separated PARAGRAPHS on every fifth; word-gram
+    * repetition comes from the fixture's own tiny vocabulary. FULL
     * DuckDB oracle: every fraction recomputed from first principles
     * (explode + group-by counts vs the operator's sorted run-length
     * fold — two different algorithms, same definitions). */
   private def q162_repetition_rules(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").withColumn("t2", {
       val raw = coalesce(col("text"), lit(""))
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(raw, lit("\n"), substring(raw, 1, 40),
-          lit("\n"), substring(raw, 1, 40)))
+      val withLines = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(raw, lit("\n"), substring(raw, 1, 40),
+            lit("\n"), substring(raw, 1, 40)))
         .otherwise(raw)
+      when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(withLines, lit("\n\n"), substring(raw, 1, 60),
+            lit("\n\n"), substring(raw, 1, 60)))
+        .otherwise(withLines)
     })
     docs.select(col("doc_id"),
-        TextFunctions.repetitionStats(col("t2")).as("r"),
-        TextFunctions.gopherRepetitionKeep(col("t2")).as("keep"))
-      .select(col("doc_id"), col("r.n_lines").as("n_lines"),
-        col("r.dup_line_frac").as("dup_line_frac"),
-        col("r.dup_line_char_frac").as("dup_line_char_frac"),
-        col("r.top_bigram_char_frac").as("top_bigram_char_frac"),
-        col("r.dup_5gram_char_frac").as("dup_5gram_char_frac"),
-        col("keep"))
+        TextFunctions.repetitionStats(col("t2")).as("r"))
+      .select(col("doc_id") +:
+        repetitionFields.map(f => col(s"r.$f").as(f)) :+
+        // keep from the PROJECTED struct: 13 slot reads, not a second
+        // run of the fold family
+        TextFunctions.gopherKeepFromStats(col("r")).as("keep"): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -3540,6 +3553,123 @@ object SparkEntry {
       |   (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.0 END) +
       |   (CASE WHEN punct_ratio <= 0.3 THEN 1.0 ELSE 0.0 END) +
       |   (CASE WHEN alpha_ratio >= 0.5 THEN 1.0 ELSE 0.0 END)) / 5.0, 2)""".stripMargin
+
+  /** CTE list (no leading WITH) recomputing the COMPLETE Gopher A1
+    * repetition family over `src` — a relation exposing (doc_id, t) —
+    * by the OPPOSITE algorithm to TextFunctions.repetitionStats'
+    * sorted run-length folds: explode + group-by counts per
+    * (doc, line/para/gram). Ties on the top-k-gram count break toward
+    * the longer gram on both sides; dup-after-first = sum((c-1)·len)
+    * over repeated values; dup-k-grams count EVERY occurrence (c·len).
+    * Lines are non-empty `\n` fragments, paragraphs non-blank `\n{2,}`
+    * fragments — both matching the operator exactly. `p` prefixes every
+    * CTE name so callers (q162, q96, q143, q156) can embed the chain
+    * without collisions. Ends with `${p}fr`: (doc_id, <fractions>, keep). */
+  private def repetitionCtesSql(p: String, src: String): String = {
+    val topCtes = TextFunctions.topGramKs.map { k =>
+      s"""${p}g$k AS (
+         |  SELECT doc_id, array_to_string(w[i:i+${k - 1}], ' ') AS g
+         |  FROM ${p}base, UNNEST(range(1, len(w) - ${k - 2})) AS r(i)
+         |  WHERE len(w) >= $k),
+         |${p}g${k}c AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
+         |  FROM ${p}g$k GROUP BY doc_id, g),
+         |${p}g${k}m AS (SELECT doc_id, max(c) AS mc FROM ${p}g${k}c
+         |  GROUP BY doc_id),
+         |${p}g${k}s AS (
+         |  SELECT c.doc_id, any_value(m.mc) AS mc, max(c.len) AS ml
+         |  FROM ${p}g${k}c c JOIN ${p}g${k}m m
+         |    ON c.doc_id = m.doc_id AND c.c = m.mc
+         |  GROUP BY c.doc_id)""".stripMargin
+    }
+    val dupCtes = TextFunctions.dupGramKs.map { k =>
+      s"""${p}g$k AS (
+         |  SELECT doc_id, array_to_string(w[i:i+${k - 1}], ' ') AS g
+         |  FROM ${p}base, UNNEST(range(1, len(w) - ${k - 2})) AS r(i)
+         |  WHERE len(w) >= $k),
+         |${p}g${k}s AS (
+         |  SELECT doc_id, CAST(coalesce(sum(c * len)
+         |      FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup
+         |  FROM (SELECT doc_id, g, count(*) AS c, length(g) AS len
+         |        FROM ${p}g$k GROUP BY doc_id, g)
+         |  GROUP BY doc_id)""".stripMargin
+    }
+    val topSel = TextFunctions.topGramKs.map { k =>
+      s"""round(CASE WHEN b.chars > 0 THEN
+         |      coalesce(${p}g${k}s.mc * ${p}g${k}s.ml, 0)
+         |        / CAST(b.chars AS DOUBLE)
+         |      ELSE 0 END, 4) AS top_${k}gram_char_frac""".stripMargin
+    }
+    val dupSel = TextFunctions.dupGramKs.map { k =>
+      s"""round(least(1.0, CASE WHEN b.chars > 0 THEN
+         |      coalesce(${p}g${k}s.dup, 0) / CAST(b.chars AS DOUBLE)
+         |      ELSE 0 END), 4) AS dup_${k}gram_char_frac""".stripMargin
+    }
+    val gramJoins =
+      (TextFunctions.topGramKs ++ TextFunctions.dupGramKs).map { k =>
+        s"  LEFT JOIN ${p}g${k}s ON b.doc_id = ${p}g${k}s.doc_id"
+      }.mkString("\n")
+    s"""${p}base AS (
+       |  SELECT doc_id, t, length(t) AS chars,
+       |    list_filter(string_split(t, chr(10)), l -> l <> '') AS lines,
+       |    list_filter(string_split_regex(t, '\\n{2,}'),
+       |      q -> trim(q) <> '') AS paras,
+       |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(lower(t)), '\\s+') END AS w
+       |  FROM $src),
+       |${p}lx AS (
+       |  SELECT doc_id, l, count(*) AS c, length(l) AS len
+       |  FROM ${p}base, UNNEST(lines) AS u(l)
+       |  GROUP BY doc_id, l, length(l)),
+       |${p}lstat AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN (c - 1) * len
+       |      ELSE 0 END), 0) AS BIGINT) AS dup_after
+       |  FROM ${p}lx GROUP BY doc_id),
+       |${p}px AS (
+       |  SELECT doc_id, q AS l, count(*) AS c, length(q) AS len
+       |  FROM ${p}base, UNNEST(paras) AS u(q)
+       |  GROUP BY doc_id, q, length(q)),
+       |${p}pstat AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN (c - 1) * len
+       |      ELSE 0 END), 0) AS BIGINT) AS dup_after
+       |  FROM ${p}px GROUP BY doc_id),
+       |${topCtes.mkString(",\n")},
+       |${dupCtes.mkString(",\n")},
+       |${p}fr0 AS (
+       |  SELECT b.doc_id,
+       |    CAST(coalesce(ls.n, 0) AS INT) AS n_lines,
+       |    round(CASE WHEN coalesce(ls.n, 0) > 0 THEN
+       |      (ls.n - ls.nd) / CAST(ls.n AS DOUBLE) ELSE 0 END, 4)
+       |      AS dup_line_frac,
+       |    round(CASE WHEN b.chars > 0 THEN
+       |      coalesce(ls.dup_after, 0) / CAST(b.chars AS DOUBLE)
+       |      ELSE 0 END, 4) AS dup_line_char_frac,
+       |    CAST(coalesce(ps.n, 0) AS INT) AS n_paras,
+       |    round(CASE WHEN coalesce(ps.n, 0) > 0 THEN
+       |      (ps.n - ps.nd) / CAST(ps.n AS DOUBLE) ELSE 0 END, 4)
+       |      AS dup_para_frac,
+       |    round(CASE WHEN b.chars > 0 THEN
+       |      coalesce(ps.dup_after, 0) / CAST(b.chars AS DOUBLE)
+       |      ELSE 0 END, 4) AS dup_para_char_frac,
+       |    ${(topSel ++ dupSel).mkString(",\n    ")}
+       |  FROM ${p}base b
+       |  LEFT JOIN ${p}lstat ls ON b.doc_id = ls.doc_id
+       |  LEFT JOIN ${p}pstat ps ON b.doc_id = ps.doc_id
+       |$gramJoins),
+       |${p}fr AS (
+       |  SELECT *, $repetitionKeepCondSql AS keep FROM ${p}fr0)""".stripMargin
+  }
+
+  /** The A1 keep rule over the fraction aliases `repetitionCtesSql`
+    * computes — generated from the SAME threshold table the Spark-side
+    * gopherRepetitionKeep reads. */
+  private def repetitionKeepCondSql: String =
+    TextFunctions.gopherRepetitionThresholds
+      .map { case (f, t) => s"$f <= $t" }
+      .mkString("(", " AND ", ")")
 
   /** Per-language score fragment (≡ TextFunctions.langScore). */
   private def langScoreSql(lang: String): String =
@@ -5321,81 +5451,31 @@ object SparkEntry {
         |  ('stored_splits_leakfree', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
-    // q162 recomputes the Gopher repetition fractions from first
-    // principles: explode + group-by counts per (doc, line/gram), where
-    // the operator folds sorted runs — two algorithms, one definition.
-    // Ties on the top-bigram count break toward the longer gram on both
-    // sides; dup-after-first = sum((c-1)*len) over repeated values.
-    "q162_repetition_rules" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN coalesce(text,'') || chr(10) ||
-        |           substr(coalesce(text,''), 1, 40) || chr(10) ||
-        |           substr(coalesce(text,''), 1, 40)
-        |      ELSE coalesce(text,'') END AS t
-        |  FROM documents),
-        |base AS (
-        |  SELECT doc_id, t, length(t) AS chars,
-        |    string_split(t, chr(10)) AS lines,
-        |    CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
-        |         ELSE string_split_regex(trim(lower(t)), '\s+') END AS w
-        |  FROM d),
-        |lx AS (
-        |  SELECT doc_id, l, count(*) AS c, length(l) AS len
-        |  FROM base, UNNEST(lines) AS u(l)
-        |  GROUP BY doc_id, l, length(l)),
-        |lstat AS (
-        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
-        |    CAST(count(*) AS BIGINT) AS n_distinct,
-        |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN (c - 1) * len
-        |      ELSE 0 END), 0) AS BIGINT) AS dup_after
-        |  FROM lx GROUP BY doc_id),
-        |g2 AS (
-        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
-        |  FROM base, UNNEST(range(1, len(w))) AS r(i)
-        |  WHERE len(w) >= 2),
-        |g2c AS (SELECT doc_id, g, count(*) AS c, length(g) AS len
-        |        FROM g2 GROUP BY doc_id, g),
-        |g2m AS (SELECT doc_id, max(c) AS mc FROM g2c GROUP BY doc_id),
-        |g2s AS (
-        |  SELECT g2c.doc_id, any_value(g2m.mc) AS mc, max(g2c.len) AS ml
-        |  FROM g2c JOIN g2m ON g2c.doc_id = g2m.doc_id AND g2c.c = g2m.mc
-        |  GROUP BY g2c.doc_id),
-        |g5 AS (
-        |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
-        |  FROM base, UNNEST(range(1, len(w) - 3)) AS r(i)
-        |  WHERE len(w) >= 5),
-        |g5s AS (
-        |  SELECT doc_id, CAST(coalesce(sum(c * len)
-        |      FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup5
-        |  FROM (SELECT doc_id, g, count(*) AS c, length(g) AS len
-        |        FROM g5 GROUP BY doc_id, g)
-        |  GROUP BY doc_id),
-        |fr AS (
-        |  SELECT b.doc_id, CAST(ls.n_lines AS INT) AS n_lines,
-        |    round(CASE WHEN ls.n_lines > 0 THEN
-        |      (ls.n_lines - ls.n_distinct) / CAST(ls.n_lines AS DOUBLE)
-        |      ELSE 0 END, 4) AS dup_line_frac,
-        |    round(CASE WHEN b.chars > 0 THEN
-        |      ls.dup_after / CAST(b.chars AS DOUBLE) ELSE 0 END, 4)
-        |      AS dup_line_char_frac,
-        |    round(CASE WHEN b.chars > 0 THEN
-        |      coalesce(g2s.mc * g2s.ml, 0) / CAST(b.chars AS DOUBLE)
-        |      ELSE 0 END, 4) AS top_bigram_char_frac,
-        |    round(least(1.0, CASE WHEN b.chars > 0 THEN
-        |      coalesce(g5s.dup5, 0) / CAST(b.chars AS DOUBLE)
-        |      ELSE 0 END), 4) AS dup_5gram_char_frac
-        |  FROM base b
-        |  JOIN lstat ls ON b.doc_id = ls.doc_id
-        |  LEFT JOIN g2s ON b.doc_id = g2s.doc_id
-        |  LEFT JOIN g5s ON b.doc_id = g5s.doc_id)
-        |SELECT doc_id, n_lines, dup_line_frac, dup_line_char_frac,
-        |  top_bigram_char_frac, dup_5gram_char_frac,
-        |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 AND
-        |   top_bigram_char_frac <= 0.20 AND dup_5gram_char_frac <= 0.15)
-        |  AS keep
-        |FROM fr ORDER BY doc_id""".stripMargin,
+    // q162 recomputes the COMPLETE Gopher A1 repetition family from
+    // first principles: explode + group-by counts per (doc,
+    // line/para/gram), where the operator folds sorted runs — two
+    // algorithms, one definition (repetitionCtesSql documents the
+    // tie-break and counting conventions; the keep rule is generated
+    // from the same threshold table the Spark side reads).
+    "q162_repetition_rules" -> {
+      val cols = repetitionFields.mkString(", ")
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN base ||
+         |      chr(10) || chr(10) || substr(t0, 1, 60) ||
+         |      chr(10) || chr(10) || substr(t0, 1, 60)
+         |    ELSE base END AS t
+         |  FROM (
+         |    SELECT doc_id, coalesce(text,'') AS t0,
+         |      CASE WHEN doc_id % 3 = 0
+         |        THEN coalesce(text,'') || chr(10) ||
+         |             substr(coalesce(text,''), 1, 40) || chr(10) ||
+         |             substr(coalesce(text,''), 1, 40)
+         |        ELSE coalesce(text,'') END AS base
+         |    FROM documents) s0),
+         |${repetitionCtesSql("", "d")}
+         |SELECT doc_id, $cols, keep FROM fr ORDER BY doc_id""".stripMargin
+    },
     // q150 recomputes the whole boilerplate-removal composition from
     // exact counts: the planted footer, the stride-1 trigram windows
     // (whole-text window for short docs, shingles' contract), the

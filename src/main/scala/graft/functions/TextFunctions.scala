@@ -185,11 +185,15 @@ object TextFunctions {
       .otherwise(lit(0L))
   }
 
-  /** (mc = longest run length, ml = longest element among the longest
-    * runs — ties toward the longer element) of a SORTED string array,
-    * via an index fold whose accumulator is three LONGS (see
-    * [[sortedDupChars]] on why no strings ride the accumulator). */
-  private def topRun(sorted: Column): Column = {
+  /** `mc · ml` where mc = longest run length and ml = longest element
+    * among the longest runs (ties toward the longer element) of a SORTED
+    * string array — the characters covered by the most frequent value's
+    * occurrences, the top-n-gram numerator. An index fold whose
+    * accumulator is three LONGS (see [[sortedDupChars]] on why no
+    * strings ride the accumulator); returns the product directly because
+    * HOF subtrees see no subexpression elimination — a struct result
+    * read twice would run the whole fold twice. */
+  private def topRunChars(sorted: Column): Column = {
     val n = size(sorted)
     val zero = struct(lit(1L).as("run"), lit(0L).as("mc"), lit(0L).as("ml"))
     def closed(acc: Column, endLen: Column) = {
@@ -216,9 +220,9 @@ object TextFunctions {
         }, acc => {
           val (mc, ml) =
             closed(acc, length(element_at(sorted, n)).cast("long"))
-          struct(mc.as("mc"), ml.as("ml"))
+          mc * ml
         }))
-      .otherwise(struct(lit(0L).as("mc"), lit(0L).as("ml")))
+      .otherwise(lit(0L))
   }
 
   /** Evaluate `c` ONCE per row and hand it to `f` as a BOUND lambda
@@ -244,29 +248,68 @@ object TextFunctions {
         .otherwise(array().cast("array<string>"))
     }
 
+  /** The top-n-gram sizes the A1 table publishes (fraction of characters
+    * in the MOST FREQUENT k-gram) and the dup-n-gram sizes (fraction of
+    * characters in ALL k-grams occurring ≥ 2 times). Shared with the
+    * oracle-SQL generator so Spark and DuckDB compute the same family. */
+  val topGramKs: Seq[Int] = Seq(2, 3, 4)
+  val dupGramKs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+
+  /** The COMPLETE published threshold table (Rae et al. 2021 appendix
+    * A1): a document is kept only if every fraction is at or below its
+    * threshold. Field names match [[repetitionStats]]' struct. Public
+    * and data-driven so [[gopherRepetitionKeep]], the DuckDB oracle
+    * generator, and any caller composing a custom rule subset all read
+    * the same numbers. */
+  val gopherRepetitionThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30,
+    "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20,
+    "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20,
+    "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16,
+    "dup_5gram_char_frac" -> 0.15,
+    "dup_6gram_char_frac" -> 0.14,
+    "dup_7gram_char_frac" -> 0.13,
+    "dup_8gram_char_frac" -> 0.12,
+    "dup_9gram_char_frac" -> 0.11,
+    "dup_10gram_char_frac" -> 0.10)
+
   /**
-   * Repetition statistics for quality filtering (Gopher / MassiveText,
-   * Rae et al. 2021 appendix A1 — public): repetitive documents (boiler-
-   * plate, scraped listings, degenerate generations) poison training
-   * corpora and none of the length/punctuation signals in
-   * [[qualityScore]] see them. Returns a struct of per-document
-   * fractions, each a pure column expression (no shuffle, no UDF —
-   * a scan-speed map stage at 100 TB):
+   * Repetition statistics for quality filtering — the COMPLETE Gopher /
+   * MassiveText appendix A1 repetition family (Rae et al. 2021 —
+   * public): repetitive documents (boilerplate, scraped listings,
+   * degenerate generations) poison training corpora and none of the
+   * length/punctuation signals in [[qualityScore]] see them. Returns a
+   * struct of per-document fractions, each a pure column expression
+   * (no shuffle, no UDF — a scan-speed map stage at 100 TB):
    *
-   *  - `dup_line_frac`: duplicate lines / lines (lines split on `\n`
-   *    from the RAW text — no lowering; a repeated line is repetition
-   *    whatever its case);
-   *  - `dup_line_char_frac`: characters in the occurrences AFTER the
-   *    first of each repeated line / total characters;
-   *  - `top_bigram_char_frac`: count·chars of the most frequent word
-   *    2-gram / total characters (ties broken toward the longer gram);
-   *  - `dup_5gram_char_frac`: Σ count·chars over word 5-grams occurring
-   *    ≥ 2 times / total characters, clamped to 1 (overlapping
-   *    occurrences each count, the standard reimplementation reading).
+   *  - `n_lines` / `dup_line_frac` / `dup_line_char_frac`: lines are the
+   *    NON-EMPTY fragments of the raw text split on `\n` (no lowering —
+   *    a repeated line is repetition whatever its case). Empty fragments
+   *    are excluded: blank-line-separated prose would otherwise count
+   *    its paragraph separators as "duplicate lines" and a perfectly
+   *    normal 5-paragraph document would exceed the 0.30 threshold.
+   *    `dup_line_frac` = duplicate lines / lines; `dup_line_char_frac` =
+   *    characters in the occurrences AFTER the first of each repeated
+   *    line / total characters;
+   *  - `n_paras` / `dup_para_frac` / `dup_para_char_frac`: paragraphs
+   *    are the fragments split on runs of 2+ newlines whose trim is
+   *    non-empty, same two fractions;
+   *  - `top_{2,3,4}gram_char_frac`: count·chars of the most frequent
+   *    word k-gram / total characters (ties broken toward the longer
+   *    gram; unclamped — overlapping occurrences of a degenerate gram
+   *    can legitimately cover > 100% of the text);
+   *  - `dup_{5..10}gram_char_frac`: Σ count·chars over word k-grams
+   *    occurring ≥ 2 times / total characters, clamped to 1
+   *    (overlapping occurrences each count, the standard
+   *    reimplementation reading).
    *
    * Word grams use [[tokens]] (lowercased, whitespace-split) joined by
    * one space. Blank text yields all-zero fractions. q162 pins every
-   * definition against a full DuckDB recomputation.
+   * definition against a full DuckDB recomputation by the opposite
+   * algorithm (explode + group-by vs this sorted run-length fold).
    *
    * Relation to [[graft.operators.TextProfile.repetitionScores]] (q88):
    * that is the corpus-PROFILING face — occurrence-fraction units, n
@@ -281,46 +324,64 @@ object TextFunctions {
   def repetitionStats(text: Column): Column = {
     val raw = coalesce(text, lit(""))
     val chars = length(raw).cast("double")
-    val lines = split(raw, "\n")
-    val nl = size(lines).cast("double")
-    val dupLineFrac =
-      when(nl > 0, (nl - size(array_distinct(lines)).cast("double")) / nl)
+    val lines = filter(split(raw, "\n"), l => l =!= "")
+    val paras = filter(split(raw, "\n{2,}"), p => trim(p) =!= "")
+    // duplicate fraction of an array: (n - n_distinct) / n, 0 when empty
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr).cast("double")
+      when(n > 0,
+          (n - size(array_distinct(arr)).cast("double")) / n)
         .otherwise(lit(0.0))
-    val dupLineCharFrac = when(chars > 0,
-        bindOnce(array_sort(lines))(s =>
-          sortedDupChars(s, afterFirstOnly = true))
-          .cast("double") / chars)
-      .otherwise(lit(0.0))
-    val bi = bindOnce(array_sort(wordGrams(raw, 2)))(topRun)
-    val topBigramCharFrac = when(chars > 0,
-        (bi.getField("mc") * bi.getField("ml")).cast("double") / chars)
-      .otherwise(lit(0.0))
-    val dup5CharFrac = least(lit(1.0),
+    }
+    // after-first duplicate characters of an array / total characters
+    def dupCharFrac(arr: Column): Column =
       when(chars > 0,
-        bindOnce(array_sort(wordGrams(raw, 5)))(s =>
-          sortedDupChars(s, afterFirstOnly = false)).cast("double") / chars)
+          bindOnce(array_sort(arr))(s =>
+            sortedDupChars(s, afterFirstOnly = true))
+            .cast("double") / chars)
+        .otherwise(lit(0.0))
+    def topFrac(k: Int): Column =
+      when(chars > 0,
+          bindOnce(array_sort(wordGrams(raw, k)))(topRunChars)
+            .cast("double") / chars)
+        .otherwise(lit(0.0))
+    def dupKFrac(k: Int): Column = least(lit(1.0),
+      when(chars > 0,
+          bindOnce(array_sort(wordGrams(raw, k)))(s =>
+            sortedDupChars(s, afterFirstOnly = false)).cast("double") / chars)
         .otherwise(lit(0.0)))
-    struct(
-      size(lines).as("n_lines"),
-      round(dupLineFrac, 4).as("dup_line_frac"),
-      round(dupLineCharFrac, 4).as("dup_line_char_frac"),
-      round(topBigramCharFrac, 4).as("top_bigram_char_frac"),
-      round(dup5CharFrac, 4).as("dup_5gram_char_frac"))
+    val fields =
+      Seq(size(lines).as("n_lines"),
+        round(dupFrac(lines), 4).as("dup_line_frac"),
+        round(dupCharFrac(lines), 4).as("dup_line_char_frac"),
+        size(paras).as("n_paras"),
+        round(dupFrac(paras), 4).as("dup_para_frac"),
+        round(dupCharFrac(paras), 4).as("dup_para_char_frac")) ++
+      topGramKs.map(k => round(topFrac(k), 4).as(s"top_${k}gram_char_frac")) ++
+      dupGramKs.map(k => round(dupKFrac(k), 4).as(s"dup_${k}gram_char_frac"))
+    struct(fields: _*)
   }
 
-  /** Gopher's repetition KEEP rule over the [[repetitionStats]] subset
-    * implemented here, at the paper's published thresholds (Rae et al.
-    * 2021 A1): duplicate line fraction ≤ 0.30, duplicate line character
-    * fraction ≤ 0.20, top 2-gram character fraction ≤ 0.20, duplicate
-    * 5-gram character fraction ≤ 0.15. Compose with [[qualityScore]] —
-    * the two filters see disjoint failure modes. */
-  def gopherRepetitionKeep(text: Column): Column = {
-    val s = repetitionStats(text)
-    s.getField("dup_line_frac") <= 0.30 &&
-      s.getField("dup_line_char_frac") <= 0.20 &&
-      s.getField("top_bigram_char_frac") <= 0.20 &&
-      s.getField("dup_5gram_char_frac") <= 0.15
-  }
+  /** The A1 keep rule over an ALREADY-COMPUTED [[repetitionStats]]
+    * struct (e.g. a projected column — then each getField is a slot
+    * read): every fraction at or below its published threshold. */
+  def gopherKeepFromStats(stats: Column): Column =
+    gopherRepetitionThresholds
+      .map { case (f, t) => stats.getField(f) <= t }
+      .reduce(_ && _)
+
+  /** Gopher's repetition KEEP rule — the full A1 family at the paper's
+    * published thresholds ([[gopherRepetitionThresholds]]): every
+    * fraction at or below its threshold. Compose with [[qualityScore]]
+    * (q96/q143/q156/q161 do) — the two filters see disjoint failure
+    * modes. The stats struct is BOUND once per row before the 13
+    * comparisons read it: 13 getFields on an unbound struct would run
+    * the whole fold family 13 times (HOF subtrees see no subexpression
+    * elimination — the [[bindOnce]] lesson). Callers that also project
+    * the stats should compute them once and use
+    * [[gopherKeepFromStats]] on the projected column instead. */
+  def gopherRepetitionKeep(text: Column): Column =
+    bindOnce(repetitionStats(text))(gopherKeepFromStats)
 
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and

@@ -108,36 +108,73 @@ class TextFunctionsSpec extends SparkSpec {
       (4L, 0.0, 1.0)))
   }
 
-  test("repetitionStats matches hand-computed Gopher fractions; blank " +
-    "and short docs are all-zero; keep rule applies the A1 thresholds") {
+  test("repetitionStats matches hand-computed Gopher A1 fractions; blank " +
+    "and short docs are all-zero; keep rule applies the full thresholds") {
     import graft.functions.TextFunctions.{repetitionStats, gopherRepetitionKeep}
-    // "a b a b a\nx y\nx y": 17 chars, 3 lines (1 duplicate pair),
-    // 9 words, bigram counts {a b:2, b a:2, x y:2, a x:1, y x:1},
-    // all five 5-grams unique
+    // doc 5 (the blank-line regression fixture): 5 paragraphs of fully
+    // distinct words separated by blank lines — a NORMAL document. The
+    // pre-fix line split kept the empty fragments between paragraphs,
+    // so 4 "duplicate" empty lines out of 9 gave dup_line_frac 0.4444
+    // > 0.30 and the keep rule silently dropped multi-paragraph prose.
+    val prose = (1 to 5)
+      .map(i => (1 to 15).map(j => s"w${i}p$j").mkString(" "))
+      .mkString("\n\n")
     val df = Seq(
+      // 17 chars, 3 non-empty lines (1 duplicate pair), 9 words,
+      // bigram counts {a b:2, b a:2, x y:2, a x:1, y x:1}
       (1L, "a b a b a\nx y\nx y"),
-      (2L, ""),                 // blank: all zeros, 1 empty line
-      (3L, "one two"),          // no 5-grams, unique bigram
-      (4L, "w w w w w w w w"))  // degenerate: one repeated word
+      (2L, ""),                 // blank: all zeros, ZERO lines/paras
+      (3L, "one two"),          // no 3-grams, unique bigram
+      (4L, "w w w w w w w w"),  // degenerate: one repeated word
+      (5L, prose),
+      // 54 chars; paragraph 1 repeats: dup_para_frac 1/3 > 0.30
+      (6L, "alpha beta gamma\n\ndelta epsilon zeta\n\nalpha beta gamma"))
       .toDF("id", "text")
     val out = df.select($"id", repetitionStats($"text").as("r"),
         gopherRepetitionKeep($"text").as("keep"))
-      .select($"id", $"r.n_lines", $"r.dup_line_frac",
-        $"r.dup_line_char_frac", $"r.top_bigram_char_frac",
-        $"r.dup_5gram_char_frac", $"keep")
-      .as[(Long, Int, Double, Double, Double, Double, Boolean)]
-      .collect().map(r => r._1 -> r).toMap
-    // doc 1: dup_line 1/3; after-first chars of "x y" = 3/17; top bigram
-    // mc=2, longest tied gram len 3 → 6/17; no duplicate 5-grams
-    assert(out(1L) == ((1L, 3, 0.3333, 0.1765, 0.3529, 0.0, false)),
-      out(1L).toString) // dup_line_frac 0.3333 > 0.30 → filtered
-    assert(out(2L) == ((2L, 1, 0.0, 0.0, 0.0, 0.0, true)), out(2L).toString)
+      .select($"id", $"r.*", $"keep")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, field: String): Double =
+      out(id).getAs[Double](field)
+    // doc 1: dup_line 1/3; after-first chars of "x y" = 3/17; one
+    // paragraph (no blank line); top bigram mc=2, longest tied gram
+    // len 3 → 6/17; top trigram "a b a"×2 → 10/17; 4-grams all
+    // distinct, mc=1, longest len 7 → 7/17; no duplicate 5..10-grams
+    assert(out(1L).getAs[Int]("n_lines") == 3)
+    assert(f(1L, "dup_line_frac") == 0.3333 && f(1L, "dup_line_char_frac") == 0.1765)
+    assert(out(1L).getAs[Int]("n_paras") == 1 && f(1L, "dup_para_frac") == 0.0)
+    assert(f(1L, "top_2gram_char_frac") == 0.3529)
+    assert(f(1L, "top_3gram_char_frac") == 0.5882)
+    assert(f(1L, "top_4gram_char_frac") == 0.4118)
+    assert(f(1L, "dup_5gram_char_frac") == 0.0 && f(1L, "dup_10gram_char_frac") == 0.0)
+    assert(!out(1L).getAs[Boolean]("keep")) // dup_line 0.3333 > 0.30
+    // blank: no lines, no paragraphs, every fraction zero, kept
+    assert(out(2L).getAs[Int]("n_lines") == 0 && out(2L).getAs[Int]("n_paras") == 0)
+    assert(f(2L, "dup_line_frac") == 0.0 && out(2L).getAs[Boolean]("keep"))
     // doc 3: single bigram "one two" (7 chars) count 1 → 7/7 = 1.0 > 0.2
-    assert(out(3L) == ((3L, 1, 0.0, 0.0, 1.0, 0.0, false)), out(3L).toString)
-    // doc 4: 15 chars; "w w" count 7, len 3 → 21/15 > 1 (overlaps) —
-    // unclamped by design for the top gram; 5-grams "w w w w w" count 4,
-    // len 9 → 36/15 clamped to 1.0 → filtered on both gram rules
-    assert(out(4L) == ((4L, 1, 0.0, 0.0, 1.4, 1.0, false)), out(4L).toString)
+    assert(f(3L, "top_2gram_char_frac") == 1.0 && f(3L, "top_3gram_char_frac") == 0.0)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    // doc 4: 15 chars; "w w" ×7 len 3 → 21/15 (unclamped by design for
+    // top grams — overlaps); "w w w"×6 len 5 → 2.0; "w w w w"×5 len 7 →
+    // 2.3333; dup-5 36/15→1.0, dup-6 33/15→1.0, dup-7 26/15→1.0;
+    // the single 8-gram occurs once → dup-8/9/10 = 0
+    assert(f(4L, "top_2gram_char_frac") == 1.4)
+    assert(f(4L, "top_3gram_char_frac") == 2.0)
+    assert(f(4L, "top_4gram_char_frac") == 2.3333)
+    assert(f(4L, "dup_5gram_char_frac") == 1.0 && f(4L, "dup_7gram_char_frac") == 1.0)
+    assert(f(4L, "dup_8gram_char_frac") == 0.0 && f(4L, "dup_9gram_char_frac") == 0.0)
+    assert(!out(4L).getAs[Boolean]("keep"))
+    // doc 5: 5 non-empty lines, 5 paragraphs, zero duplicate anything —
+    // the multi-paragraph document the old line split wrongly dropped
+    assert(out(5L).getAs[Int]("n_lines") == 5 && out(5L).getAs[Int]("n_paras") == 5)
+    assert(f(5L, "dup_line_frac") == 0.0 && f(5L, "dup_para_frac") == 0.0)
+    assert(out(5L).getAs[Boolean]("keep"), out(5L).toString)
+    // doc 6: dup_para_frac 1/3 = 0.3333 > 0.30; after-first paragraph
+    // chars 16/54 = 0.2963 > 0.20 — dropped by the PARAGRAPH rules
+    assert(out(6L).getAs[Int]("n_paras") == 3)
+    assert(f(6L, "dup_para_frac") == 0.3333)
+    assert(f(6L, "dup_para_char_frac") == 0.2963)
+    assert(!out(6L).getAs[Boolean]("keep"))
   }
 
   test("contamination report counts distinct shared n-grams per train doc") {
