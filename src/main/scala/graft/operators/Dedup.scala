@@ -797,11 +797,23 @@ object Dedup {
   def jaccardVerifyPairs(df: DataFrame, textCol: String, idCol: String,
                          pairs: DataFrame, shingleK: Int = 3,
                          threshold: Double = 0.6): DataFrame = {
+    // canonicalize CALLER-SUPPLIED candidates: the scaladoc advertises
+    // "any blocking tier", and an arbitrary tier may emit (a,b) AND
+    // (b,a) — both would survive a plain dropDuplicates and the pair
+    // would verify twice — or a self-pair (a,a), which would emit a
+    // spurious jaccard-1.0 row. Orient to id_a < id_b and drop
+    // self-pairs BEFORE deduping so output parity with jaccardSelfJoin
+    // holds for arbitrary candidate sets, not just canonical-emitting
+    // tiers like the LSH store.
+    val pairs2 = pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
     // pair-bounded means pair-bounded: shingle ONLY the ids the candidate
     // pairs touch (a 10^9-doc corpus with 10^4 candidates must not pay a
     // corpus-wide shingle/sort pass for a 2·10^4-id verify)
-    val touched = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+    val touched = pairs2.select(col("id_a").as("id"))
+      .unionByName(pairs2.select(col("id_b").as("id"))).distinct()
     val sets = OpCache.track(df
       .join(touched, df(idCol) === touched("id"), "left_semi")
       .select(col(idCol).as("id"),
@@ -814,7 +826,7 @@ object Dedup {
       col("len").as("__len_b"))
     val inter = graft.functions.expressions.GraftExpressions
       .sortedIntersectSize(col("sh_a"), col("sh_b"))
-    pairs.select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    pairs2.dropDuplicates("id_a", "id_b")
       .join(a, "id_a").join(b, "id_b")
       .withColumn("__inter", inter)
       .select(col("id_a"), col("id_b"),

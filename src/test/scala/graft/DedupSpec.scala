@@ -111,20 +111,31 @@ class DedupSpec extends SparkSpec {
       .select($"id_a", $"id_b", $"jaccard")
       .as[(Long, Long, Double)].collect().toSet
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
-    // candidates = the TRUE pairs plus deliberate junk (dissimilar pairs
-    // and duplicates) — the verify kernel must keep exactly the true
-    // pairs at exactly the self-join's jaccard values
+    // candidates = the TRUE pairs plus deliberate junk (dissimilar
+    // pairs, duplicates, REVERSED orientations, and self-pairs — an
+    // arbitrary blocking tier guarantees none of the canonical-form
+    // invariants the LSH store provides) — the verify kernel must keep
+    // exactly the true pairs, once each, at exactly the self-join's
+    // jaccard values: a reversed (b,a) must not emit the pair twice and
+    // a self-pair (a,a) must not emit a spurious jaccard-1.0 row
     val junk = docs.alias("a").join(docs.alias("b"),
         col("a.doc_id") + 250 === col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     val cands = exact.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b")
       .unionByName(junk)
       .unionByName(exact.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b"))
-    val verified = Dedup.jaccardVerifyPairs(docs, "text", "doc_id", cands,
-        shingleK = 3, threshold = 0.6)
-      .as[(Long, Long, Double)].collect().toSet
+      .unionByName(exact.toSeq.map(p => (p._2, p._1)).toDF("id_a", "id_b"))
+      .unionByName(docs.limit(5)
+        .select($"doc_id".as("id_a"), $"doc_id".as("id_b")))
+    val verifiedRows = Dedup.jaccardVerifyPairs(docs, "text", "doc_id",
+        cands, shingleK = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect()
+    val verified = verifiedRows.toSet
     assert(verified == exact,
       s"missing=${(exact -- verified).take(3)}, extra=${(verified -- exact).take(3)}")
+    // sets hide double emission — the row count pins once-each
+    assert(verifiedRows.length == exact.size,
+      s"${verifiedRows.length} rows for ${exact.size} pairs")
     graft.operators.OpCache.release()
   }
 
