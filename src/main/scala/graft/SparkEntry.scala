@@ -1390,20 +1390,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   /** End-to-end curation pipeline — the flagship composition a
-    * training-data team actually ships: per-language quality gating (top
-    * half), exact dedup to min-id representatives, benchmark
-    * decontamination against the eval slice, then exact mix
+    * training-data team actually ships: Gopher repetition gate (the
+    * full A1 keep rule — the quality failure the composite score's
+    * length/punctuation signals cannot see), per-language quality
+    * gating (top half), exact dedup to min-id representatives,
+    * benchmark decontamination against the eval slice, then exact mix
     * materialization. Every stage is the operator its standalone query
-    * exercises (q93/q28/q89/q95); what this query gates is the
-    * COMPOSITION, oracle-checked as the same CTE chain. Scale shape: one
-    * scan feeds the quality window, dedup shuffles (fingerprint, id)
-    * pairs, decontamination ships only (id, gram) pairs semi-joined
-    * against the broadcastable eval-gram set, and the mix join broadcasts
-    * a |strata|-row quota frame — no stage widens at 100 TB. */
+    * exercises (q162/q93/q28/q89/q95); what this query gates is the
+    * COMPOSITION, oracle-checked as the same CTE chain. Scale shape:
+    * the repetition gate is a pure map over the scan (no shuffle), the
+    * quality window shuffles once per language, dedup shuffles
+    * (fingerprint, id) pairs, decontamination ships only (id, gram)
+    * pairs semi-joined against the broadcastable eval-gram set, and the
+    * mix join broadcasts a |strata|-row quota frame — no stage widens
+    * at 100 TB. The eval slice for decontamination is drawn from the
+    * RAW docs: a benchmark document is a leak source whatever its
+    * repetition profile. */
   private def q96_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val qualified = operators.Curate.topFractionPerGroup(
-      docs.withColumn("quality", TextFunctions.qualityScore(col("text"))),
+      docs.filter(TextFunctions.gopherRepetitionKeep(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text"))),
       "lang", "quality", 0.5, "doc_id")
     val deduped = Dedup.exact(qualified, "text", "doc_id")
     val isEval = pmod(col("doc_id"), lit(100)) === 7
@@ -3089,10 +3096,15 @@ object SparkEntry {
     * in reproducible epoch order. FULL DuckDB oracle: one CTE chain
     * recomputing every stage. */
   private def q156_training_batches(s: SparkSession, dir: String): DataFrame = {
+    // quality gate = composite score AND the Gopher repetition keep rule
+    // (disjoint failure modes; both pure map stages) — q161's store-served
+    // twin MUST apply the identical gate or the parity verdicts there
+    // compare different corpora
     val curated = operators.OpCache.track(
       Dedup.exact(
         parallelize(t(s, dir, "documents"))
-          .filter(TextFunctions.qualityScore(col("text")) >= 0.6),
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
+            TextFunctions.gopherRepetitionKeep(col("text"))),
         "text", "doc_id").persist())
     val pairs = Dedup.jaccardSelfJoin(curated, "text", "doc_id",
       shingleK = 3, threshold = 0.6)
@@ -3210,10 +3222,14 @@ object SparkEntry {
     * gate cost, like q156 itself. */
   private def q161_training_batches_stored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // identical quality gate to q156 (composite score + Gopher repetition
+    // keep) — the parity verdicts below compare this corpus to the exact
+    // tier's, so the two gates must never drift
     val curated = operators.OpCache.track(
       Dedup.exact(
         parallelize(t(s, dir, "documents"))
-          .filter(TextFunctions.qualityScore(col("text")) >= 0.6),
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.6 &&
+            TextFunctions.gopherRepetitionKeep(col("text"))),
         "text", "doc_id").persist())
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val tbl = s"q161_lsh_$pid"
@@ -3336,8 +3352,11 @@ object SparkEntry {
 
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
+    // composed quality gate: composite score + Gopher repetition keep
+    // (q96/q156/q161 apply the same pair — one production convention)
     val quality = docs.filter(
-      TextFunctions.qualityScore(col("text")) >= 0.6)
+      TextFunctions.qualityScore(col("text")) >= 0.6 &&
+        TextFunctions.gopherRepetitionKeep(col("text")))
     val deduped = Dedup.exact(quality, "text", "doc_id")
     val weighted = operators.Curate.dsirWeights(deduped, "text", "doc_id",
       col("lang") === "en", nBuckets = 1009, alpha = 0.5)
@@ -4506,8 +4525,9 @@ object SparkEntry {
          |FROM rk JOIN q ON rk.lang = q.stratum
          |WHERE rk.sample_rank <= q.sample_n ORDER BY rk.doc_id""".stripMargin
     },
-    // q96: the q93 -> q28 -> q89 -> q95 stages as one CTE chain — the
-    // oracle twin of the composed curation pipeline
+    // q96: the q162 -> q93 -> q28 -> q89 -> q95 stages as one CTE
+    // chain — the oracle twin of the composed curation pipeline (the
+    // Gopher repetition keep gate recomputed by q162's explode CTEs)
     "q96_curation_pipeline" -> {
       val cases = Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
           "zh" -> 0.1).sortBy(_._1)
@@ -4516,9 +4536,12 @@ object SparkEntry {
         """CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
           |    ELSE list_distinct([array_to_string(w[i:i+3], ' ')
           |                        for i in range(1, len(w) - 2)]) END""".stripMargin
-      s"""WITH qual AS (
+      s"""WITH rdoc AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+         |${repetitionCtesSql("r", "rdoc")},
+         |qual AS (
          |  SELECT doc_id, lang, text, $qualityExprSql AS quality
-         |  FROM (${qualityRawSql("doc_id, lang, text")}) raw),
+         |  FROM (${qualityRawSql("doc_id, lang, text")}) raw
+         |  WHERE doc_id IN (SELECT doc_id FROM rfr WHERE keep)),
          |rk AS (SELECT doc_id, lang, text, quality,
          |  row_number() OVER (PARTITION BY lang
          |    ORDER BY quality DESC, doc_id) AS rk,
@@ -5194,13 +5217,17 @@ object SparkEntry {
          |  END AS weight
          |FROM fb CROSS JOIN r ORDER BY fb.doc_id""".stripMargin,
     // q143 rebuilds the whole pipeline: quality gate (q31's CTEs, >= 0.6
-    // on the rounded composite), min-id dedup (q28's form), the DSIR
-    // model CTEs RE-POINTED at the deduped survivors, the rounded-weight
-    // raw-pool cut, and the content-keyed split CASE (q141's form).
+    // on the rounded composite, AND the full A1 repetition keep rule —
+    // q162's CTEs), min-id dedup (q28's form), the DSIR model CTEs
+    // RE-POINTED at the deduped survivors, the rounded-weight raw-pool
+    // cut, and the content-keyed split CASE (q141's form).
     "q143_ingest_pipeline" ->
       s"""WITH raw AS (${qualityRawSql("doc_id, lang, text")}),
+         |rdoc AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+         |${repetitionCtesSql("r", "rdoc")},
          |qf AS (SELECT doc_id, lang, text FROM raw
-         |       WHERE $qualityExprSql >= 0.6),
+         |       WHERE $qualityExprSql >= 0.6
+         |         AND doc_id IN (SELECT doc_id FROM rfr WHERE keep)),
          |d AS (SELECT doc_id, lang, text FROM qf
          |      WHERE doc_id IN (SELECT min(doc_id) FROM qf
          |                       GROUP BY md5($normSql))),
@@ -5724,15 +5751,19 @@ object SparkEntry {
          |FROM r WHERE reps > 0
          |ORDER BY doc_id, repeat_idx""".stripMargin,
     // q156 recomputes the COMPOSED flagship end to end in one CTE chain:
-    // quality gate + exact dedup (q143), shingle pairs + recursive-CTE
+    // quality gate incl. the A1 repetition keep (q143/q162's CTEs) +
+    // exact dedup, shingle pairs + recursive-CTE
     // closure + rep-keyed split CASE (q154), the train-split repeat plan
     // (q153), the clamped hex-threshold materialization (q155), the
     // per-epoch md5 order key (q140), and the (epoch, shard)-partitioned
     // running-sum packing (q97).
     "q156_training_batches" ->
       s"""WITH RECURSIVE raw AS (${qualityRawSql("doc_id, lang, text")}),
+         |rdoc AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+         |${repetitionCtesSql("r", "rdoc")},
          |qf AS (SELECT doc_id, lang, text FROM raw
-         |       WHERE $qualityExprSql >= 0.6),
+         |       WHERE $qualityExprSql >= 0.6
+         |         AND doc_id IN (SELECT doc_id FROM rfr WHERE keep)),
          |d AS (SELECT doc_id, lang, text FROM qf
          |      WHERE doc_id IN (SELECT min(doc_id) FROM qf
          |                       GROUP BY md5($normSql))),
