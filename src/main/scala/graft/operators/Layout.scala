@@ -50,6 +50,27 @@ object Layout {
       .sortBy(_._1)
   }
 
+  // ---- view-text coupling (writer ↔ recovery parser) -------------------
+  // Every view a versioned store ever gets is written through
+  // `viewBodySql` and parsed back through `servingVersion` — the TWO
+  // halves of one contract: recoverVersioned derives the serving
+  // version from the view's SQL text (resolveStore lies mid-swap), so
+  // any change to how the writer phrases the view MUST keep the parser
+  // matching. LayoutSpec gates the round-trip on a freshly written
+  // store and after a rewrite; change either side only with both.
+
+  /** The ONE view body a versioned store's name is ever bound to. */
+  private def viewBodySql(table: String, v: Int): String =
+    s"SELECT * FROM ${table}__v$v"
+
+  /** Parser half of the coupling: the serving version recorded in a
+    * view's stored SQL text ([[viewBodySql]]'s `__vN` suffix; the LAST
+    * match tolerates a db-qualified or quoted table name containing the
+    * pattern). None = not a graft-versioned view. */
+  private[graft] def servingVersion(viewText: String): Option[Int] =
+    "__v(\\d+)".r.findAllMatchIn(viewText)
+      .map(_.group(1).toInt).toSeq.lastOption
+
   /**
    * Resolve a store name to the TABLE that appends and rewrites must
    * target: for a versioned store (`table` is the view created by
@@ -198,16 +219,14 @@ object Layout {
     // (LayoutSpec-caught; resolveStore here would inspect the staged
     // table's empty coord dir and see a healthy store)
     val viewText = meta(spark, table).viewText.getOrElse(return false)
-    val vRe = ("__v(\\d+)").r
-    val cur = vRe.findAllMatchIn(viewText).map(_.group(1).toInt).toSeq
-      .lastOption.getOrElse(return false)
+    val cur = servingVersion(viewText).getOrElse(return false)
     val coord = coordPath(spark, s"${table}__v$cur")
     val closed = listTokens(spark, coord).filter(_._2 == "r")
     if (closed.isEmpty) return false
     val newer = versions(spark, table).map(_._1).filter(_ > cur)
     if (newer.nonEmpty) {
       spark.sql(s"CREATE OR REPLACE VIEW $table AS " +
-        s"SELECT * FROM ${table}__v${newer.min}")
+        viewBodySql(table, newer.min))
       versions(spark, table).dropRight(2)
         .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
     } else {
@@ -325,7 +344,7 @@ object Layout {
     require(m.tableType != CatalogTableType.VIEW,
       s"enableVersioning: $table is already a view")
     spark.sql(s"ALTER TABLE $table RENAME TO ${table}__v1")
-    spark.sql(s"CREATE VIEW $table AS SELECT * FROM ${table}__v1")
+    spark.sql(s"CREATE VIEW $table AS ${viewBodySql(table, 1)}")
   }
 
   /**
@@ -523,7 +542,8 @@ object Layout {
     // ONE catalog op: a concurrent reader resolves either the old or
     // the new version, never a missing name (LayoutSpec reader-loop
     // gate); then drop everything older than the version just left
-    spark.sql(s"CREATE OR REPLACE VIEW $table AS SELECT * FROM $vdest")
+    spark.sql(s"CREATE OR REPLACE VIEW $table AS " +
+      viewBodySql(table, expected + 1))
     versions(spark, table).dropRight(2)
       .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
   }

@@ -59,6 +59,36 @@ class LayoutSpec extends SparkSpec {
     OpCache.release()
   }
 
+  test("view-text coupling: every view the writers generate parses back " +
+    "to the serving version (recoverVersioned's parser contract)") {
+    // recoverVersioned derives the serving version from the view's
+    // stored SQL text; this gate fails if enableVersioning /
+    // commitVersioned ever phrase the view in a way servingVersion
+    // cannot read — the silent-recovery-breakage the coupling note in
+    // Layout.scala warns about
+    val tbl = s"layoutspec_vt_$pid"
+    (Seq(tbl) ++ (1 to 4).map(n => s"${tbl}__v$n"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def viewText: String = spark.sessionState.catalog
+      .getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+      .viewText.getOrElse(fail(s"$tbl is not a view"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    assert(Layout.servingVersion(viewText).contains(1),
+      s"fresh store's view text unparseable: '$viewText'")
+    Layout.compactBucketed(spark, tbl)
+    assert(Layout.servingVersion(viewText).contains(2),
+      s"post-rewrite view text unparseable: '$viewText'")
+    // and the parser agrees with resolveStore on a HEALTHY store (they
+    // may only diverge mid-swap, which is recoverVersioned's whole job)
+    assert(Layout.resolveStore(spark, tbl) == s"${tbl}__v2")
+    assert(Layout.servingVersion("SELECT * FROM plain_table").isEmpty,
+      "non-versioned view text must parse to None")
+    OpCache.release()
+  }
+
   test("versioned rewrite refuses a concurrent writer's lost update") {
     val tbl = s"layoutspec_race_$pid"
     spark.sql(s"DROP VIEW IF EXISTS $tbl")
