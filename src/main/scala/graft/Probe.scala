@@ -50,6 +50,9 @@ import graft.operators.{Dedup, Layout, OpCache, TextProfile}
   *    across the 50k/500k decade (SURVEY §6).
   *  - `csingest [n]` — versioned code-store ingest (q158): clustered
   *    vs scattered batch append vs one-shot rebuild (SURVEY §6).
+  *  - `csbloom [n]` — the ARBITRARY-BINDING idempotence check (q163):
+  *    legacy whole-store fullIdCheck vs the Bloom-screened sidecar
+  *    form, per-batch input read at two store sizes (SURVEY §6).
   */
 object Probe {
 
@@ -123,6 +126,8 @@ object Probe {
       case Some("splits") => splitsRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_500k.parquet"))
       case Some("csingest") => csIngestRun(args.drop(1).headOption
+        .map(_.toLong).getOrElse(100000L))
+      case Some("csbloom") => csBloomRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(100000L))
       case Some("cscadence") => csCadenceRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
@@ -273,6 +278,66 @@ object Probe {
       graft.operators.Quantize.writeCodeStore(
         all.unionByName(clustered), cents, cb, "embedding",
         "vec_id", m, subDim, s"$tmp/sB", versioned = true))
+  }
+
+  /** Bloom-sidecar pricing for the ARBITRARY-BINDING idempotence check
+    * (q163): `fullIdCheck = true` pre-sidecar reads every cell's id
+    * column per batch (O(store ids)), so its per-batch input read grows
+    * with the store; with [[graft.operators.Quantize.enableCodeStoreIdBloom]]
+    * recorded, a genuinely-new batch is screened to ZERO store reads and
+    * only Bloom positives pay the exact anti-join. Run at two n's
+    * (100k/400k) and compare the fixed-batch lines: LEGACY must grow
+    * with n, SCREENED must stay flat; the all-positives REPLAY line is
+    * the honest worst case (≈ legacy — every id routes to the join). */
+  private def csBloomRun(n: Long): Unit = {
+    val spark = session()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    val dim = 64
+    val (m, subDim) = (16, 4)
+    val cells = math.max(16, (n / 1000).toInt)
+    def vecs(ids: org.apache.spark.sql.Column, base: Int, eps: Double) =
+      transform(sequence(lit(1), lit(dim)),
+        i => (sin(lit(base) * i) + sin(ids * i) * eps)
+          .cast("float")).as("embedding")
+    val all = spark.range(n)
+      .select(col("id").as("vec_id"), vecs(col("id"), 1, 1.0))
+      .repartition(32)
+    val tmp = java.nio.file.Files.createTempDirectory("csbloom").toString
+    graft.operators.Similarity.trainCentroids(all, "embedding", "vec_id",
+      cells).write.mode("overwrite").parquet(s"$tmp/cents")
+    OpCache.release()
+    graft.operators.Quantize.trainCodebook(all, "embedding", "vec_id",
+      dim, m, 16).write.mode("overwrite").parquet(s"$tmp/cb")
+    OpCache.release()
+    val cents = spark.read.parquet(s"$tmp/cents")
+    val cb = spark.read.parquet(s"$tmp/cb")
+    timed(s"seed store build (n=$n, cells=$cells)")(
+      graft.operators.Quantize.writeCodeStore(all, cents, cb, "embedding",
+        "vec_id", m, subDim, s"$tmp/s", versioned = true))
+    def freshBatch(lo: Long) = spark.range(lo, lo + 1000)
+      .select(col("id").as("vec_id"), vecs(col("id"), 7, 0.001))
+    def measuredIngest(label: String,
+                       batch: org.apache.spark.sql.DataFrame): Unit = {
+      inputRead.reset()
+      val t0 = System.nanoTime()
+      graft.operators.Quantize.ingestBatchCodeStore(spark, s"$tmp/s",
+        batch, cents, cb, "embedding", "vec_id", m, subDim,
+        fullIdCheck = true).count()
+      Thread.sleep(500) // let the listener bus drain task-end events
+      println(f"[probe] $label: ${(System.nanoTime - t0) / 1e9}%.2f s, " +
+        f"input read ${inputRead.sum() / 1048576.0}%.1f MiB")
+      OpCache.release()
+    }
+    measuredIngest("LEGACY fullIdCheck, FIXED 1k new ids",
+      freshBatch(10 * n))
+    timed("enableCodeStoreIdBloom (one O(store) pass)")(
+      graft.operators.Quantize.enableCodeStoreIdBloom(spark, s"$tmp/s",
+        "vec_id", math.max(4 * n, 1000000L)))
+    measuredIngest("SCREENED fullIdCheck, FIXED 1k new ids",
+      freshBatch(20 * n))
+    measuredIngest("SCREENED REPLAY (all positives, exact fallback)",
+      freshBatch(20 * n))
   }
 
   /** Streaming code-store ingest at CADENCE (r15): drive

@@ -3350,6 +3350,74 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-sidecar verdict gate — q158's sibling on the ARBITRARY-BINDING
+    * idempotence leg (`fullIdCheck = true`): with
+    * [[operators.Quantize.enableCodeStoreIdBloom]] recorded, the check is
+    * Bloom-screened (store files read only for Bloom-positive ids — the
+    * O(store ids) per-batch scan was the last ingest cost that grew with
+    * the store). Verdicts pin the full semantic envelope: the screen
+    * never drops (replay of held ids is a no-op; a retracted id is a
+    * stale POSITIVE that falls through to the exact check and re-ingests
+    * — the deterministic false-positive case), never blocks (a batch of
+    * new ids lands in full), and the filter is maintained by every
+    * committing ingest (final store ≡ the expected id union). All
+    * verdicts are fpp-independent, so the gate cannot flake on hash
+    * luck. QuantizeSpec carries the corruption fixture proving the
+    * zero-read claim at execution level. */
+  private def q163_codestore_bloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q163_$pid"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"
+    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+      4, 16, store, versioned = true)
+    operators.Quantize.enableCodeStoreIdBloom(s, store, "vec_id", 200000L)
+    val recorded = operators.Quantize.storedIdBloom(s, store).nonEmpty
+    def ingest(batch: DataFrame): Long =
+      operators.Quantize.ingestBatchCodeStore(s, store, batch, cents, cb,
+        "embedding", "vec_id", 4, 16, fullIdCheck = true).count()
+    // held ids replayed: every id is Bloom-positive, the exact fallback
+    // finds all of them held — nothing lands, no commit
+    val replayed = ingest(e)
+    // retract one id: the sidecar stays conservative (still positive),
+    // the exact check finds it absent, the re-ingest proceeds
+    val x = e.agg(min(col("vec_id"))).as[Long].head()
+    operators.Quantize.removeFromCodeStore(s, store,
+      Seq(x).toDF("vec_id"), "vec_id")
+    val staleCorrected = ingest(
+      e.filter(col("vec_id") === x).select(col("vec_id"), col("embedding")))
+    // a batch of genuinely-new ids lands in full (negatives skip the
+    // store read entirely; any hash-unlucky positive just pays the join)
+    val fresh = e.orderBy(col("vec_id")).limit(50)
+      .select((col("vec_id") + 9000000L).as("vec_id"), col("embedding"))
+    val freshLanded = ingest(fresh)
+    // final store = corpus ∪ fresh (x retracted and re-ingested)
+    val gotIds = operators.Quantize.readCodeStore(s, store)
+      .select(col("vec_id"), lit(1).as("ing"))
+    val wantIds = e.select(col("vec_id"))
+      .unionByName(fresh.select(col("vec_id"))).withColumn("inw", lit(1))
+    val mismatches = gotIds
+      .join(wantIds, Seq("vec_id"), "full_outer")
+      .filter(col("ing").isNull || col("inw").isNull).count()
+    Seq(
+      ("cstore_bloom_recorded", 1.0, recorded),
+      ("cstore_bloom_replay_noop", 0.0, replayed == 0L),
+      ("cstore_bloom_stale_positive_corrected", 1.0, staleCorrected == 1L),
+      ("cstore_bloom_new_batch_full", 50.0, freshLanded == 50L),
+      ("cstore_bloom_store_equals_union", 0.0, mismatches == 0L))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     // composed quality gate: composite score + Gopher repetition keep
@@ -3539,6 +3607,7 @@ object SparkEntry {
     "q160_codestore_retrain" -> q160_codestore_retrain _,
     "q161_training_batches_stored" -> q161_training_batches_stored _,
     "q162_repetition_rules" -> q162_repetition_rules _,
+    "q163_codestore_bloom" -> q163_codestore_bloom _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5503,6 +5572,20 @@ object SparkEntry {
          |${repetitionCtesSql("", "d")}
          |SELECT doc_id, $cols, keep FROM fr ORDER BY doc_id""".stripMargin
     },
+    // q163 pins the Bloom-screened fullIdCheck ingest verdicts (q158's
+    // pattern on the arbitrary-binding leg): screen never drops (replay
+    // no-op, stale positive re-ingests), never blocks (new batch lands
+    // in full), filter maintained across commits (store ≡ union).
+    "q163_codestore_bloom" ->
+      """SELECT * FROM (VALUES
+        |  ('cstore_bloom_new_batch_full', CAST(50.0 AS DOUBLE), TRUE),
+        |  ('cstore_bloom_recorded', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('cstore_bloom_replay_noop', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('cstore_bloom_stale_positive_corrected',
+        |   CAST(1.0 AS DOUBLE), TRUE),
+        |  ('cstore_bloom_store_equals_union', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     // q150 recomputes the whole boilerplate-removal composition from
     // exact counts: the planted footer, the stride-1 trigram windows
     // (whole-text window for short docs, shingles' contract), the

@@ -342,7 +342,7 @@ object Quantize {
   }
 
   /** The (cellValue, relativeCellDir) entries of manifest `v`. */
-  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readManifest(spark: org.apache.spark.sql.SparkSession,
                            path: String, v: Long): Seq[(String, String)] =
     readManifestLines(spark, path, v).filterNot(_._1.startsWith("@"))
 
@@ -446,6 +446,44 @@ object Quantize {
     dir
   }
 
+  /** Persist the store's held-id Bloom filter (Bloom 1970) under
+    * `path/bloom-%06d-<nonce>` — a manifest artifact exactly like
+    * `@models` (nonce-unique per attempt, referenced via `@bloom`, GC'd
+    * once unreferenced). Serialized with the sketch's own
+    * `writeTo`/`readFrom` wire format. */
+  private def writeBloomArtifact(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, gen: Long,
+                                 bloom: org.apache.spark.util.sketch.BloomFilter)
+      : String = {
+    val name =
+      f"bloom-$gen%06d-${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = storeFs(spark, path)
+      .create(new org.apache.hadoop.fs.Path(path, name), true)
+    try bloom.writeTo(out) finally out.close()
+    name
+  }
+
+  private def readBloomArtifact(spark: org.apache.spark.sql.SparkSession,
+                                path: String, rel: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val in = storeFs(spark, path)
+      .open(new org.apache.hadoop.fs.Path(path, rel))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
+  /** Build a Bloom over `df`'s id column in the store's 64-bit hash lane
+    * (`xxhash64(id)` — id type stays arbitrary, the filter holds longs;
+    * the same lane the membership check probes). Geometry (items, fpp)
+    * must match the store's recorded `@bloomgeom` for `mergeInPlace`
+    * compatibility — same (n, p) derives the same bit size and hash
+    * count. */
+  private def buildIdBloom(df: DataFrame, idCol: String, items: Long,
+                           fpp: Double)
+      : org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(
+      org.apache.spark.sql.functions.xxhash64(col(idCol)), items, fpp)
+
   /**
    * The (centroids, codebook) model frames the CURRENT manifest references
    * — the pair every read/serve/ingest against this store must use (codes
@@ -462,6 +500,64 @@ object Quantize {
         (spark.read.parquet(s"$base/$d/centroids"),
           spark.read.parquet(s"$base/$d/codebook"))
       }
+    }
+
+  /**
+   * Record a HELD-ID Bloom filter in the manifest (`@bloom` artifact +
+   * `@bloomgeom` = `expectedItems\tfpp\tidCol`) — the `corpusBloom`
+   * discipline from the fingerprint tier applied to the code store's
+   * `fullIdCheck` ingest path: with the sidecar, an arbitrary-binding
+   * idempotence check screens the batch against the Bloom FIRST
+   * (codegen'd [[graft.functions.expressions.BloomMightContainLong]]
+   * over `xxhash64(id)`) and reads the store's cell files ONLY when a
+   * batch id is Bloom-POSITIVE — a genuinely-new batch pays O(batch)
+   * compute and ZERO store reads, where the legacy scan read every
+   * cell's id column per batch (O(store ids), the one `fullIdCheck`
+   * cost that grew with the store).
+   *
+   * Correctness does not depend on the filter: a Bloom has no false
+   * negatives over what was PUT in it (every committing ingest merges
+   * its new ids in before the manifest rename — same atomic commit), so
+   * a held id can never be waved through; false positives only route
+   * rows to the exact anti-join. Retraction deliberately leaves the
+   * Bloom stale-CONSERVATIVE (a removed id stays positive): the exact
+   * check then finds it absent and the re-ingest proceeds — correct,
+   * just unscreened (QuantizeSpec-gated as the deterministic
+   * "false-positive" case). A store that outgrows `expectedItems`
+   * degrades fpp, never correctness — re-run this op (or
+   * [[retrainCodeStore]], which rebuilds the filter over the new
+   * corpus) to reseed at a larger capacity.
+   *
+   * One O(store ids) build pass, committed as manifest v+1 with the
+   * cell entries unchanged — concurrent writers are refused by the
+   * standard generation CAS.
+   */
+  def enableCodeStoreIdBloom(spark: org.apache.spark.sql.SparkSession,
+                             path: String, idCol: String,
+                             expectedItems: Long,
+                             fpp: Double = 0.01): Unit = {
+    val v = codeStoreVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"enableCodeStoreIdBloom: $path is not a versioned store — " +
+          "enableCodeStoreVersioning first (the sidecar is a manifest " +
+          "artifact)"))
+    val bloom =
+      buildIdBloom(readCodeStore(spark, path), idCol, expectedItems, fpp)
+    val rel = writeBloomArtifact(spark, path, v + 1, bloom)
+    commitManifest(spark, path, v + 1, readManifest(spark, path, v),
+      readManifestMeta(spark, path, v) ++ Map(
+        "bloom" -> rel, "bloomgeom" -> s"$expectedItems\t$fpp\t$idCol"))
+    gcStore(spark, path, Seq(v, v + 1))
+  }
+
+  /** The held-id Bloom the CURRENT manifest references (None = sidecar
+    * never enabled). Probes in the `xxhash64(id)` lane — see
+    * [[enableCodeStoreIdBloom]]. */
+  def storedIdBloom(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    codeStoreVersion(spark, path).flatMap { v =>
+      readManifestMeta(spark, path, v).get("bloom")
+        .map(readBloomArtifact(spark, path, _))
     }
 
   /**
@@ -527,8 +623,11 @@ object Quantize {
    * document is a retract + re-ingest, [[removeFromCodeStore]] first,
    * the same discipline the raw-vector store needs anyway for
    * [[ivfPqRerank]]'s drift contract). Callers that cannot guarantee it
-   * pass `fullIdCheck = true` for the legacy whole-store id scan
-   * (exact for arbitrary bindings; O(store ids) read per batch).
+   * pass `fullIdCheck = true` for the exact arbitrary-binding check —
+   * with the [[enableCodeStoreIdBloom]] sidecar recorded, that check is
+   * Bloom-SCREENED (O(batch) compute; store files are read only for
+   * Bloom-positive ids, so a genuinely-new batch reads NOTHING); without
+   * the sidecar, the legacy whole-store id scan (O(store ids) per batch).
    *
    * In-batch duplicate ids are collapsed (`dropDuplicates(idCol)`) before
    * the anti-join — duplicates WITHIN one batch would otherwise all
@@ -581,14 +680,52 @@ object Quantize {
     val assigned = batchCodes.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // batch-bounded driver list
     if (assigned.isEmpty) return batchCodes // empty batch
-    val checkDirs = (if (fullIdCheck) entries
-      else entries.filter(e => assigned(e._1))).map(e => s"$base/${e._2}")
-    // skip already-held ids (idempotence; reads only checkDirs' files)
-    val newCodes = if (checkDirs.isEmpty) batchCodes
-      else OpCache.materialize(batchCodes.join(
-        spark.read.schema(batchCodes.schema).parquet(checkDirs: _*)
-          .select(col(idCol)),
-        Seq(idCol), "left_anti"))
+    // held-id Bloom sidecar ([[enableCodeStoreIdBloom]]): loaded once
+    // per ingest when the manifest records one — screens the fullIdCheck
+    // path below and is re-merged before the commit
+    require(meta.contains("bloom") == meta.contains("bloomgeom"),
+      s"ingestBatchCodeStore: $path's manifest records one of " +
+        "@bloom/@bloomgeom without the other — a filter without its " +
+        "geometry cannot be maintained (and would go stale, breaking " +
+        "the no-false-negatives invariant); re-run enableCodeStoreIdBloom")
+    val bloomGeom = meta.get("bloomgeom").map { g =>
+      val a = g.split("\t", 3)
+      require(a(2) == idCol,
+        s"ingestBatchCodeStore: $path's id Bloom is over column " +
+          s"'${a(2)}' but the batch keys on '$idCol' — the sidecar " +
+          "would screen the wrong lane; re-enable it on the new column")
+      (a(0).toLong, a(1).toDouble)
+    }
+    val storeBloom = meta.get("bloom").map(readBloomArtifact(spark, path, _))
+    val newCodes = (fullIdCheck, storeBloom) match {
+      case (true, Some(bloom)) =>
+        // arbitrary-binding check, Bloom-screened: negatives are
+        // DEFINITELY new (no false negatives — every committed ingest
+        // merged its ids in under the same manifest rename); only
+        // positives pay the exact whole-store anti-join, and a batch
+        // with zero positives reads NO store files at all
+        val maybeHeld = graft.functions.expressions.GraftExpressions
+          .bloomMightContainLong(bloom,
+            org.apache.spark.sql.functions.xxhash64(col(idCol)))
+        val positives = batchCodes.filter(maybeHeld)
+        val resolved =
+          if (positives.isEmpty) batchCodes.filter(!maybeHeld)
+          else batchCodes.filter(!maybeHeld).unionByName(positives.join(
+            spark.read.schema(batchCodes.schema)
+              .parquet(entries.map(e => s"$base/${e._2}"): _*)
+              .select(col(idCol)),
+            Seq(idCol), "left_anti"))
+        OpCache.materialize(resolved)
+      case _ =>
+        val checkDirs = (if (fullIdCheck) entries
+          else entries.filter(e => assigned(e._1))).map(e => s"$base/${e._2}")
+        // skip already-held ids (idempotence; reads only checkDirs' files)
+        if (checkDirs.isEmpty) batchCodes
+        else OpCache.materialize(batchCodes.join(
+          spark.read.schema(batchCodes.schema).parquet(checkDirs: _*)
+            .select(col(idCol)),
+          Seq(idCol), "left_anti"))
+    }
     val touched = newCodes.select(col("cell").cast("string")).distinct()
       .collect().map(_.getString(0)).toSet // batch-bounded driver list
     if (touched.isEmpty) return newCodes // replay: nothing new, no commit
@@ -599,9 +736,20 @@ object Quantize {
     val merged = oldRows.unionByName(
       newCodes.select(oldRows.columns.map(col): _*))
     val freshEntries = writeGeneration(spark, merged, path, v + 1)
+    // Bloom maintenance: the new ids merge into the sidecar BEFORE the
+    // manifest rename, so the filter committed with generation v+1
+    // covers every id v+1 holds — the no-false-negatives invariant the
+    // screened check above relies on. Same (items, fpp) geometry as the
+    // recorded filter, so mergeInPlace is structurally compatible.
+    val outMeta = (storeBloom, bloomGeom) match {
+      case (Some(bloom), Some((items, fpp))) =>
+        bloom.mergeInPlace(buildIdBloom(newCodes, idCol, items, fpp))
+        meta + ("bloom" -> writeBloomArtifact(spark, path, v + 1, bloom))
+      case _ => meta
+    }
     commitManifest(spark, path, v + 1,
       entries.filterNot(e => touched(e._1)) ++ freshEntries,
-      meta) // models pointer + geometry survive ingest
+      outMeta) // models pointer + geometry (+ id Bloom) survive ingest
     gcStore(spark, path, Seq(v, v + 1))
     newCodes
   }
@@ -613,6 +761,7 @@ object Quantize {
   // every commit, so one stray name would wedge every later lifecycle op
   private val GenRe = "gen-(\\d{6,})-.*".r
   private val ModelsRe = "models-(\\d{6,})-.*".r
+  private val BloomArtifactRe = "bloom-(\\d{6,})-.*".r
 
   /** Orphans whose target version is PAST the floor but at or below the
     * CURRENT manifest cannot belong to an in-flight writer (those always
@@ -660,6 +809,8 @@ object Quantize {
       .flatMap(v => readManifest(spark, path, v)).map(_._2).toSet
     val refdModels = surviving
       .flatMap(v => readManifestMeta(spark, path, v).get("models")).toSet
+    val refdBlooms = surviving
+      .flatMap(v => readManifestMeta(spark, path, v).get("bloom")).toSet
     val cutoff = System.currentTimeMillis() - horizonMs
     // one level deep: a writer creating files inside pcell= children
     // bumps the child dir's mtime even when the top dir's is stale
@@ -684,6 +835,9 @@ object Quantize {
             fs.delete(st.getPath, true) // only _SUCCESS markers left
         case ms @ ModelsRe(n) if !refdModels(ms) && doomed(n.toLong, st) =>
           fs.delete(st.getPath, true)
+        case bl @ BloomArtifactRe(n) if !refdBlooms(bl) &&
+            doomed(n.toLong, st) =>
+          fs.delete(st.getPath, false) // sidecar is one file, not a dir
         case _ => ()
       }
     }
@@ -701,6 +855,23 @@ object Quantize {
    * surviving manifest references, and every artifact an in-flight
    * writer could own (target > current, or younger than the horizon),
    * is structurally spared (QuantizeSpec-gated).
+   *
+   * CURRENT+1 orphans (a writer that crashed after staging its
+   * generation but before its manifest rename) are indistinguishable
+   * from an in-flight writer by version alone, so no sweep may delete
+   * them directly — a merely-STALLED writer's later commit would then
+   * reference deleted files and corrupt the store. Once such an orphan
+   * has been idle past the horizon, this sweep instead ADVANCES past it:
+   * it commits a NO-OP manifest at current+1 (identical entries and
+   * meta) through the same exclusive-rename CAS every writer uses. If a
+   * live writer wins the race, our commit is refused and nothing
+   * happens (its commit advanced `current` anyway); if we win, a stalled
+   * writer's eventual commit is REFUSED by the generation check — the
+   * standard loud retry path, never corruption — and the orphan, now
+   * targeting the CURRENT version, falls to the ordinary age gate
+   * (QuantizeSpec-gated both ways). This closes the one residual from
+   * r15: a fully quiescent store no longer hoards a crash orphan
+   * forever.
    */
   def gcCodeStore(spark: org.apache.spark.sql.SparkSession, path: String,
                   orphanHorizonMs: Long = DefaultOrphanHorizonMs): Unit = {
@@ -708,8 +879,39 @@ object Quantize {
     // floor = current-1 even when only ONE manifest exists: a v1 store's
     // floor must not reach v1, or a still-racing doomed initial writer's
     // generation would fall to the VERSION gate with no age protection
-    if (ms.nonEmpty)
-      gcStore(spark, path, Seq(ms.last - 1, ms.last), orphanHorizonMs)
+    if (ms.isEmpty) return
+    gcStore(spark, path, Seq(ms.last - 1, ms.last), orphanHorizonMs)
+    val cur = ms.last
+    val fs = storeFs(spark, path)
+    val cutoff = System.currentTimeMillis() - orphanHorizonMs
+    def idle(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime < cutoff && (!st.isDirectory ||
+        fs.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+    val refd =
+      readManifest(spark, path, cur).map(_._2.split("/", 2)(0)).toSet ++
+        readManifestMeta(spark, path, cur).get("models") ++
+        readManifestMeta(spark, path, cur).get("bloom")
+    val hasIdleNextOrphan =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.exists { st =>
+        val n = st.getPath.getName match {
+          case GenRe(n) => Some(n.toLong)
+          case ModelsRe(n) => Some(n.toLong)
+          case BloomArtifactRe(n) => Some(n.toLong)
+          case _ => None
+        }
+        n.contains(cur + 1) && !refd(st.getPath.getName) && idle(st)
+      }
+    if (hasIdleNextOrphan) {
+      try {
+        commitManifest(spark, path, cur + 1,
+          readManifest(spark, path, cur), readManifestMeta(spark, path, cur))
+        gcStore(spark, path, Seq(cur, cur + 1), orphanHorizonMs)
+      } catch {
+        // a live writer won the CAS — its commit advanced current past
+        // the orphan's target, which the next sweep's age gate collects
+        case _: IllegalArgumentException => ()
+      }
+    }
   }
 
   /**
@@ -864,10 +1066,21 @@ object Quantize {
     val codes = assembleCodes(corpus, cents, cb, vecCol, idCol, m, dim / m)
     val entries = writeGeneration(spark, codes, path, v + 1)
     require(entries.nonEmpty, "retrainCodeStore: empty corpus")
+    // the id Bloom sidecar, if enabled, is rebuilt over the NEW corpus at
+    // the recorded geometry (retrain redefines the store's content, so a
+    // fresh filter also sheds retraction staleness) and committed under
+    // the SAME manifest rename as the codes and models
+    val bloomMeta = readManifestMeta(spark, path, v).get("bloomgeom")
+      .map { g =>
+        val a = g.split("\t", 3)
+        val fresh = buildIdBloom(corpus, idCol, a(0).toLong, a(1).toDouble)
+        Map("bloom" -> writeBloomArtifact(spark, path, v + 1, fresh),
+          "bloomgeom" -> s"${a(0)}\t${a(1)}\t$idCol")
+      }.getOrElse(Map.empty[String, String])
     // one atomic swap commits codes AND models together; on refusal the
     // orphan generation/models dirs fall to gcStore's version/age gates
     commitManifest(spark, path, v + 1, entries,
-      Map("models" -> models, "pq" -> s"$m\t${dim / m}"))
+      Map("models" -> models, "pq" -> s"$m\t${dim / m}") ++ bloomMeta)
     gcStore(spark, path, Seq(v, v + 1))
   }
 

@@ -550,6 +550,105 @@ class QuantizeSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("id Bloom sidecar: screened fullIdCheck reads NO store files for " +
+    "a bloom-negative batch; stale positives fall through to the exact " +
+    "check; every committing ingest maintains the filter") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_bloom").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    Quantize.enableCodeStoreIdBloom(spark, dir, "vec_id", 10000L, 0.01)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L),
+      "sidecar enable should commit a manifest-only generation")
+    val b0 = Quantize.storedIdBloom(spark, dir).getOrElse(
+      fail("sidecar not recorded in the manifest"))
+    // the sidecar probes the xxhash64(id) lane — same hash both sides
+    def lane(ids: Seq[Long]): Seq[Long] = ids.toDF("vec_id")
+      .select(xxhash64($"vec_id")).as[Long].collect().toSeq
+    val heldIds = e.select($"vec_id").as[Long].collect().toSeq
+    assert(lane(heldIds).forall(b0.mightContainLong),
+      "a held id is Bloom-negative — the no-false-negatives invariant")
+
+    // (a) changed-vector re-ingest (the arbitrary-binding case the
+    // cell-bounded contract excludes): bloom-POSITIVE → exact fallback,
+    // same verdict as the legacy whole-store scan
+    val assigned = graft.operators.Similarity.ivfAssign(
+      e, cents, "embedding", "vec_id")
+    val cells2 = assigned.groupBy($"cell")
+      .agg(min($"vec_id").as("vec_id")).limit(2)
+      .join(e, Seq("vec_id")).select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    assert(cells2.length == 2)
+    val moved = Seq((cells2(0)._1, cells2(1)._2)).toDF("vec_id", "embedding")
+    assert(Quantize.ingestBatchCodeStore(spark, dir, moved, cents, cbT,
+      "embedding", "vec_id", 4, 16, fullIdCheck = true).count() == 0,
+      "screened fullIdCheck missed a held id in a non-assigned cell")
+
+    // (b) retraction leaves the filter stale-CONSERVATIVE — the
+    // deterministic false-positive fixture: retract x, re-ingest x; the
+    // bloom says maybe-held, the exact check finds it absent, ingest
+    // proceeds (a Bloom can only over-route to the join, never drop)
+    val x = heldIds.min
+    Quantize.removeFromCodeStore(spark, dir, Seq(x).toDF("vec_id"), "vec_id")
+    assert(Quantize.storedIdBloom(spark, dir).get
+      .mightContainLong(lane(Seq(x)).head),
+      "retraction should leave the bloom conservative, not rebuild it")
+    val back = e.filter($"vec_id" === x).select($"vec_id", $"embedding")
+    assert(Quantize.ingestBatchCodeStore(spark, dir, back, cents, cbT,
+      "embedding", "vec_id", 4, 16, fullIdCheck = true).count() == 1,
+      "stale-positive id was not re-ingested through the exact fallback")
+
+    // (c) maintenance: a CELL-BOUNDED ingest (fullIdCheck = false) must
+    // merge its ids into the sidecar under the same commit — otherwise a
+    // later screened check would treat them as definitely-new and store
+    // them twice, permanently
+    val vsome = e.orderBy($"vec_id").limit(3)
+      .select(($"vec_id" + 5000000L).as("vec_id"), $"embedding")
+    Quantize.ingestBatchCodeStore(spark, dir, vsome, cents, cbT,
+      "embedding", "vec_id", 4, 16)
+    assert(Quantize.ingestBatchCodeStore(spark, dir, vsome, cents, cbT,
+      "embedding", "vec_id", 4, 16, fullIdCheck = true).count() == 0,
+      "cell-bounded ingest did not merge its ids into the sidecar")
+
+    // (d) EXECUTION proof of the screen: corrupt every manifest cell dir
+    // except the one the batch assigns to; a deterministically
+    // bloom-NEGATIVE batch of new ids must still ingest with
+    // fullIdCheck = true — the screened check read NOTHING (the
+    // pre-sidecar whole-store scan fails on exactly this fixture, gated
+    // in the cell-bounded test's negative control)
+    val bNow = Quantize.storedIdBloom(spark, dir).get
+    val oneCell = assigned.select($"cell").head().get(0)
+    val vecs20 = e.join(
+        assigned.filter($"cell" === oneCell).select($"vec_id"),
+        Seq("vec_id"), "left_semi")
+      .limit(20).select($"embedding").as[Seq[Float]].collect()
+    assert(vecs20.length == 20)
+    val candidates = (1L to 2000L).map(_ + 9000000L)
+    val negatives = candidates.zip(lane(candidates))
+      .filterNot { case (_, h) => bNow.mightContainLong(h) }
+      .map(_._1).take(20)
+    assert(negatives.length == 20, "fixture degenerate: too few negatives")
+    val v = Quantize.codeStoreVersion(spark, dir).get
+    val entriesNow = Quantize.readManifest(spark, dir, v)
+    entriesNow.filterNot(_._1 == oneCell.toString).foreach { case (_, d) =>
+      corruptParquet(new java.io.File(s"$dir/$d"))
+    }
+    assert(entriesNow.count(_._1 != oneCell.toString) >= 2,
+      "fixture degenerate: the screen proof needs cells to avoid")
+    val batch = negatives.zip(vecs20).toDF("vec_id", "embedding")
+    val got = Quantize.ingestBatchCodeStore(spark, dir, batch, cents, cbT,
+      "embedding", "vec_id", 4, 16, fullIdCheck = true)
+    assert(got.select($"vec_id").as[Long].collect().toSet ==
+      negatives.toSet,
+      "bloom-negative batch did not ingest through the screened check")
+    // superseded sidecar artifacts fall to the same grace GC as models
+    val bloomFiles = new java.io.File(dir).list()
+      .filter(_.startsWith("bloom-")).toSeq
+    assert(bloomFiles.size <= 2,
+      s"superseded bloom artifacts not GC'd: $bloomFiles")
+    graft.operators.OpCache.release()
+  }
+
   test("gcCodeStore age fallback collects idle orphans on a quiet store, " +
     "spares fresh and future-versioned artifacts") {
     val (e, cents, cbT) = storeModels()
@@ -568,12 +667,11 @@ class QuantizeSpec extends SparkSpec {
     }
     val staleCur = mkOrphan("gen-000001-aaaaaaaa", stale = true)
     val freshCur = mkOrphan("gen-000001-bbbbbbbb", stale = false)
-    val staleFuture = mkOrphan("gen-000002-cccccccc", stale = true)
     val staleTmp = new java.io.File(dir, "_graft_manifest-v000001.tmp-dd")
     java.nio.file.Files.write(staleTmp.toPath, "junk".getBytes("UTF-8"))
     assert(staleTmp.setLastModified(old))
     // age the REFERENCED artifacts too: age alone must never collect them
-    val planted = Set(staleCur, freshCur, staleFuture).map(_.getName)
+    val planted = Set(staleCur, freshCur).map(_.getName)
     new java.io.File(dir).listFiles.filter(f =>
         !planted(f.getName) &&
           (f.getName.startsWith("models-") || f.getName.startsWith("gen-")))
@@ -590,14 +688,41 @@ class QuantizeSpec extends SparkSpec {
     assert(freshCur.exists(),
       "a YOUNG orphan was age-collected — a racing doomed writer's " +
         "staging data is not this GC's to delete")
-    assert(staleFuture.exists(),
-      "an orphan targeting current+1 was collected — indistinguishable " +
-        "from an in-flight writer by version")
     assert(Quantize.storedModels(spark, dir).nonEmpty,
       "the referenced models dir was collected")
     assert(Quantize.readCodeStore(spark, dir)
       .select($"vec_id").as[Long].collect().toSet == before,
       "age GC touched referenced data")
+    // an orphan targeting CURRENT+1 is indistinguishable from an
+    // in-flight writer by version alone: while FRESH it must be spared
+    // AND must not trigger the advance
+    val future = mkOrphan("gen-000002-cccccccc", stale = false)
+    Quantize.gcCodeStore(spark, dir)
+    assert(future.exists(),
+      "a fresh current+1 orphan was collected — it may be a live writer")
+    assert(Quantize.codeStoreVersion(spark, dir).contains(1L),
+      "the advance fired for a FRESH current+1 orphan")
+    // once IDLE past the horizon, the sweep ADVANCES past it with a
+    // no-op manifest commit (same CAS every writer uses — a stalled
+    // writer's later commit is refused loudly, never corrupted), after
+    // which the ordinary age gate collects it
+    Seq(future, new java.io.File(future, "pcell=999"),
+        new java.io.File(future, "pcell=999/part-junk.parquet"))
+      .foreach(p => assert(p.setLastModified(old)))
+    Quantize.gcCodeStore(spark, dir)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L),
+      "idle current+1 orphan did not trigger the no-op advance")
+    assert(!future.exists(),
+      "idle current+1 orphan survived the advance + age gate")
+    assert(Quantize.storedModels(spark, dir).nonEmpty,
+      "the no-op advance dropped the models pointer")
+    assert(Quantize.readCodeStore(spark, dir)
+      .select($"vec_id").as[Long].collect().toSet == before,
+      "the no-op advance changed the store's content")
+    // idempotent: a second sweep with nothing to do commits nothing
+    Quantize.gcCodeStore(spark, dir)
+    assert(Quantize.codeStoreVersion(spark, dir).contains(2L),
+      "a quiet sweep advanced the generation")
     // a foreign name with a gen- prefix must be SKIPPED, not crash GC
     assert(new java.io.File(dir, "gen-").mkdirs())
     assert(new java.io.File(dir, "gen-notaversion").mkdirs())
