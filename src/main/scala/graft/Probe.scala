@@ -53,6 +53,10 @@ import graft.operators.{Dedup, Layout, OpCache, TextProfile}
   *  - `csbloom [n]` — the ARBITRARY-BINDING idempotence check (q163):
   *    legacy whole-store fullIdCheck vs the Bloom-screened sidecar
   *    form, per-batch input read at two store sizes (SURVEY §6).
+  *  - `repfilter [<docs.parquet>...]` — the repetition FILTER vs
+  *    PROFILE split (q162 vs q88): per-row fold columns vs the
+  *    (id, gram) exchange, wall + shuffle across the 50k/500k decade
+  *    (SURVEY §6).
   */
 object Probe {
 
@@ -129,6 +133,10 @@ object Probe {
         .map(_.toLong).getOrElse(100000L))
       case Some("csbloom") => csBloomRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(100000L))
+      case Some("repfilter") => repFilterRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k.parquet",
+          "/tmp/graft_scale/documents_500k.parquet"))
       case Some("cscadence") => csCadenceRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
         args.drop(2).headOption.map(_.toInt).getOrElse(12))
@@ -278,6 +286,41 @@ object Probe {
       graft.operators.Quantize.writeCodeStore(
         all.unionByName(clustered), cents, cb, "embedding",
         "vec_id", m, subDim, s"$tmp/sB", versioned = true))
+  }
+
+  /** FILTER-vs-PROFILE pricing for the repetition family — the claim at
+    * `TextFunctions.scala` ("the keep/drop decision costs a map stage
+    * where the profiling twin shuffles (id, gram) pairs") measured
+    * across a corpus decade instead of asserted from plan shape. The
+    * FILTER face computes the FULL Gopher A1 stats struct (13 fractions,
+    * q162) plus the keep verdict as per-row fold columns — zero
+    * exchange; the PROFILE face is q88's `repetitionScores` (explode →
+    * two groupBys), whose (id, gram) exchange is the right shape when
+    * the SCORES themselves are the product. Expect both linear in corpus
+    * bytes, with the FILTER's shuffle at 0 and the PROFILE's growing
+    * with token count. */
+  private def repFilterRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    paths.foreach { p =>
+      // single-file fixture = ONE scan partition; repartition + persist
+      // OUTSIDE the measured window (untracked, so measure()'s release
+      // doesn't drop it between faces) so both faces run 32-wide on
+      // cached rows and the shuffle column shows only the operator's own
+      val docs = spark.read.parquet(p).repartition(32).persist()
+      docs.count()
+      val name = p.split("/").last
+      measure(s"FILTER repetitionStats + keep ($name)")(
+        docs.select(col("doc_id"),
+            graft.functions.TextFunctions.repetitionStats(col("text"))
+              .as("r"))
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.gopherKeepFromStats(col("r"))
+              .as("keep")))
+      measure(s"PROFILE repetitionScores n=2 ($name)")(
+        graft.operators.TextProfile.repetitionScores(
+          docs, "text", "doc_id", n = 2))
+      docs.unpersist(blocking = false)
+    }
   }
 
   /** Bloom-sidecar pricing for the ARBITRARY-BINDING idempotence check
@@ -452,6 +495,22 @@ object Probe {
     timed(s"store build over A (n=$n, cells=$cells)")(
       graft.operators.Quantize.writeCodeStore(a, cents0, cb0, "embedding",
         "vec_id", m, subDim, store, versioned = true))
+    // drift METRIC tie-in (q164's codeStoreDriftStats): the retrain
+    // trigger must read CALM on an in-distribution sample and LOUD on
+    // the very batch whose stale-model recall collapses below — this is
+    // the thresholding evidence SURVEY §6 records (err_ratio ↔ recall)
+    def driftStat(label: String,
+                  batch: org.apache.spark.sql.DataFrame): Unit = {
+      val r = graft.operators.Quantize.codeStoreDriftStats(spark, store,
+        batch, "embedding", "vec_id").collect()(0)
+      println(f"[probe] driftStats $label: " +
+        f"err_ratio=${r.getAs[Double]("err_ratio")}%.2f " +
+        f"fill_skew=${r.getAs[Double]("fill_skew")}%.2f")
+      OpCache.release()
+    }
+    driftStat("CONTROL (A sample)",
+      a.filter(pmod(col("vec_id"), lit(17)) === 0))
+    driftStat("DRIFTED B (pre-ingest)", b)
     timed(s"ingest DRIFTED B (${n / 2} vectors, stale models)")(
       graft.operators.Quantize.ingestBatchCodeStore(spark, store, b,
         cents0, cb0, "embedding", "vec_id", m, subDim).count())

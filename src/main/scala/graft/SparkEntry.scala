@@ -3418,6 +3418,60 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Drift-metric verdict gate ([[operators.Quantize.codeStoreDriftStats]]
+    * — the "WHEN to retrain" diagnostic q160's retrain leg was missing):
+    * an in-distribution control batch must read err_ratio ≈ 1 with
+    * bounded fill skew, and a concentrated new-domain batch (the
+    * Probe-`retrain` drift shape whose stale recall@10 measured 0.004 vs
+    * 0.328 retrained) must read err_ratio and fill_skew FAR above the
+    * control — the separation that makes the metric an actionable
+    * retrain trigger rather than a number. */
+  private def q164_codestore_drift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+      dim = 64, m = 4, ksub = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_q164_$pid"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"
+    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+      4, 16, store, versioned = true)
+    // control: a same-distribution sample of the corpus itself
+    val control = e.filter(pmod(col("vec_id"), lit(7)) === 3)
+    // drift: a tight NEW domain the stored models never saw (the
+    // realistic shape — a fresh data source arriving; same fixture
+    // family as graft.Probe retrain/drift)
+    val drifted = e.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (sin(lit(7) * i) + sin(col("vec_id") * i) * lit(0.2))
+          .cast("float")).as("embedding"))
+    def stats(batch: DataFrame) = operators.Quantize
+      .codeStoreDriftStats(s, store, batch, "embedding", "vec_id")
+      .collect()(0)
+    val c = stats(control)
+    val d = stats(drifted)
+    val (cr, dr) = (c.getAs[Double]("err_ratio"), d.getAs[Double]("err_ratio"))
+    val (cs, ds) = (c.getAs[Double]("fill_skew"), d.getAs[Double]("fill_skew"))
+    // bounds measured before pinning: control ratio 1.22/1.24 and skew
+    // 1.47/1.35, drifted ratio 41.2/46.1 and skew 7.97/8.00 at
+    // sf0.001/sf0.01 — calm-vs-loud margins of 1.6× and 4× either side
+    Seq(
+      ("drift_control_ratio_calm", 2.0, cr < 2.0),
+      ("drift_drifted_ratio_loud", 10.0, dr > 10.0),
+      ("drift_separation", 5.0, dr > 5.0 * cr),
+      ("drift_skew_separation", 2.0, ds > 2.0 * cs),
+      ("drift_nonempty", 1.0,
+        c.getAs[Long]("n") > 0 && d.getAs[Long]("n") > 0))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     // composed quality gate: composite score + Gopher repetition keep
@@ -3608,6 +3662,7 @@ object SparkEntry {
     "q161_training_batches_stored" -> q161_training_batches_stored _,
     "q162_repetition_rules" -> q162_repetition_rules _,
     "q163_codestore_bloom" -> q163_codestore_bloom _,
+    "q164_codestore_drift" -> q164_codestore_drift _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5584,6 +5639,18 @@ object SparkEntry {
         |  ('cstore_bloom_stale_positive_corrected',
         |   CAST(1.0 AS DOUBLE), TRUE),
         |  ('cstore_bloom_store_equals_union', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q164 pins the drift metric's actionability contract: calm on an
+    // in-distribution control, loud on the concentrated-drift fixture,
+    // wide separation between the two (ratio AND skew).
+    "q164_codestore_drift" ->
+      """SELECT * FROM (VALUES
+        |  ('drift_control_ratio_calm', CAST(2.0 AS DOUBLE), TRUE),
+        |  ('drift_drifted_ratio_loud', CAST(10.0 AS DOUBLE), TRUE),
+        |  ('drift_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('drift_separation', CAST(5.0 AS DOUBLE), TRUE),
+        |  ('drift_skew_separation', CAST(2.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
     // q150 recomputes the whole boilerplate-removal composition from

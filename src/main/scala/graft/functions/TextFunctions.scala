@@ -317,9 +317,16 @@ object TextFunctions {
    * shape when the per-gram counts are themselves wanted downstream.
    * This is the FILTER face: the paper's character-fraction units and
    * line rules at its published thresholds, computed entirely inside the
-   * scan (sorted run-length fold per row, no shuffle) — at 100 TB the
-   * keep/drop decision costs a map stage, not a corpus-wide gram
-   * exchange.
+   * scan (sorted run-length fold per row, no shuffle). MEASURED trade
+   * (`graft.Probe repfilter`, 50k/500k docs, local[32]): this face
+   * computes all 13 fractions at ZERO exchange for about 2× the
+   * single-gram profile's wall (58.9 s vs 29.5 s at 500k — the fold
+   * family sorts 9 gram sizes per row), while the profile shuffles
+   * ~1.1 KB/doc (551 MiB at 500k ⇒ tens of TB of exchange at a 100 TB
+   * corpus). Locally, shuffle is cheap and the profile wins wall; on a
+   * cluster the exchange is the scarce resource and the keep/drop
+   * decision should never pay a corpus-wide one — both faces are
+   * linear, pick by which resource the result must spend.
    */
   def repetitionStats(text: Column): Column = {
     val raw = coalesce(text, lit(""))

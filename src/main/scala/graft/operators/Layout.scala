@@ -106,25 +106,41 @@ object Layout {
   // (the [[graft.operators.Quantize]] manifest primitive): exactly one
   // writer owns any sequence number.
   //
-  //  - an APPEND writes its data, then commits token seq+1 kind `a`;
-  //    losing the CAS to other appends just retries higher, losing it to
-  //    a REWRITE token refuses loudly (the rewrite may or may not have
-  //    snapshotted the rows — never silently);
-  //  - a REWRITE records the latest seq BEFORE listing files, and its
-  //    commit token CAS fails iff ANY commit landed since — so a rewrite
-  //    that swaps provably snapshotted every committed append, and one
-  //    that didn't is refused and its staging dropped (retry re-reads);
+  //  - an APPEND first commits an INTENT token kind `i` (before any data
+  //    lands), writes its data, then commits a FINALIZATION token with
+  //    content `a:<intentSeq>`; losing a CAS to other appends just
+  //    retries higher, losing it to a REWRITE token refuses loudly (the
+  //    rewrite may or may not have snapshotted the rows — never
+  //    silently);
+  //  - a REWRITE records the latest seq BEFORE listing files — and at
+  //    that point REFUSES if any intent ≤ that seq is UNFINALIZED and
+  //    younger than the in-flight horizon (the owning append may write
+  //    data after this rewrite's listing and then crash before its
+  //    finalization — the one case the seq CAS alone cannot see); its
+  //    commit token CAS then fails iff ANY commit (intent or
+  //    finalization included) landed since — so a rewrite that swaps
+  //    provably snapshotted every committed append, including every
+  //    crashed append whose data is visible, and one that didn't is
+  //    refused and its staging dropped (retry re-reads);
   //  - kind `r` is a TOMBSTONE on the version: once present, the version
   //    is closed — later appends/rewrites resolving it are refused (the
   //    view repoint is mid-flight or crashed; see recovery note below).
   //
   // Crash recovery (window: rewrite crashed between its token commit and
   // the view repoint — one catalog op wide): either complete the swap
-  // (`CREATE OR REPLACE VIEW <table> AS SELECT * FROM <table>__vN+1`) or
+  // (`ALTER VIEW <table> AS SELECT * FROM <table>__vN+1`) or
   // drop the staged `__vN+1`/staging table and delete the `r` token file.
-  // An append crashing between data write and token leaves its rows
-  // committed but unprotected for the one rewrite in flight — the
-  // pre-protocol grade, now bounded to that window.
+  // An append crashing between its data write and its finalization now
+  // leaves a LIVE intent: every rewrite refuses until the intent has
+  // been idle past the horizon (default 24 h), by which time the crashed
+  // append's files — if any landed — are in any later listing. This
+  // closes the r14/r15 residual ("append crashing between data and token
+  // is unprotected for the one rewrite in flight") completely, at the
+  // price that one crashed append pauses COMPACTION (never appends,
+  // never reads) for the horizon; pass a shorter horizon to
+  // rewriteBucketed when the writer is known dead. The bound assumes an
+  // append finishes its data write within the horizon of its intent —
+  // a >24 h append job must raise it.
   // the sequence number alone is the filename — the KIND lives in the
   // file's one-byte content, never in the name, so an append and a
   // rewrite racing toward the same sequence contend for the SAME rename
@@ -137,19 +153,35 @@ object Layout {
     new org.apache.hadoop.fs.Path(
       meta(spark, target).location.toString, "_graft_coord")
 
-  /** (seq, kind) tokens at `coord`, ascending by seq. */
+  /** (seq, content, mtime) tokens at `coord`, ascending by seq. The
+    * content's FIRST char is the kind (`a` append finalization, `i`
+    * append intent, `r` rewrite tombstone); a finalization's full
+    * content is `a:<intentSeq>` naming the intent it resolves (legacy
+    * bare `a` tokens from pre-intent stores read fine — they simply
+    * finalize nothing). */
   private def listTokens(spark: SparkSession,
                          coord: org.apache.hadoop.fs.Path)
-      : Seq[(Long, String)] = {
+      : Seq[(Long, String, Long)] = {
     val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(coord)) Seq.empty
     else fs.listStatus(coord).toSeq.collect {
       case st if TokenRe.pattern.matcher(st.getPath.getName).matches() =>
         val TokenRe(n) = st.getPath.getName: @unchecked
         val in = fs.open(st.getPath)
-        val kind = try in.readByte().toChar.toString finally in.close()
-        (n.toLong, kind)
+        val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString finally in.close()
+        (n.toLong, content, st.getModificationTime)
     }.sortBy(_._1)
+  }
+
+  /** Intent seqs at `coord` that no finalization token resolves. */
+  private def unfinalizedIntents(ts: Seq[(Long, String, Long)])
+      : Seq[(Long, Long)] = {
+    val finalized = ts.collect {
+      case (_, c, _) if c.startsWith("a:") => c.stripPrefix("a:").toLong
+    }.toSet
+    ts.collect { case (seq, c, mt) if c.startsWith("i") &&
+      !finalized(seq) => (seq, mt) }
   }
 
   /** Exclusive-create token `seq` of `kind` ("a" append, "r" rewrite);
@@ -177,7 +209,7 @@ object Layout {
   private def refuseClosed(spark: SparkSession,
                            coord: org.apache.hadoop.fs.Path, op: String,
                            target: String): Unit =
-    if (listTokens(spark, coord).exists(_._2 == "r"))
+    if (listTokens(spark, coord).exists(_._2.startsWith("r")))
       throw new IllegalStateException(
         s"$op: a rewrite already committed from $target — the store moved " +
           "(or a rewrite commit is mid-swap; complete or roll back its " +
@@ -221,23 +253,21 @@ object Layout {
     val viewText = meta(spark, table).viewText.getOrElse(return false)
     val cur = servingVersion(viewText).getOrElse(return false)
     val coord = coordPath(spark, s"${table}__v$cur")
-    val closed = listTokens(spark, coord).filter(_._2 == "r")
+    val closed = listTokens(spark, coord).filter(_._2.startsWith("r"))
     if (closed.isEmpty) return false
     val newer = versions(spark, table).map(_._1).filter(_ > cur)
     if (newer.nonEmpty) {
-      spark.sql(s"CREATE OR REPLACE VIEW $table AS " +
-        viewBodySql(table, newer.min))
+      // ALTER VIEW = one in-place alterTable (atomic for readers);
+      // CREATE OR REPLACE VIEW would drop + recreate (see commitVersioned)
+      spark.sql(s"ALTER VIEW $table AS " + viewBodySql(table, newer.min))
       versions(spark, table).dropRight(2)
         .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
     } else {
       val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val cutoff = System.currentTimeMillis() - rollbackHorizonMs
-      val stale = closed.filter { case (seq, _) =>
-        fs.getFileStatus(new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"))
-          .getModificationTime < cutoff
-      }
+      val stale = closed.filter(_._3 < cutoff)
       if (stale.size < closed.size) return false // maybe a live writer
-      stale.foreach { case (seq, _) =>
+      stale.foreach { case (seq, _, _) =>
         fs.delete(new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"), false)
       }
       val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
@@ -274,7 +304,34 @@ object Layout {
    * are truly concurrent.
    */
   def appendBucketed(spark: SparkSession, df: DataFrame,
-                     table: String): Unit = {
+                     table: String): Unit =
+    appendBucketed(spark, df, table, () => ())
+
+  /** CAS-loop a token of `content` into the chain at `coord`, refusing
+    * on a rewrite tombstone with `refusal`. Returns the seq taken. */
+  private def casToken(spark: SparkSession,
+                       coord: org.apache.hadoop.fs.Path, content: String,
+                       refusal: => String): Long = {
+    var seq = -1L
+    while (seq < 0) {
+      val ts = listTokens(spark, coord)
+      // the `r` check runs before EVERY attempt (not just on CAS
+      // failure): a tombstone that landed before our first listing must
+      // refuse, not be silently skipped past by taking the next free seq
+      if (ts.exists(_._2.startsWith("r")))
+        throw new IllegalStateException(refusal)
+      val next = ts.lastOption.map(_._1).getOrElse(0L) + 1
+      if (commitToken(spark, coord, next, content)) seq = next
+    }
+    seq
+  }
+
+  /** [[appendBucketed]] with a deterministic-interleaving seam:
+    * LayoutSpec's crashed-append gate throws from `afterData` to leave
+    * the store in the data-written-intent-unfinalized state. */
+  private[graft] def appendBucketed(spark: SparkSession, df: DataFrame,
+                                    table: String,
+                                    afterData: () => Unit): Unit = {
     val target = resolveStore(spark, table)
     val m = meta(spark, target)
     val spec = m.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -284,31 +341,47 @@ object Layout {
       if (spec.sortColumnNames.nonEmpty) spec.sortColumnNames else bcols
     val coord = if (target != table) Some(coordPath(spark, target)) else None
     coord.foreach(refuseClosed(spark, _, "appendBucketed", target))
-    df.write
-      .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
-      .sortBy(scols.head, scols.tail: _*)
-      .mode("append")
-      .format("parquet")
-      .saveAsTable(target)
-    coord.foreach { c =>
-      // commit AFTER the data lands: a rewrite whose token CAS succeeds
-      // past ours therefore listed files written before our token — ours
-      // included; one that read older tokens fails ITS CAS and is refused.
-      // The `r` check runs before EVERY attempt (not just on CAS failure):
-      // a tombstone that landed before our first listing must refuse, not
-      // be silently skipped past by taking the next free sequence
-      var committed = false
-      while (!committed) {
-        val ts = listTokens(spark, c)
-        if (ts.exists(_._2 == "r"))
-          throw new IllegalStateException(
-            s"appendBucketed: a rewrite committed from $target while " +
-              "this append ran — the batch may not be in the new " +
-              "version; retry against the current version " +
-              "(id-idempotent ingest paths are safe to re-run)")
-        committed = commitToken(spark, c,
-          ts.lastOption.map(_._1).getOrElse(0L) + 1, "a")
-      }
+    // INTENT first, data second: from this token on, any rewrite whose
+    // file listing might miss this append's rows either sees a live
+    // unfinalized intent (refuses at its snapshot) or a token past its
+    // recorded seq (its CAS fails) — so a crash anywhere between the
+    // data landing and the finalization below can no longer lose rows
+    // to an in-flight rewrite's swap
+    val intent = coord.map(c => casToken(spark, c, "i",
+      s"appendBucketed: a rewrite already committed from $target — the " +
+        "store moved; retry against the current version"))
+    try
+      df.write
+        .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+        .sortBy(scols.head, scols.tail: _*)
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(target)
+    catch {
+      case e: Throwable =>
+        // a FAILED (not crashed) append leaves no committed files —
+        // finalize the intent so one bad batch doesn't pause rewrites
+        // for the whole horizon; best-effort (a tombstone landing here
+        // means the version closed anyway, the intent is moot)
+        try coord.zip(intent).foreach { case (c, i) =>
+          casToken(spark, c, s"a:$i", "version closed")
+        } catch { case _: Throwable => () }
+        throw e
+    }
+    // the seam fires AFTER the data landed and BEFORE the finalization —
+    // a throw here leaves exactly the crashed-append state (rows
+    // committed, intent live) the rewrite-side horizon gate exists for
+    afterData()
+    coord.zip(intent).foreach { case (c, i) =>
+      // FINALIZE after the data lands: a rewrite whose token CAS
+      // succeeds past ours therefore listed files written before our
+      // finalization — ours included; one that read older tokens fails
+      // ITS CAS and is refused
+      casToken(spark, c, s"a:$i",
+        s"appendBucketed: a rewrite committed from $target while " +
+          "this append ran — the batch may not be in the new " +
+          "version; retry against the current version " +
+          "(id-idempotent ingest paths are safe to re-run)")
       // the coord dir dies with its version: if TWO rewrites completed
       // inside this append's write→token window, the grace policy has
       // already DROPPED the target table (rows included) and the loop
@@ -328,7 +401,7 @@ object Layout {
    * moves to `<table>__v1` and `<table>` becomes a VIEW over it. From
    * then on every [[rewriteBucketed]]/[[compactBucketed]] writes
    * `<table>__v(N+1)` and repoints the view with a single
-   * `CREATE OR REPLACE VIEW` — ONE atomic catalog operation, so a
+   * `ALTER VIEW` — ONE atomic catalog operation, so a
    * concurrent reader always resolves to a live version and never
    * observes a missing table (LayoutSpec gates this with a reader loop
    * under repeated compactions). The version the view just left is kept
@@ -385,7 +458,7 @@ object Layout {
    *
    * Swap semantics depend on the store form:
    *  - VERSIONED ([[enableVersioning]]): the rewrite lands in
-   *    `<table>__v(N+1)` and ONE `CREATE OR REPLACE VIEW` repoints the
+   *    `<table>__v(N+1)` and ONE `ALTER VIEW` repoints the
    *    store name — atomic for concurrent readers; the outgoing version
    *    survives one generation for in-flight plans, older versions drop.
    *  - plain table: a rename chain (`table`→`__graft_old`, tmp→`table`,
@@ -405,11 +478,29 @@ object Layout {
                      (transform: DataFrame => DataFrame): Unit =
     rewriteBucketed(spark, table, () => ())(transform)
 
+  /** How long an UNFINALIZED append intent blocks rewrites: past this
+    * idle age the owning append is presumed crashed, and its data — if
+    * any landed — landed long before any fresh file listing, so the
+    * rewrite may proceed. Must exceed any append job's intent→data
+    * latency (24 h: far past a write job's lifetime — the
+    * [[graft.operators.Quantize.gcCodeStore]] orphan discipline). */
+  private[graft] val DefaultInFlightHorizonMs: Long = 24L * 3600 * 1000
+
+  /** [[rewriteBucketed]] with an explicit in-flight-append horizon — the
+    * operator escape when a crashed append's stale intent is KNOWN dead
+    * (pass 0 to ignore all unfinalized intents). */
+  def rewriteBucketed(spark: SparkSession, table: String,
+                      inFlightHorizonMs: Long)
+                     (transform: DataFrame => DataFrame): Unit =
+    rewriteBucketed(spark, table, () => (), inFlightHorizonMs)(transform)
+
   /** [[rewriteBucketed]] with a deterministic-interleaving seam: the
     * LayoutSpec race gates inject an append (or a competing rewrite)
     * between the staging write and the commit. */
   private[graft] def rewriteBucketed(spark: SparkSession, table: String,
-                                     beforeCommit: () => Unit)
+                                     beforeCommit: () => Unit,
+                                     inFlightHorizonMs: Long =
+                                       DefaultInFlightHorizonMs)
                                     (transform: DataFrame => DataFrame): Unit = {
     val target = resolveStore(spark, table)
     val m = meta(spark, target)
@@ -455,8 +546,27 @@ object Layout {
     // data lands)
     val coord = if (versioned) Some(coordPath(spark, target)) else None
     coord.foreach(refuseClosed(spark, _, "rewriteBucketed", target))
-    val seq0 = coord.map(c =>
-      listTokens(spark, c).lastOption.map(_._1).getOrElse(0L))
+    val seq0 = coord.map { c =>
+      val ts = listTokens(spark, c)
+      // LIVE-INTENT refusal: an append whose intent is committed but not
+      // finalized may write data files AFTER the file listing below and
+      // then crash before its finalization — the one interleaving the
+      // seq CAS cannot see (intents landing after this snapshot take
+      // seq0+1 and fail our CAS instead). Stale intents (idle past the
+      // horizon) are crashed appends whose files, if any, predate any
+      // listing taken now — safe to proceed past (LayoutSpec-gated
+      // both ways).
+      val cutoff = System.currentTimeMillis() - inFlightHorizonMs
+      val live = unfinalizedIntents(ts).filter(_._2 >= cutoff)
+      if (live.nonEmpty)
+        throw new IllegalStateException(
+          s"rewriteBucketed: append intent(s) ${live.map(_._1).mkString(",")} " +
+            s"on $target are unfinalized — an append is in flight (or " +
+            "crashed less than the horizon ago) and its rows might not " +
+            "be in this rewrite's snapshot; retry after it finalizes, or " +
+            "pass a shorter inFlightHorizonMs if the writer is known dead")
+      ts.lastOption.map(_._1).getOrElse(0L)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $dest")
     // read the table's FILES by path, not the catalog table: the bucketed
     // relation already claims HashPartitioning(bcols, n), so the
@@ -539,11 +649,17 @@ object Layout {
           s"rewriteBucketed: another writer took $vdest — retry against " +
             "the current version", e)
     }
-    // ONE catalog op: a concurrent reader resolves either the old or
-    // the new version, never a missing name (LayoutSpec reader-loop
-    // gate); then drop everything older than the version just left
-    spark.sql(s"CREATE OR REPLACE VIEW $table AS " +
-      viewBodySql(table, expected + 1))
+    // ONE catalog op — and it must be ALTER VIEW, not CREATE OR REPLACE
+    // VIEW: Spark's CreateViewCommand implements replace as dropTable +
+    // createTable (two catalog ops; javap-verified on 4.1.2), so a
+    // reader resolving between them sees NO view at all — the LayoutSpec
+    // reader-loop gate caught exactly that (a one-in-hundreds flake that
+    // had been silent luck). AlterViewAsCommand is a single
+    // SessionCatalog.alterTable, an in-place metadata replace: a
+    // concurrent reader resolves either the old or the new version,
+    // never a missing name. Then drop everything older than the version
+    // just left.
+    spark.sql(s"ALTER VIEW $table AS " + viewBodySql(table, expected + 1))
     versions(spark, table).dropRight(2)
       .foreach { case (_, v) => spark.sql(s"DROP TABLE IF EXISTS $v") }
   }

@@ -1085,6 +1085,71 @@ object Quantize {
   }
 
   /**
+   * Drift DIAGNOSTIC for the retrain cadence — answers "should
+   * [[retrainCodeStore]] run?" from one batch-bounded pass, no store
+   * read: quantize the batch twice, once with the STORE's frozen
+   * coarse quantizer (the stored centroids) and once with a fresh
+   * batch-trained yardstick quantizer, and compare the quantization
+   * error (1 − best cosine). On an in-distribution batch the frozen
+   * models quantize about as well as the yardstick (`err_ratio` ≈ 1);
+   * on a drifted batch the frozen centroids sit far from the new
+   * region while the yardstick follows it, so the ratio grows with
+   * exactly the degradation that costs recall and pruning power
+   * (`graft.Probe drift` ties the ratio to the measured cliff: the
+   * concentrated-drift fixture whose stale recall@10 was 0.004 vs
+   * 0.328 retrained reads err_ratio ≫ 1 while the same-distribution
+   * control reads ≈ 1 — see SURVEY §6). `fill_skew` is the second
+   * face: max assigned-cell share × cells (uniform ≈ small, a drifted
+   * domain funneling into the few nearest stale cells → large), the
+   * direct driver of the swollen-cell scan tax.
+   *
+   * Returns ONE row: (n, cells, stored_mean_cos, fresh_mean_cos,
+   * err_ratio, fill_skew). Thresholding is the operator's call (it
+   * depends on the corpus's natural spread); q164 pins the contract —
+   * in-distribution control ≈ 1 and bounded skew, drifted batch ≫ both.
+   * Cost: two broadcast-assign passes over the batch plus a yardstick
+   * k-means on the batch alone — O(batch), never O(store).
+   */
+  def codeStoreDriftStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String, batch: DataFrame, vecCol: String,
+                          idCol: String, freshCells: Int = 0,
+                          iters: Int = 2): DataFrame = {
+    val (cents, _) = storedModels(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"codeStoreDriftStats: $path records no models — write the store " +
+          "versioned (or retrainCodeStore once) to record them"))
+    val storedCells = cents.count().toInt
+    val k = if (freshCells > 0) freshCells else math.min(storedCells, 64)
+    // (id, best cell, best cosine) against a centroid frame — the
+    // ivfAssign argmax shape, plus the similarity itself
+    def assignCos(centroids: DataFrame): DataFrame =
+      batch.select(col(idCol), col(vecCol))
+        .join(broadcast(centroids
+          .select(col("centroid_id"), col(vecCol).as("__centv"))))
+        .withColumn("__cos", cosine(col(vecCol), col("__centv")))
+        .groupBy(col(idCol))
+        .agg(max_by(col("centroid_id"),
+            struct(col("__cos"), (-col("centroid_id")).as("nid"))).as("cell"),
+          max(col("__cos")).as("cos"))
+    val stored = OpCache.materialize(assignCos(cents))
+    val fresh = assignCos(
+      Similarity.trainCentroids(batch, vecCol, idCol, k, iters))
+    val skew = stored.groupBy(col("cell")).count()
+      .agg((max(col("count")) * lit(storedCells) / sum(col("count")))
+        .cast("double").as("fill_skew"))
+    stored.agg(count(lit(1)).as("n"),
+        avg(col("cos")).as("stored_mean_cos"))
+      .crossJoin(broadcast(fresh.agg(avg(col("cos")).as("fresh_mean_cos"))))
+      .crossJoin(broadcast(skew)) // 1-row frames: no cartesian blowup
+      .select(col("n"), lit(storedCells).as("cells"),
+        col("stored_mean_cos"), col("fresh_mean_cos"),
+        ((lit(1.0) - col("stored_mean_cos")) /
+          greatest(lit(1.0) - col("fresh_mean_cos"), lit(1e-9)))
+          .as("err_ratio"),
+        col("fill_skew"))
+  }
+
+  /**
    * The full self-describing PQ state the CURRENT manifest carries:
    * (centroids, codebook, m, subDim) — everything serving and ingest
    * need, resolved from the store itself so callers cannot pair codes

@@ -169,6 +169,73 @@ class LayoutSpec extends SparkSpec {
     OpCache.release()
   }
 
+  test("a CRASHED append (rows committed, intent unfinalized) blocks " +
+    "rewrites until the horizon — never a silent row loss; failed and " +
+    "finalized appends don't block") {
+    val tbl = s"layoutspec_ci_$pid"
+    spark.sql(s"DROP VIEW IF EXISTS $tbl")
+    (1 to 5).foreach(v => spark.sql(s"DROP TABLE IF EXISTS ${tbl}__v$v"))
+    Dedup.writeFingerprintStore(
+      Seq("a b", "c d").toDF("text"), "text", tbl, buckets = 2)
+    Layout.enableVersioning(spark, tbl)
+    def append(t: String, afterData: () => Unit = () => ()): Unit =
+      Layout.appendBucketed(spark,
+        Seq(t).toDF("text")
+          .select(TextFunctions.fingerprint($"text").as("fp")), tbl,
+        afterData)
+    // the r15 residual window, driven deterministically: the append's
+    // data COMMITS, the process dies before its finalization token
+    val boom = intercept[RuntimeException] {
+      append("x y", () => throw new RuntimeException("crash after data"))
+    }
+    assert(boom.getMessage == "crash after data")
+    assert(spark.table(tbl).count() == 3,
+      "the crashed append's committed rows should be visible")
+    // a rewrite CANNOT prove its listing includes those rows — refused
+    val ex = intercept[IllegalStateException] {
+      Layout.compactBucketed(spark, tbl)
+    }
+    assert(ex.getMessage.contains("unfinalized"), ex.getMessage)
+    assert(!spark.catalog.tableExists(s"${tbl}__v2"),
+      "refused rewrite advanced the generation")
+    // appends are NOT paused — only rewrites wait on the horizon
+    append("e f")
+    assert(spark.table(tbl).count() == 4)
+    // the operator escape for a KNOWN-dead writer: horizon 0 ignores the
+    // stale intent; the crashed append's rows survive the swap (they
+    // are in any fresh listing — that is exactly why stale is safe)
+    Layout.rewriteBucketed(spark, tbl, inFlightHorizonMs = 0L)(identity)
+    assert(spark.table(tbl).count() == 4,
+      "compaction lost the crashed append's rows")
+    // healthy lifecycle on the new version: finalized intents never
+    // block (append then compact cleanly)
+    append("g h")
+    Layout.compactBucketed(spark, tbl)
+    assert(spark.table(tbl).count() == 5,
+      "a finalized append blocked or was lost by compaction")
+    // a planted live intent blocks the default-horizon rewrite until its
+    // token AGES past the horizon (the crashed-writer clock, not a flag)
+    val coord = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
+    assert(Layout.commitToken(spark, coord, 99L, "i"))
+    intercept[IllegalStateException] { Layout.compactBucketed(spark, tbl) }
+    val tok = new java.io.File(
+      new java.net.URI(coord.toString).getPath, "_t000000099")
+    assert(tok.exists() &&
+      tok.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000))
+    Layout.compactBucketed(spark, tbl)
+    assert(spark.table(tbl).count() == 5,
+      "compaction past a stale intent lost rows")
+    // a FAILED (not crashed) append self-finalizes its intent: one bad
+    // batch must not pause rewrites for the horizon
+    intercept[Exception] {
+      Layout.appendBucketed(spark,
+        Seq(1).toDF("wrong_schema_col"), tbl)
+    }
+    Layout.compactBucketed(spark, tbl) // no refusal
+    assert(spark.table(tbl).count() == 5)
+    OpCache.release()
+  }
+
   test("append commit tokens: sequential appends chain, rewrites see them") {
     val tbl = s"layoutspec_tok_$pid"
     spark.sql(s"DROP VIEW IF EXISTS $tbl")
@@ -181,11 +248,13 @@ class LayoutSpec extends SparkSpec {
         .select(TextFunctions.fingerprint($"text").as("fp")), tbl)
     append("c d")
     append("e f")
-    // both appends committed tokens in the current version's coord dir
+    // both appends committed their token PAIRS (intent before data,
+    // finalization after) in the current version's coord dir
     val coord = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
     val fs = coord.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tokens = fs.listStatus(coord).map(_.getPath.getName).sorted.toSeq
-    assert(tokens == Seq("_t000000001", "_t000000002"), tokens.toString)
+    assert(tokens == Seq("_t000000001", "_t000000002",
+      "_t000000003", "_t000000004"), tokens.toString)
     // a clean rewrite includes them and the NEW version starts a fresh
     // token chain (the old coord dies with the old version's directory)
     Layout.compactBucketed(spark, tbl)
@@ -202,13 +271,13 @@ class LayoutSpec extends SparkSpec {
     // append chains past them to the next free sequence, no refusal
     // (only an `r` token refuses; appends never conflict on data)
     val c3 = Layout.coordPath(spark, Layout.resolveStore(spark, tbl))
-    assert(Layout.commitToken(spark, c3, 2L, "a"))
     assert(Layout.commitToken(spark, c3, 3L, "a"))
+    assert(Layout.commitToken(spark, c3, 4L, "a"))
     append("i j")
     assert(spark.table(tbl).count() == 5,
       "append lost to a benign append-token conflict")
     val after = fs.listStatus(c3).map(_.getPath.getName).sorted.toSeq
-    assert(after.contains("_t000000004"),
+    assert(after.contains("_t000000006"),
       s"append did not chain past the planted tokens: $after")
     OpCache.release()
   }
@@ -251,9 +320,10 @@ class LayoutSpec extends SparkSpec {
       spark.table(tbl).unionByName(Seq("recovered-row").toDF("fp")),
       s"${tbl}__v2", Seq("fp"), 2)
     val coord2 = Layout.coordPath(spark, s"${tbl}__v1")
-    // CASE 1's rollback deleted _t1 and the append re-took seq 1: the
-    // dead rewrite's token goes at the next free sequence, 2
-    assert(Layout.commitToken(spark, coord2, 2L, "r"))
+    // CASE 1's rollback deleted _t1 and the append re-took seqs 1+2
+    // (intent + finalization): the dead rewrite's token goes at the
+    // next free sequence, 3
+    assert(Layout.commitToken(spark, coord2, 3L, "r"))
     // an append in this state resolves the HIGHEST version (__v2, the
     // renamed staging), lands there, and must SURVIVE the recovery —
     // invisible to readers only until the swap completes
