@@ -75,7 +75,8 @@ object Bench {
     "q156_training_batches", "q157_codestore_versioned",
     "q158_codestore_ingest", "q159_multimodal_resize",
     "q160_codestore_retrain", "q161_training_batches_stored",
-    "q162_repetition_rules")
+    "q162_repetition_rules", "q163_codestore_bloom",
+    "q164_codestore_drift")
 
   private val RUNS = 5
 

@@ -155,76 +155,6 @@ object TextFunctions {
 
   // --- repetition / quality rules (Gopher, Rae et al. 2021) -------------
 
-  /** Characters of the duplicate elements of a SORTED string array —
-    * `afterFirstOnly = true` counts only the occurrences AFTER the first
-    * of each repeated value (element i where s(i) = s(i−1)); false
-    * counts EVERY occurrence of a repeated value (s(i) equals a
-    * neighbor). A scalar long fold over indices with `element_at`
-    * adjacency compares — the first cut carried a string-struct
-    * accumulator through the fold and interpreted HOF evaluation made
-    * it the slowest query in the bench (29 s at sf0.1 for a map stage);
-    * longs-only accumulators cut it to scan speed. O(n log n)/doc with
-    * the sort, never the O(n²) filter-per-distinct-element shape. */
-  private def sortedDupChars(sorted: Column,
-                             afterFirstOnly: Boolean): Column = {
-    val n = size(sorted)
-    when(n >= 2,
-        aggregate(sequence(lit(2), n), lit(0L), (acc, i) => {
-          val eqPrev = element_at(sorted, i) === element_at(sorted, i - 1)
-          val dup = if (afterFirstOnly) eqPrev
-            else eqPrev || (i < n &&
-              element_at(sorted, i) === element_at(sorted, i + 1))
-          acc + when(dup, length(element_at(sorted, i)).cast("long"))
-            .otherwise(lit(0L))
-        }) + (if (afterFirstOnly) lit(0L)
-          // the FIRST element of the array never satisfies eqPrev; under
-          // all-occurrences semantics it still counts when it heads a run
-          else when(element_at(sorted, lit(1)) === element_at(sorted, lit(2)),
-            length(element_at(sorted, lit(1))).cast("long"))
-            .otherwise(lit(0L))))
-      .otherwise(lit(0L))
-  }
-
-  /** `mc · ml` where mc = longest run length and ml = longest element
-    * among the longest runs (ties toward the longer element) of a SORTED
-    * string array — the characters covered by the most frequent value's
-    * occurrences, the top-n-gram numerator. An index fold whose
-    * accumulator is three LONGS (see [[sortedDupChars]] on why no
-    * strings ride the accumulator); returns the product directly because
-    * HOF subtrees see no subexpression elimination — a struct result
-    * read twice would run the whole fold twice. */
-  private def topRunChars(sorted: Column): Column = {
-    val n = size(sorted)
-    val zero = struct(lit(1L).as("run"), lit(0L).as("mc"), lit(0L).as("ml"))
-    def closed(acc: Column, endLen: Column) = {
-      val run = acc.getField("run")
-      val mc = when(run > acc.getField("mc"), run)
-        .otherwise(acc.getField("mc"))
-      val ml = when(run > acc.getField("mc"), endLen)
-        .when(run === acc.getField("mc"),
-          greatest(acc.getField("ml"), endLen))
-        .otherwise(acc.getField("ml"))
-      (mc, ml)
-    }
-    when(n >= 1,
-        aggregate(sequence(lit(2), greatest(n, lit(2))), zero, (acc, i) => {
-          val inRange = i <= n
-          val same = inRange &&
-            element_at(sorted, i) === element_at(sorted, i - 1)
-          val (mc, ml) =
-            closed(acc, length(element_at(sorted, i - 1)).cast("long"))
-          when(!inRange, acc) // n == 1: sequence(2,2) probes past the end
-            .when(same, struct((acc.getField("run") + 1L).as("run"),
-              acc.getField("mc").as("mc"), acc.getField("ml").as("ml")))
-            .otherwise(struct(lit(1L).as("run"), mc.as("mc"), ml.as("ml")))
-        }, acc => {
-          val (mc, ml) =
-            closed(acc, length(element_at(sorted, n)).cast("long"))
-          mc * ml
-        }))
-      .otherwise(lit(0L))
-  }
-
   /** Evaluate `c` ONCE per row and hand it to `f` as a BOUND lambda
     * variable: expressions CAPTURED inside higher-order-function lambdas
     * are re-evaluated on every element (HOF lambdas are exempt from
@@ -235,18 +165,6 @@ object TextFunctions {
     * before this binding. A lambda VARIABLE is a slot read. */
   private def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), x => f(x)), 1)
-
-  /** The word k-grams of `text` as single-space-joined strings; empty
-    * array when the document has fewer than k words (no degenerate
-    * whole-text gram — [[shingles]]' short-doc fallback is a DEDUP
-    * contract, not a repetition-measurement one). */
-  private def wordGrams(text: Column, k: Int): Column =
-    bindOnce(tokens(text)) { w =>
-      when(size(w) >= k,
-          transform(sequence(lit(1), size(w) - (k - 1)),
-            i => concat_ws(" ", slice(w, i, lit(k)))))
-        .otherwise(array().cast("array<string>"))
-    }
 
   /** The top-n-gram sizes the A1 table publishes (fraction of characters
     * in the MOST FREQUENT k-gram) and the dup-n-gram sizes (fraction of
@@ -282,8 +200,9 @@ object TextFunctions {
    * public): repetitive documents (boilerplate, scraped listings,
    * degenerate generations) poison training corpora and none of the
    * length/punctuation signals in [[qualityScore]] see them. Returns a
-   * struct of per-document fractions, each a pure column expression
-   * (no shuffle, no UDF — a scan-speed map stage at 100 TB):
+   * struct of per-document fractions from ONE native codegen'd pass
+   * ([[graft.functions.expressions.RepetitionStatsExpr]] — no shuffle,
+   * no UDF: a scan-speed map stage at 100 TB):
    *
    *  - `n_lines` / `dup_line_frac` / `dup_line_char_frac`: lines are the
    *    NON-EMPTY fragments of the raw text split on `\n` (no lowering —
@@ -309,7 +228,9 @@ object TextFunctions {
    * Word grams use [[tokens]] (lowercased, whitespace-split) joined by
    * one space. Blank text yields all-zero fractions. q162 pins every
    * definition against a full DuckDB recomputation by the opposite
-   * algorithm (explode + group-by vs this sorted run-length fold).
+   * algorithm (explode + group-by vs the native pass's hash-map counts;
+   * the r15 sorted-fold column formulation was a third, and all three
+   * agree on the rounded values).
    *
    * Relation to [[graft.operators.TextProfile.repetitionScores]] (q88):
    * that is the corpus-PROFILING face — occurrence-fraction units, n
@@ -317,57 +238,19 @@ object TextFunctions {
    * shape when the per-gram counts are themselves wanted downstream.
    * This is the FILTER face: the paper's character-fraction units and
    * line rules at its published thresholds, computed entirely inside the
-   * scan (sorted run-length fold per row, no shuffle). MEASURED trade
-   * (`graft.Probe repfilter`, 50k/500k docs, local[32]): this face
-   * computes all 13 fractions at ZERO exchange for about 2× the
-   * single-gram profile's wall (58.9 s vs 29.5 s at 500k — the fold
-   * family sorts 9 gram sizes per row), while the profile shuffles
-   * ~1.1 KB/doc (551 MiB at 500k ⇒ tens of TB of exchange at a 100 TB
-   * corpus). Locally, shuffle is cheap and the profile wins wall; on a
-   * cluster the exchange is the scarce resource and the keep/drop
-   * decision should never pay a corpus-wide one — both faces are
-   * linear, pick by which resource the result must spend.
+   * scan. MEASURED (`graft.Probe repfilter`, 50k/500k docs, local[32]):
+   * all 13 fractions in 3.4 s at 500k with ZERO exchange, vs 25.3 s and
+   * 551 MiB of (id, gram) shuffle (~1.1 KB/doc ⇒ tens of TB of exchange
+   * at a 100 TB corpus) for the single-gram profile — 7.5× the wall AND
+   * the network. The r15 HOF fold formulation had the exchange property
+   * but paid a 17× interpretation tax (58.9 s at 500k — nine interpreted
+   * array_sort+fold chains per row); the native pass removed it. Pick by
+   * product: per-gram counts wanted downstream → PROFILE; only the
+   * keep/drop decision → FILTER.
    */
-  def repetitionStats(text: Column): Column = {
-    val raw = coalesce(text, lit(""))
-    val chars = length(raw).cast("double")
-    val lines = filter(split(raw, "\n"), l => l =!= "")
-    val paras = filter(split(raw, "\n{2,}"), p => trim(p) =!= "")
-    // duplicate fraction of an array: (n - n_distinct) / n, 0 when empty
-    def dupFrac(arr: Column): Column = {
-      val n = size(arr).cast("double")
-      when(n > 0,
-          (n - size(array_distinct(arr)).cast("double")) / n)
-        .otherwise(lit(0.0))
-    }
-    // after-first duplicate characters of an array / total characters
-    def dupCharFrac(arr: Column): Column =
-      when(chars > 0,
-          bindOnce(array_sort(arr))(s =>
-            sortedDupChars(s, afterFirstOnly = true))
-            .cast("double") / chars)
-        .otherwise(lit(0.0))
-    def topFrac(k: Int): Column =
-      when(chars > 0,
-          bindOnce(array_sort(wordGrams(raw, k)))(topRunChars)
-            .cast("double") / chars)
-        .otherwise(lit(0.0))
-    def dupKFrac(k: Int): Column = least(lit(1.0),
-      when(chars > 0,
-          bindOnce(array_sort(wordGrams(raw, k)))(s =>
-            sortedDupChars(s, afterFirstOnly = false)).cast("double") / chars)
-        .otherwise(lit(0.0)))
-    val fields =
-      Seq(size(lines).as("n_lines"),
-        round(dupFrac(lines), 4).as("dup_line_frac"),
-        round(dupCharFrac(lines), 4).as("dup_line_char_frac"),
-        size(paras).as("n_paras"),
-        round(dupFrac(paras), 4).as("dup_para_frac"),
-        round(dupCharFrac(paras), 4).as("dup_para_char_frac")) ++
-      topGramKs.map(k => round(topFrac(k), 4).as(s"top_${k}gram_char_frac")) ++
-      dupGramKs.map(k => round(dupKFrac(k), 4).as(s"dup_${k}gram_char_frac"))
-    struct(fields: _*)
-  }
+  def repetitionStats(text: Column): Column =
+    graft.functions.expressions.GraftExpressions
+      .repetitionStats(coalesce(text, lit("")))
 
   /** The A1 keep rule over an ALREADY-COMPUTED [[repetitionStats]]
     * struct (e.g. a projected column — then each getField is a slot

@@ -505,6 +505,199 @@ case class BloomMightContainLong(child: Expression,
 }
 
 /**
+ * The COMPLETE Gopher/MassiveText appendix-A1 repetition family (Rae et
+ * al. 2021 — public) as ONE compiled pass per document. Returns the same
+ * 15-field struct `TextFunctions.repetitionStats` has always published
+ * (n_lines/paras + 13 rounded fractions, field-for-field).
+ *
+ * Why native (the (b)-tier of SURVEY §7.3's preference order): the r15
+ * column formulation ran NINE `array_sort` + `aggregate` fold chains per
+ * row through interpreted HOF evaluation — correct, shuffle-free, but
+ * priced at 13.2 s for the sf0.1 map stage once the full 13-rule family
+ * landed (bench r16 first cut), and that cost rode along into every
+ * flagship that gates on `gopherRepetitionKeep` (q96/q143/q156/q161).
+ * This pass tokenizes once and counts in hash maps.
+ *
+ * Counting identities (why hash maps compute the SAME numbers the sorted
+ * folds did): after-first duplicate chars of a multiset = Σ (count−1)·len
+ * over distinct values; all-occurrence duplicate chars = Σ count·len over
+ * values with count ≥ 2; top-run chars of the sorted array = maxCount ·
+ * (longest len among maxCount values — the sort put ties adjacent, so
+ * "ties toward the longer element" is exactly a max over the tied
+ * values). The q162 DuckDB oracle recomputes the family by a THIRD
+ * algorithm (explode + group-by) and pins all three formulations to the
+ * same rounded values; TextFunctionsSpec keeps the unit fixtures.
+ *
+ * Engine-parity notes carried over from the column version: NULL is
+ * handled by the caller's `coalesce` (this expression is null-intolerant
+ * like every sibling); `lines` are the non-empty fragments of a
+ * limit=-1 split on `\n` (whitespace-only lines count); `paras` split on
+ * `\n{2,}` and keep fragments whose SPACE-trim (0x20 only — Spark's
+ * `trim`, not Java's) is non-empty; tokens are
+ * `toLowerCase.trim.split("\\s+")` on the UTF8String's own lowercase
+ * (bit-identical to the `lower`/`trim` expressions), preserving the
+ * empty edge token of tab/newline-edged text that the shared DuckDB
+ * fragment also produces; char counts are code points (Spark `length`);
+ * fractions round HALF_UP to 4 places (Spark `round`).
+ */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStatsExpr.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.RepetitionStatsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpr {
+
+  /** Field order is the published API — `SparkEntry.repetitionFields`,
+    * the q162 oracle, and `gopherRepetitionThresholds` all key on it. */
+  val schema: StructType = StructType(
+    Seq(StructField("n_lines", IntegerType, nullable = false),
+      StructField("dup_line_frac", DoubleType, nullable = false),
+      StructField("dup_line_char_frac", DoubleType, nullable = false),
+      StructField("n_paras", IntegerType, nullable = false),
+      StructField("dup_para_frac", DoubleType, nullable = false),
+      StructField("dup_para_char_frac", DoubleType, nullable = false)) ++
+      Seq(2, 3, 4).map(k =>
+        StructField(s"top_${k}gram_char_frac", DoubleType, nullable = false)) ++
+      (5 to 10).map(k =>
+        StructField(s"dup_${k}gram_char_frac", DoubleType, nullable = false)))
+
+  private val ParaRe = java.util.regex.Pattern.compile("\n{2,}")
+  private val LineRe = java.util.regex.Pattern.compile("\n")
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def codePoints(t: String): Long =
+    t.codePointCount(0, t.length).toLong
+
+  /** Spark `trim` strips 0x20 ONLY (Java's trim also strips tabs —
+    * a paragraph of tabs must survive the filter here exactly as it
+    * does in the column/oracle formulations). */
+  private def spaceTrimmedNonEmpty(p: String): Boolean = {
+    var a = 0
+    var b = p.length
+    while (a < b && p.charAt(a) == ' ') a += 1
+    while (b > a && p.charAt(b - 1) == ' ') b -= 1
+    b > a
+  }
+
+  /** (dup_frac, dup_char_frac) of a fragment multiset: count per value,
+    * then the two identities (n − distinct)/n and Σ(count−1)·len/chars. */
+  private def dupStats(arr: Array[String], chars: Double): (Double, Double) = {
+    if (arr.isEmpty) return (0.0, 0.0)
+    val counts = new java.util.HashMap[String, Array[Long]](arr.length * 2)
+    var i = 0
+    while (i < arr.length) {
+      val c = counts.computeIfAbsent(arr(i), _ => new Array[Long](1))
+      c(0) += 1L
+      i += 1
+    }
+    val n = arr.length.toDouble
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue()(0)
+      if (c >= 2L) dupChars += (c - 1L) * codePoints(e.getKey)
+    }
+    (round4((n - counts.size) / n),
+      round4(if (chars > 0) dupChars / chars else 0.0))
+  }
+
+  /** Per-gram (count, codePointLen) for the word k-grams of `toks` —
+    * empty map when the document has fewer than k words (no degenerate
+    * whole-text gram; the column formulation's `wordGrams` contract). */
+  private def gramCounts(toks: Array[String], k: Int)
+      : java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    if (toks.length < k) return m
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= toks.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      val e = m.computeIfAbsent(g, _ => Array(0L, codePoints(g)))
+      e(0) += 1L
+      i += 1
+    }
+    m
+  }
+
+  def compute(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val chars = codePoints(s).toDouble
+    val lines = LineRe.split(s, -1).filter(_.nonEmpty)
+    val paras = ParaRe.split(s, -1).filter(spaceTrimmedNonEmpty)
+    val (dlf, dlcf) = dupStats(lines, chars)
+    val (dpf, dpcf) = dupStats(paras, chars)
+    val lowered = text.toLowerCase.trim()
+    val toks: Array[String] =
+      if (lowered.numChars() == 0) Array.empty[String]
+      else WsRe.split(lowered.toString, -1)
+    val out = new Array[Any](15)
+    out(0) = lines.length
+    out(1) = dlf
+    out(2) = dlcf
+    out(3) = paras.length
+    out(4) = dpf
+    out(5) = dpcf
+    var slot = 6
+    var k = 2
+    while (k <= 4) { // top_{2,3,4}gram_char_frac
+      val m = gramCounts(toks, k)
+      var mc = 0L
+      var ml = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        val len = e.getValue()(1)
+        if (c > mc || (c == mc && len > ml)) { mc = c; ml = len }
+      }
+      out(slot) = round4(if (chars > 0 && mc > 0) mc * ml / chars else 0.0)
+      slot += 1
+      k += 1
+    }
+    k = 5
+    while (k <= 10) { // dup_{5..10}gram_char_frac, clamped to 1
+      val m = gramCounts(toks, k)
+      var dupChars = 0L
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue()(0)
+        if (c >= 2L) dupChars += c * e.getValue()(1)
+      }
+      out(slot) = math.min(1.0,
+        round4(if (chars > 0) dupChars / chars else 0.0))
+      slot += 1
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
+/**
  * CCNet-style text normalization (Wenzek et al. 2020, "CCNet: Extracting
  * High Quality Monolingual Datasets from Web Crawl Data" — public): the
  * canonical dedup-preprocessing transform. Lowercase → unicode NFKD
@@ -867,6 +1060,11 @@ object GraftExpressions {
 
   def normalizeText(c: Column): Column =
     GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c)))
+
+  /** See [[RepetitionStatsExpr]] — callers own the NULL coalesce. */
+  def repetitionStats(c: Column): Column =
+    GraftColumnBridge.column(
+      RepetitionStatsExpr(GraftColumnBridge.expression(c)))
 
   def hashedNgramScore(tokens: Column): Column =
     GraftColumnBridge.column(
