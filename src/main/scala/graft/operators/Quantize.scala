@@ -734,7 +734,7 @@ object Quantize {
       else spark.read.schema(batchCodes.schema)
         .parquet(touchedOld.map(e => s"$base/${e._2}"): _*)
     val merged = oldRows.unionByName(
-      newCodes.select(oldRows.columns.map(col): _*))
+      newCodes.select(oldRows.columns.toIndexedSeq.map(col): _*))
     val freshEntries = writeGeneration(spark, merged, path, v + 1)
     // Bloom maintenance: the new ids merge into the sidecar BEFORE the
     // manifest rename, so the filter committed with generation v+1

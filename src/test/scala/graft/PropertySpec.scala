@@ -58,6 +58,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native repetitionStats equals an independent naive reference on " +
+    "random multiline unicode docs (all 15 fields)") {
+    import graft.functions.expressions.RepetitionStatsExpr
+    // third formulation guard for the r16 native rewrite: the q162
+    // oracle pins the fixture family, this pins RANDOM docs — tabs,
+    // multibyte words, duplicated lines, space-only and empty fragments
+    def cp(t: String): Long = t.codePointCount(0, t.length).toLong
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(s: String): Seq[Any] = {
+      val chars = cp(s).toDouble
+      val lines = s.split("\n", -1).toSeq.filter(_.nonEmpty)
+      def spaceTrim(p: String) = p.dropWhile(_ == ' ')
+        .reverse.dropWhile(_ == ' ').reverse
+      val paras = s.split("\n{2,}", -1).toSeq.filter(spaceTrim(_).nonEmpty)
+      def dupFrac(a: Seq[String]) =
+        if (a.isEmpty) 0.0
+        else round4((a.size - a.distinct.size).toDouble / a.size)
+      def dupCharFrac(a: Seq[String]) = round4(
+        if (chars > 0)
+          a.groupBy(identity).values
+            .map(g => (g.size - 1).toLong * cp(g.head)).sum / chars
+        else 0.0)
+      val low = spaceTrim(s.toLowerCase)
+      val toks = if (cp(low) == 0) Seq.empty[String]
+        else low.split("\\s+", -1).toSeq
+      def grams(k: Int) = if (toks.size < k) Seq.empty[String]
+        else toks.sliding(k).map(_.mkString(" ")).toSeq
+      def topFrac(k: Int) = {
+        // .toSeq before the map: mapping a Map to (count, len) tuples
+        // would COLLAPSE equal counts into one key (found by this very
+        // test's first run — the bug was in the reference, not the code)
+        val cs = grams(k).groupBy(identity).toSeq
+          .map { case (g, o) => (o.size.toLong, cp(g)) }
+        if (cs.isEmpty || chars == 0) 0.0
+        else {
+          val mc = cs.map(_._1).max
+          val ml = cs.filter(_._1 == mc).map(_._2).max
+          round4(mc * ml / chars)
+        }
+      }
+      def dupKFrac(k: Int) = math.min(1.0, round4(
+        if (chars > 0)
+          grams(k).groupBy(identity).values.filter(_.size >= 2)
+            .map(o => o.size.toLong * cp(o.head)).sum / chars
+        else 0.0))
+      Seq(lines.size, dupFrac(lines), dupCharFrac(lines),
+        paras.size, dupFrac(paras), dupCharFrac(paras)) ++
+        Seq(2, 3, 4).map(topFrac) ++ (5 to 10).map(dupKFrac)
+    }
+    val wordGen = Gen.oneOf("the", "cat", "sat", "mat", "日本", "naïve",
+      "ému", "a", "!!", "123", "😀ok")
+    val lineGen = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 8)
+      ls <- Gen.listOfN(n, lineGen)
+      dup <- lineGen
+      reps <- Gen.chooseNum(0, 3)
+      sep <- Gen.oneOf("\n", "\n\n", "\n \n", "\t\n", "\n\n\n")
+      pre <- Gen.oneOf("", " ", "\t")
+    } yield pre + (ls ++ Seq.fill(reps)(dup)).mkString(sep)
+    val docs = sample(docGen, 250, seed = 1616L)
+    val names = RepetitionStatsExpr.schema.fieldNames.toSeq
+    val got = docs.zipWithIndex.map { case (d, i) => (i, d) }
+      .toDF("id", "text")
+      .select($"id" +: names.map(f =>
+        TextFunctions.repetitionStats($"text").getField(f).as(f)): _*)
+      .orderBy($"id").collect()
+    got.foreach { row =>
+      val doc = docs(row.getInt(0))
+      val want = ref(doc)
+      names.zipWithIndex.foreach { case (f, j) =>
+        assert(row.get(j + 1) == want(j),
+          s"$f: got ${row.get(j + 1)}, want ${want(j)} for doc " +
+            doc.replace("\n", "\\n").replace("\t", "\\t"))
+      }
+    }
+  }
+
   test("merged Misra-Gries keeps heavy items within the one-sided error bound") {
     import graft.functions.Aggregators.MisraGries
     // zipf-ish skew from a small alphabet so true heavy hitters exist;
