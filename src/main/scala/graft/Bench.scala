@@ -76,7 +76,7 @@ object Bench {
     "q158_codestore_ingest", "q159_multimodal_resize",
     "q160_codestore_retrain", "q161_training_batches_stored",
     "q162_repetition_rules", "q163_codestore_bloom",
-    "q164_codestore_drift")
+    "q164_codestore_drift", "q165_gopher_quality")
 
   private val RUNS = 5
 

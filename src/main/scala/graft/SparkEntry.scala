@@ -3472,6 +3472,44 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** Gopher QUALITY rule gate — q162's sibling on the A1 NON-repetition
+    * half ([[TextFunctions.gopherQualityStats]]): word-count and
+    * mean-word-length windows, hash/ellipsis symbol caps, bullet and
+    * ellipsis line fractions, alphabetic-word floor, stop-word
+    * requirement. The decorations exercise every bound in BOTH
+    * directions across the corpus (hash spam, a bullet-heavy prefix
+    * that crosses the 0.9 line bound, ellipsis line endings in both
+    * spellings, numeric-word dilution of the alphabetic floor,
+    * truncation under the 50-word minimum, a stop-word-rich tail).
+    * FULL DuckDB oracle recomputing the family from first principles. */
+  private def q165_gopher_quality(s: SparkSession, dir: String): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val m = pmod(col("doc_id"), lit(9))
+    val bullets = concat(
+      (1 to 10).map(i => lit(s"- item$i\n")): _*)
+    val longWords = lit(
+      " pneumonoultramicroscopicsilicovolcanoconiosis" * 4)
+    val oneChars = lit(" a" * 30)
+    val docs = t(s, dir, "documents").withColumn("t2",
+      when(m === 0, concat(raw, lit(" ## # ### ##")))
+        .when(m === 1, concat(bullets, raw))
+        .when(m === 2, concat(raw, lit("\nwait...\nmore...\nend…")))
+        .when(m === 3, concat(raw, lit(" 111 222 333 444 555 666")))
+        .when(m === 4, substring(raw, 1, 25))
+        .when(m === 5, concat(raw, lit(" the be to of and that have with")))
+        .when(m === 6, concat(raw, longWords)) // mean-len above 10 (short docs)
+        .when(m === 7, concat(raw, oneChars)) // mean-len below 3 (short docs)
+        .otherwise(raw))
+    val fields = Seq("n_words", "mean_word_len", "hash_word_ratio",
+      "ellipsis_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+      "alpha_word_frac", "stop_hits")
+    docs.select(col("doc_id"),
+        TextFunctions.gopherQualityStats(col("t2")).as("g"))
+      .select(col("doc_id") +: fields.map(f => col(s"g.$f").as(f)) :+
+        TextFunctions.gopherQualityKeepFromStats(col("g")).as("keep"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     // composed quality gate: composite score + Gopher repetition keep
@@ -3663,6 +3701,7 @@ object SparkEntry {
     "q162_repetition_rules" -> q162_repetition_rules _,
     "q163_codestore_bloom" -> q163_codestore_bloom _,
     "q164_codestore_drift" -> q164_codestore_drift _,
+    "q165_gopher_quality" -> q165_gopher_quality _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5641,6 +5680,72 @@ object SparkEntry {
         |  ('cstore_bloom_store_equals_union', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q165 recomputes the A1 QUALITY family from first principles — the
+    // same decorations, token/line conventions (shared trim/lower/split
+    // semantics with toksSql), replace-based symbol counting, and the
+    // published bounds as one conjunction.
+    "q165_gopher_quality" -> {
+      val bullets = (1 to 10).map(i => s"'- item$i' || chr(10)")
+        .mkString(" || ")
+      val longWords =
+        " pneumonoultramicroscopicsilicovolcanoconiosis" * 4
+      val oneChars = " a" * 30
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 9
+         |      WHEN 0 THEN t0 || ' ## # ### ##'
+         |      WHEN 1 THEN $bullets || t0
+         |      WHEN 2 THEN t0 || chr(10) || 'wait...' || chr(10) ||
+         |                  'more...' || chr(10) || 'end…'
+         |      WHEN 3 THEN t0 || ' 111 222 333 444 555 666'
+         |      WHEN 4 THEN substr(t0, 1, 25)
+         |      WHEN 5 THEN t0 || ' the be to of and that have with'
+         |      WHEN 6 THEN t0 || '$longWords'
+         |      WHEN 7 THEN t0 || '$oneChars'
+         |      ELSE t0 END AS text
+         |  FROM (SELECT doc_id, coalesce(text, '') AS t0 FROM documents) s0),
+         |tok AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
+         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+         |  FROM d),
+         |st AS (
+         |  SELECT doc_id, len(w) AS n_words,
+         |    round(CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(w, t -> length(t)))::DOUBLE
+         |           / len(w) END, 4) AS mean_word_len,
+         |    round(CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE (length(text) - length(replace(text, '#', '')))::DOUBLE
+         |           / len(w) END, 4) AS hash_word_ratio,
+         |    round(CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE ((length(text) - length(replace(text, '...', ''))) / 3
+         |            + (length(text) - length(replace(text, '…', ''))))::DOUBLE
+         |           / len(w) END, 4) AS ellipsis_word_ratio,
+         |    round(CASE WHEN len(lines) = 0 THEN 0.0
+         |      ELSE len(list_filter(lines, l -> list_contains(
+         |             ['•', '‣', '▪', '-', '*'], substr(ltrim(l), 1, 1))))
+         |           ::DOUBLE / len(lines) END, 4) AS bullet_line_frac,
+         |    round(CASE WHEN len(lines) = 0 THEN 0.0
+         |      ELSE len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+         |             OR rtrim(l) LIKE '%…'))::DOUBLE / len(lines) END, 4)
+         |      AS ellipsis_line_frac,
+         |    round(CASE WHEN len(w) = 0 THEN 0.0
+         |      ELSE len(list_filter(w, t -> regexp_matches(t, '\\p{L}')))
+         |           ::DOUBLE / len(w) END, 4) AS alpha_word_frac,
+         |    len(list_filter(['the','be','to','of','and','that','have','with'],
+         |        sw -> list_contains(w, sw))) AS stop_hits
+         |  FROM tok)
+         |SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+         |  ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
+         |  alpha_word_frac, stop_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+         |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+         |   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

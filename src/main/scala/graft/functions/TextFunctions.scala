@@ -273,6 +273,129 @@ object TextFunctions {
   def gopherRepetitionKeep(text: Column): Column =
     bindOnce(repetitionStats(text))(gopherKeepFromStats)
 
+  /** The 8 high-frequency English words Gopher's quality rule requires a
+    * document to contain at least [[gopherMinStopHits]] of (Rae et al.
+    * 2021 appendix A1 — public). Distinct from [[stopwordList]]'s
+    * per-language lists: this is the paper's own fixed set. */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  // The published A1 quality bounds, shared by [[gopherQualityKeepFromStats]]
+  // and the q165 oracle generator so Spark and DuckDB read one table.
+  val gopherMinWords = 50
+  val gopherMaxWords = 100000
+  val gopherMinMeanWordLen = 3.0
+  val gopherMaxMeanWordLen = 10.0
+  val gopherMaxHashWordRatio = 0.1
+  val gopherMaxEllipsisWordRatio = 0.1
+  val gopherMaxBulletLineFrac = 0.9
+  val gopherMaxEllipsisLineFrac = 0.3
+  val gopherMinAlphaWordFrac = 0.8
+  val gopherMinStopHits = 2
+
+  /** Line-leading bullet glyphs for the A1 bullet rule (the set the
+    * public reimplementations use). */
+  val gopherBulletGlyphs: Seq[String] = Seq("•", "‣", "▪", "-", "*")
+
+  /**
+   * The NON-repetition half of Gopher's appendix-A1 document filter
+   * (Rae et al. 2021 — public), completing the published family next to
+   * [[repetitionStats]]: structural quality signals that catch what
+   * neither the repetition fractions nor [[qualityScore]]'s composite
+   * sees (machine-generated hash/ellipsis spam, bullet-list pages,
+   * numeric tables, gibberish with no function words). Returns a struct
+   * of per-document statistics, all single-pass column expressions over
+   * one bound token array and one bound line array — no shuffle, no
+   * UDF, a scan-speed map stage at 100 TB:
+   *
+   *  - `n_words`: [[tokens]] count (lowercased, whitespace-split);
+   *  - `mean_word_len`: mean code-point length of the words;
+   *  - `hash_word_ratio` / `ellipsis_word_ratio`: occurrences of `#`
+   *    and of `...`/`…` (non-overlapping, the two ellipsis spellings
+   *    counted independently) per word;
+   *  - `bullet_line_frac` / `ellipsis_line_frac`: fraction of non-empty
+   *    lines whose space-trimmed form starts with a bullet glyph /
+   *    ends with an ellipsis;
+   *  - `alpha_word_frac`: fraction of words containing at least one
+   *    Unicode letter (`\p{L}` — the published rule is "alphabetic
+   *    character"; the Unicode class keeps the rule meaningful on the
+   *    non-English corpus slices);
+   *  - `stop_hits`: how many DISTINCT [[gopherStopWords]] appear.
+   *
+   * Fractions round HALF_UP to 4 places; a blank document is all-zero.
+   * q165 pins every definition against a full DuckDB recomputation.
+   */
+  def gopherQualityStats(text: Column): Column = {
+    val raw = coalesce(text, lit(""))
+    bindOnce(tokens(text)) { w =>
+      bindOnce(filter(split(raw, "\n"), l => l =!= "")) { lines =>
+        val nW = size(w)
+        val nWd = nW.cast("double")
+        val nLd = size(lines).cast("double")
+        val meanLen = when(nW > 0,
+          aggregate(w, lit(0L), (a, t) => a + length(t).cast("long"))
+            .cast("double") / nWd).otherwise(lit(0.0))
+        val hashes =
+          (length(raw) - length(replace(raw, lit("#"), lit("")))).cast("double")
+        val ellipses =
+          ((length(raw) - length(replace(raw, lit("..."), lit("")))) / 3 +
+            (length(raw) - length(replace(raw, lit("…"), lit("")))))
+            .cast("double")
+        def perWord(c: Column) =
+          when(nW > 0, c / nWd).otherwise(lit(0.0))
+        val bullets = size(filter(lines, l =>
+          substring(ltrim(l), 1, 1)
+            .isin(gopherBulletGlyphs: _*))).cast("double")
+        val ellLines = size(filter(lines, l =>
+          endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+          .cast("double")
+        def perLine(c: Column) =
+          when(size(lines) > 0, c / nLd).otherwise(lit(0.0))
+        val alphaWords = size(filter(w, t => t.rlike("\\p{L}"))).cast("double")
+        val stopHits = size(array_intersect(array_distinct(w),
+          array(gopherStopWords.map(lit(_)): _*)))
+        struct(
+          nW.as("n_words"),
+          round(meanLen, 4).as("mean_word_len"),
+          round(perWord(hashes), 4).as("hash_word_ratio"),
+          round(perWord(ellipses), 4).as("ellipsis_word_ratio"),
+          round(perLine(bullets), 4).as("bullet_line_frac"),
+          round(perLine(ellLines), 4).as("ellipsis_line_frac"),
+          round(perWord(alphaWords), 4).as("alpha_word_frac"),
+          stopHits.as("stop_hits"))
+      }
+    }
+  }
+
+  /** The A1 quality keep rule over an ALREADY-COMPUTED
+    * [[gopherQualityStats]] struct: every bound at its published value.
+    * Word-count and mean-word-length windows, symbol/bullet/ellipsis
+    * caps, alphabetic floor, and the ≥ 2 stop-word requirement. */
+  def gopherQualityKeepFromStats(stats: Column): Column =
+    stats.getField("n_words") >= gopherMinWords &&
+      stats.getField("n_words") <= gopherMaxWords &&
+      stats.getField("mean_word_len") >= gopherMinMeanWordLen &&
+      stats.getField("mean_word_len") <= gopherMaxMeanWordLen &&
+      stats.getField("hash_word_ratio") <= gopherMaxHashWordRatio &&
+      stats.getField("ellipsis_word_ratio") <= gopherMaxEllipsisWordRatio &&
+      stats.getField("bullet_line_frac") <= gopherMaxBulletLineFrac &&
+      stats.getField("ellipsis_line_frac") <= gopherMaxEllipsisLineFrac &&
+      stats.getField("alpha_word_frac") >= gopherMinAlphaWordFrac &&
+      stats.getField("stop_hits") >= gopherMinStopHits
+
+  /** Gopher's QUALITY keep rule — the published A1 bounds over
+    * [[gopherQualityStats]], bound once per row (the [[bindOnce]]
+    * discipline). NOTE a corpus-policy caveat the repetition rule does
+    * not have: the word-count window (50–100k) and the stop-word floor
+    * are English-prose policy — the synthetic fixture corpus (10–100
+    * word soup) largely FAILS them by construction, so the flagships
+    * deliberately gate on [[qualityScore]] + [[gopherRepetitionKeep]]
+    * and leave this rule to corpora it was published for; q165 gates
+    * the operator itself on decorated fixtures that exercise every
+    * bound in both directions. */
+  def gopherQualityKeep(text: Column): Column =
+    bindOnce(gopherQualityStats(text))(gopherQualityKeepFromStats)
+
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and
   // RE2 (DuckDB, used by the oracle) agree exactly: character classes,

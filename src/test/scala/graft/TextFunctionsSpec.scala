@@ -191,4 +191,47 @@ class TextFunctionsSpec extends SparkSpec {
     // "brown fox jumps" (each once despite repetition); doc 2 absent
     assert(out.toSeq == Seq((1L, 2L), (3L, 2L)))
   }
+
+  test("gopherQualityStats matches hand-computed A1 quality signals; " +
+    "blank doc is all-zero; keep rule applies the published bounds") {
+    val doc = "- one\n- two\nThe cat... sat with the mat…\n## 123"
+    // tokens (lowered, \s+): -, one, -, two, the, cat..., sat, with,
+    // the, mat…, ##, 123 → 12 words, char lens 1,3,1,3,3,6,3,4,3,4,2,3
+    val row = Seq((1L, doc)).toDF("id", "text")
+      .select(gopherQualityStats($"text").as("g"))
+      .select($"g.n_words", $"g.mean_word_len", $"g.hash_word_ratio",
+        $"g.ellipsis_word_ratio", $"g.bullet_line_frac",
+        $"g.ellipsis_line_frac", $"g.alpha_word_frac", $"g.stop_hits")
+      .head()
+    assert(row.getInt(0) == 12)
+    assert(row.getDouble(1) == 3.0) // 36 chars / 12 words
+    assert(row.getDouble(2) == 0.1667) // two '#' / 12
+    assert(row.getDouble(3) == 0.1667) // one '...' + one '…' / 12
+    assert(row.getDouble(4) == 0.5) // 2 of 4 lines start with '-'
+    assert(row.getDouble(5) == 0.25) // 1 of 4 lines ends with '…'
+    assert(row.getDouble(6) == 0.6667) // 8 of 12 words have a letter
+    assert(row.getInt(7) == 2) // the, with
+    // blank and NULL docs: all-zero, keep false (word-count floor)
+    val z = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(gopherQualityStats($"text").as("g"),
+        gopherQualityKeep($"text").as("keep"))
+      .collect()
+    z.foreach { r =>
+      val g = r.getStruct(0)
+      assert(g.getInt(0) == 0 && g.getDouble(1) == 0.0 &&
+        g.getDouble(6) == 0.0 && g.getInt(7) == 0, g.toString)
+      assert(!r.getBoolean(1))
+    }
+    // a clean 64-word prose doc passes every bound
+    val good = Array.fill(8)("the cat sat on the mat with dogs").mkString(" ")
+    assert(Seq((1L, good)).toDF("id", "text")
+      .select(gopherQualityKeep($"text")).head().getBoolean(0),
+      "clean prose failed the quality keep")
+    // and each bound fails alone: the hand doc fails word count; the
+    // good doc with hash spam fails the symbol cap
+    assert(!Seq((1L, good + " " + ("# " * 8))).toDF("id", "text")
+      .select(gopherQualityKeep($"text")).head().getBoolean(0),
+      "hash-spammed prose passed the symbol cap")
+  }
 }
