@@ -751,15 +751,19 @@ object SparkEntry {
   private lazy val roundTripBase: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      rm(dir.toFile)
+      rmTree(dir.toFile)
     }, "graft-roundtrip-cleanup"))
     dir.toString
   }
   private def roundTripDir(name: String): String = s"$roundTripBase/$name"
+
+  /** Recursive delete for the per-process /tmp fixture stores the
+    * verdict-gate queries build — one definition (was pasted into every
+    * store-building query); no-op on a missing path. */
+  private def rmTree(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
 
   /** Drop a catalog table AND its warehouse directory: a table dir left
     * behind by a KILLED run isn't in the catalog, so the DROP misses it
@@ -773,13 +777,7 @@ object SparkEntry {
     if (wh.getScheme == null || wh.getScheme == "file") {
       val root = if (wh.getScheme == null) wh.toString else wh.getPath
       val loc = new java.io.File(root, tbl)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles.foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
+      rmTree(loc)
     }
   }
 
@@ -2808,11 +2806,7 @@ object SparkEntry {
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q149_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/rebuild")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    rmTree(new java.io.File(base))
     operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
       4, 16, dirA)
     val removed = e.filter(pmod(col("vec_id"), lit(5)) === 0)
@@ -2977,11 +2971,7 @@ object SparkEntry {
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q157_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/rebuild")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    rmTree(new java.io.File(base))
     operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
       4, 16, dirA, versioned = true)
     val rm1 = e.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id"))
@@ -3044,11 +3034,7 @@ object SparkEntry {
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q158_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/oneshot")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    rmTree(new java.io.File(base))
     operators.Quantize.writeCodeStore(e.filter(m3 === 0), cents, cb,
       "embedding", "vec_id", 4, 16, dirA, versioned = true)
     operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 1),
@@ -3155,11 +3141,7 @@ object SparkEntry {
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q160_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/oneshot")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    rmTree(new java.io.File(base))
     operators.Quantize.writeCodeStore(half, cents0, cb0, "embedding",
       "vec_id", 4, 16, dirA, versioned = true)
     // the corpus DOUBLED since the models were trained — migrate
@@ -3372,11 +3354,7 @@ object SparkEntry {
       dim = 64, m = 4, ksub = 8)
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q163_$pid"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    rmTree(new java.io.File(base))
     val store = s"$base/store"
     operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
       4, 16, store, versioned = true)
@@ -3434,11 +3412,7 @@ object SparkEntry {
       dim = 64, m = 4, ksub = 8)
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q164_$pid"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm)
-      f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    rmTree(new java.io.File(base))
     val store = s"$base/store"
     operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
       4, 16, store, versioned = true)
@@ -3500,14 +3474,35 @@ object SparkEntry {
         .when(m === 6, concat(raw, longWords)) // mean-len above 10 (short docs)
         .when(m === 7, concat(raw, oneChars)) // mean-len below 3 (short docs)
         .otherwise(raw))
-    val fields = Seq("n_words", "mean_word_len", "hash_word_ratio",
-      "ellipsis_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
-      "alpha_word_frac", "stop_hits")
     docs.select(col("doc_id"),
         TextFunctions.gopherQualityStats(col("t2")).as("g"))
-      .select(col("doc_id") +: fields.map(f => col(s"g.$f").as(f)) :+
+      .select(col("doc_id") +:
+        gopherQualityFields.map(f => col(s"g.$f").as(f)) :+
         TextFunctions.gopherQualityKeepFromStats(col("g")).as("keep"): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** q165's output stats, in [[TextFunctions.gopherQualityStats]]' struct
+    * order — shared between the query and its oracle SELECT (the
+    * repetitionFields discipline). */
+  private val gopherQualityFields = Seq("n_words", "mean_word_len",
+    "hash_word_ratio", "ellipsis_word_ratio", "bullet_line_frac",
+    "ellipsis_line_frac", "alpha_word_frac", "stop_hits")
+
+  /** The A1 quality keep conjunction as oracle SQL, generated from the
+    * SAME `TextFunctions.gopher*` constants the Spark rule reads — a
+    * bound adjusted in one place moves both engines together. */
+  private def gopherQualityKeepSql: String = {
+    import TextFunctions._
+    s"""(n_words >= $gopherMinWords AND n_words <= $gopherMaxWords
+       |   AND mean_word_len >= $gopherMinMeanWordLen
+       |   AND mean_word_len <= $gopherMaxMeanWordLen
+       |   AND hash_word_ratio <= $gopherMaxHashWordRatio
+       |   AND ellipsis_word_ratio <= $gopherMaxEllipsisWordRatio
+       |   AND bullet_line_frac <= $gopherMaxBulletLineFrac
+       |   AND ellipsis_line_frac <= $gopherMaxEllipsisLineFrac
+       |   AND alpha_word_frac >= $gopherMinAlphaWordFrac
+       |   AND stop_hits >= $gopherMinStopHits)""".stripMargin
   }
 
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
@@ -5724,7 +5719,9 @@ object SparkEntry {
          |           / len(w) END, 4) AS ellipsis_word_ratio,
          |    round(CASE WHEN len(lines) = 0 THEN 0.0
          |      ELSE len(list_filter(lines, l -> list_contains(
-         |             ['•', '‣', '▪', '-', '*'], substr(ltrim(l), 1, 1))))
+         |             [${TextFunctions.gopherBulletGlyphs
+                          .map(g => s"'$g'").mkString(", ")}],
+         |             substr(ltrim(l), 1, 1))))
          |           ::DOUBLE / len(lines) END, 4) AS bullet_line_frac,
          |    round(CASE WHEN len(lines) = 0 THEN 0.0
          |      ELSE len(list_filter(lines, l -> rtrim(l) LIKE '%...'
@@ -5733,17 +5730,12 @@ object SparkEntry {
          |    round(CASE WHEN len(w) = 0 THEN 0.0
          |      ELSE len(list_filter(w, t -> regexp_matches(t, '\\p{L}')))
          |           ::DOUBLE / len(w) END, 4) AS alpha_word_frac,
-         |    len(list_filter(['the','be','to','of','and','that','have','with'],
+         |    len(list_filter([${TextFunctions.gopherStopWords
+                 .map(s0 => s"'$s0'").mkString(",")}],
          |        sw -> list_contains(w, sw))) AS stop_hits
          |  FROM tok)
-         |SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
-         |  ellipsis_word_ratio, bullet_line_frac, ellipsis_line_frac,
-         |  alpha_word_frac, stop_hits,
-         |  (n_words >= 50 AND n_words <= 100000
-         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |   AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
-         |   AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
-         |   AND alpha_word_frac >= 0.8 AND stop_hits >= 2) AS keep
+         |SELECT doc_id, ${gopherQualityFields.mkString(", ")},
+         |  $gopherQualityKeepSql AS keep
          |FROM st ORDER BY doc_id""".stripMargin
     },
     // q164 pins the drift metric's actionability contract: calm on an

@@ -170,8 +170,10 @@ object TextFunctions {
     * in the MOST FREQUENT k-gram) and the dup-n-gram sizes (fraction of
     * characters in ALL k-grams occurring ≥ 2 times). Shared with the
     * oracle-SQL generator so Spark and DuckDB compute the same family. */
-  val topGramKs: Seq[Int] = Seq(2, 3, 4)
-  val dupGramKs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+  val topGramKs: Seq[Int] =
+    graft.functions.expressions.RepetitionStatsExpr.topGramKs
+  val dupGramKs: Seq[Int] =
+    graft.functions.expressions.RepetitionStatsExpr.dupGramKs
 
   /** The COMPLETE published threshold table (Rae et al. 2021 appendix
     * A1): a document is kept only if every fraction is at or below its

@@ -559,6 +559,14 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
 
 object RepetitionStatsExpr {
 
+  /** The CANONICAL A1 gram-size family — `TextFunctions.topGramKs`/
+    * `dupGramKs` alias these, and the schema, the compute loops, the
+    * oracle-SQL generator, `repetitionFields`, and the threshold table
+    * are ALL derived from them, so extending the family changes every
+    * face together or not at all. */
+  val topGramKs: Seq[Int] = Seq(2, 3, 4)
+  val dupGramKs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+
   /** Field order is the published API — `SparkEntry.repetitionFields`,
     * the q162 oracle, and `gopherRepetitionThresholds` all key on it. */
   val schema: StructType = StructType(
@@ -568,9 +576,9 @@ object RepetitionStatsExpr {
       StructField("n_paras", IntegerType, nullable = false),
       StructField("dup_para_frac", DoubleType, nullable = false),
       StructField("dup_para_char_frac", DoubleType, nullable = false)) ++
-      Seq(2, 3, 4).map(k =>
+      topGramKs.map(k =>
         StructField(s"top_${k}gram_char_frac", DoubleType, nullable = false)) ++
-      (5 to 10).map(k =>
+      dupGramKs.map(k =>
         StructField(s"dup_${k}gram_char_frac", DoubleType, nullable = false)))
 
   private val ParaRe = java.util.regex.Pattern.compile("\n{2,}")
@@ -654,7 +662,7 @@ object RepetitionStatsExpr {
     val toks: Array[String] =
       if (lowered.numChars() == 0) Array.empty[String]
       else WsRe.split(lowered.toString, -1)
-    val out = new Array[Any](15)
+    val out = new Array[Any](schema.length)
     out(0) = lines.length
     out(1) = dlf
     out(2) = dlcf
@@ -662,8 +670,7 @@ object RepetitionStatsExpr {
     out(4) = dpf
     out(5) = dpcf
     var slot = 6
-    var k = 2
-    while (k <= 4) { // top_{2,3,4}gram_char_frac
+    topGramKs.foreach { k => // top-k-gram char fractions
       val m = gramCounts(toks, k)
       var mc = 0L
       var ml = 0L
@@ -676,10 +683,8 @@ object RepetitionStatsExpr {
       }
       out(slot) = round4(if (chars > 0 && mc > 0) mc * ml / chars else 0.0)
       slot += 1
-      k += 1
     }
-    k = 5
-    while (k <= 10) { // dup_{5..10}gram_char_frac, clamped to 1
+    dupGramKs.foreach { k => // dup-k-gram char fractions, clamped to 1
       val m = gramCounts(toks, k)
       var dupChars = 0L
       val it = m.entrySet().iterator()
@@ -691,7 +696,6 @@ object RepetitionStatsExpr {
       out(slot) = math.min(1.0,
         round4(if (chars > 0) dupChars / chars else 0.0))
       slot += 1
-      k += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }

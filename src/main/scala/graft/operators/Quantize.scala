@@ -523,9 +523,19 @@ object Quantize {
    * Bloom stale-CONSERVATIVE (a removed id stays positive): the exact
    * check then finds it absent and the re-ingest proceeds — correct,
    * just unscreened (QuantizeSpec-gated as the deterministic
-   * "false-positive" case). A store that outgrows `expectedItems`
-   * degrades fpp, never correctness — re-run this op (or
-   * [[retrainCodeStore]], which rebuilds the filter over the new
+   * "false-positive" case).
+   *
+   * SIZING is a per-BATCH contract, not per-row: ONE false positive in
+   * a batch triggers the exact fallback for that whole batch (the store
+   * id read is all-or-nothing), so the zero-read probability for a
+   * B-id batch is (1−fpp)^B — at the classic 0.01 a 1k-id batch would
+   * read the store almost every time. The default is therefore
+   * `fpp = 1e-5` (P(zero-read) ≈ 99% at B = 1k, ~2.4× the bits of a
+   * 0.01 filter — still ~3 MiB per million ids), and a store that
+   * outgrows `expectedItems` degrades fpp, never correctness. The
+   * degradation is GRACEFUL either way: a screened batch that does trip
+   * a positive pays exactly the legacy scan, never more. Re-run this op
+   * (or [[retrainCodeStore]], which rebuilds the filter over the new
    * corpus) to reseed at a larger capacity.
    *
    * One O(store ids) build pass, committed as manifest v+1 with the
@@ -535,7 +545,7 @@ object Quantize {
   def enableCodeStoreIdBloom(spark: org.apache.spark.sql.SparkSession,
                              path: String, idCol: String,
                              expectedItems: Long,
-                             fpp: Double = 0.01): Unit = {
+                             fpp: Double = 1e-5): Unit = {
     val v = codeStoreVersion(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"enableCodeStoreIdBloom: $path is not a versioned store — " +
@@ -772,6 +782,16 @@ object Quantize {
     * debris for months (see [[gcCodeStore]]). */
   private[graft] val DefaultOrphanHorizonMs: Long = 24L * 3600 * 1000
 
+  /** One-level-deep idleness, shared by the commit-time and quiet-store
+    * sweeps (one definition — the two sweeps must never disagree about
+    * whether the same orphan is collectible): a writer creating files
+    * inside pcell= children bumps the child dir's mtime even when the
+    * top dir's is stale. */
+  private def idleSince(fs: org.apache.hadoop.fs.FileSystem, cutoff: Long)
+                       (st: org.apache.hadoop.fs.FileStatus): Boolean =
+    st.getModificationTime < cutoff && (!st.isDirectory ||
+      fs.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+
   /** Drop manifests STRICTLY OLDER than the grace floor
     * (`keepVersions.min`) and any generation/models artifact no surviving
     * manifest references (a cell directory superseded two commits ago
@@ -812,11 +832,7 @@ object Quantize {
     val refdBlooms = surviving
       .flatMap(v => readManifestMeta(spark, path, v).get("bloom")).toSet
     val cutoff = System.currentTimeMillis() - horizonMs
-    // one level deep: a writer creating files inside pcell= children
-    // bumps the child dir's mtime even when the top dir's is stale
-    def idle(st: org.apache.hadoop.fs.FileStatus): Boolean =
-      st.getModificationTime < cutoff && (!st.isDirectory ||
-        fs.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+    val idle = idleSince(fs, cutoff) _
     def doomed(n: Long, st: org.apache.hadoop.fs.FileStatus): Boolean =
       n <= floor || (n <= current && idle(st))
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq.foreach { st =>
@@ -884,9 +900,7 @@ object Quantize {
     val cur = ms.last
     val fs = storeFs(spark, path)
     val cutoff = System.currentTimeMillis() - orphanHorizonMs
-    def idle(st: org.apache.hadoop.fs.FileStatus): Boolean =
-      st.getModificationTime < cutoff && (!st.isDirectory ||
-        fs.listStatus(st.getPath).forall(_.getModificationTime < cutoff))
+    val idle = idleSince(fs, cutoff) _
     val refd =
       readManifest(spark, path, cur).map(_._2.split("/", 2)(0)).toSet ++
         readManifestMeta(spark, path, cur).get("models") ++
