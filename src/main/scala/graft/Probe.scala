@@ -334,8 +334,21 @@ object Probe {
     * the honest worst case (≈ legacy — every id routes to the join). */
   private def csBloomRun(n: Long): Unit = {
     val spark = session()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    // session() pins broadcast OFF for the shuffle-shape probes; this run
+    // wants the production broadcast path — save and RESTORE the two conf
+    // values so a later subcommand in the same JVM isn't silently skewed
+    val broadcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = broadcastKeys.map(k => k -> spark.conf.getOption(k))
+    broadcastKeys.foreach(spark.conf.set(_, "10MB"))
+    try csBloomBody(spark, n)
+    finally saved.foreach {
+      case (k, Some(prev)) => spark.conf.set(k, prev)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def csBloomBody(spark: SparkSession, n: Long): Unit = {
     val dim = 64
     val (m, subDim) = (16, 4)
     val cells = math.max(16, (n / 1000).toInt)

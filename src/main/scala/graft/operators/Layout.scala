@@ -184,18 +184,22 @@ object Layout {
       !finalized(seq) => (seq, mt) }
   }
 
-  /** Exclusive-create token `seq` of `kind` ("a" append, "r" rewrite);
-    * false = the seq is taken (another writer committed first). */
+  /** Exclusive-create token `seq` with `content` — one of the three
+    * protocol token contents: `i` (append intent, staged before data),
+    * `a:<intentSeq>` (append finalization naming the intent it
+    * resolves), `r` (rewrite tombstone). Legacy bare `a` tokens from
+    * pre-intent stores still parse (they finalize nothing). Returns
+    * false when the seq is taken (another writer committed first). */
   private[graft] def commitToken(spark: SparkSession,
                           coord: org.apache.hadoop.fs.Path, seq: Long,
-                          kind: String): Boolean = {
+                          content: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = coord.getFileSystem(conf)
     fs.mkdirs(coord)
     val tmp = new org.apache.hadoop.fs.Path(coord,
       s"_tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
-    try out.write(kind.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(coord.toUri, conf)
     try {
       fc.rename(tmp, new org.apache.hadoop.fs.Path(coord, f"_t$seq%09d"))

@@ -554,8 +554,9 @@ object Quantize {
     val bloom =
       buildIdBloom(readCodeStore(spark, path), idCol, expectedItems, fpp)
     val rel = writeBloomArtifact(spark, path, v + 1, bloom)
+    // a fresh filter has no retraction staleness — reset the ledger
     commitManifest(spark, path, v + 1, readManifest(spark, path, v),
-      readManifestMeta(spark, path, v) ++ Map(
+      readManifestMeta(spark, path, v) - "bloomstale" ++ Map(
         "bloom" -> rel, "bloomgeom" -> s"$expectedItems\t$fpp\t$idCol"))
     gcStore(spark, path, Seq(v, v + 1))
   }
@@ -916,15 +917,19 @@ object Quantize {
         n.contains(cur + 1) && !refd(st.getPath.getName) && idle(st)
       }
     if (hasIdleNextOrphan) {
-      try {
+      val advanced = try {
         commitManifest(spark, path, cur + 1,
           readManifest(spark, path, cur), readManifestMeta(spark, path, cur))
-        gcStore(spark, path, Seq(cur, cur + 1), orphanHorizonMs)
+        true
       } catch {
         // a live writer won the CAS — its commit advanced current past
         // the orphan's target, which the next sweep's age gate collects
-        case _: IllegalArgumentException => ()
+        case _: IllegalArgumentException => false
       }
+      // outside the catch: only the CAS loss is swallowed — a genuine
+      // failure in the post-advance sweep must surface, not leave the
+      // orphan silently uncollected
+      if (advanced) gcStore(spark, path, Seq(cur, cur + 1), orphanHorizonMs)
     }
   }
 
@@ -1009,10 +1014,15 @@ object Quantize {
     val entries = readManifest(spark, path, v)
     val store = spark.read.parquet(entries.map(e => s"$base/${e._2}"): _*)
     val gone = removedIds.toDF(idCol).distinct()
-    // removal-batch-bounded driver list (prunedCodeStore discipline)
-    val affected = store.join(gone, Seq(idCol), "left_semi")
-      .select(col("cell").cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // removal-batch-bounded driver list (prunedCodeStore discipline);
+    // the per-cell counts ride the same pass — their sum is the exact
+    // number of store rows this retraction removes, which feeds the
+    // Bloom staleness ledger below at zero extra I/O
+    val affectedCounts = store.join(gone, Seq(idCol), "left_semi")
+      .groupBy(col("cell").cast("string").as("cell")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val affected = affectedCounts.map(_._1).toSet
+    val removedRows = affectedCounts.map(_._2).sum
     if (affected.isEmpty) return
     val affDirs = entries.filter(e => affected(e._1))
       .map(e => s"$base/${e._2}")
@@ -1032,10 +1042,45 @@ object Quantize {
         "removeFromCodeStore: retraction would empty the store " +
           "(drop the store directory instead)")
     }
-    commitManifest(spark, path, v + 1, merged,
-      readManifestMeta(spark, path, v)) // models pointer survives retraction
+    // Bloom hygiene: retraction leaves the held-id sidecar
+    // stale-CONSERVATIVE (removed ids stay positive — correct, just
+    // unscreened), but HEAVY retraction accumulates stale positives
+    // until the filter's effective screening power is gone. The
+    // `bloomstale` meta key ledgers rows removed since the filter was
+    // last (re)built; once it crosses [[BloomRebuildStaleFraction]] of
+    // the recorded capacity, the filter is rebuilt over the surviving
+    // store under the SAME commit — one O(store ids) pass, amortized
+    // over ≥ staleFraction×capacity retractions, after which retracted
+    // ids screen as definitely-new again (QuantizeSpec-gated both
+    // sides of the threshold).
+    val meta0 = readManifestMeta(spark, path, v)
+    val outMeta = meta0.get("bloomgeom") match {
+      case Some(g) if meta0.contains("bloom") =>
+        val a = g.split("\t", 3)
+        val stale =
+          meta0.get("bloomstale").map(_.toLong).getOrElse(0L) + removedRows
+        if (stale > (BloomRebuildStaleFraction * a(0).toLong).toLong) {
+          val content = spark.read.schema(store.schema)
+            .parquet(merged.map(e => s"$base/${e._2}"): _*)
+          val fresh = buildIdBloom(content, idCol, a(0).toLong, a(1).toDouble)
+          meta0 ++ Map(
+            "bloom" -> writeBloomArtifact(spark, path, v + 1, fresh),
+            "bloomstale" -> "0")
+        } else meta0 + ("bloomstale" -> stale.toString)
+      case _ => meta0 // models pointer survives retraction either way
+    }
+    commitManifest(spark, path, v + 1, merged, outMeta)
     gcStore(spark, path, Seq(v, v + 1))
   }
+
+  /** Retracted-rows fraction of the sidecar's recorded capacity past
+    * which [[removeVersioned]] rebuilds the held-id Bloom instead of
+    * letting stale positives keep accumulating. 10%: at the 1e-5
+    * default fpp a filter is sized ~24 bits/id, so 10% extra
+    * insertions barely move its true fpp — the rebuild triggers well
+    * before screening degrades, yet no oftener than once per
+    * 0.1×capacity removals. */
+  private[graft] val BloomRebuildStaleFraction = 0.1
 
   /**
    * MODEL-GENERATION migration for the versioned code store — the leg
@@ -1080,16 +1125,22 @@ object Quantize {
     val codes = assembleCodes(corpus, cents, cb, vecCol, idCol, m, dim / m)
     val entries = writeGeneration(spark, codes, path, v + 1)
     require(entries.nonEmpty, "retrainCodeStore: empty corpus")
-    // the id Bloom sidecar, if enabled, is rebuilt over the NEW corpus at
-    // the recorded geometry (retrain redefines the store's content, so a
-    // fresh filter also sheds retraction staleness) and committed under
-    // the SAME manifest rename as the codes and models
+    // the id Bloom sidecar, if enabled, is rebuilt over the NEW corpus
+    // (retrain redefines the store's content, so a fresh filter also
+    // sheds retraction staleness) and committed under the SAME manifest
+    // rename as the codes and models. Capacity SCALES with the corpus:
+    // a store that outgrew its recorded expectedItems would otherwise
+    // re-record a filter whose effective fpp is silently degraded at
+    // every retrain — the rebuild reseeds at max(recorded, 2× corpus),
+    // and every later ingest reads the new geometry from @bloomgeom, so
+    // merge compatibility is preserved by construction
     val bloomMeta = readManifestMeta(spark, path, v).get("bloomgeom")
       .map { g =>
         val a = g.split("\t", 3)
-        val fresh = buildIdBloom(corpus, idCol, a(0).toLong, a(1).toDouble)
+        val items = math.max(a(0).toLong, 2L * corpus.count())
+        val fresh = buildIdBloom(corpus, idCol, items, a(1).toDouble)
         Map("bloom" -> writeBloomArtifact(spark, path, v + 1, fresh),
-          "bloomgeom" -> s"${a(0)}\t${a(1)}\t$idCol")
+          "bloomgeom" -> s"$items\t${a(1)}\t$idCol")
       }.getOrElse(Map.empty[String, String])
     // one atomic swap commits codes AND models together; on refusal the
     // orphan generation/models dirs fall to gcStore's version/age gates

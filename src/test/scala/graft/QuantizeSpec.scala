@@ -649,6 +649,65 @@ class QuantizeSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("heavy retraction rebuilds the id Bloom once stale rows cross the " +
+    "fraction of recorded capacity; light retraction only ledgers") {
+    val (e, cents, cbT) = storeModels()
+    val dir = java.nio.file.Files.createTempDirectory("pq_bstale").toString
+    Quantize.writeCodeStore(e, cents, cbT, "embedding", "vec_id", 4, 16,
+      dir, versioned = true)
+    def meta = Quantize.readManifestMeta(spark, dir,
+      Quantize.codeStoreVersion(spark, dir).get)
+    def lane(ids: Seq[Long]): Seq[Long] = ids.toDF("vec_id")
+      .select(xxhash64($"vec_id")).as[Long].collect().toSeq
+    val heldIds = e.select($"vec_id").as[Long].collect().toSeq.sorted
+    val sz = heldIds.size
+    assert(sz > 100, "fixture degenerate: need > 100 ids")
+    // capacity 2×corpus (a SANE sizing — the survivors must fit, or the
+    // rebuilt filter saturates and its fpp claim is meaningless);
+    // rebuild threshold = capacity/10 = sz/5 retracted rows
+    Quantize.enableCodeStoreIdBloom(spark, dir, "vec_id", 2L * sz, 1e-5)
+    val threshold = (2L * sz) / 10
+    // LIGHT retraction (sz/10 < threshold): ledger accumulates, same
+    // artifact — the retracted ids stay stale-CONSERVATIVE positives
+    val first = heldIds.take(sz / 10)
+    val bloomRelBefore = meta("bloom")
+    Quantize.removeFromCodeStore(spark, dir, first.toDF("vec_id"), "vec_id")
+    assert(meta("bloomstale") == first.size.toString,
+      s"light retraction should ledger ${first.size} stale rows, " +
+        s"meta = $meta")
+    assert(meta("bloom") == bloomRelBefore,
+      "light retraction must not rebuild the sidecar")
+    assert(lane(first).forall(
+      Quantize.storedIdBloom(spark, dir).get.mightContainLong),
+      "below-threshold retraction should leave stale positives in place")
+    // HEAVY retraction (running total crosses the threshold): filter
+    // rebuilt over survivors under the same commit, ledger reset
+    val second = heldIds.slice(sz / 10,
+      (threshold + 5).toInt.min(sz / 2))
+    assert(first.size + second.size > threshold,
+      "fixture degenerate: second batch does not cross the threshold")
+    Quantize.removeFromCodeStore(spark, dir, second.toDF("vec_id"), "vec_id")
+    assert(meta("bloomstale") == "0",
+      s"crossing the threshold should reset the ledger, meta = $meta")
+    assert(meta("bloom") != bloomRelBefore,
+      "crossing the threshold should record a fresh artifact")
+    val rebuilt = Quantize.storedIdBloom(spark, dir).get
+    val survivors = heldIds.drop(first.size + second.size)
+    assert(lane(survivors).forall(rebuilt.mightContainLong),
+      "rebuild dropped a surviving id — no-false-negatives broken")
+    // at fpp 1e-5 a retracted id surviving as a positive is ~impossible
+    assert(lane(first ++ second).forall(h => !rebuilt.mightContainLong(h)),
+      "rebuilt filter still holds retracted ids")
+    // the rebuilt sidecar still screens: a retracted id re-ingests as
+    // definitely-new with ZERO store reads (the exact fallback is skipped)
+    val back = e.filter($"vec_id" === first.head)
+      .select($"vec_id", $"embedding")
+    assert(Quantize.ingestBatchCodeStore(spark, dir, back, cents, cbT,
+      "embedding", "vec_id", 4, 16, fullIdCheck = true).count() == 1,
+      "retracted id should re-ingest as bloom-negative after the rebuild")
+    graft.operators.OpCache.release()
+  }
+
   test("gcCodeStore age fallback collects idle orphans on a quiet store, " +
     "spares fresh and future-versioned artifacts") {
     val (e, cents, cbT) = storeModels()
