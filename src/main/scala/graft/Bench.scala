@@ -76,7 +76,8 @@ object Bench {
     "q158_codestore_ingest", "q159_multimodal_resize",
     "q160_codestore_retrain", "q161_training_batches_stored",
     "q162_repetition_rules", "q163_codestore_bloom",
-    "q164_codestore_drift", "q165_gopher_quality")
+    "q164_codestore_drift", "q165_gopher_quality",
+    "q166_gopher_quality_bounds")
 
   private val RUNS = 5
 

@@ -319,6 +319,17 @@ object Probe {
       measure(s"PROFILE repetitionScores n=2 ($name)")(
         graft.operators.TextProfile.repetitionScores(
           docs, "text", "doc_id", n = 2))
+      // the A1 QUALITY half (q165) — the r16 verdict's pre-wiring gate:
+      // measure the stats' cost on the decade BEFORE a flagship gates on
+      // them (the q162 lesson: interpreted HOF folds priced fine at one
+      // query and 17× once they rode into four flagships)
+      measure(s"QUALITY gopherQualityStats + keep ($name)")(
+        docs.select(col("doc_id"),
+            graft.functions.TextFunctions.gopherQualityStats(col("text"))
+              .as("g"))
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.gopherQualityKeepFromStats(col("g"))
+              .as("keep")))
       docs.unpersist(blocking = false)
     }
   }

@@ -1388,26 +1388,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   /** End-to-end curation pipeline — the flagship composition a
-    * training-data team actually ships: Gopher repetition gate (the
-    * full A1 keep rule — the quality failure the composite score's
-    * length/punctuation signals cannot see), per-language quality
-    * gating (top half), exact dedup to min-id representatives,
-    * benchmark decontamination against the eval slice, then exact mix
-    * materialization. Every stage is the operator its standalone query
-    * exercises (q162/q93/q28/q89/q95); what this query gates is the
-    * COMPOSITION, oracle-checked as the same CTE chain. Scale shape:
-    * the repetition gate is a pure map over the scan (no shuffle), the
-    * quality window shuffles once per language, dedup shuffles
-    * (fingerprint, id) pairs, decontamination ships only (id, gram)
-    * pairs semi-joined against the broadcastable eval-gram set, and the
-    * mix join broadcasts a |strata|-row quota frame — no stage widens
-    * at 100 TB. The eval slice for decontamination is drawn from the
-    * RAW docs: a benchmark document is a leak source whatever its
-    * repetition profile. */
+    * training-data team actually ships: the FULL Gopher A1 gate (both
+    * published halves — the repetition keep rule, plus the structural
+    * quality rule at [[fixtureQualityBounds]], the corpus-policy
+    * parameterization a synthetic/multilingual corpus needs — the
+    * quality failures the composite score's length/punctuation signals
+    * cannot see), per-language quality gating (top half), exact dedup
+    * to min-id representatives, benchmark decontamination against the
+    * eval slice, then exact mix materialization. Every stage is the
+    * operator its standalone query exercises (q162/q166/q93/q28/q89/
+    * q95); what this query gates is the COMPOSITION, oracle-checked as
+    * the same CTE chain. Scale shape: both A1 gates are pure maps over
+    * the scan (no shuffle — Probe `repfilter` prices the pair at
+    * 2.95 + 1.80 s per 500k docs), the quality window shuffles once
+    * per language, dedup shuffles (fingerprint, id) pairs,
+    * decontamination ships only (id, gram) pairs semi-joined against
+    * the broadcastable eval-gram set, and the mix join broadcasts a
+    * |strata|-row quota frame — no stage widens at 100 TB. The eval
+    * slice for decontamination is drawn from the RAW docs: a benchmark
+    * document is a leak source whatever its repetition profile. */
   private def q96_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val qualified = operators.Curate.topFractionPerGroup(
-      docs.filter(TextFunctions.gopherRepetitionKeep(col("text")))
+      docs.filter(TextFunctions.gopherRepetitionKeep(col("text")) &&
+          TextFunctions.gopherQualityKeep(col("text"), fixtureQualityBounds))
         .withColumn("quality", TextFunctions.qualityScore(col("text"))),
       "lang", "quality", 0.5, "doc_id")
     val deduped = Dedup.exact(qualified, "text", "doc_id")
@@ -3489,21 +3493,100 @@ object SparkEntry {
     "hash_word_ratio", "ellipsis_word_ratio", "bullet_line_frac",
     "ellipsis_line_frac", "alpha_word_frac", "stop_hits")
 
-  /** The A1 quality keep conjunction as oracle SQL, generated from the
-    * SAME `TextFunctions.gopher*` constants the Spark rule reads — a
-    * bound adjusted in one place moves both engines together. */
-  private def gopherQualityKeepSql: String = {
-    import TextFunctions._
-    s"""(n_words >= $gopherMinWords AND n_words <= $gopherMaxWords
-       |   AND mean_word_len >= $gopherMinMeanWordLen
-       |   AND mean_word_len <= $gopherMaxMeanWordLen
-       |   AND hash_word_ratio <= $gopherMaxHashWordRatio
-       |   AND ellipsis_word_ratio <= $gopherMaxEllipsisWordRatio
-       |   AND bullet_line_frac <= $gopherMaxBulletLineFrac
-       |   AND ellipsis_line_frac <= $gopherMaxEllipsisLineFrac
-       |   AND alpha_word_frac >= $gopherMinAlphaWordFrac
-       |   AND stop_hits >= $gopherMinStopHits)""".stripMargin
-  }
+  /** PARAMETERIZED quality gate — q165's production-policy sibling: the
+    * same A1 stats family judged at [[fixtureQualityBounds]] over the
+    * RAW corpus (no decoration — the adjusted word-count floor and
+    * stop-word requirement discriminate on undecorated word-soup:
+    * ~11% fail `n_words < 20`, ~25% fail `stop_hits < 1`, measured).
+    * The oracle recomputes stats AND the keep conjunction from the
+    * same interpolated [[TextFunctions.GopherQualityBounds]] instance,
+    * so the parameterization itself is what this query gates. */
+  private def q166_gopher_quality_bounds(s: SparkSession,
+                                         dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.gopherQualityStats(col("text")).as("g"))
+      .select(col("doc_id"),
+        col("g.n_words").as("n_words"),
+        col("g.stop_hits").as("stop_hits"),
+        TextFunctions.gopherQualityKeepFromStats(col("g"),
+          fixtureQualityBounds).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** The A1 quality keep conjunction as oracle SQL, interpolated from
+    * the SAME [[TextFunctions.GopherQualityBounds]] instance the Spark
+    * rule reads — a bound adjusted in one place moves both engines
+    * together (default instance = the published constants table). */
+  private def gopherQualityKeepSql(
+      b: TextFunctions.GopherQualityBounds =
+        TextFunctions.GopherQualityBounds()): String =
+    s"""(n_words >= ${b.minWords} AND n_words <= ${b.maxWords}
+       |   AND mean_word_len >= ${b.minMeanWordLen}
+       |   AND mean_word_len <= ${b.maxMeanWordLen}
+       |   AND hash_word_ratio <= ${b.maxHashWordRatio}
+       |   AND ellipsis_word_ratio <= ${b.maxEllipsisWordRatio}
+       |   AND bullet_line_frac <= ${b.maxBulletLineFrac}
+       |   AND ellipsis_line_frac <= ${b.maxEllipsisLineFrac}
+       |   AND alpha_word_frac >= ${b.minAlphaWordFrac}
+       |   AND stop_hits >= ${b.minStopHits})""".stripMargin
+
+  /** Corpus-policy bounds for the SYNTHETIC fixture corpus, measured
+    * from the raw-document distribution (verify dump, sf0.01): docs are
+    * 10–100-word soup with `stop_hits ≤ 1` (the 31-word vocabulary
+    * contains only "the" from the paper's 8 stop words), so the
+    * published 50-word floor and 2-stop-hit requirement would drop
+    * ~half the corpus by construction. `minWords = 20` (~11% fail) and
+    * `minStopHits = 1` (~25% fail) keep the gate DISCRIMINATING at
+    * every other published bound — the escape hatch a real multilingual
+    * corpus needs, exercised in production composition (q96) and
+    * oracle-gated standalone (q166). */
+  private val fixtureQualityBounds =
+    TextFunctions.GopherQualityBounds(minWords = 20, minStopHits = 1)
+
+  /** The A1 quality-stats CTE block as oracle SQL — `<p>tok` + `<p>st`
+    * over a source relation `src(doc_id, text)`, recomputing
+    * [[TextFunctions.gopherQualityStats]] from first principles (same
+    * trim/lower/split conventions as `toksSql`, replace-based symbol
+    * counting; the prefix keeps names clash-free inside larger CTE
+    * chains — the `repetitionCtesSql` convention). Shared by the
+    * q165/q166 gates and the q96 flagship oracle so every consumer pins
+    * the same definitions. */
+  private def gopherQualityStatsCtesSql(p: String, src: String): String =
+    s"""${p}tok AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
+       |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+       |  FROM $src),
+       |${p}st AS (
+       |  SELECT doc_id, len(w) AS n_words,
+       |    round(CASE WHEN len(w) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(w, t -> length(t)))::DOUBLE
+       |           / len(w) END, 4) AS mean_word_len,
+       |    round(CASE WHEN len(w) = 0 THEN 0.0
+       |      ELSE (length(text) - length(replace(text, '#', '')))::DOUBLE
+       |           / len(w) END, 4) AS hash_word_ratio,
+       |    round(CASE WHEN len(w) = 0 THEN 0.0
+       |      ELSE ((length(text) - length(replace(text, '...', ''))) / 3
+       |            + (length(text) - length(replace(text, '…', ''))))::DOUBLE
+       |           / len(w) END, 4) AS ellipsis_word_ratio,
+       |    round(CASE WHEN len(lines) = 0 THEN 0.0
+       |      ELSE len(list_filter(lines, l -> list_contains(
+       |             [${TextFunctions.gopherBulletGlyphs
+                    .map(g => s"'$g'").mkString(", ")}],
+       |             substr(ltrim(l), 1, 1))))
+       |           ::DOUBLE / len(lines) END, 4) AS bullet_line_frac,
+       |    round(CASE WHEN len(lines) = 0 THEN 0.0
+       |      ELSE len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+       |             OR rtrim(l) LIKE '%…'))::DOUBLE / len(lines) END, 4)
+       |      AS ellipsis_line_frac,
+       |    round(CASE WHEN len(w) = 0 THEN 0.0
+       |      ELSE len(list_filter(w, t -> regexp_matches(t, '\\p{L}')))
+       |           ::DOUBLE / len(w) END, 4) AS alpha_word_frac,
+       |    len(list_filter([${TextFunctions.gopherStopWords
+           .map(s0 => s"'$s0'").mkString(",")}],
+       |        sw -> list_contains(w, sw))) AS stop_hits
+       |  FROM ${p}tok)""".stripMargin
 
   private def q143_ingest_pipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
@@ -3697,6 +3780,7 @@ object SparkEntry {
     "q163_codestore_bloom" -> q163_codestore_bloom _,
     "q164_codestore_drift" -> q164_codestore_drift _,
     "q165_gopher_quality" -> q165_gopher_quality _,
+    "q166_gopher_quality_bounds" -> q166_gopher_quality_bounds _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4696,10 +4780,14 @@ object SparkEntry {
           |                        for i in range(1, len(w) - 2)]) END""".stripMargin
       s"""WITH rdoc AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
          |${repetitionCtesSql("r", "rdoc")},
+         |gdoc AS (SELECT doc_id, t AS text FROM rdoc),
+         |${gopherQualityStatsCtesSql("g", "gdoc")},
          |qual AS (
          |  SELECT doc_id, lang, text, $qualityExprSql AS quality
          |  FROM (${qualityRawSql("doc_id, lang, text")}) raw
-         |  WHERE doc_id IN (SELECT doc_id FROM rfr WHERE keep)),
+         |  WHERE doc_id IN (SELECT doc_id FROM rfr WHERE keep)
+         |    AND doc_id IN (SELECT doc_id FROM gst
+         |      WHERE ${gopherQualityKeepSql(fixtureQualityBounds)})),
          |rk AS (SELECT doc_id, lang, text, quality,
          |  row_number() OVER (PARTITION BY lang
          |    ORDER BY quality DESC, doc_id) AS rk,
@@ -5699,45 +5787,23 @@ object SparkEntry {
          |      WHEN 7 THEN t0 || '$oneChars'
          |      ELSE t0 END AS text
          |  FROM (SELECT doc_id, coalesce(text, '') AS t0 FROM documents) s0),
-         |tok AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
-         |    list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
-         |  FROM d),
-         |st AS (
-         |  SELECT doc_id, len(w) AS n_words,
-         |    round(CASE WHEN len(w) = 0 THEN 0.0
-         |      ELSE list_sum(list_transform(w, t -> length(t)))::DOUBLE
-         |           / len(w) END, 4) AS mean_word_len,
-         |    round(CASE WHEN len(w) = 0 THEN 0.0
-         |      ELSE (length(text) - length(replace(text, '#', '')))::DOUBLE
-         |           / len(w) END, 4) AS hash_word_ratio,
-         |    round(CASE WHEN len(w) = 0 THEN 0.0
-         |      ELSE ((length(text) - length(replace(text, '...', ''))) / 3
-         |            + (length(text) - length(replace(text, '…', ''))))::DOUBLE
-         |           / len(w) END, 4) AS ellipsis_word_ratio,
-         |    round(CASE WHEN len(lines) = 0 THEN 0.0
-         |      ELSE len(list_filter(lines, l -> list_contains(
-         |             [${TextFunctions.gopherBulletGlyphs
-                          .map(g => s"'$g'").mkString(", ")}],
-         |             substr(ltrim(l), 1, 1))))
-         |           ::DOUBLE / len(lines) END, 4) AS bullet_line_frac,
-         |    round(CASE WHEN len(lines) = 0 THEN 0.0
-         |      ELSE len(list_filter(lines, l -> rtrim(l) LIKE '%...'
-         |             OR rtrim(l) LIKE '%…'))::DOUBLE / len(lines) END, 4)
-         |      AS ellipsis_line_frac,
-         |    round(CASE WHEN len(w) = 0 THEN 0.0
-         |      ELSE len(list_filter(w, t -> regexp_matches(t, '\\p{L}')))
-         |           ::DOUBLE / len(w) END, 4) AS alpha_word_frac,
-         |    len(list_filter([${TextFunctions.gopherStopWords
-                 .map(s0 => s"'$s0'").mkString(",")}],
-         |        sw -> list_contains(w, sw))) AS stop_hits
-         |  FROM tok)
+         |${gopherQualityStatsCtesSql("", "d")}
          |SELECT doc_id, ${gopherQualityFields.mkString(", ")},
-         |  $gopherQualityKeepSql AS keep
+         |  ${gopherQualityKeepSql()} AS keep
          |FROM st ORDER BY doc_id""".stripMargin
     },
+    // q166 pins the PARAMETERIZED quality rule -- the same stats family
+    // at the fixture-policy bounds over the RAW corpus (no decoration:
+    // the production-policy face, and the adjusted bounds discriminate
+    // on undecorated word-soup), keep recomputed from ONE interpolated
+    // bounds instance on both sides.
+    "q166_gopher_quality_bounds" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |${gopherQualityStatsCtesSql("", "d")}
+         |SELECT doc_id, n_words, stop_hits,
+         |  ${gopherQualityKeepSql(fixtureQualityBounds)} AS keep
+         |FROM st ORDER BY doc_id""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -295,6 +295,30 @@ object TextFunctions {
   val gopherMinAlphaWordFrac = 0.8
   val gopherMinStopHits = 2
 
+  /**
+   * The A1 quality bounds as a PARAMETER object — defaults are the
+   * published English-prose values above (one table, still the single
+   * source both engines interpolate), but the word-count window and the
+   * stop-word floor are corpus POLICY, not universals: a multilingual or
+   * synthetic corpus needs the same rule family at its own bounds
+   * (Rae et al. 2021 publish theirs for English web text). Callers gate
+   * production pipelines with `GopherQualityBounds(minWords = …, …)`
+   * and the oracle-SQL generator interpolates the SAME instance, so an
+   * adjusted bound moves both engines together (q166 gates the
+   * parameterized form; q96 runs it in the flagship composition).
+   */
+  final case class GopherQualityBounds(
+      minWords: Int = gopherMinWords,
+      maxWords: Int = gopherMaxWords,
+      minMeanWordLen: Double = gopherMinMeanWordLen,
+      maxMeanWordLen: Double = gopherMaxMeanWordLen,
+      maxHashWordRatio: Double = gopherMaxHashWordRatio,
+      maxEllipsisWordRatio: Double = gopherMaxEllipsisWordRatio,
+      maxBulletLineFrac: Double = gopherMaxBulletLineFrac,
+      maxEllipsisLineFrac: Double = gopherMaxEllipsisLineFrac,
+      minAlphaWordFrac: Double = gopherMinAlphaWordFrac,
+      minStopHits: Int = gopherMinStopHits)
+
   /** Line-leading bullet glyphs for the A1 bullet rule (the set the
     * public reimplementations use). */
   val gopherBulletGlyphs: Seq[String] = Seq("•", "‣", "▪", "-", "*")
@@ -370,33 +394,40 @@ object TextFunctions {
   }
 
   /** The A1 quality keep rule over an ALREADY-COMPUTED
-    * [[gopherQualityStats]] struct: every bound at its published value.
-    * Word-count and mean-word-length windows, symbol/bullet/ellipsis
-    * caps, alphabetic floor, and the ≥ 2 stop-word requirement. */
-  def gopherQualityKeepFromStats(stats: Column): Column =
-    stats.getField("n_words") >= gopherMinWords &&
-      stats.getField("n_words") <= gopherMaxWords &&
-      stats.getField("mean_word_len") >= gopherMinMeanWordLen &&
-      stats.getField("mean_word_len") <= gopherMaxMeanWordLen &&
-      stats.getField("hash_word_ratio") <= gopherMaxHashWordRatio &&
-      stats.getField("ellipsis_word_ratio") <= gopherMaxEllipsisWordRatio &&
-      stats.getField("bullet_line_frac") <= gopherMaxBulletLineFrac &&
-      stats.getField("ellipsis_line_frac") <= gopherMaxEllipsisLineFrac &&
-      stats.getField("alpha_word_frac") >= gopherMinAlphaWordFrac &&
-      stats.getField("stop_hits") >= gopherMinStopHits
+    * [[gopherQualityStats]] struct, at the given [[GopherQualityBounds]]
+    * (default = published values). Word-count and mean-word-length
+    * windows, symbol/bullet/ellipsis caps, alphabetic floor, and the
+    * stop-word requirement. */
+  def gopherQualityKeepFromStats(stats: Column,
+      bounds: GopherQualityBounds = GopherQualityBounds()): Column =
+    stats.getField("n_words") >= bounds.minWords &&
+      stats.getField("n_words") <= bounds.maxWords &&
+      stats.getField("mean_word_len") >= bounds.minMeanWordLen &&
+      stats.getField("mean_word_len") <= bounds.maxMeanWordLen &&
+      stats.getField("hash_word_ratio") <= bounds.maxHashWordRatio &&
+      stats.getField("ellipsis_word_ratio") <= bounds.maxEllipsisWordRatio &&
+      stats.getField("bullet_line_frac") <= bounds.maxBulletLineFrac &&
+      stats.getField("ellipsis_line_frac") <= bounds.maxEllipsisLineFrac &&
+      stats.getField("alpha_word_frac") >= bounds.minAlphaWordFrac &&
+      stats.getField("stop_hits") >= bounds.minStopHits
 
-  /** Gopher's QUALITY keep rule — the published A1 bounds over
-    * [[gopherQualityStats]], bound once per row (the [[bindOnce]]
-    * discipline). NOTE a corpus-policy caveat the repetition rule does
-    * not have: the word-count window (50–100k) and the stop-word floor
-    * are English-prose policy — the synthetic fixture corpus (10–100
-    * word soup) largely FAILS them by construction, so the flagships
-    * deliberately gate on [[qualityScore]] + [[gopherRepetitionKeep]]
-    * and leave this rule to corpora it was published for; q165 gates
-    * the operator itself on decorated fixtures that exercise every
-    * bound in both directions. */
-  def gopherQualityKeep(text: Column): Column =
-    bindOnce(gopherQualityStats(text))(gopherQualityKeepFromStats)
+  /** Gopher's QUALITY keep rule — the A1 bounds (default = published)
+    * over [[gopherQualityStats]], bound once per row (the [[bindOnce]]
+    * discipline). The PUBLISHED word-count window (50–100k) and
+    * stop-word floor are English-prose policy the synthetic fixture
+    * corpus (10–100 word soup, stop_hits ≤ 1 by vocabulary) largely
+    * fails by construction — production compositions over such corpora
+    * gate at fixture-appropriate [[GopherQualityBounds]] instead (q96
+    * does, q166 oracle-gates the parameterized form); q165 gates the
+    * published defaults on decorated fixtures that exercise every bound
+    * in both directions. MEASURED (`graft.Probe repfilter`, 50k/500k):
+    * 1.27 → 1.80 s across the decade, zero shuffle — scan-dominated,
+    * cheaper than the native repetition pass riding beside it, so the
+    * interpreted-HOF formulation stays (no q162-style tax at this
+    * 8-stat surface). */
+  def gopherQualityKeep(text: Column,
+      bounds: GopherQualityBounds = GopherQualityBounds()): Column =
+    bindOnce(gopherQualityStats(text))(gopherQualityKeepFromStats(_, bounds))
 
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and

@@ -1115,9 +1115,33 @@ object GraftExpressions {
     }
   }
 
+  /** Column-composition builder for the SQL registry: wrap the parsed
+    * child in a Column, apply the public Column-level function, unwrap —
+    * so rules COMPOSED from built-ins (the Gopher keep conjunctions, the
+    * quality-stats struct) reach SQL users as one function with exactly
+    * the Scala API's semantics (including its NULL coalesce), not a
+    * reimplementation that could drift. */
+  private def columnBuilt(f: Column => Column)(e: Expression): Expression =
+    GraftColumnBridge.eagerExpression(f(GraftColumnBridge.column(e)))
+
   /** Expose as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("repetition_stats",
+      exprs => { checkArity("repetition_stats", exprs, 1, 1)
+        RepetitionStatsExpr(exprs.head) }, "scala_udf")
+    registry.createOrReplaceTempFunction("gopher_repetition_keep",
+      exprs => { checkArity("gopher_repetition_keep", exprs, 1, 1)
+        columnBuilt(graft.functions.TextFunctions.gopherRepetitionKeep(_))(
+          exprs.head) }, "scala_udf")
+    registry.createOrReplaceTempFunction("gopher_quality_stats",
+      exprs => { checkArity("gopher_quality_stats", exprs, 1, 1)
+        columnBuilt(graft.functions.TextFunctions.gopherQualityStats)(
+          exprs.head) }, "scala_udf")
+    registry.createOrReplaceTempFunction("gopher_quality_keep",
+      exprs => { checkArity("gopher_quality_keep", exprs, 1, 1)
+        columnBuilt(graft.functions.TextFunctions.gopherQualityKeep(_))(
+          exprs.head) }, "scala_udf")
     registry.createOrReplaceTempFunction("cosine_similarity",
       exprs => { checkArity("cosine_similarity", exprs, 2, 2)
         CosineSimilarity(exprs(0), exprs(1)) }, "scala_udf")

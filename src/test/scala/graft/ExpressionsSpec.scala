@@ -225,6 +225,38 @@ class ExpressionsSpec extends SparkSpec {
     assert(registry.functionExists(FunctionIdentifier("simhash64")))
     assert(registry.functionExists(FunctionIdentifier("minhash_signature")))
     assert(registry.functionExists(FunctionIdentifier("hyperplane_lsh_key")))
+    assert(registry.functionExists(FunctionIdentifier("repetition_stats")))
+    assert(registry.functionExists(FunctionIdentifier("gopher_repetition_keep")))
+    assert(registry.functionExists(FunctionIdentifier("gopher_quality_stats")))
+    assert(registry.functionExists(FunctionIdentifier("gopher_quality_keep")))
+  }
+
+  test("Gopher A1 family is callable through the SQL surface and agrees " +
+    "with the Column API") {
+    GraftExpressions.registerAll(spark)
+    val doc = "spark spark spark spark\nthe be to of data\nthe be to of data"
+    Seq(doc).toDF("t").createOrReplaceTempView("gopher_sql_doc")
+    // native repetition pass: SQL row ≡ Column row, field for field
+    val viaSql = spark.sql(
+      "SELECT repetition_stats(t) AS r FROM gopher_sql_doc").head().getStruct(0)
+    val viaCol = Seq(doc).toDF("t")
+      .select(graft.functions.TextFunctions.repetitionStats($"t").as("r"))
+      .head().getStruct(0)
+    assert(viaSql == viaCol, s"SQL $viaSql vs Column $viaCol")
+    // composed keep rules: same verdicts as the Column API on a doc that
+    // FAILS repetition (dup lines) and a clean one that passes it
+    val verdicts = spark.sql(
+      """SELECT gopher_repetition_keep(t) AS rk, gopher_quality_keep(t) AS qk,
+        |  gopher_quality_stats(t).n_words AS nw FROM gopher_sql_doc"""
+        .stripMargin).head()
+    val colVerdicts = Seq(doc).toDF("t").select(
+      graft.functions.TextFunctions.gopherRepetitionKeep($"t").as("rk"),
+      graft.functions.TextFunctions.gopherQualityKeep($"t").as("qk"),
+      graft.functions.TextFunctions.gopherQualityStats($"t")
+        .getField("n_words").as("nw")).head()
+    assert(verdicts == colVerdicts, s"SQL $verdicts vs Column $colVerdicts")
+    assert(!verdicts.getBoolean(0), "dup-line doc should fail repetition")
+    assert(verdicts.getInt(2) == 14)
   }
 
   test("sketch expressions are callable through the SQL surface") {
