@@ -1183,6 +1183,17 @@ object Quantize {
       throw new IllegalArgumentException(
         s"codeStoreDriftStats: $path records no models — write the store " +
           "versioned (or retrainCodeStore once) to record them"))
+    codeStoreDriftStats(batch, cents, vecCol, idCol, freshCells, iters)
+  }
+
+  /** [[codeStoreDriftStats]] against an EXPLICIT frozen-centroid frame —
+    * the form the streaming ingest observer uses (the wrapper already
+    * holds the centroids it encodes with; re-resolving them from the
+    * manifest per micro-batch would add a store round-trip per tick for
+    * the same frame). Same contract, same output row. */
+  def codeStoreDriftStats(batch: DataFrame, cents: DataFrame,
+                          vecCol: String, idCol: String,
+                          freshCells: Int, iters: Int): DataFrame = {
     val storedCells = cents.count().toInt
     val k = if (freshCells > 0) freshCells else math.min(storedCells, 64)
     // (id, best cell, best cosine) against a centroid frame — the

@@ -281,11 +281,24 @@ object StreamingFlows {
    * any store size — which requires STABLE id→vector bindings on the
    * stream (a changed document must flow retract-then-reingest, not a
    * bare re-emit with a new embedding).
+   *
+   * DRIFT AT CADENCE: pass `onDrift` and every non-empty micro-batch
+   * also emits its [[graft.operators.Quantize.codeStoreDriftStats]]
+   * 1-row frame (computed against the SAME frozen centroids the ingest
+   * encodes with — O(batch), no store read), so the
+   * WHEN-to-retrain trigger (q164's err_ratio; in-distribution ≈ 1,
+   * drifted ≫ — threshold ~5 without per-corpus tuning) runs on the
+   * scheduled tick instead of by operator memory. None (the default)
+   * skips the computation entirely — the observer costs nothing when
+   * unused, and roughly a batch-local k-means per tick when on
+   * (StreamingSpec gates calm-stays-calm / drifted-trips on live
+   * ticks).
    */
   def streamingIngestCodeStore(stream: DataFrame, path: String,
       centroids: DataFrame, codebook: DataFrame, vecCol: String,
       idCol: String, m: Int, subDim: Int, checkpoint: String,
-      onBatch: (DataFrame, Long) => Unit = (_, _) => ())
+      onBatch: (DataFrame, Long) => Unit = (_, _) => (),
+      onDrift: Option[(DataFrame, Long) => Unit] = None)
       : DataStreamWriter[Row] =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -294,6 +307,14 @@ object StreamingFlows {
           batch.sparkSession, path, batch, centroids, codebook,
           vecCol, idCol, m, subDim)
         onBatch(ingested, batchId)
+        // drift observer: after the ingest (same tick, same batch), on
+        // the RAW batch — drift is a property of what arrived, not of
+        // the replay-deduped survivor set
+        onDrift.foreach { cb =>
+          if (!batch.isEmpty)
+            cb(graft.operators.Quantize.codeStoreDriftStats(
+              batch, centroids, vecCol, idCol, 0, 2), batchId)
+        }
         graft.operators.OpCache.release() // see streamingIngest's note
         ()
       }

@@ -511,6 +511,61 @@ class StreamingSpec extends SparkSpec {
     graft.operators.OpCache.release()
   }
 
+  test("streaming code-store ingest drift observer: calm ticks stay calm, " +
+    "a drifted tick trips the retrain threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, pmod, sequence, sin, transform}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity.trainCentroids(
+      e, "embedding", "vec_id", k = 8)
+    val cb = graft.operators.Quantize.trainCodebook(
+      e, "embedding", "vec_id", dim = 64, m = 4, ksub = 8)
+    val store = java.nio.file.Files.createTempDirectory("cs_drift_s").toString
+    graft.operators.Quantize.writeCodeStore(e, cents, cb, "embedding",
+      "vec_id", 4, 16, store, versioned = true)
+    // two CALM ticks (new ids, same distribution — disjoint corpus
+    // slices re-keyed) then one DRIFTED tick (the q164 concentrated
+    // new-domain shape the stored centroids never saw)
+    def rekey(df: org.apache.spark.sql.DataFrame, off: Long) =
+      df.select((col("vec_id") + off).as("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+    val calm1 = rekey(e.filter(pmod(col("vec_id"), lit(7)) === 3), 1000000L)
+    val calm2 = rekey(e.filter(pmod(col("vec_id"), lit(7)) === 5), 2000000L)
+    val drifted = rekey(e.select(col("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => (sin(lit(7) * i) + sin(col("vec_id") * i) * lit(0.2))
+          .cast("float")).as("embedding")), 3000000L)
+    val ratios = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cs_drift_ckpt").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingFlows.streamingIngestCodeStore(
+      input.toDF().toDF("vec_id", "embedding"), store, cents, cb,
+      "embedding", "vec_id", m = 4, subDim = 16, ckpt,
+      onDrift = Some((stats, id) => ratios.synchronized {
+        ratios(id) = stats.collect()(0).getAs[Double]("err_ratio")
+      })).start()
+    try {
+      Seq(calm1, calm2, drifted).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(ratios.size == 3, s"expected one drift frame per tick: $ratios")
+    val Seq(r1, r2, rd) = ratios.values.toSeq
+    // the q164 thresholds: in-distribution ≈ 1 (< 2), drifted ≫ (> 10),
+    // wide separation — the per-tick trigger an operator can threshold
+    assert(r1 < 2.0 && r2 < 2.0, s"calm ticks not calm: $ratios")
+    assert(rd > 10.0, s"drifted tick did not trip the threshold: $ratios")
+    assert(rd > 5.0 * math.max(r1, r2), s"separation too narrow: $ratios")
+    // the observer rode along without perturbing the ingest itself
+    assert(graft.operators.Quantize.readCodeStore(spark, store)
+      .select($"vec_id").as[Long].collect().toSet ==
+      (e.select($"vec_id").as[Long].collect().toSet ++
+        calm1.map(_._1) ++ calm2.map(_._1) ++ drifted.map(_._1)),
+      "drift observer perturbed the ingest")
+    graft.operators.OpCache.release()
+  }
+
   test("streaming near-dup off the LSH store equals the batch store path") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
