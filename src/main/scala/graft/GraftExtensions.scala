@@ -1,10 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{GraftColumnBridge, SparkSessionExtensions}
+import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.TextFunctions
-import graft.functions.expressions.{CosineSimilarity, GraftExpressions, HyperplaneLshKey, MinHashSignature, RepetitionStatsExpr, RollingHash, SimHash64}
+import graft.functions.expressions.{CosineSimilarity, GraftExpressions, HyperplaneLshKey, MinHashSignature, RollingHash, SimHash64}
 
 /**
  * Session-extension plugin: register graft's native expressions at session
@@ -59,34 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneLshKey(exprs(0),
           constInt(exprs(1), "hyperplane_lsh_key", "n_bits"), seed)
       }))
-    e.injectFunction((
-      FunctionIdentifier("repetition_stats"),
-      new ExpressionInfo(classOf[RepetitionStatsExpr].getName,
-        "repetition_stats"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        checkArity("repetition_stats", exprs, 1, 1)
-        RepetitionStatsExpr(exprs.head)
-      }))
-    // the Gopher keep rules and the quality-stats struct are COMPOSED
-    // column functions — registered through the same Column round-trip
-    // as GraftExpressions.registerAll so SQL and Scala can never drift
-    def columnBuilt(f: org.apache.spark.sql.Column =>
-        org.apache.spark.sql.Column)(
-        ex: org.apache.spark.sql.catalyst.expressions.Expression)
-        : org.apache.spark.sql.catalyst.expressions.Expression =
-      GraftColumnBridge.eagerExpression(f(GraftColumnBridge.column(ex)))
-    Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
-      "gopher_repetition_keep" -> (TextFunctions.gopherRepetitionKeep(_)),
-      "gopher_quality_stats" -> TextFunctions.gopherQualityStats,
-      "gopher_quality_keep" -> (TextFunctions.gopherQualityKeep(_))
-    ).foreach { case (name, f) =>
+    // the Gopher A1 family — native repetition_stats plus the composed
+    // keep/stats column functions — from the SAME builder table
+    // GraftExpressions.registerAll consumes (one definition, two routes)
+    GraftExpressions.a1FunctionBuilders.foreach { case (name, info, builder) =>
       e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(TextFunctions.getClass.getName, name),
-        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-          checkArity(name, exprs, 1, 1)
-          columnBuilt(f)(exprs.head)
-        }))
+        FunctionIdentifier(name), new ExpressionInfo(info, name), builder))
     }
   }
 }

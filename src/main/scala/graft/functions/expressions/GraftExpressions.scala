@@ -1124,24 +1124,35 @@ object GraftExpressions {
   private def columnBuilt(f: Column => Column)(e: Expression): Expression =
     GraftColumnBridge.eagerExpression(f(GraftColumnBridge.column(e)))
 
+  /** The Gopher A1 SQL registrations — (name, ExpressionInfo class,
+    * builder) — as ONE table consumed by BOTH [[registerAll]] and
+    * [[graft.GraftExtensions]], so the programmatic and extension-built
+    * registration routes cannot drift apart (name, arity, or builder
+    * changed on one path only). */
+  private[graft] val a1FunctionBuilders
+      : Seq[(String, String, Seq[Expression] => Expression)] = {
+    val tf = graft.functions.TextFunctions
+    Seq(
+      ("repetition_stats", classOf[RepetitionStatsExpr].getName,
+        exprs => { checkArity("repetition_stats", exprs, 1, 1)
+          RepetitionStatsExpr(exprs.head) }),
+      ("gopher_repetition_keep", tf.getClass.getName,
+        exprs => { checkArity("gopher_repetition_keep", exprs, 1, 1)
+          columnBuilt(tf.gopherRepetitionKeep(_))(exprs.head) }),
+      ("gopher_quality_stats", tf.getClass.getName,
+        exprs => { checkArity("gopher_quality_stats", exprs, 1, 1)
+          columnBuilt(tf.gopherQualityStats)(exprs.head) }),
+      ("gopher_quality_keep", tf.getClass.getName,
+        exprs => { checkArity("gopher_quality_keep", exprs, 1, 1)
+          columnBuilt(tf.gopherQualityKeep(_))(exprs.head) }))
+  }
+
   /** Expose as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    registry.createOrReplaceTempFunction("repetition_stats",
-      exprs => { checkArity("repetition_stats", exprs, 1, 1)
-        RepetitionStatsExpr(exprs.head) }, "scala_udf")
-    registry.createOrReplaceTempFunction("gopher_repetition_keep",
-      exprs => { checkArity("gopher_repetition_keep", exprs, 1, 1)
-        columnBuilt(graft.functions.TextFunctions.gopherRepetitionKeep(_))(
-          exprs.head) }, "scala_udf")
-    registry.createOrReplaceTempFunction("gopher_quality_stats",
-      exprs => { checkArity("gopher_quality_stats", exprs, 1, 1)
-        columnBuilt(graft.functions.TextFunctions.gopherQualityStats)(
-          exprs.head) }, "scala_udf")
-    registry.createOrReplaceTempFunction("gopher_quality_keep",
-      exprs => { checkArity("gopher_quality_keep", exprs, 1, 1)
-        columnBuilt(graft.functions.TextFunctions.gopherQualityKeep(_))(
-          exprs.head) }, "scala_udf")
+    a1FunctionBuilders.foreach { case (name, _, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
     registry.createOrReplaceTempFunction("cosine_similarity",
       exprs => { checkArity("cosine_similarity", exprs, 2, 2)
         CosineSimilarity(exprs(0), exprs(1)) }, "scala_udf")

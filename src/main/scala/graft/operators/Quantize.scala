@@ -1137,9 +1137,17 @@ object Quantize {
     val bloomMeta = readManifestMeta(spark, path, v).get("bloomgeom")
       .map { g =>
         val a = g.split("\t", 3)
-        val items = math.max(a(0).toLong, 2L * corpus.count())
-        val fresh = buildIdBloom(corpus, idCol, items, a(1).toDouble)
-        Map("bloom" -> writeBloomArtifact(spark, path, v + 1, fresh),
+        // size AND build from the generation just written (its id set
+        // == the corpus id set): the count is parquet footer metadata
+        // and the build reads the compressed codes' id column — where
+        // touching `corpus` again would be a full extra pass over a
+        // possibly uncached 100 TB caller frame
+        val base = path.stripSuffix("/")
+        val written = spark.read
+          .parquet(entries.map(e => s"$base/${e._2}"): _*)
+        val items = math.max(a(0).toLong, 2L * written.count())
+        val rebuilt = buildIdBloom(written, idCol, items, a(1).toDouble)
+        Map("bloom" -> writeBloomArtifact(spark, path, v + 1, rebuilt),
           "bloomgeom" -> s"$items\t${a(1)}\t$idCol")
       }.getOrElse(Map.empty[String, String])
     // one atomic swap commits codes AND models together; on refusal the

@@ -309,11 +309,18 @@ object StreamingFlows {
         onBatch(ingested, batchId)
         // drift observer: after the ingest (same tick, same batch), on
         // the RAW batch — drift is a property of what arrived, not of
-        // the replay-deduped survivor set
+        // the replay-deduped survivor set. The (id, vec) projection is
+        // persisted for the observer's lifetime (released with the
+        // tick's OpCache sweep below): the drift computation makes ~6
+        // passes over the batch (emptiness probe, yardstick k-means
+        // iterations, two assign passes), each of which would otherwise
+        // re-read the micro-batch's source offsets
         onDrift.foreach { cb =>
-          if (!batch.isEmpty)
+          val b = graft.operators.OpCache.track(
+            batch.select(batch.col(idCol), batch.col(vecCol)).persist())
+          if (!b.isEmpty)
             cb(graft.operators.Quantize.codeStoreDriftStats(
-              batch, centroids, vecCol, idCol, 0, 2), batchId)
+              b, centroids, vecCol, idCol, 0, 2), batchId)
         }
         graft.operators.OpCache.release() // see streamingIngest's note
         ()
