@@ -58,12 +58,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneLshKey(exprs(0),
           constInt(exprs(1), "hyperplane_lsh_key", "n_bits"), seed)
       }))
-    // the Gopher A1 family — native repetition_stats plus the composed
-    // keep/stats column functions — from the SAME builder table
-    // GraftExpressions.registerAll consumes (one definition, two routes)
-    GraftExpressions.a1FunctionBuilders.foreach { case (name, info, builder) =>
-      e.injectFunction((
-        FunctionIdentifier(name), new ExpressionInfo(info, name), builder))
+    // the published filter families (Gopher A1 + C4) — native
+    // repetition_stats plus the composed keep/stats column functions —
+    // from the SAME builder table GraftExpressions.registerAll consumes
+    // (one definition, two routes)
+    GraftExpressions.curationFunctionBuilders.foreach {
+      case (name, info, builder) =>
+        e.injectFunction((
+          FunctionIdentifier(name), new ExpressionInfo(info, name), builder))
     }
   }
 }

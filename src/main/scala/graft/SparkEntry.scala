@@ -3493,6 +3493,57 @@ object SparkEntry {
     "hash_word_ratio", "ellipsis_word_ratio", "bullet_line_frac",
     "ellipsis_line_frac", "alpha_word_frac", "stop_hits")
 
+  /** C4 line/page filter gate ([[TextFunctions.c4Stats]]/
+    * [[TextFunctions.c4KeepFromStats]], Raffel et al. 2020 — public):
+    * the OTHER canonical published filter family next to Gopher A1.
+    * Decorations exercise every rule in BOTH directions: a 5-sentence
+    * block (line kept, page passes the sentence floor), a
+    * javascript-mention line (dropped despite terminal punctuation and
+    * word count), a lorem-ipsum line (line kept, PAGE dropped by the
+    * template tripwire), a code line with braces (line dropped AND page
+    * dropped), `!`/`?` terminal lines plus a too-short `Ok.` (word
+    * floor vs terminal-mark variety, page under the sentence floor),
+    * a `"`-terminal quote line (the paper's fourth mark), and the raw
+    * word-soup (no terminal punctuation — nothing retained). FULL
+    * DuckDB oracle recomputing lines/kept/clean-text-hash/sentences/
+    * tripwires/keep from first principles, bounds interpolated from
+    * the same [[TextFunctions.C4Bounds]] instance. */
+  private def q167_c4_filters(s: SparkSession, dir: String): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val m = pmod(col("doc_id"), lit(7))
+    val five = lit("\n" + c4FiveSentences)
+    val docs = t(s, dir, "documents").withColumn("t2",
+      when(m === 0, concat(raw, five))
+        .when(m === 1, concat(raw,
+          lit("\nPlease enable javascript to continue reading this page now.")))
+        .when(m === 2, concat(raw, five,
+          lit("\nLorem ipsum dolor sit amet consectetur adipiscing elit.")))
+        .when(m === 3, concat(raw, five,
+          lit("\nfunction render() { return template; }")))
+        .when(m === 4, concat(raw,
+          lit("\nOk.\nThis works fine!\nDoes this work too?")))
+        .when(m === 5, concat(raw, five,
+          lit("\nThe reviewer said it was \"good enough.\"")))
+        .otherwise(raw))
+    docs.select(col("doc_id"), TextFunctions.c4Stats(col("t2")).as("c"))
+      .select(col("doc_id"),
+        col("c.n_lines").as("n_lines"),
+        col("c.n_kept").as("n_kept"),
+        md5(col("c.text_clean")).as("clean_hash"),
+        col("c.n_sentences").as("n_sentences"),
+        col("c.has_lorem").as("has_lorem"),
+        col("c.has_brace").as("has_brace"),
+        TextFunctions.c4KeepFromStats(col("c")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q167's 5-sentence decoration block — one Scala constant
+    * interpolated into BOTH engines (no internal quotes, so it embeds
+    * in a single-quoted SQL literal verbatim). */
+  private val c4FiveSentences =
+    "Alpha beta gamma here. Delta epsilon follows now. " +
+      "Zeta eta theta next. Iota kappa lambda then. Mu nu xi closes this."
+
   /** PARAMETERIZED quality gate — q165's production-policy sibling: the
     * same A1 stats family judged at [[fixtureQualityBounds]] over the
     * RAW corpus (no decoration — the adjusted word-count floor and
@@ -3781,6 +3832,7 @@ object SparkEntry {
     "q164_codestore_drift" -> q164_codestore_drift _,
     "q165_gopher_quality" -> q165_gopher_quality _,
     "q166_gopher_quality_bounds" -> q166_gopher_quality_bounds _,
+    "q167_c4_filters" -> q167_c4_filters _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5804,6 +5856,63 @@ object SparkEntry {
          |SELECT doc_id, n_words, stop_hits,
          |  ${gopherQualityKeepSql(fixtureQualityBounds)} AS keep
          |FROM st ORDER BY doc_id""".stripMargin,
+    // q167 recomputes the C4 line/page rules from first principles —
+    // same decorations, trim/split conventions, terminal-mark set, and
+    // the bounds interpolated from the SAME C4Bounds instance the Spark
+    // rule reads.
+    "q167_c4_filters" -> {
+      val b = TextFunctions.C4Bounds()
+      val five = s"chr(10) || '$c4FiveSentences'"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 7
+         |      WHEN 0 THEN t0 || $five
+         |      WHEN 1 THEN t0 || chr(10) ||
+         |        'Please enable javascript to continue reading this page now.'
+         |      WHEN 2 THEN t0 || $five || chr(10) ||
+         |        'Lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         |      WHEN 3 THEN t0 || $five || chr(10) ||
+         |        'function render() { return template; }'
+         |      WHEN 4 THEN t0 || chr(10) || 'Ok.' || chr(10) ||
+         |        'This works fine!' || chr(10) || 'Does this work too?'
+         |      WHEN 5 THEN t0 || $five || chr(10) ||
+         |        'The reviewer said it was "good enough."'
+         |      ELSE t0 END AS text
+         |  FROM (SELECT doc_id, coalesce(text, '') AS t0 FROM documents) s0),
+         |c4 AS (
+         |  SELECT doc_id, text,
+         |    list_transform(string_split(text, chr(10)), l -> trim(l))
+         |      AS lines
+         |  FROM d),
+         |k AS (
+         |  SELECT doc_id, text, len(lines) AS n_lines,
+         |    -- coalesce: DuckDB's array_to_string([]) is NULL where
+         |    -- Spark's array_join([]) is '' — a nothing-retained page
+         |    -- must hash as the empty string on both engines
+         |    coalesce(array_to_string(list_filter(lines, t ->
+         |      len(string_split_regex(t, '\\s+')) >= ${b.minWordsPerLine}
+         |      AND (ends_with(t, '.') OR ends_with(t, '!')
+         |           OR ends_with(t, '?') OR ends_with(t, '"'))
+         |      AND NOT contains(lower(t), 'javascript')), chr(10)), '')
+         |      AS clean,
+         |    len(list_filter(lines, t ->
+         |      len(string_split_regex(t, '\\s+')) >= ${b.minWordsPerLine}
+         |      AND (ends_with(t, '.') OR ends_with(t, '!')
+         |           OR ends_with(t, '?') OR ends_with(t, '"'))
+         |      AND NOT contains(lower(t), 'javascript'))) AS n_kept
+         |  FROM c4),
+         |st AS (
+         |  SELECT doc_id, n_lines, n_kept, md5(clean) AS clean_hash,
+         |    len(regexp_extract_all(clean, '[.!?]')) AS n_sentences,
+         |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |    contains(text, '{') AS has_brace
+         |  FROM k)
+         |SELECT doc_id, n_lines, n_kept, clean_hash, n_sentences,
+         |  has_lorem, has_brace,
+         |  (n_sentences >= ${b.minSentences}
+         |   AND NOT has_lorem AND NOT has_brace) AS keep
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -429,6 +429,80 @@ object TextFunctions {
       bounds: GopherQualityBounds = GopherQualityBounds()): Column =
     bindOnce(gopherQualityStats(text))(gopherQualityKeepFromStats(_, bounds))
 
+  // --- C4 filters (Raffel et al. 2020, arXiv:1910.10683 — public) -------
+
+  /** C4's document-filter bounds as a parameter object — the
+    * [[GopherQualityBounds]] discipline applied to the OTHER canonical
+    * published filter family: defaults are the paper's values (retain
+    * lines of ≥ 3 words; discard pages of < 5 sentences), and the
+    * oracle-SQL generator interpolates the same instance so an adjusted
+    * bound moves both engines together. */
+  final case class C4Bounds(minWordsPerLine: Int = 3, minSentences: Int = 5)
+
+  /**
+   * C4's line-and-page cleaning statistics (Raffel et al. 2020 §2.2 —
+   * public): the boilerplate-and-code page filter every web-scale
+   * pipeline runs BEFORE the Gopher-style quality rules, catching what
+   * neither [[repetitionStats]] nor [[gopherQualityStats]] looks at
+   * (menu/button fragments, javascript-warning lines, template
+   * placeholder pages, code pages). One pass over one bound line array
+   * — no shuffle, no UDF, a scan-speed map stage at 100 TB. Returns a
+   * struct:
+   *
+   *  - `n_lines`: fragments of the raw text split on `\n`;
+   *  - `n_kept`: lines RETAINED by C4's line rules — space-trimmed form
+   *    has at least `minWordsPerLine` whitespace words, ends in a
+   *    terminal mark (`.` `!` `?` `"` — the paper's set), and does not
+   *    mention "javascript" (case-insensitive);
+   *  - `text_clean`: the retained trimmed lines re-joined with `\n`;
+   *  - `n_sentences`: terminal marks (`[.!?]`) in `text_clean` — the
+   *    sentence proxy the page rule thresholds;
+   *  - `has_lorem` / `has_brace`: page-level template/code tripwires on
+   *    the RAW text ("lorem ipsum" case-insensitive; any `{`).
+   *
+   * q167 pins every definition against a full DuckDB recomputation.
+   * The span-level "three-sentence dedup" half of C4 is the q100
+   * family; the bad-words list is deliberately not shipped (a policy
+   * artifact, not an operator — callers compose a `rlike` filter).
+   */
+  def c4Stats(text: Column, bounds: C4Bounds = C4Bounds()): Column = {
+    val raw = coalesce(text, lit(""))
+    bindOnce(filter(transform(split(raw, "\n"), l => trim(l)), t =>
+        size(split(t, "\\s+")) >= bounds.minWordsPerLine &&
+          (endswith(t, lit(".")) || endswith(t, lit("!")) ||
+            endswith(t, lit("?")) || endswith(t, lit("\""))) &&
+          !contains(lower(t), lit("javascript")))) { kept =>
+      bindOnce(array_join(kept, "\n")) { clean =>
+        struct(
+          size(split(raw, "\n")).as("n_lines"),
+          size(kept).as("n_kept"),
+          clean.as("text_clean"),
+          regexp_count(clean, lit("[.!?]")).as("n_sentences"),
+          contains(lower(raw), lit("lorem ipsum")).as("has_lorem"),
+          contains(raw, lit("{")).as("has_brace"))
+      }
+    }
+  }
+
+  /** C4's page keep rule over an ALREADY-COMPUTED [[c4Stats]] struct:
+    * at least `minSentences` sentences survive the line filter, and
+    * neither page tripwire fired. */
+  def c4KeepFromStats(stats: Column,
+      bounds: C4Bounds = C4Bounds()): Column =
+    stats.getField("n_sentences") >= bounds.minSentences &&
+      !stats.getField("has_lorem") && !stats.getField("has_brace")
+
+  /** C4's page keep rule from raw text ([[bindOnce]] discipline).
+    * CORPUS-POLICY note, stronger than [[gopherQualityKeep]]'s: the
+    * synthetic fixture corpus has NO sentence punctuation at all, so
+    * C4's terminal-punctuation line rule retains nothing on undecorated
+    * word-soup and no bound value can change that — the rule needs
+    * sentence-structured text. q167 gates it on decorated fixtures
+    * exercising every rule in both directions; production wiring
+    * belongs to real web corpora. */
+  def c4Keep(text: Column, bounds: C4Bounds = C4Bounds()): Column =
+    bindOnce(c4Stats(text, bounds))(c4KeepFromStats(_, bounds))
+
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and
   // RE2 (DuckDB, used by the oracle) agree exactly: character classes,

@@ -1124,12 +1124,12 @@ object GraftExpressions {
   private def columnBuilt(f: Column => Column)(e: Expression): Expression =
     GraftColumnBridge.eagerExpression(f(GraftColumnBridge.column(e)))
 
-  /** The Gopher A1 SQL registrations — (name, ExpressionInfo class,
-    * builder) — as ONE table consumed by BOTH [[registerAll]] and
-    * [[graft.GraftExtensions]], so the programmatic and extension-built
-    * registration routes cannot drift apart (name, arity, or builder
-    * changed on one path only). */
-  private[graft] val a1FunctionBuilders
+  /** The published-filter-family SQL registrations (Gopher A1 + C4) —
+    * (name, ExpressionInfo class, builder) — as ONE table consumed by
+    * BOTH [[registerAll]] and [[graft.GraftExtensions]], so the
+    * programmatic and extension-built registration routes cannot drift
+    * apart (name, arity, or builder changed on one path only). */
+  private[graft] val curationFunctionBuilders
       : Seq[(String, String, Seq[Expression] => Expression)] = {
     val tf = graft.functions.TextFunctions
     Seq(
@@ -1144,13 +1144,19 @@ object GraftExpressions {
           columnBuilt(tf.gopherQualityStats)(exprs.head) }),
       ("gopher_quality_keep", tf.getClass.getName,
         exprs => { checkArity("gopher_quality_keep", exprs, 1, 1)
-          columnBuilt(tf.gopherQualityKeep(_))(exprs.head) }))
+          columnBuilt(tf.gopherQualityKeep(_))(exprs.head) }),
+      ("c4_stats", tf.getClass.getName,
+        exprs => { checkArity("c4_stats", exprs, 1, 1)
+          columnBuilt(tf.c4Stats(_))(exprs.head) }),
+      ("c4_keep", tf.getClass.getName,
+        exprs => { checkArity("c4_keep", exprs, 1, 1)
+          columnBuilt(tf.c4Keep(_))(exprs.head) }))
   }
 
   /** Expose as SQL functions on a session. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    a1FunctionBuilders.foreach { case (name, _, builder) =>
+    curationFunctionBuilders.foreach { case (name, _, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
     registry.createOrReplaceTempFunction("cosine_similarity",

@@ -229,6 +229,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(registry.functionExists(FunctionIdentifier("gopher_repetition_keep")))
     assert(registry.functionExists(FunctionIdentifier("gopher_quality_stats")))
     assert(registry.functionExists(FunctionIdentifier("gopher_quality_keep")))
+    assert(registry.functionExists(FunctionIdentifier("c4_stats")))
+    assert(registry.functionExists(FunctionIdentifier("c4_keep")))
+  }
+
+  test("C4 filter family is callable through the SQL surface and agrees " +
+    "with the Column API") {
+    GraftExpressions.registerAll(spark)
+    val doc = "One two three here. Four five six now! Seven eight nine?\n" +
+      "enable javascript please.\nshort.\nTen eleven twelve then. " +
+      "Thirteen fourteen fifteen close."
+    Seq(doc).toDF("t").createOrReplaceTempView("c4_sql_doc")
+    val viaSql = spark.sql(
+      """SELECT c4_stats(t).n_kept AS nk, c4_stats(t).n_sentences AS ns,
+        |  c4_keep(t) AS keep FROM c4_sql_doc""".stripMargin).head()
+    val viaCol = Seq(doc).toDF("t").select(
+      graft.functions.TextFunctions.c4Stats($"t").getField("n_kept").as("nk"),
+      graft.functions.TextFunctions.c4Stats($"t")
+        .getField("n_sentences").as("ns"),
+      graft.functions.TextFunctions.c4Keep($"t").as("keep")).head()
+    assert(viaSql == viaCol, s"SQL $viaSql vs Column $viaCol")
+    // 2 kept lines (js line and 1-word 'short.' dropped), 5 sentences
+    assert(viaSql.getInt(0) == 2 && viaSql.getInt(1) == 5 &&
+      viaSql.getBoolean(2), viaSql.toString)
   }
 
   test("Gopher A1 family is callable through the SQL surface and agrees " +

@@ -234,4 +234,52 @@ class TextFunctionsSpec extends SparkSpec {
       .select(gopherQualityKeep($"text")).head().getBoolean(0),
       "hash-spammed prose passed the symbol cap")
   }
+
+  test("c4Stats applies the line rules; c4Keep applies the page rules " +
+    "at the published bounds; blank/NULL docs are empty-clean") {
+    val doc = "First line is fine here.\n" + // kept
+      "second keeps going strong!\n" + // kept (!)
+      "is this kept as well?\n" + // kept (?)
+      "He said \"sure thing.\"\n" + // kept (")
+      "no terminal mark here\n" + // dropped: no terminal punct
+      "Ok.\n" + // dropped: < 3 words
+      "Enable javascript to proceed please.\n" + // dropped: javascript
+      "Last one closes it out." // kept
+    val row = Seq((1L, doc)).toDF("id", "text")
+      .select(c4Stats($"text").as("c"))
+      .select($"c.n_lines", $"c.n_kept", $"c.text_clean", $"c.n_sentences",
+        $"c.has_lorem", $"c.has_brace")
+      .head()
+    assert(row.getInt(0) == 8 && row.getInt(1) == 5, row.toString)
+    assert(row.getString(2) == Seq("First line is fine here.",
+      "second keeps going strong!", "is this kept as well?",
+      "He said \"sure thing.\"", "Last one closes it out.").mkString("\n"))
+    assert(row.getInt(3) == 5) // . ! ? . . — marks in the CLEANED text
+    assert(!row.getBoolean(4) && !row.getBoolean(5))
+    // page rules: the 5-sentence doc passes; each tripwire fails alone
+    assert(Seq((1L, doc)).toDF("id", "text")
+      .select(c4Keep($"text")).head().getBoolean(0))
+    assert(!Seq((1L, doc + "\nLorem ipsum dolor sit amet today."))
+      .toDF("id", "text").select(c4Keep($"text")).head().getBoolean(0),
+      "lorem-ipsum page passed")
+    assert(!Seq((1L, doc + "\nvar f = function() { return 1; }"))
+      .toDF("id", "text").select(c4Keep($"text")).head().getBoolean(0),
+      "curly-brace page passed")
+    // sentence floor: 4 surviving marks < 5 fails
+    assert(!Seq((1L, doc.linesIterator.toSeq.dropRight(1).mkString("\n")))
+      .toDF("id", "text").select(c4Keep($"text")).head().getBoolean(0),
+      "4-sentence page passed the 5-sentence floor")
+    // parameterized bounds: the same page passes at minSentences = 4
+    assert(Seq((1L, doc.linesIterator.toSeq.dropRight(1).mkString("\n")))
+      .toDF("id", "text")
+      .select(c4Keep($"text", C4Bounds(minSentences = 4)))
+      .head().getBoolean(0))
+    // blank/NULL: nothing retained, keep false
+    Seq((1L, ""), (2L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(c4Stats($"text").as("c"), c4Keep($"text").as("keep"))
+      .collect().foreach { r =>
+        assert(r.getStruct(0).getInt(1) == 0 &&
+          r.getStruct(0).getString(2) == "" && !r.getBoolean(1), r.toString)
+      }
+  }
 }
