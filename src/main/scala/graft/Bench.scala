@@ -77,7 +77,7 @@ object Bench {
     "q160_codestore_retrain", "q161_training_batches_stored",
     "q162_repetition_rules", "q163_codestore_bloom",
     "q164_codestore_drift", "q165_gopher_quality",
-    "q166_gopher_quality_bounds", "q167_c4_filters")
+    "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup")
 
   private val RUNS = 5
 

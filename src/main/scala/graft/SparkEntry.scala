@@ -3544,6 +3544,37 @@ object SparkEntry {
     "Alpha beta gamma here. Delta epsilon follows now. " +
       "Zeta eta theta next. Iota kappa lambda then. Mu nu xi closes this."
 
+  /** Corpus-wide exact LINE dedup gate
+    * ([[operators.Dedup.removeDuplicateSegments]] — RefinedWeb's
+    * cross-document boilerplate removal; q100's span twin at natural
+    * line boundaries): two boilerplate lines are planted across
+    * overlapping corpus slices (a newsletter line on ~half the docs, a
+    * copyright footer on another ~half, both on a quarter — the shared
+    * footer/nav shape), every planted copy after the corpus-first must
+    * vanish while each document's own soup line survives, and documents
+    * are rebuilt with line boundaries intact. The oracle recomputes
+    * keep-first from first principles, partitioned by segment TEXT —
+    * certifying the operator's 128-bit segment keys collision-free on
+    * this corpus, the q100 discipline. */
+  private def q168_line_dedup(s: SparkSession, dir: String): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val m = pmod(col("doc_id"), lit(4))
+    val docs = t(s, dir, "documents").withColumn("t2",
+        when(m === 0, concat(raw, lit("\n" + q168News)))
+          .when(m === 1, concat(raw, lit("\n" + q168News + "\n" + q168Foot)))
+          .when(m === 2, concat(raw, lit("\n" + q168Foot)))
+          .otherwise(raw))
+      .select(col("doc_id"), col("t2").as("text"))
+    Dedup.removeDuplicateSegments(parallelize(docs), "text", "doc_id")
+      .select(col("doc_id"), col("text_clean"),
+        col("n_spans").as("n_segs"), col("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  // q168's planted boilerplate lines — single constants, both engines
+  private val q168News = "subscribe to our newsletter for updates"
+  private val q168Foot = "copyright footer all rights reserved"
+
   /** PARAMETERIZED quality gate — q165's production-policy sibling: the
     * same A1 stats family judged at [[fixtureQualityBounds]] over the
     * RAW corpus (no decoration — the adjusted word-count floor and
@@ -3833,6 +3864,7 @@ object SparkEntry {
     "q165_gopher_quality" -> q165_gopher_quality _,
     "q166_gopher_quality_bounds" -> q166_gopher_quality_bounds _,
     "q167_c4_filters" -> q167_c4_filters _,
+    "q168_line_dedup" -> q168_line_dedup _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5913,6 +5945,43 @@ object SparkEntry {
          |   AND NOT has_lorem AND NOT has_brace) AS keep
          |FROM st ORDER BY doc_id""".stripMargin
     },
+    // q168 recomputes corpus-wide line keep-first from first principles,
+    // partitioned by segment TEXT (certifies the 128-bit segment keys
+    // collision-free on this corpus — the q100 discipline).
+    "q168_line_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN t0 || chr(10) || '$q168News'
+         |      WHEN 1 THEN t0 || chr(10) || '$q168News'
+         |                    || chr(10) || '$q168Foot'
+         |      WHEN 2 THEN t0 || chr(10) || '$q168Foot'
+         |      ELSE t0 END AS text
+         |  FROM (SELECT doc_id, coalesce(text, '') AS t0 FROM documents) s0),
+         |l AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)),
+         |      x -> trim(x)), x -> x <> '') AS segs
+         |  FROM d),
+         |c AS (SELECT doc_id, segs, unnest(range(0, len(segs))) AS cidx
+         |      FROM l),
+         |sseg AS (SELECT doc_id, cidx, segs[cidx + 1] AS seg FROM c),
+         |s2 AS (SELECT doc_id, cidx, seg,
+         |    count(*) OVER (PARTITION BY seg) AS cnt,
+         |    row_number() OVER (PARTITION BY seg
+         |      ORDER BY doc_id, cidx) AS rn
+         |  FROM sseg),
+         |k AS (SELECT doc_id, cidx, seg FROM s2 WHERE cnt < 2 OR rn = 1),
+         |r AS (SELECT doc_id,
+         |    string_agg(seg, chr(10) ORDER BY cidx) AS text_clean,
+         |    count(*) AS n_kept
+         |  FROM k GROUP BY doc_id),
+         |n AS (SELECT doc_id, len(segs) AS n_segs FROM l)
+         |SELECT n.doc_id, coalesce(r.text_clean, '') AS text_clean,
+         |  CAST(n.n_segs AS BIGINT) AS n_segs,
+         |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
+         |ORDER BY n.doc_id""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -1267,6 +1267,46 @@ object Dedup {
         array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nSpans - 1),
         g => array_join(slice(toks, g * window + 1, lit(window)), " ")))
+    removeDuplicateIndexed(df, spansExpr, idCol, " ", minCount)
+  }
+
+  /**
+   * Corpus-wide exact LINE / PARAGRAPH dedup — [[removeDuplicateSpans]]'
+   * algorithm at natural-boundary granularity (RefinedWeb, Penedo et
+   * al. 2023 — public — removes exact duplicate lines across the whole
+   * corpus; MassiveText's dup-line rules are the within-document twin
+   * already in [[graft.functions.TextFunctions.repetitionStats]]):
+   * segments are the space-trimmed non-empty fragments of `textCol`
+   * split on `splitPattern` (default `\n` — pass `"\n{2,}"` for
+   * paragraphs), any segment occurring `minCount`+ times corpus-wide is
+   * removed everywhere except its first occurrence (minimum (id,
+   * segIdx)), and each document is rebuilt from its surviving segments
+   * joined with `joinSep`. Catches the cross-document boilerplate
+   * (shared footers, navigation lines, license blocks) that
+   * within-document rules cannot see and that fixed token grids split
+   * across span boundaries. Same output contract and scale shape as
+   * the span form (shared tail): (idCol, text_clean, n_spans, n_kept),
+   * segment TEXT never enters the occurrence-count shuffle.
+   */
+  def removeDuplicateSegments(df: DataFrame, textCol: String, idCol: String,
+                              splitPattern: String = "\n",
+                              joinSep: String = "\n",
+                              minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be at least 2, got $minCount")
+    val segsExpr = filter(
+      transform(split(coalesce(col(textCol), lit("")), splitPattern),
+        s => trim(s)),
+      s => s =!= "")
+    removeDuplicateIndexed(df, segsExpr, idCol, joinSep, minCount)
+  }
+
+  /** Shared keep-first tail of [[removeDuplicateSpans]] /
+    * [[removeDuplicateSegments]]: corpus-wide occurrence count over bare
+    * (key128, id, idx) triples, per-affected-doc removed-index sets,
+    * indexed rebuild. */
+  private def removeDuplicateIndexed(df: DataFrame, spansExpr: Column,
+                                     idCol: String, joinSep: String,
+                                     minCount: Int): DataFrame = {
     val spansCol = "__graft_span_arr"
     val chunked = OpCache.track(
       df.withColumn(spansCol, spansExpr).persist())
@@ -1294,7 +1334,7 @@ object Dedup {
         chunked(idCol) === col("__graft_span_rmid"), "left")
       .select(col(idCol),
         array_join(filter(col(spansCol),
-          (_, i) => !coalesce(array_contains(rm, i), lit(false))), " ")
+          (_, i) => !coalesce(array_contains(rm, i), lit(false))), joinSep)
           .as("text_clean"),
         size(col(spansCol)).cast("long").as("n_spans"),
         (size(col(spansCol)) -

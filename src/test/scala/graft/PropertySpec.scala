@@ -355,6 +355,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeDuplicateSegments equals the sequential keep-first oracle " +
+    "at line and paragraph granularity") {
+    import graft.operators.Dedup
+    // tiny line vocab → heavy cross-doc sharing; 0-6 lines per doc
+    // include empty docs and blank-only lines (dropped by the trim-
+    // nonempty segment contract)
+    val lineGen = Gen.oneOf("alpha one", "beta two", "gamma three",
+      "delta four", "  ", "")
+    val docGen = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = sample(docGen, 120, 43L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = new scala.util.Random(43L).shuffle(docs).toDF("doc_id", "text")
+    for ((pat, sep) <- Seq(("\n", "\n"), ("\n{2,}", "\n\n"))) {
+      val got = Dedup.removeDuplicateSegments(df, "text", "doc_id", pat, sep)
+        .select($"doc_id", $"text_clean", $"n_spans", $"n_kept")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // Spark trim strips SPACES only (Java's trim also strips the
+      // newlines a paragraph fragment legitimately contains at its
+      // edges) — the operator's documented contract
+      def spaceTrim(s: String): String = {
+        var a = 0
+        var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        s.substring(a, b)
+      }
+      def segsOf(t: String): Seq[String] =
+        pat.r.split(t).toSeq.map(spaceTrim).filter(_.nonEmpty)
+      val all = docs.flatMap { case (id, t) =>
+        segsOf(t).zipWithIndex.map { case (s, i) => (s, id, i) } }
+      val counts = all.groupBy(_._1).view.mapValues(_.size).toMap
+      val keeper = all.groupBy(_._1).view
+        .mapValues(_.map(o => (o._2, o._3)).min).toMap
+      assert(got.size == docs.size)
+      docs.foreach { case (id, t) =>
+        val sp = segsOf(t)
+        val kept = sp.zipWithIndex.filter { case (s, i) =>
+          counts(s) < 2 || keeper(s) == ((id, i)) }
+        val want = (kept.map(_._1).mkString(sep), sp.size.toLong,
+          kept.size.toLong)
+        assert(got(id) == want,
+          s"pattern=$pat doc=$id '${t.replace("\n", "\\n")}': " +
+            s"got ${got(id)}, want $want")
+      }
+    }
+  }
+
   test("cosine is symmetric and self-similarity is 1 for non-zero vectors") {
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray)
     val vecs = sample(vecGen, 100, 6L).filter(_.exists(_ != 0.0f))
