@@ -137,6 +137,10 @@ object Probe {
         if (args.length > 1) args.drop(1).toSeq
         else Seq("/tmp/graft_scale/documents_50k.parquet",
           "/tmp/graft_scale/documents_500k.parquet"))
+      case Some("segdedup") => segDedupRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k.parquet",
+          "/tmp/graft_scale/documents_500k.parquet"))
       case Some("cscadence") => csCadenceRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
         args.drop(2).headOption.map(_.toInt).getOrElse(12))
@@ -330,6 +334,38 @@ object Probe {
           .select(col("doc_id"),
             graft.functions.TextFunctions.gopherQualityKeepFromStats(col("g"))
               .as("keep")))
+      docs.unpersist(blocking = false)
+    }
+  }
+
+  /** Corpus-wide segment (line) dedup pricing (q168,
+    * [[graft.operators.Dedup.removeDuplicateSegments]]) across the
+    * fixture decade, against its fixed-grid span twin (q100's
+    * `removeDuplicateSpans`, `substr`-probe-priced when it landed):
+    * same keep-first tail, so the expected picture is both linear in
+    * corpus bytes with the SEGMENT form shuffling less (one key triple
+    * per line instead of one per 4-token window). Boilerplate lines are
+    * planted on half the docs so the removal path (per-affected-doc
+    * index sets + indexed rebuild) is actually exercised, not skipped
+    * by an all-unique corpus. */
+  private def segDedupRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    paths.foreach { p =>
+      val docs = spark.read.parquet(p).repartition(32)
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(pmod(col("doc_id"), lit(2)) === 0,
+              lit("\nsubscribe to our newsletter for updates"))
+              .otherwise(lit(""))).as("text"))
+        .persist()
+      docs.count()
+      val name = p.split("/").last
+      measure(s"SEGMENT line dedup ($name)")(
+        graft.operators.Dedup.removeDuplicateSegments(
+          docs, "text", "doc_id"))
+      measure(s"SPAN 4-token dedup ($name)")(
+        graft.operators.Dedup.removeDuplicateSpans(
+          docs, "text", "doc_id", window = 4))
       docs.unpersist(blocking = false)
     }
   }
