@@ -467,29 +467,37 @@ object TextFunctions {
    */
   def c4Stats(text: Column, bounds: C4Bounds = C4Bounds()): Column = {
     val raw = coalesce(text, lit(""))
-    bindOnce(filter(transform(split(raw, "\n"), l => trim(l)), t =>
-        size(split(t, "\\s+")) >= bounds.minWordsPerLine &&
-          (endswith(t, lit(".")) || endswith(t, lit("!")) ||
-            endswith(t, lit("?")) || endswith(t, lit("\""))) &&
-          !contains(lower(t), lit("javascript")))) { kept =>
-      bindOnce(array_join(kept, "\n")) { clean =>
-        struct(
-          size(split(raw, "\n")).as("n_lines"),
-          size(kept).as("n_kept"),
-          clean.as("text_clean"),
-          regexp_count(clean, lit("[.!?]")).as("n_sentences"),
-          contains(lower(raw), lit("lorem ipsum")).as("has_lorem"),
-          contains(raw, lit("{")).as("has_brace"))
+    // ONE split per row: n_lines and the kept filter both read the
+    // bound trimmed-line array (transform preserves length, so
+    // size(lines) counts every raw fragment) — the bindOnce discipline
+    bindOnce(transform(split(raw, "\n"), l => trim(l))) { lines =>
+      bindOnce(filter(lines, t =>
+          size(split(t, "\\s+")) >= bounds.minWordsPerLine &&
+            (endswith(t, lit(".")) || endswith(t, lit("!")) ||
+              endswith(t, lit("?")) || endswith(t, lit("\""))) &&
+            !contains(lower(t), lit("javascript")))) { kept =>
+        bindOnce(array_join(kept, "\n")) { clean =>
+          struct(
+            size(lines).as("n_lines"),
+            size(kept).as("n_kept"),
+            clean.as("text_clean"),
+            regexp_count(clean, lit("[.!?]")).as("n_sentences"),
+            contains(lower(raw), lit("lorem ipsum")).as("has_lorem"),
+            contains(raw, lit("{")).as("has_brace"))
+        }
       }
     }
   }
 
   /** C4's page keep rule over an ALREADY-COMPUTED [[c4Stats]] struct:
     * at least `minSentences` sentences survive the line filter, and
-    * neither page tripwire fired. */
+    * neither page tripwire fired. Takes ONLY the sentence floor — the
+    * line-level `minWordsPerLine` bound is baked into the stats at
+    * [[c4Stats]] time and cannot be re-judged here (a full `C4Bounds`
+    * parameter would be half-dead: accepted, silently ignored). */
   def c4KeepFromStats(stats: Column,
-      bounds: C4Bounds = C4Bounds()): Column =
-    stats.getField("n_sentences") >= bounds.minSentences &&
+      minSentences: Int = C4Bounds().minSentences): Column =
+    stats.getField("n_sentences") >= minSentences &&
       !stats.getField("has_lorem") && !stats.getField("has_brace")
 
   /** C4's page keep rule from raw text ([[bindOnce]] discipline).
@@ -501,7 +509,7 @@ object TextFunctions {
     * exercising every rule in both directions; production wiring
     * belongs to real web corpora. */
   def c4Keep(text: Column, bounds: C4Bounds = C4Bounds()): Column =
-    bindOnce(c4Stats(text, bounds))(c4KeepFromStats(_, bounds))
+    bindOnce(c4Stats(text, bounds))(c4KeepFromStats(_, bounds.minSentences))
 
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and
