@@ -77,7 +77,8 @@ object Bench {
     "q160_codestore_retrain", "q161_training_batches_stored",
     "q162_repetition_rules", "q163_codestore_bloom",
     "q164_codestore_drift", "q165_gopher_quality",
-    "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup")
+    "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup",
+    "q169_semantic_decontaminate")
 
   private val RUNS = 5
 

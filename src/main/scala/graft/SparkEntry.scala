@@ -3575,6 +3575,65 @@ object SparkEntry {
   private val q168News = "subscribe to our newsletter for updates"
   private val q168Foot = "copyright footer all rights reserved"
 
+  /** Semantic-decontamination accuracy gate
+    * ([[operators.Dedup.semanticDecontaminate]] — the embedding-space
+    * sibling of the n-gram decontamination gates q89/q122; q108's
+    * in-plan discipline applied to the bipartite leg): the IVF-bucketed
+    * operator is verified against the exact broadcast corpus×eval
+    * cosine-threshold graph at the same tau. Recall < 1 is the
+    * SemDeDup approximation (a leak whose corpus cell is outside the
+    * eval row's probe set is never compared); spurious drops must be
+    * STRUCTURALLY zero (every bipartite pair carries an exact in-cell
+    * cosine, so the approximate drop set is a subgraph of the exact
+    * one); survivors + dropped must conserve the corpus. Bounds
+    * measured before pinning: 42 exact leaks at both SFs, recall
+    * 0.929/0.952 at sf0.001/sf0.01 with probes = 2 (every planted
+    * verbatim copy caught — identical vector ⇒ identical hard cell;
+    * the 2–3 misses are natural tau-threshold pairs straddling cells,
+    * the SemDeDup trade) — pinned at ≥ 0.8, the q108 convention. */
+  private def q169_semantic_decontaminate(s: SparkSession,
+                                          dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val isEval = pmod(col("vec_id"), lit(7)) === 3
+    val tau = 0.45
+    val corpus = e.filter(!isEval)
+    // eval = a held-out slice (the NATURAL near-leak tail — pairs at
+    // tau that may straddle cells, the documented recall trade) PLUS
+    // re-keyed exact copies of ~1/11 of the corpus (the verbatim
+    // benchmark-in-corpus leak — identical vector ⇒ identical hard
+    // cell ⇒ always caught, so the fixture's exact-leak set is large
+    // enough that the recall gate measures the operator, not a
+    // two-pair coin flip)
+    val evalDf = e.filter(isEval).select(col("vec_id"), col("embedding"))
+      .unionByName(corpus.filter(pmod(col("vec_id"), lit(11)) === 5)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val keptIds = operators.OpCache.track(
+      Dedup.semanticDecontaminate(corpus, evalDf, "embedding", "vec_id",
+          k = 8, tau = tau)
+        .select(col("vec_id")).persist())
+    val dropped = operators.OpCache.track(corpus.select(col("vec_id"))
+      .join(keptIds, Seq("vec_id"), "left_anti").persist())
+    val exactDropped = operators.OpCache.track(
+      corpus.join(broadcast(evalDf.select(col("embedding").as("__ev"))))
+        .filter(VectorFunctions.cosine(col("embedding"), col("__ev")) >= tau)
+        .select(col("vec_id")).distinct().persist())
+    val nExact = exactDropped.count()
+    val nDropped = dropped.count()
+    val hit = exactDropped.join(dropped, Seq("vec_id"), "left_semi").count()
+    val spurious =
+      dropped.join(exactDropped, Seq("vec_id"), "left_anti").count()
+    val conserved = keptIds.count() + nDropped == corpus.count()
+    Seq(
+      ("semdecon_recall_of_exact", 0.8,
+        nExact > 0 && hit >= 0.8 * nExact),
+      ("semdecon_spurious_drops", 0.0, spurious == 0L),
+      ("semdecon_nonempty", 1.0, nExact > 0),
+      ("semdecon_conservation", 0.0, conserved))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
   /** PARAMETERIZED quality gate — q165's production-policy sibling: the
     * same A1 stats family judged at [[fixtureQualityBounds]] over the
     * RAW corpus (no decoration — the adjusted word-count floor and
@@ -3865,6 +3924,7 @@ object SparkEntry {
     "q166_gopher_quality_bounds" -> q166_gopher_quality_bounds _,
     "q167_c4_filters" -> q167_c4_filters _,
     "q168_line_dedup" -> q168_line_dedup _,
+    "q169_semantic_decontaminate" -> q169_semantic_decontaminate _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5982,6 +6042,17 @@ object SparkEntry {
          |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
          |FROM n LEFT JOIN r ON n.doc_id = r.doc_id
          |ORDER BY n.doc_id""".stripMargin,
+    // q169 pins the semantic-decontamination contract (q108's verdict
+    // pattern): recall vs the exact bipartite graph, structurally-zero
+    // spurious drops, corpus conservation, non-degenerate fixture.
+    "q169_semantic_decontaminate" ->
+      """SELECT * FROM (VALUES
+        |  ('semdecon_conservation', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('semdecon_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('semdecon_recall_of_exact', CAST(0.8 AS DOUBLE), TRUE),
+        |  ('semdecon_spurious_drops', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -1220,6 +1220,45 @@ object Dedup {
       .dropDuplicates("batch_id", "corpus_id")
   }
 
+  /**
+   * SEMANTIC decontamination — the embedding-space sibling of the
+   * n-gram gates ([[graft.operators.TextProfile.contaminationReport]] /
+   * [[graft.operators.Curate.decontaminateSplits]]): drop every corpus
+   * row whose embedding sits within cosine `tau` of ANY eval-set row,
+   * catching the paraphrased/translated benchmark leaks that exact
+   * n-gram overlap cannot see (the published practice next to SemDeDup —
+   * same clustering machinery, bipartite instead of self-join). Returns
+   * the SURVIVING corpus rows (all columns).
+   *
+   * Scale shape: centroids train on the corpus (k broadcastable);
+   * corpus rows take ONE hard assignment (one broadcast join +
+   * map-side-combined argmax — corpus vectors never enter an exchange
+   * wider than their own row); the SMALL eval side multi-probes its
+   * `probes` nearest cells, and comparisons run inside the shared-cell
+   * join only ([[semDedupPairsBipartite]]). Recall follows SemDeDup's
+   * contract: a leak is missed only when the corpus row's hard cell is
+   * outside the eval row's probe set (raise `probes` to trade cost for
+   * recall); spurious drops are STRUCTURALLY zero — every bipartite
+   * pair carries an exact in-cell cosine ≥ tau, so the approximate drop
+   * set is a subset of the exact one (q169 gates recall AND the zero,
+   * the q108 discipline). An eval id that also exists in the corpus
+   * matches itself at cos 1 and is dropped — a benchmark document IN
+   * the corpus is the leak the operator exists to remove.
+   */
+  def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
+      vecCol: String, idCol: String, k: Int, tau: Double,
+      iters: Int = 2, probes: Int = 2): DataFrame = {
+    val cents = OpCache.materialize(
+      Similarity.trainCentroids(corpus, vecCol, idCol, k, iters))
+    val corpusAssigned = Similarity.ivfAssign(corpus, cents, vecCol, idCol)
+    val evalAssigned =
+      Similarity.ivfAssignMulti(eval, cents, vecCol, idCol, probes)
+    val contaminated =
+      semDedupPairsBipartite(evalAssigned, corpusAssigned, vecCol, idCol, tau)
+        .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** The full SemDeDup decision: cluster, compare within clusters, resolve
     * duplicate components, keep one representative per component (minimum
     * id) — the corpus that ships. Composes [[semDedupPairs]] with

@@ -834,4 +834,31 @@ class DedupSpec extends SparkSpec {
       s"batch B must semantically match the APPENDED doc 2: $stored")
     OpCache.release()
   }
+
+  test("semanticDecontaminate at k=1 equals the exact bipartite cut; " +
+    "empty eval is a no-op; a verbatim eval copy is always dropped") {
+    // k = 1 ⇒ one cell ⇒ the bipartite compare is COMPLETE — the
+    // operator must equal the brute-force threshold cut exactly
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), // = eval 100 → dropped
+      (2L, Seq(0.95f, 0.31f, 0.0f)), // cos vs eval 100 ≈ 0.95 → dropped
+      (3L, Seq(0.0f, 1.0f, 0.0f)), // cos vs eval 101 ≈ 0.71 < 0.9 → kept
+      (4L, Seq(0.0f, 0.0f, 1.0f)), // orthogonal to both → kept
+      (5L, Seq(0.6f, 0.0f, 0.8f))) // cos vs 100 = 0.6, vs 101 ≈ .57 → kept
+      .toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)),
+      (101L, Seq(0.7f, 0.7f, 0.14f)))
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDecontaminate(corpus, eval, "embedding",
+        "vec_id", k = 1, tau = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L), s"got $kept")
+    // empty eval: nothing to leak, corpus survives whole
+    val keptAll = Dedup.semanticDecontaminate(corpus,
+        eval.filter($"vec_id" < 0), "embedding", "vec_id", k = 1, tau = 0.9)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptAll == Set(1L, 2L, 3L, 4L, 5L), s"got $keptAll")
+    OpCache.release()
+  }
 }
