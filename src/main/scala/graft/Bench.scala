@@ -78,7 +78,7 @@ object Bench {
     "q162_repetition_rules", "q163_codestore_bloom",
     "q164_codestore_drift", "q165_gopher_quality",
     "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup",
-    "q169_semantic_decontaminate")
+    "q169_semantic_decontaminate", "q170_unimax", "q171_prototype_prune")
 
   private val RUNS = 5
 

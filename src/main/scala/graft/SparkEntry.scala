@@ -3634,6 +3634,33 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** UniMax epoch-capped uniform budget allocation
+    * ([[operators.Curate.unimaxRates]] — Chung et al. 2023): a 48k-token
+    * budget over the language strata at a 2-epoch cap. On this corpus
+    * (~27k tokens, en ≈ 2.6× any other lang) the fixture exercises BOTH
+    * regimes: the four small languages hit their caps and English absorbs
+    * the uniform remainder. FULL DuckDB oracle — the capacity sort, the
+    * exact-BIGINT prefix-sum capping test, and both divisions recomputed
+    * in SQL windows. */
+  private def q170_unimax(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.unimaxRates(
+        parallelize(t(s, dir, "documents"))
+          .select(col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+        "lang", "n_tok", budgetTokens = 48000L, maxEpochs = 2.0)
+      .orderBy(col("stratum"))
+
+  /** Prototype pruning ([[operators.Curate.prototypePrune]] — SSL
+    * prototypes, Sorscher et al. 2022; D4's second stage, Tirumala et al.
+    * 2023): drop the 25% of each label cluster closest to its centroid,
+    * keep the diverse periphery. FULL DuckDB oracle: per-label rounded
+    * dimension-wise means, the same cosine, the same (cos desc, id)
+    * rank — kept rows hash-compared including rank and cluster size. */
+  private def q171_prototype_prune(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.prototypePrune(t(s, dir, "embeddings"),
+        "embedding", "label", "vec_id", dropFrac = 0.25)
+      .orderBy(col("label"), col("proto_rank"))
+
   /** PARAMETERIZED quality gate — q165's production-policy sibling: the
     * same A1 stats family judged at [[fixtureQualityBounds]] over the
     * RAW corpus (no decoration — the adjusted word-count floor and
@@ -3925,6 +3952,8 @@ object SparkEntry {
     "q167_c4_filters" -> q167_c4_filters _,
     "q168_line_dedup" -> q168_line_dedup _,
     "q169_semantic_decontaminate" -> q169_semantic_decontaminate _,
+    "q170_unimax" -> q170_unimax _,
+    "q171_prototype_prune" -> q171_prototype_prune _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6053,6 +6082,73 @@ object SparkEntry {
         |  ('semdecon_spurious_drops', CAST(0.0 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q170 recomputes UniMax end to end: token counts, the ascending
+    // capacity sort, the exact-BIGINT prefix-sum capping test (integer
+    // compare — bit-identical by construction), and the two final
+    // divisions. Budget 48000, cap 2.0 epochs, mirrored literally.
+    "q170_unimax" ->
+      s"""WITH t AS (
+         |  SELECT lang AS stratum,
+         |    CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len($toksSql) END AS n_tok
+         |  FROM documents),
+         |a AS (SELECT stratum, sum(n_tok)::BIGINT AS available_tokens,
+         |        CAST(floor(sum(n_tok) * 2.0) AS BIGINT) AS cap_tokens
+         |      FROM t GROUP BY stratum),
+         |w AS (SELECT *,
+         |        row_number() OVER (ORDER BY cap_tokens, stratum) AS idx,
+         |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, stratum
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS pfx,
+         |        count(*) OVER () AS n_tot
+         |      FROM a),
+         |f AS (SELECT *,
+         |        cap_tokens * (n_tot - idx + 1) < 48000 - pfx AS capped
+         |      FROM w),
+         |g AS (SELECT *,
+         |        sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+         |        coalesce(sum(CASE WHEN capped THEN cap_tokens END)
+         |          OVER (), 0) AS sum_capped
+         |      FROM f),
+         |h AS (SELECT *,
+         |        CASE WHEN capped THEN cap_tokens::DOUBLE
+         |             ELSE (48000 - sum_capped)::DOUBLE / (n_tot - k) END
+         |          AS alloc
+         |      FROM g)
+         |SELECT stratum, available_tokens, cap_tokens,
+         |  round(alloc, 4) AS alloc_tokens,
+         |  round(CASE WHEN available_tokens > 0
+         |        THEN alloc / available_tokens ELSE 0.0 END, 4) AS epochs,
+         |  capped,
+         |  CAST(CASE WHEN k = n_tot THEN 48000 - sum_capped ELSE 0 END
+         |    AS BIGINT) AS leftover_tokens
+         |FROM h ORDER BY stratum""".stripMargin,
+    // q171 recomputes prototype pruning: per-label dimension-wise means
+    // rounded at 1e-6 (the engine-parity pin — both engines then rank
+    // from IDENTICAL centroid inputs), the q38-proven cosine, the same
+    // (cos DESC, vec_id) rank, the same ceil(frac*n) cut.
+    "q171_prototype_prune" ->
+      s"""WITH c AS (
+         |  SELECT label, fi,
+         |    round(avg(CAST(embedding[fi] AS DOUBLE)), 6) AS m
+         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
+         |  GROUP BY label, fi),
+         |cent AS (SELECT label, array_agg(m ORDER BY fi) AS cv
+         |         FROM c GROUP BY label),
+         |s AS (
+         |  SELECT e.vec_id, e.label, ${cosSql("v", "cv")} AS cos
+         |  FROM (SELECT vec_id, label, $vecSql AS v FROM embeddings) e
+         |  JOIN cent USING (label)),
+         |r AS (SELECT vec_id, label, cos,
+         |        row_number() OVER (PARTITION BY label
+         |          ORDER BY cos DESC, vec_id) AS proto_rank,
+         |        count(*) OVER (PARTITION BY label) AS cluster_n
+         |      FROM s)
+         |SELECT vec_id, label, round(cos, 4) AS cos_centroid,
+         |  proto_rank, cluster_n
+         |FROM r
+         |WHERE proto_rank > CAST(ceil(0.25 * cluster_n) AS BIGINT)
+         |ORDER BY label, proto_rank""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -654,6 +654,143 @@ object Curate {
   }
 
   /**
+   * UniMax budget allocation (Chung et al. 2023, ICLR, arXiv:2304.09151
+   * — "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+   * Multilingual Pretraining"): split a total token budget across the
+   * corpus's strata as UNIFORMLY as possible subject to a per-stratum
+   * repeat cap — no stratum trains more than `maxEpochs` epochs. The third
+   * member of the mixing family: [[temperatureRates]] tilts by corpus
+   * share, [[repeatPlan]] takes the mix as GIVEN weights, UniMax derives
+   * the mix itself from the cap.
+   *
+   * The paper's algorithm is sequential waterfilling (ascending-capacity
+   * order; each stratum takes `min(cap, remaining/strata_left)`). The
+   * capped set is a PREFIX of the capacity-sorted order — if stratum i is
+   * uncapped (`cap_i·m_i ≥ R_i` with `m_i` strata left and `R_i` budget
+   * left), then for i+1: `cap_{i+1}·m_{i+1} ≥ cap_i·(m_i−1) =
+   * cap_i·m_i − cap_i ≥ R_i − cap_i ≥ R_{i+1}`, so it is uncapped too —
+   * which gives the whole allocation a closed form over two window passes
+   * on the |strata|-row aggregate; no driver loop, no recursion:
+   * with strata sorted by (cap, stratum) and exact BIGINT prefix sums,
+   * `capped_i ⇔ cap_i·(N−i+1) < B − Σ_{j<i} cap_j`, and every uncapped
+   * stratum shares `(B − Σ_capped cap) / (N − #capped)` uniformly. The
+   * capped-set decision is INTEGER arithmetic end to end — bit-identical
+   * in any engine (the q170 oracle recomputes it in DuckDB); only the
+   * final two divisions are doubles, rounded at 4.
+   *
+   * Output, one row per stratum: (stratum, available_tokens, cap_tokens,
+   * alloc_tokens, epochs, capped, leftover_tokens). `leftover_tokens` is
+   * nonzero only when the whole corpus at `maxEpochs` cannot absorb the
+   * budget (every stratum capped) — the unallocatable remainder the
+   * caller must shrink B or raise the cap to spend; it never silently
+   * vanishes (the [[repeatPlan]] `unsatisfiable` discipline).
+   *
+   * Scale shape: one partial-aggregated groupBy to |strata| rows, then
+   * single-partition windows over that catalog-sized frame — the
+   * [[temperatureRates]] contract. Epoch-capped sampling at 100 TB costs
+   * one scan for the token counts and arithmetic on a handful of rows.
+   */
+  def unimaxRates(df: DataFrame, stratumCol: String, tokenCol: String,
+                  budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be positive: $maxEpochs")
+    val avail = df.groupBy(col(stratumCol).cast("string").as("stratum"))
+      .agg(sum(col(tokenCol)).cast("long").as("available_tokens"))
+      // floor to BIGINT so the waterfilling prefix sums stay integer-exact
+      .withColumn("cap_tokens",
+        floor(col("available_tokens") * lit(maxEpochs)).cast("long"))
+    // ascending capacity, stratum tie-break: the order the prefix argument
+    // above is proved in — and deterministic in both engines
+    val byCap = Window.orderBy(col("cap_tokens"), col("stratum"))
+    val all = byCap.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val staged = avail
+      .withColumn("__idx", row_number().over(byCap))
+      .withColumn("__prefix", coalesce(sum(col("cap_tokens")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("capped",
+        col("cap_tokens") * (col("__n") - col("__idx") + 1) <
+          lit(budgetTokens) - col("__prefix"))
+    val k = sum(col("capped").cast("long")).over(all)
+    val sumCapped = coalesce(sum(when(col("capped"), col("cap_tokens")))
+      .over(all), lit(0L))
+    val alloc = when(col("capped"), col("cap_tokens").cast("double"))
+      .otherwise((lit(budgetTokens) - sumCapped).cast("double") /
+        (col("__n") - k)) // reachable only when __n > k: no div-by-zero
+    staged
+      .withColumn("alloc_tokens", round(alloc, 4))
+      .withColumn("epochs", round(
+        when(col("available_tokens") > 0L, alloc / col("available_tokens"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("leftover_tokens",
+        when(k === col("__n"), lit(budgetTokens) - sumCapped)
+          .otherwise(lit(0L)))
+      .select(col("stratum"), col("available_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("epochs"), col("capped"),
+        col("leftover_tokens"))
+  }
+
+  /**
+   * Prototype pruning (SSL-prototypes, Sorscher et al. 2022 "Beyond neural
+   * scaling laws", arXiv:2206.14486; the second stage of D4, Tirumala
+   * et al. 2023, arXiv:2308.12284): within each embedding cluster, drop
+   * the `dropFrac` most PROTOTYPICAL examples — the ones closest (by
+   * cosine) to their cluster centroid. When data is abundant, the easy,
+   * redundant core of each cluster teaches a model least; keeping the
+   * harder periphery buys diversity per token. Complements SemDeDup
+   * ([[Dedup.semDedup]] drops pairwise near-duplicates; this drops
+   * cluster-level redundancy even among non-duplicates — run both for D4).
+   *
+   * Centroid = dimension-wise mean of the cluster's vectors, ROUNDED at
+   * 1e-6 before the cosine: the rounding pins both engines to identical
+   * centroid inputs (a windowed float sum is order-sensitive in the last
+   * ULP; q75 proved avg-at-fixed-rounding engine-stable on this fixture),
+   * so ranks can only disagree where two DISTINCT vectors tie in cosine
+   * to 15 significant digits — and exact-duplicate vectors tie exactly in
+   * both engines and break on the id. Output: kept rows only —
+   * (idCol, clusterCol, cos_centroid rounded at 4, proto_rank, cluster_n);
+   * rank 1 = most prototypical SURVIVOR (ranks 1..⌈dropFrac·n⌉ dropped).
+   *
+   * Scale shape: the centroid pass explodes dims but partial-aggregates
+   * map-side to |clusters|·dim rows before its one shuffle; centroids
+   * broadcast back; the rank is one window shuffle partitioned on the
+   * cluster key (per-cluster sort — for mega-clusters swap the exact rank
+   * for an approx-quantile cosine threshold; the fixture's label clusters
+   * are the honest exact tier). No cross join, no driver collect.
+   */
+  def prototypePrune(df: DataFrame, vecCol: String, clusterCol: String,
+                     idCol: String, dropFrac: Double): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    val vecD = transform(col(vecCol), _.cast("double"))
+    val centroids = df
+      .select(col(clusterCol).as("__cl"),
+        posexplode(vecD).as(Seq("__dim", "__v")))
+      .groupBy(col("__cl"), col("__dim"))
+      .agg(round(avg(col("__v")), 6).as("__m"))
+      .groupBy(col("__cl"))
+      // struct sorts by its first field, so the array reassembles in
+      // dimension order regardless of arrival order
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__m"))))
+        .as("__dm"))
+      .select(col("__cl"), transform(col("__dm"), _.getField("__m"))
+        .as("__centroid"))
+    val byCluster = Window.partitionBy(col(clusterCol))
+    df.join(broadcast(centroids), col(clusterCol) === col("__cl"))
+      .withColumn("__cos",
+        graft.functions.VectorFunctions.cosine(vecD, col("__centroid")))
+      .withColumn("proto_rank", row_number().over(
+        byCluster.orderBy(col("__cos").desc, col(idCol))).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(byCluster))
+      .filter(col("proto_rank") > ceil(lit(dropFrac) * col("cluster_n"))
+        .cast("long"))
+      .select(col(idCol), col(clusterCol),
+        round(col("__cos"), 4).as("cos_centroid"),
+        col("proto_rank"), col("cluster_n"))
+  }
+
+  /**
    * DSIR importance weights (Data Selection via Importance Resampling,
    * Xie et al. 2023, arXiv:2302.03169): score every document by how much
    * more likely its hashed n-gram features are under the TARGET

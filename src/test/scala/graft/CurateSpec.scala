@@ -730,4 +730,135 @@ class CurateSpec extends SparkSpec {
     assert(got(10L) == want,
       s"absent-rep cluster keyed wrong: got ${got(10L)}, want $want")
   }
+
+  /** The paper's sequential waterfilling, verbatim (ascending capacity;
+    * each stratum takes min(cap, remaining/strata_left)) — the OPPOSITE
+    * formulation of unimaxRates' closed-form prefix test. Capping compares
+    * in exact integers (cap·m < remaining), the same arithmetic the
+    * operator pins, so equality is exact, not tolerance-based. */
+  private def naiveUnimax(strata: Seq[(String, Long)], budget: Long,
+                          maxEpochs: Double): Map[String, Double] = {
+    val caps = strata
+      .map { case (s, n) => (s, math.floor(n * maxEpochs).toLong) }
+      .sortBy(x => (x._2, x._1))
+    var rem = budget
+    var m = caps.size
+    var share = Option.empty[Double]
+    val out = scala.collection.mutable.Map[String, Double]()
+    for ((s, c) <- caps) out(s) = share.getOrElse {
+      if (c * m < rem) { rem -= c; m -= 1; c.toDouble }
+      else { share = Some(rem.toDouble / m); share.get }
+    }
+    out.toMap
+  }
+
+  test("unimaxRates equals sequential waterfilling; caps respected; " +
+    "uncapped strata share uniformly; budget conserved") {
+    import spark.implicits._
+    val sizes = Seq(("a", 100L), ("b", 2500L), ("c", 5000L), ("d", 400L))
+    val rows = sizes.flatMap { case (s, n) =>
+      Seq((s, n / 2), (s, n - n / 2)) } // two rows per stratum: sum matters
+    val df = rows.toDF("lang", "n_tok")
+    val budget = 9000L
+    val got = Curate.unimaxRates(df, "lang", "n_tok", budget, 2.0)
+      .select($"stratum", $"available_tokens", $"cap_tokens",
+        $"alloc_tokens", $"capped", $"leftover_tokens")
+      .as[(String, Long, Long, Double, Boolean, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val want = naiveUnimax(sizes, budget, 2.0)
+    for ((s, n) <- sizes) {
+      val (_, avail, cap, alloc, capped, _) = got(s)
+      assert(avail == n, s"$s available")
+      assert(cap == 2 * n, s"$s cap")
+      assert(math.abs(alloc - want(s)) < 1e-3,
+        s"$s: got $alloc want ${want(s)}")
+      assert(alloc <= cap + 1e-9, s"$s allocated over its cap")
+    }
+    // caps 200/800 fill; b (cap 5000) and c (cap 10000) split the
+    // remaining 8000 uniformly at 4000 each — both under their caps
+    assert(got("a")._5 && got("d")._5 && !got("b")._5 && !got("c")._5,
+      got.toString)
+    assert(math.abs(got("b")._4 - got("c")._4) < 1e-9, "uncapped not uniform")
+    assert(math.abs(sizes.map(s => got(s._1)._4).sum - budget) < 1e-6,
+      "budget not conserved")
+    assert(got.values.forall(_._6 == 0L), "leftover on a satisfiable budget")
+  }
+
+  test("unimaxRates: budget beyond the corpus at cap ⇒ every stratum " +
+    "capped, leftover reported; random strata match the naive reference") {
+    import spark.implicits._
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("lang", "n_tok")
+    val all = Curate.unimaxRates(df, "lang", "n_tok", 5000L, 4.0)
+      .select($"stratum", $"alloc_tokens", $"capped", $"leftover_tokens")
+      .as[(String, Double, Boolean, Long)].collect()
+    assert(all.forall(_._3), "not all capped")
+    assert(all.map(_._2).sum == 1600.0, "all-capped allocs != total caps")
+    assert(all.forall(_._4 == 5000L - 1600L), s"leftover: ${all.toSeq}")
+    // seeded random cases, both regimes, vs the sequential reference
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val k = 2 + rnd.nextInt(5)
+      val sizes = (1 to k).map(i => (s"s$i", 1L + rnd.nextInt(10000).toLong))
+      val budget = 1L + rnd.nextInt(60000).toLong
+      val e = Seq(0.5, 1.0, 2.0, 4.0)(rnd.nextInt(4))
+      val want = naiveUnimax(sizes, budget, e)
+      val gotR = Curate.unimaxRates(sizes.toDF("lang", "n_tok"),
+          "lang", "n_tok", budget, e)
+        .select($"stratum", $"alloc_tokens")
+        .as[(String, Double)].collect().toMap
+      for ((s, _) <- sizes)
+        assert(math.abs(gotR(s) - want(s)) < 1e-3,
+          s"trial $trial stratum $s: got ${gotR(s)} want ${want(s)} " +
+            s"(sizes=$sizes budget=$budget e=$e)")
+    }
+  }
+
+  /** Naive prototype pruning: dim-wise mean rounded at 1e-6, cosine,
+    * (cos desc, id) sort, drop ceil(frac·n) — plain Scala collections. */
+  private def naivePrototypePrune(rows: Seq[(Long, Int, Array[Double])],
+                                  frac: Double): Map[Int, Seq[Long]] =
+    rows.groupBy(_._2).map { case (cl, rs) =>
+      val dim = rs.head._3.length
+      val cent = (0 until dim).map(d =>
+        BigDecimal(rs.map(_._3(d)).sum / rs.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      def cos(v: Array[Double]): Double = {
+        val dot = (0 until dim).map(d => v(d) * cent(d)).sum
+        val na = math.sqrt(v.map(x => x * x).sum)
+        val nb = math.sqrt(cent.map(x => x * x).sum)
+        if (na * nb == 0) 0.0 else dot / (na * nb)
+      }
+      val ranked = rs.map(r => (r._1, cos(r._3)))
+        .sortBy { case (id, c) => (-c, id) }
+      cl -> ranked.drop(math.ceil(frac * rs.size).toInt).map(_._1)
+    }
+
+  test("prototypePrune drops the ceil(frac·n) most centroid-like rows " +
+    "per cluster and matches a naive reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 45).map { i =>
+      val cl = i % 3
+      // cluster direction + noise: prototypicality varies within cluster
+      val base = Array.tabulate(6)(d => if (d == cl) 4.0 else 1.0)
+      (i.toLong, cl, base.map(_ + rnd.nextGaussian() * 0.8))
+    }
+    val df = rows.map { case (id, cl, v) => (id, cl, v.map(_.toFloat)) }
+      .toDF("vec_id", "label", "embedding")
+    val got = Curate.prototypePrune(df, "embedding", "label", "vec_id", 0.2)
+      .select($"vec_id", $"label", $"proto_rank", $"cluster_n")
+      .as[(Long, Int, Long, Long)].collect()
+    val want = naivePrototypePrune(rows, 0.2)
+    assert(got.forall(_._4 == 15L))
+    for (cl <- 0 until 3) {
+      val kept = got.filter(_._2 == cl).sortBy(_._3)
+      assert(kept.length == 15 - math.ceil(0.2 * 15).toInt, s"cluster $cl size")
+      // ranks are the dense tail (ceil+1 .. n) and order matches naive
+      assert(kept.map(_._3).toSeq == (4L to 15L), s"cluster $cl ranks")
+      assert(kept.map(_._1).toSeq == want(cl), s"cluster $cl keep order")
+    }
+    // dropFrac = 0 keeps everything
+    assert(Curate.prototypePrune(df, "embedding", "label", "vec_id", 0.0)
+      .count() == 45)
+  }
 }
