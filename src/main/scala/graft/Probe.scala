@@ -144,6 +144,9 @@ object Probe {
       case Some("cscadence") => csCadenceRun(
         args.drop(1).headOption.map(_.toLong).getOrElse(100000L),
         args.drop(2).headOption.map(_.toInt).getOrElse(12))
+      case Some("protoprune") =>
+        protoPruneRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+          else Seq(50000L, 500000L))
       case Some("retrain") => retrainRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(50000L))
       case Some("retract") => retractRun(
@@ -909,6 +912,41 @@ object Probe {
     * must NOT grow quadratically in n at fixed cell size), and found
     * pairs. k scales as n/256 (fixed ~256-vector mean cell), the knob that
     * holds per-cell work constant as the corpus grows. */
+  /** Prototype-pruning decade pricing (round 17; q171's oracle gate runs
+    * at 500 fixture rows): [[graft.operators.Curate.prototypePrune]] over
+    * synthetic 64-dim embeddings in 256 hash clusters across the
+    * 50k/500k decade — isolates the two shuffles the operator owns: the
+    * partial-aggregated dim-explode centroid pass (|clusters|·dim rows
+    * after map-side combine) and the cluster-key rank window. Linear
+    * decade scaling here is the 100 TB claim: per-cluster sort cost grows
+    * with cluster size, everything else is a scan. */
+  private def protoPruneRun(sizes: Seq[Long]): Unit = {
+    val spark = session()
+    val dim = 64
+    def vecOf(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(xxhash64(seed * dim + j), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float"))
+    val tmp = java.nio.file.Files.createTempDirectory("protoprune").toString
+    for (n <- sizes) {
+      // materialize the synthetic input: the measurement prices the
+      // OPERATOR's shuffles, not the fixture generator's repartition
+      spark.range(n).select(col("id"),
+          pmod(col("id"), lit(256)).cast("int").as("cluster"),
+          vecOf(col("id")).as("embedding"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/emb_$n")
+      val emb = spark.read.parquet(s"$tmp/emb_$n")
+      measure(s"warmup protoPrune n=$n")(
+        graft.operators.Curate.prototypePrune(
+          emb, "embedding", "cluster", "id", 0.25))
+      measure(s"protoPrune n=$n (256 clusters, drop 0.25)")(
+        graft.operators.Curate.prototypePrune(
+          emb, "embedding", "cluster", "id", 0.25))
+      OpCache.release()
+    }
+    spark.stop()
+  }
+
   private def semRun(sizes: Seq[Long]): Unit = {
     val spark = session()
     val dim = 64

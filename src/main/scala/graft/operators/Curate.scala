@@ -780,6 +780,10 @@ object Curate {
     df.join(broadcast(centroids), col(clusterCol) === col("__cl"))
       .withColumn("__cos",
         graft.functions.VectorFunctions.cosine(vecD, col("__centroid")))
+      // trim BEFORE the rank window: the cosine is already computed, so
+      // the cluster-key exchange shuffles three scalars per row, not the
+      // vector + centroid (measured 236 → ~8 MiB on the 500k probe)
+      .select(col(idCol), col(clusterCol), col("__cos"))
       .withColumn("proto_rank", row_number().over(
         byCluster.orderBy(col("__cos").desc, col(idCol))).cast("long"))
       .withColumn("cluster_n", count(lit(1)).over(byCluster))
