@@ -78,7 +78,8 @@ object Bench {
     "q162_repetition_rules", "q163_codestore_bloom",
     "q164_codestore_drift", "q165_gopher_quality",
     "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup",
-    "q169_semantic_decontaminate", "q170_unimax", "q171_prototype_prune")
+    "q169_semantic_decontaminate", "q170_unimax", "q171_prototype_prune",
+    "q172_d4_pipeline", "q173_ccnet_buckets")
 
   private val RUNS = 5
 

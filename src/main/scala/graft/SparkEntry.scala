@@ -3661,6 +3661,42 @@ object SparkEntry {
         "embedding", "label", "vec_id", dropFrac = 0.25)
       .orderBy(col("label"), col("proto_rank"))
 
+  /** D4 composed (Tirumala et al. 2023: dedup, then diversify): exact
+    * embedding near-dup pairs (q38's tier — tau at the fixture's measured
+    * semantic-dup band) → min-id representative per connected cluster →
+    * prototype pruning over the SURVIVORS (centroids reflect the deduped
+    * corpus, the paper's ordering). The exact pair tier is what makes the
+    * oracle FULL (the q154 discipline — recursive-CTE closure, same
+    * centroid/rank arithmetic); production swaps in the cell-bucketed
+    * store pairs (q125/q129) for the pair stage. */
+  private def q172_d4_pipeline(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Dedup.embeddingNearDup(e, "embedding", "vec_id",
+      threshold = 0.45, nBits = 0)
+    val survivors = Dedup.keepRepresentatives(e, pairs, "vec_id")
+    operators.Curate.prototypePrune(survivors, "embedding", "label",
+        "vec_id", dropFrac = 0.2)
+      .orderBy(col("label"), col("proto_rank"))
+  }
+
+  /** CCNet head/middle/tail corpus split ([[operators.Curate.scoreBuckets]]
+    * over q103's bigram-LM perplexity, per language): the published
+    * quality partition — each language's cleanest perplexity tercile is
+    * "head", the noisiest "tail"; docs too short to score (no bigrams)
+    * surface as "none", never silently shifted into a bucket. FULL DuckDB
+    * oracle: q103's smoothed LM CTEs + the same ntile over the ROUNDED
+    * perplexity (identical sort keys by q103's proven parity). */
+  private def q173_ccnet_buckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    val ppl = operators.TextProfile.bigramPerplexity(docs,
+      docs.filter(col("lang") === "en"), "text", "doc_id")
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .join(ppl.select(col("doc_id"), col("perplexity")), Seq("doc_id"))
+    operators.Curate.scoreBuckets(scored, "lang", "perplexity", "doc_id",
+        Seq("head", "middle", "tail"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PARAMETERIZED quality gate — q165's production-policy sibling: the
     * same A1 stats family judged at [[fixtureQualityBounds]] over the
     * RAW corpus (no decoration — the adjusted word-count floor and
@@ -3954,6 +3990,8 @@ object SparkEntry {
     "q169_semantic_decontaminate" -> q169_semantic_decontaminate _,
     "q170_unimax" -> q170_unimax _,
     "q171_prototype_prune" -> q171_prototype_prune _,
+    "q172_d4_pipeline" -> q172_d4_pipeline _,
+    "q173_ccnet_buckets" -> q173_ccnet_buckets _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6149,6 +6187,94 @@ object SparkEntry {
          |FROM r
          |WHERE proto_rank > CAST(ceil(0.25 * cluster_n) AS BIGINT)
          |ORDER BY label, proto_rank""".stripMargin,
+    // q172 recomputes the D4 composition end to end: the exact cosine
+    // pair graph (q38's proven-parity tier), recursive-CTE transitive
+    // closure with min-id representatives (q154's discipline), then the
+    // q171 centroid/rank arithmetic over the SURVIVORS.
+    "q172_d4_pipeline" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS ua, b.vec_id AS ub
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.45),
+         |nodes AS (SELECT ua AS id FROM pairs UNION SELECT ub FROM pairs),
+         |edges AS MATERIALIZED (
+         |  SELECT ua AS u, ub AS w FROM pairs
+         |  UNION SELECT ub AS u, ua AS w FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e2.w FROM reach JOIN edges e2 ON reach.r = e2.u),
+         |rep AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |surv AS (SELECT e.vec_id, e.label, e.v
+         |         FROM e LEFT JOIN rep ON e.vec_id = rep.id
+         |         WHERE rep.id IS NULL OR rep.rep = e.vec_id),
+         |c AS (SELECT label, fi, round(avg(v[fi]), 6) AS m
+         |      FROM surv CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
+         |      GROUP BY label, fi),
+         |cent AS (SELECT label, array_agg(m ORDER BY fi) AS cv
+         |         FROM c GROUP BY label),
+         |s AS (SELECT surv.vec_id, surv.label, ${cosSql("v", "cv")} AS cos
+         |      FROM surv JOIN cent USING (label)),
+         |r AS (SELECT vec_id, label, cos,
+         |        row_number() OVER (PARTITION BY label
+         |          ORDER BY cos DESC, vec_id) AS proto_rank,
+         |        count(*) OVER (PARTITION BY label) AS cluster_n
+         |      FROM s)
+         |SELECT vec_id, label, round(cos, 4) AS cos_centroid,
+         |  proto_rank, cluster_n
+         |FROM r
+         |WHERE proto_rank > CAST(ceil(0.2 * cluster_n) AS BIGINT)
+         |ORDER BY label, proto_rank""".stripMargin,
+    // q173 recomputes the CCNet split: q103's smoothed bigram-LM CTEs
+    // verbatim, then ntile(3) per language over the ROUNDED perplexity
+    // (identical sort keys in both engines by q103's hash parity) with
+    // the doc-id tie-break; unscorable docs land in 'none' OUTSIDE the
+    // window (the engines' NULL sort orders differ — documented on the
+    // operator).
+    "q173_ccnet_buckets" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang,
+         |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+         |  FROM tok WHERE len(w) >= 2),
+         |uni AS (
+         |  SELECT u.w AS w, count(*) AS c1
+         |  FROM (SELECT unnest(w) AS w FROM tok WHERE lang = 'en') u
+         |  GROUP BY 1),
+         |bi AS (SELECT g, count(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY 1),
+         |v AS (SELECT count(*) AS v FROM uni),
+         |sc AS (
+         |  SELECT bg.doc_id,
+         |    ln((coalesce(bi.c2, 0) + 1)::DOUBLE /
+         |       (coalesce(uni.c1, 0) + v.v)) AS logp
+         |  FROM bg LEFT JOIN bi USING (g)
+         |  LEFT JOIN uni ON string_split(bg.g, ' ')[1] = uni.w
+         |  CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, round(exp(-avg(logp)), 2) AS perplexity
+         |  FROM sc GROUP BY 1),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, a.perplexity
+         |  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id),
+         |b AS (
+         |  SELECT doc_id, lang, perplexity,
+         |    ntile(3) OVER (PARTITION BY lang
+         |      ORDER BY perplexity, doc_id) AS t
+         |  FROM scored WHERE perplexity IS NOT NULL)
+         |SELECT doc_id, lang, perplexity,
+         |  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |FROM b
+         |UNION ALL
+         |SELECT doc_id, lang, perplexity, 'none' AS bucket
+         |FROM scored WHERE perplexity IS NULL
+         |ORDER BY doc_id""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -795,6 +795,41 @@ object Curate {
   }
 
   /**
+   * Per-group score bucketing — the CCNet head/middle/tail split (Wenzek
+   * et al. 2020, arXiv:1911.00359 — CCNet buckets each language's
+   * documents by LM-perplexity TERCILES: low perplexity = "head" = the
+   * cleanest third): rows rank within `groupCol` by ascending `scoreCol`
+   * (id tie-break) and land in `labels(i)` for ntile i+1. NULL scores are
+   * excluded from the window — the two oracle engines DISAGREE on NULL
+   * sort order (Spark asc = NULLS FIRST, DuckDB = NULLS LAST), so a null
+   * inside the ntile would silently shift every bucket boundary — and
+   * surface as `nullLabel` rows instead (unscorable ≠ worst).
+   *
+   * Generic on purpose: any per-group score (perplexity, classifier
+   * margin, quality composite) buckets the same way; labels.size picks
+   * the quantile count. Scale shape: one window shuffle on the group key
+   * (per-group sort — the exact tier; a 100 TB corpus would cut at
+   * approx-percentile boundaries instead, q124's machinery, trading
+   * exact tercile sizes for a scan).
+   */
+  def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, labels: Seq[String],
+                   nullLabel: String = "none"): DataFrame = {
+    require(labels.nonEmpty, "labels must be non-empty")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val labelExpr = labels.zipWithIndex.foldRight(lit(nullLabel)) {
+      case ((lab, i), acc) =>
+        when(col("__t") === (i + 1), lit(lab)).otherwise(acc)
+    }
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("__t", ntile(labels.size).over(w))
+      .withColumn("bucket", labelExpr).drop("__t")
+      .unionByName(df.filter(col(scoreCol).isNull)
+        .withColumn("bucket", lit(nullLabel)))
+  }
+
+  /**
    * DSIR importance weights (Data Selection via Importance Resampling,
    * Xie et al. 2023, arXiv:2302.03169): score every document by how much
    * more likely its hashed n-gram features are under the TARGET

@@ -861,4 +861,30 @@ class CurateSpec extends SparkSpec {
     assert(Curate.prototypePrune(df, "embedding", "label", "vec_id", 0.0)
       .count() == 45)
   }
+
+  test("scoreBuckets: per-group terciles with ntile sizing, id tie-break, " +
+    "nulls surface as the null label outside the window") {
+    import spark.implicits._
+    val rows =
+      (1 to 7).map(i => (i.toLong, "a", Some(i.toDouble))) ++
+        Seq((8L, "a", None), // unscorable: must not shift a's boundaries
+          (9L, "b", Some(5.0)), (10L, "b", Some(1.0))) // 2 rows, 3 buckets
+    val got = Curate.scoreBuckets(rows.toDF("id", "g", "score"),
+        "g", "score", "id", Seq("head", "middle", "tail"))
+      .select($"id", $"bucket").as[(Long, String)].collect().toMap
+    // ntile(3) over 7 rows = sizes 3/2/2 in ascending score order
+    assert((1L to 3L).forall(got(_) == "head"), got.toString)
+    assert((4L to 5L).forall(got(_) == "middle"), got.toString)
+    assert((6L to 7L).forall(got(_) == "tail"), got.toString)
+    assert(got(8L) == "none")
+    // group b ranks independently; 2 rows fill the first two buckets
+    assert(got(10L) == "head" && got(9L) == "middle", got.toString)
+    // ties on the score break by id: equal scores split deterministically
+    val tied = (1 to 6).map(i => (i.toLong, "t", Some(1.0)))
+    val gt = Curate.scoreBuckets(tied.toDF("id", "g", "score"),
+        "g", "score", "id", Seq("head", "middle", "tail"))
+      .select($"id", $"bucket").as[(Long, String)].collect().toMap
+    assert(gt == Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"), gt.toString)
+  }
 }
