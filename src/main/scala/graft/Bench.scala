@@ -79,7 +79,8 @@ object Bench {
     "q164_codestore_drift", "q165_gopher_quality",
     "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup",
     "q169_semantic_decontaminate", "q170_unimax", "q171_prototype_prune",
-    "q172_d4_pipeline", "q173_ccnet_buckets")
+    "q172_d4_pipeline", "q173_ccnet_buckets", "q174_unimax_materialize",
+    "q175_compression_signal")
 
   private val RUNS = 5
 

@@ -3679,6 +3679,86 @@ object SparkEntry {
       .orderBy(col("label"), col("proto_rank"))
   }
 
+  /** UniMax materialized (q170's allocator driving q155's epoch
+    * machinery — the allocator-to-dataset loop closed): the q170
+    * allocation becomes a repeat plan (full repeats = floor of the
+    * ROUNDED epochs — the same 4-decimal value both engines print — and
+    * the deterministic hex-threshold partial sample takes the fraction),
+    * then [[operators.Curate.materializeRepeats]] emits the actual
+    * repeated training rows. On this fixture every capped language rides
+    * exactly twice and English lands 1.46 epochs (every doc once, a
+    * deterministic ~46% once more). FULL DuckDB oracle: q170's
+    * integer-exact waterfilling CTEs + q155's md5-threshold repeat CASE. */
+  private def q174_unimax_materialize(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val docs = operators.OpCache.track(parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      .persist())
+    val rates = operators.Curate.unimaxRates(docs, "lang", "n_tok",
+      budgetTokens = 48000L, maxEpochs = 2.0)
+    val plan = rates.select(col("stratum"),
+      floor(col("epochs")).cast("long").as("full_repeats"),
+      round(col("epochs") - floor(col("epochs")), 4).as("partial_fraction"))
+    operators.Curate.materializeRepeats(docs, plan, "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("repeat_idx"))
+      .orderBy(col("doc_id"), col("repeat_idx"))
+  }
+
+  /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
+    * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
+    * signal as a native codegen expression): engine-LOCAL by design (no
+    * SQL engine exposes deterministic zlib), so the gate is q169-style
+    * in-plan verdicts over planted decorations whose separation was
+    * MEASURED before pinning — repeated-block boilerplate deflates to
+    * ~0.014 (bound 0.1), base64 noise to ≥0.88 (bound 0.8), and every
+    * ≥200-char natural doc sits in 0.37–0.61 at all three SFs, inside
+    * the (0.20, 0.80) keep band with ≥0.17 margin both sides; short docs
+    * are excluded from the band gate because deflate ratios are
+    * length-confounded below ~200 bytes (dictionary warmup), the reason
+    * the keep rule is corpus policy, not a universal constant. */
+  private def q175_compression_signal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = parallelize(t(s, dir, "documents"))
+    val ratio = TextFunctions.compressionRatio(col("text"))
+    val keep = TextFunctions.compressionKeep(col("text"))
+    val long = base.filter(length(col("text")) >= 200).select(col("text"))
+      .withColumn("kind", lit("long"))
+    val rep = base.filter(col("doc_id") < 50)
+      .select(repeat(concat(substring(col("text"), 1, 40), lit(" ")), 120)
+        .as("text"))
+      .withColumn("kind", lit("rep"))
+    val noise = base.filter(col("doc_id") < 50)
+      .select(concat((0 until 8).map(i =>
+        base64(unhex(md5(concat(coalesce(col("text"), lit("")),
+          lit(i.toString)))))): _*).as("text"))
+      .withColumn("kind", lit("noise"))
+    val empty = Seq("").toDF("text").withColumn("kind", lit("empty"))
+    val m = long.unionByName(rep).unionByName(noise).unionByName(empty)
+      .select(col("kind"), ratio.as("r"), keep.as("k"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), min(col("r")).as("rmin"),
+        max(col("r")).as("rmax"),
+        sum(when(col("k"), 1L).otherwise(0L)).as("kept"),
+        sum(when(col("r").isNull, 1L).otherwise(0L)).as("nulls"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def n(k: String) = m(k).getLong(1)
+    Seq(
+      ("comp_rep_below_floor", 0.1,
+        m("rep").getDouble(3) < 0.1 && m("rep").getLong(4) == 0L),
+      ("comp_noise_above_ceiling", 0.8,
+        m("noise").getDouble(2) > 0.8 && m("noise").getLong(4) == 0L),
+      ("comp_natural_long_in_band", 0.0,
+        m("long").getDouble(2) > 0.20 && m("long").getDouble(3) < 0.80 &&
+          m("long").getLong(4) == n("long")),
+      ("comp_empty_unscorable", 0.0,
+        m("empty").getLong(5) == n("empty") && m("empty").getLong(4) == 0L),
+      ("comp_nonempty", 1.0,
+        Seq("long", "rep", "noise", "empty").forall(n(_) > 0L)))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
   /** CCNet head/middle/tail corpus split ([[operators.Curate.scoreBuckets]]
     * over q103's bigram-LM perplexity, per language): the published
     * quality partition — each language's cleanest perplexity tercile is
@@ -3992,6 +4072,8 @@ object SparkEntry {
     "q171_prototype_prune" -> q171_prototype_prune _,
     "q172_d4_pipeline" -> q172_d4_pipeline _,
     "q173_ccnet_buckets" -> q173_ccnet_buckets _,
+    "q174_unimax_materialize" -> q174_unimax_materialize _,
+    "q175_compression_signal" -> q175_compression_signal _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6275,6 +6357,65 @@ object SparkEntry {
          |SELECT doc_id, lang, perplexity, 'none' AS bucket
          |FROM scored WHERE perplexity IS NULL
          |ORDER BY doc_id""".stripMargin,
+    // q174 recomputes the composition: q170's waterfilling CTEs (the
+    // integer-exact capping test and both divisions), epochs→plan
+    // arithmetic on the ROUNDED epochs, then q155's md5 hex-threshold
+    // repeat CASE and the range unnest.
+    "q174_unimax_materialize" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+         |         ELSE len($toksSql) END AS BIGINT) AS n_tok
+         |  FROM documents),
+         |a AS (SELECT lang AS stratum, sum(n_tok)::BIGINT AS avail,
+         |        CAST(floor(sum(n_tok) * 2.0) AS BIGINT) AS cap
+         |      FROM t GROUP BY 1),
+         |w AS (SELECT *,
+         |        row_number() OVER (ORDER BY cap, stratum) AS idx,
+         |        coalesce(sum(cap) OVER (ORDER BY cap, stratum
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS pfx,
+         |        count(*) OVER () AS n_tot
+         |      FROM a),
+         |f AS (SELECT *,
+         |        cap * (n_tot - idx + 1) < 48000 - pfx AS capped FROM w),
+         |g AS (SELECT *,
+         |        sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+         |        coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
+         |          AS sc
+         |      FROM f),
+         |p AS (SELECT stratum AS lang,
+         |        round(CASE WHEN capped THEN cap::DOUBLE
+         |              ELSE (48000 - sc)::DOUBLE / (n_tot - k) END
+         |              / avail, 4) AS epochs
+         |      FROM g),
+         |p2 AS (SELECT lang,
+         |        CAST(floor(epochs) AS BIGINT) AS full_repeats,
+         |        round(epochs - floor(epochs), 4) AS partial_fraction
+         |       FROM p),
+         |r AS (SELECT t.doc_id, t.lang, t.n_tok,
+         |        p2.full_repeats + CASE WHEN
+         |          substr(md5(t.doc_id::VARCHAR), 1, 8) <
+         |          CASE WHEN p2.partial_fraction >= 1.0 THEN 'g'
+         |            ELSE lower(lpad(to_hex(CAST(floor(p2.partial_fraction
+         |              * 4294967296) AS BIGINT)), 8, '0')) END
+         |        THEN 1 ELSE 0 END AS reps
+         |      FROM t JOIN p2 USING (lang))
+         |SELECT doc_id, lang, n_tok,
+         |  CAST(unnest(range(1, reps + 1)) AS BIGINT) AS repeat_idx
+         |FROM r WHERE reps > 0
+         |ORDER BY doc_id, repeat_idx""".stripMargin,
+    // q175's signal is engine-local zlib (no DuckDB twin); the oracle
+    // pins the verdict frame the measured-then-pinned in-plan gates emit.
+    "q175_compression_signal" ->
+      """SELECT * FROM (VALUES
+        |  ('comp_empty_unscorable', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('comp_natural_long_in_band', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('comp_noise_above_ceiling', CAST(0.8 AS DOUBLE), TRUE),
+        |  ('comp_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('comp_rep_below_floor', CAST(0.1 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

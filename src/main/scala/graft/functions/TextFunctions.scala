@@ -556,6 +556,31 @@ object TextFunctions {
       regexp_count(t2, lit(phonePattern)).as("n_phones"))
   }
 
+  // --- Compression-ratio quality signal ---------------------------------
+
+  /** Deflate compression ratio of the text (see
+    * [[expressions.DeflateRatio]] — the RedPajama-v2 / Dolma signal):
+    * compressed/raw bytes at zlib level 6. NULL and empty text yield null
+    * (unscorable). One codegen'd pass, scan-speed at 100 TB. */
+  def compressionRatio(text: Column): Column =
+    expressions.GraftExpressions.deflateRatio(coalesce(text, lit("")))
+
+  /**
+   * Band keep on [[compressionRatio]]: drop the too-compressible tail
+   * (machine-repeated boilerplate the token-level rules can miss when the
+   * repeat unit is long) AND the incompressible tail (hex dumps, base64,
+   * minified blobs riding in a text column). Bounds are CORPUS POLICY —
+   * the published pipelines ship the signal, not a universal cut (natural
+   * prose lands ~0.3–0.6 at document length; the defaults bracket that
+   * band and are q175-measured on the fixture corpus). Unscorable (empty)
+   * docs FAIL the gate: nothing to train on.
+   */
+  def compressionKeep(text: Column, minRatio: Double = 0.20,
+                      maxRatio: Double = 0.80): Column = {
+    val r = compressionRatio(text)
+    r.isNotNull && r >= minRatio && r <= maxRatio
+  }
+
   // --- Fingerprinting & shingling --------------------------------------
 
   /** Content fingerprint: 128-bit hex digest of normalized text (lowercased,

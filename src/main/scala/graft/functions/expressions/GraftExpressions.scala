@@ -1038,6 +1038,70 @@ object NgramBucketWeightSum {
   }
 }
 
+/**
+ * Deflate compression ratio of the UTF-8 text: compressed bytes / raw
+ * bytes at zlib level 6, raw-deflate framing (no zlib header — the 2+4
+ * framing bytes would floor the ratio of tiny docs). The "compression
+ * ratio" quality signal of RedPajama-v2 (Together 2023) and the Dolma
+ * toolkit (Soldaini et al. 2024, arXiv:2402.00159): machine-generated /
+ * boilerplate-repetitive text compresses far below natural prose, and
+ * encoded-binary-as-text barely compresses at all, so BOTH tails are
+ * drop candidates that length/stopword rules miss. One codegen'd pass;
+ * empty text yields null (a 0-byte doc has no ratio — unscorable, the
+ * [[HashedNgramScore]] no-evidence convention).
+ *
+ * Engine-LOCAL by design: no SQL engine exposes deterministic zlib, so
+ * the q175 gate uses planted fixtures (repeated-block, hex-noise) judged
+ * in-plan rather than a recomputed DuckDB oracle. The JDK's bundled zlib
+ * is deterministic for a fixed level and input, which is what
+ * reproducibility across executors requires; the ratio is a THRESHOLD
+ * signal, so even cross-zlib-version drift (different byte counts for
+ * the same input) moves it by well under any sane cut.
+ */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // non-null EMPTY text still yields null (no bytes to judge)
+  override def nullable: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+
+  override def nullSafeEval(v: Any): Any =
+    DeflateRatio.ratio(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("deflateRatio")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.expressions.DeflateRatio.ratio($c.getBytes());
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateRatio {
+  /** Shared by interpreted eval and generated code. Boxed: null ⇔ empty
+    * input. A fresh Deflater per call — the JDK object is stateful and
+    * NOT thread-safe, and codegen evaluates on task threads. */
+  def ratio(bytes: Array[Byte]): java.lang.Double = {
+    if (bytes.length == 0) return null
+    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      java.lang.Double.valueOf(total.toDouble / bytes.length)
+    } finally d.end()
+  }
+}
+
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -1064,6 +1128,10 @@ object GraftExpressions {
 
   def normalizeText(c: Column): Column =
     GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(c)))
+
+  /** See [[DeflateRatio]] — callers own the NULL coalesce. */
+  def deflateRatio(c: Column): Column =
+    GraftColumnBridge.column(DeflateRatio(GraftColumnBridge.expression(c)))
 
   /** See [[RepetitionStatsExpr]] — callers own the NULL coalesce. */
   def repetitionStats(c: Column): Column =
@@ -1150,7 +1218,10 @@ object GraftExpressions {
           columnBuilt(tf.c4Stats(_))(exprs.head) }),
       ("c4_keep", tf.getClass.getName,
         exprs => { checkArity("c4_keep", exprs, 1, 1)
-          columnBuilt(tf.c4Keep(_))(exprs.head) }))
+          columnBuilt(tf.c4Keep(_))(exprs.head) }),
+      ("deflate_ratio", classOf[DeflateRatio].getName,
+        exprs => { checkArity("deflate_ratio", exprs, 1, 1)
+          DeflateRatio(exprs.head) }))
   }
 
   /** Expose as SQL functions on a session. */

@@ -440,4 +440,40 @@ class ExpressionsSpec extends SparkSpec {
         .select(GraftExpressions.ngramBuckets($"t", b)).collect()
     }
   }
+
+  test("deflate_ratio: separation bands, null/empty edges, interpreted " +
+    "matches codegen, SQL") {
+    import graft.functions.expressions.DeflateRatio
+    // the helper IS the shared path of both eval modes; pin its contract
+    assert(DeflateRatio.ratio(Array.emptyByteArray) == null)
+    val rep = ("lorem ipsum dolor sit " * 100).trim
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders off toward a distant river bank where herons wade " * 4
+    val repR = DeflateRatio.ratio(rep.getBytes("UTF-8")).toDouble
+    val proseR = DeflateRatio.ratio(prose.getBytes("UTF-8")).toDouble
+    assert(repR < 0.1, s"repeated block must crush: $repR")
+    assert(proseR > repR * 3, s"prose must sit well above boilerplate: " +
+      s"$proseR vs $repR")
+    // column path (codegen) equals the helper exactly
+    val got = Seq(rep, prose, "", null.asInstanceOf[String]).toDF("t")
+      .select(graft.functions.TextFunctions.compressionRatio($"t").as("r"))
+      .collect()
+    assert(got(0).getDouble(0) == repR && got(1).getDouble(0) == proseR)
+    assert(got(2).isNullAt(0), "empty text must be unscorable")
+    assert(got(3).isNullAt(0), "null text coalesces to empty -> null")
+    // interpreted eval (no codegen) agrees with the helper
+    val expr = DeflateRatio(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        rep, org.apache.spark.sql.types.StringType))
+    assert(expr.eval(null).asInstanceOf[Double] == repR)
+    // SQL surface (both registration routes share the builder table)
+    GraftExpressions.registerAll(spark)
+    assert(spark.sql(s"SELECT deflate_ratio('$rep')").as[Double].head()
+      == repR)
+    // keep rule: boilerplate and empty fail, prose passes at the defaults
+    val keeps = Seq(rep, prose, "").toDF("t")
+      .select(graft.functions.TextFunctions.compressionKeep($"t").as("k"))
+      .as[Boolean].collect().toSeq
+    assert(keeps == Seq(false, true, false), keeps.toString)
+  }
 }

@@ -1089,6 +1089,39 @@ class PlanSpec extends SparkSpec {
       s"hash-lane keys missing from the perplexity plan:\n$plan")
   }
 
+  test("q171 prototype prune: centroids broadcast back, rank window " +
+    "exchanges scalars — the vector never rides the window shuffle") {
+    // the 100 TB claims: (a) the |clusters|-row centroid frame must
+    // broadcast (a SortMergeJoin here re-shuffles the full corpus on the
+    // cluster key just to attach ~64 doubles); (b) the rank window's
+    // exchange carries (id, cluster, cos) only — the probe measured 15×
+    // shuffle inflation when the embedding rode into the window
+    val plan = planOf("q171_prototype_prune")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not re-shuffle to attach centroids:\n$plan")
+    // the Window nodes' input attributes (formatted-explain detail
+    // blocks) must not include the vector column
+    val winInputs =
+      """\(\d+\) Window\s*\nInput \[[^\]]*\]""".r.findAllIn(plan).toList
+    assert(winInputs.nonEmpty && winInputs.forall(!_.contains("embedding")),
+      s"rank window must not carry the embedding:\n${winInputs.mkString("\n")}")
+  }
+
+  test("q170 unimax: one aggregation exchange, windows run on the " +
+    "catalog-sized stratum frame") {
+    // waterfilling is arithmetic over |strata| rows: the only data-sized
+    // exchange is the token-count partial+final agg; a second data-sized
+    // shuffle means the corpus leaked past the aggregate
+    val df = SparkEntry.queries("q170_unimax")(spark, sfDir)
+    val plan = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"token counts must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no join belongs in the allocator plan:\n$plan")
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
