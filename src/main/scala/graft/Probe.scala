@@ -147,6 +147,9 @@ object Probe {
       case Some("protoprune") =>
         protoPruneRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
+      case Some("semdecon") =>
+        semDeconRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+          else Seq(50000L, 500000L))
       case Some("retrain") => retrainRun(args.drop(1).headOption
         .map(_.toLong).getOrElse(50000L))
       case Some("retract") => retractRun(
@@ -943,6 +946,46 @@ object Probe {
         graft.operators.Curate.prototypePrune(
           emb, "embedding", "cluster", "id", 0.25))
       OpCache.release()
+    }
+    spark.stop()
+  }
+
+  /** Semantic-decontamination decade pricing (round 17; q169's gate runs
+    * at 500/2000 fixture rows): [[graft.operators.Dedup.semanticDecontaminate]]
+    * with a 1k-row eval set against 50k/500k synthetic corpora — the
+    * 100 TB shape claim is that the CORPUS takes one hard IVF assignment
+    * (its vectors never exchange: centroids broadcast, comparisons run
+    * inside the shared-cell join) while only the catalog-sized EVAL side
+    * multi-probes, so cost tracks corpus × (eval density per cell), not
+    * corpus². Eval = 500 re-keyed exact corpus copies (planted verbatim
+    * leaks) + 500 fresh vectors; the dropped count is printed so the run
+    * also sanity-checks that every planted leak's source is caught. */
+  private def semDeconRun(sizes: Seq[Long]): Unit = {
+    val spark = session()
+    val dim = 64
+    def vecOf(seed: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        ((pmod(xxhash64(seed * dim + j), lit(2001)) - 1000) / lit(1000.0))
+          .cast("float"))
+    val tmp = java.nio.file.Files.createTempDirectory("semdecon").toString
+    for (n <- sizes) {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(32L, n / 1000L).toString)
+      val k = math.max(8, (n / 256).toInt)
+      spark.range(n).select(col("id"), vecOf(col("id")).as("embedding"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/corpus_$n")
+      val corpus = spark.read.parquet(s"$tmp/corpus_$n")
+      // 500 exact leaks (same vector, re-keyed id) + 500 fresh vectors
+      val evalDf = corpus.filter(pmod(col("id"), lit(n / 500)) === 0)
+        .limit(500).select((col("id") + 10000000L).as("id"), col("embedding"))
+        .unionByName(spark.range(20000000L, 20000500L)
+          .select(col("id"), vecOf(col("id")).as("embedding")))
+      val kept = Dedup.semanticDecontaminate(corpus, evalDf,
+        "embedding", "id", k = k, tau = 0.9)
+      val dropped = n - kept.count(); OpCache.release()
+      measure(f"semanticDecontaminate n=$n k=$k (dropped=$dropped)")(
+        Dedup.semanticDecontaminate(corpus, evalDf, "embedding", "id",
+          k = k, tau = 0.9))
     }
     spark.stop()
   }

@@ -1039,6 +1039,156 @@ object NgramBucketWeightSum {
 }
 
 /**
+ * Plan-time centroid artifact for [[NearestCells]]: ids + double vectors
+ * with norms precomputed once at construction (k·dim work done at PLAN
+ * time, not per row). Centroid tables are policy-sized (k ≤ a few
+ * thousand), the same catalog-scale class as [[BloomMightContainLong]]'s
+ * filter and `dsirScore`'s log-ratio table — collecting one to the driver
+ * is bounded by design.
+ */
+final class CentroidSet(val ids: Array[Long],
+                        val vecs: Array[Array[Double]]) extends Serializable {
+  require(ids.length == vecs.length, "ids/vecs length mismatch")
+  require(ids.nonEmpty, "CentroidSet needs at least one centroid")
+  private val norms: Array[Double] = vecs.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Candidate (c1,i1) preferred over (c2,i2) by exactly the
+    * `max_by(struct(cos, -cid))` order: higher cosine, ties to the
+    * SMALLER centroid id. */
+  @inline private def pref(c1: Double, i1: Long, c2: Double, i2: Long) =
+    c1 > c2 || (c1 == c2 && i1 < i2)
+
+  /** Top-`probes` cell ids, ascending by (cos, -cid) — the hard cell is
+    * LAST (the [[NearestCells]] output contract). Cosine mirrors
+    * [[CosineSimilarity.compute]] bit-for-bit, including its edge
+    * precedence: zero denom → 0.0 BEFORE the length check; a null
+    * element or a (nonzero-norm) dimension mismatch nulls the result. */
+  def nearest(x: org.apache.spark.sql.catalyst.util.ArrayData,
+              xd: Boolean, probes: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = x.numElements()
+    val xs = new Array[Double](n)
+    var nx = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      xs(i) = v; nx += v * v; i += 1
+    }
+    val xnorm = math.sqrt(nx)
+    val p = math.min(probes, ids.length)
+    // selection buffers kept ascending by (cos, -cid): slot 0 = weakest
+    val bc = new Array[Double](p)
+    val bi = new Array[Long](p)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val cv = vecs(c)
+      val denom = xnorm * norms(c)
+      var cos = 0.0
+      if (denom != 0.0) {
+        if (cv.length != n) return null
+        var dot = 0.0; var j = 0
+        while (j < n) { dot += xs(j) * cv(j); j += 1 }
+        cos = dot / denom
+      }
+      if (filled < p) {
+        bc(filled) = cos; bi(filled) = ids(c); filled += 1
+        var m = filled - 1
+        while (m > 0 && pref(bc(m - 1), bi(m - 1), bc(m), bi(m))) {
+          val tc = bc(m); bc(m) = bc(m - 1); bc(m - 1) = tc
+          val ti = bi(m); bi(m) = bi(m - 1); bi(m - 1) = ti
+          m -= 1
+        }
+      } else if (pref(cos, ids(c), bc(0), bi(0))) {
+        bc(0) = cos; bi(0) = ids(c)
+        var m = 0
+        while (m < p - 1 && pref(bc(m), bi(m), bc(m + 1), bi(m + 1))) {
+          val tc = bc(m); bc(m) = bc(m + 1); bc(m + 1) = tc
+          val ti = bi(m); bi(m) = bi(m + 1); bi(m + 1) = ti
+          m += 1
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bi, filled))
+  }
+}
+
+/**
+ * Nearest-centroid cells as ONE compiled loop per row — the IVF
+ * assignment primitive behind `Similarity.ivfAssign`/`ivfAssignMulti`
+ * and the streaming `probeCellsExpr`. Returns the `probes` nearest cell
+ * ids ascending by (cosine, -centroid_id) with the hard cell LAST.
+ *
+ * Why native (the q162 tier argument, but for SHAPE rather than speed):
+ * the r16 formulation joined the corpus against the broadcast centroid
+ * table and arg-maxed with `max_by(struct(vec, cid), struct(cos, -cid))`
+ * — but a struct-with-array aggregation buffer is not hash-aggregable,
+ * so Catalyst planned a SortAggregate that SORTED the corpus×k joined
+ * stream per task. Invisible at fixture scale; at 500k vectors × 1953
+ * cells (the `Probe semdecon` decade) the ~1B-row sort spilled the disk
+ * to ENOSPC. Centroids are a plan-time artifact, so assignment is a
+ * per-row expression, not a join: zero shuffle, zero sort, the corpus
+ * never moves. Cosine accumulation mirrors [[CosineSimilarity.compute]]
+ * exactly, so assignments are bit-identical to the old path (ties inc.).
+ */
+case class NearestCells(child: Expression, cents: CentroidSet, probes: Int)
+    extends UnaryExpression {
+  require(probes >= 1, s"probes must be at least 1, got $probes")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // a non-null vector can still null out (null element / ragged dim)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double>, got ${other.simpleString}")
+    }
+
+  private lazy val childIsDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    cents.nearest(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      childIsDouble, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // centroids are a plan-time object (the BloomMightContainLong
+    // pattern): one references-array slot per stage, not per row
+    val ref = ctx.addReferenceObj("graftCentroids", cents,
+      classOf[CentroidSet].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("nearestCells")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  $ref.nearest($c, $childIsDouble, $probes);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Deflate compression ratio of the UTF-8 text: compressed bytes / raw
  * bytes at zlib level 6, raw-deflate framing (no zlib header — the 2+4
  * framing bytes would floor the ratio of tiny docs). The "compression
@@ -1132,6 +1282,11 @@ object GraftExpressions {
   /** See [[DeflateRatio]] — callers own the NULL coalesce. */
   def deflateRatio(c: Column): Column =
     GraftColumnBridge.column(DeflateRatio(GraftColumnBridge.expression(c)))
+
+  /** See [[NearestCells]] — cells ascending by (cos, -cid), hard LAST. */
+  def nearestCells(vec: Column, cents: CentroidSet, probes: Int): Column =
+    GraftColumnBridge.column(
+      NearestCells(GraftColumnBridge.expression(vec), cents, probes))
 
   /** See [[RepetitionStatsExpr]] — callers own the NULL coalesce. */
   def repetitionStats(c: Column): Column =

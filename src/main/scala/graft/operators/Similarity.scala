@@ -95,21 +95,33 @@ object Similarity {
    */
   def ivfAssign(df: DataFrame, centroids: DataFrame,
                 vecCol: String, idCol: String): DataFrame = {
-    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
-    // argmax via max_by partial+final aggregation, NOT a row_number
-    // window: after the broadcast join every doc's k candidate rows are
-    // co-located, so map-side combine collapses them to one row per doc
-    // BEFORE the exchange — the window formulation shuffled and sorted
-    // k× the corpus (vectors included) just to rank k rows. Tiebreak
-    // (-centroid_id) keeps equal-cosine assignment deterministic.
-    df.select(col(idCol), col(vecCol))
-      .join(broadcast(c))
-      .groupBy(col(idCol))
-      .agg(max_by(
-        struct(col(vecCol).as("v"), col("centroid_id").as("cid")),
-        struct(cosine(col(vecCol), col("centv")).as("cos"),
-          (-col("centroid_id")).as("nid"))).as("best"))
-      .select(col(idCol), col("best.v").as(vecCol), col("best.cid").as("cell"))
+    // assignment as a per-row COMPILED expression over the collected
+    // centroid artifact ([[graft.functions.expressions.NearestCells]]) —
+    // zero shuffle, zero join, the corpus never moves. The r16
+    // broadcast-join + max_by formulation looked shuffle-free too, but
+    // max_by's struct-with-array buffer is not hash-aggregable, so
+    // Catalyst planned a SortAggregate that sorted the corpus×k joined
+    // stream per task — measured ENOSPC at 500k×1953 (Probe semdecon).
+    // Tiebreak unchanged: (cosine, -centroid_id), bit-identical cosine.
+    // Collecting k centroid rows is catalog-sized by policy (the
+    // dsirScore / probeCellsExpr artifact class).
+    val cs = collectCentroids(centroids, vecCol)
+    df.select(col(idCol), col(vecCol),
+      element_at(graft.functions.expressions.GraftExpressions
+        .nearestCells(col(vecCol), cs, 1), 1).as("cell"))
+  }
+
+  /** Collected (id, double-vector) centroid artifact for the per-row
+    * assignment expression; k rows by policy. */
+  private def collectCentroids(centroids: DataFrame,
+                               vecCol: String): graft.functions.expressions.CentroidSet = {
+    val rows = centroids
+      .select(col("centroid_id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .collect()
+    new graft.functions.expressions.CentroidSet(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray))
   }
 
   /**
@@ -120,37 +132,22 @@ object Similarity {
    * recovers neighbors that straddle a cell boundary (the dominant recall
    * loss of hard assignment) at `probes`× the assignment cost.
    *
-   * Shape: `probes` rounds of the [[ivfAssign]] broadcast-join +
-   * `max_by` partial/final aggregation, each excluding the cells already
-   * chosen (tracked in a ≤`probes`-element array per row) — every round
-   * collapses the k candidate rows per vector map-side before its
-   * exchange, so each round moves the corpus once and vectors never fan
-   * out k×. `probes` is a compile-time-small constant (2-4), not data.
+   * Shape: ONE per-row compiled top-`probes` selection over the collected
+   * centroid artifact ([[graft.functions.expressions.NearestCells]]) +
+   * an explode to one row per (vector, cell) — zero shuffle, zero join;
+   * a vector with fewer than `probes` reachable centroids (k < probes)
+   * simply yields fewer rows. `probes` is a compile-time-small constant
+   * (2-4), not data. (The r16 formulation ran `probes` rounds of
+   * broadcast-join + max_by — the SortAggregate trap [[ivfAssign]]
+   * documents, `probes`× over.)
    */
   def ivfAssignMulti(df: DataFrame, centroids: DataFrame, vecCol: String,
                      idCol: String, probes: Int): DataFrame = {
     require(probes >= 1, s"probes must be at least 1, got $probes")
-    val c = centroids.select(col("centroid_id"), col(vecCol).as("centv"))
-    var out = ivfAssign(df, centroids, vecCol, idCol)
-    var acc = out.withColumn("cells", array(col("cell")))
-    for (_ <- 2 to probes) {
-      // same argmax trick as ivfAssign, over the not-yet-chosen cells;
-      // a row with fewer than `probes` reachable centroids (k < probes)
-      // simply drops out of later rounds
-      acc = acc.join(broadcast(c))
-        .filter(!array_contains(col("cells"), col("centroid_id")))
-        .groupBy(col(idCol))
-        .agg(max_by(
-          struct(col(vecCol).as("v"), col("cells").as("cs"),
-            col("centroid_id").as("cid")),
-          struct(cosine(col(vecCol), col("centv")).as("cos"),
-            (-col("centroid_id")).as("nid"))).as("best"))
-        .select(col(idCol), col("best.v").as(vecCol),
-          array_append(col("best.cs"), col("best.cid")).as("cells"),
-          col("best.cid").as("cell"))
-      out = out.unionByName(acc.select(col(idCol), col(vecCol), col("cell")))
-    }
-    out
+    val cs = collectCentroids(centroids, vecCol)
+    df.select(col(idCol), col(vecCol),
+      explode(graft.functions.expressions.GraftExpressions
+        .nearestCells(col(vecCol), cs, probes)).as("cell"))
   }
 
   /**
@@ -170,15 +167,14 @@ object Similarity {
                      probes: Int): Column = {
     require(centroids.nonEmpty, "probeCellsExpr needs at least one centroid")
     require(probes >= 1, s"probes must be at least 1, got $probes")
-    val p = math.min(probes, centroids.size)
-    val scored = centroids.map { case (cid, v) =>
-      struct(cosine(vec, typedLit(v)).as("cos"),
-        lit(-cid).as("nid"), lit(cid).as("cid"))
-    }
-    // lexicographic struct sort ≡ max_by (cos, -cid): top-p are the tail
-    transform(
-      slice(array_sort(array(scored: _*)), centroids.size - p + 1, p),
-      x => x.getField("cid"))
+    // the same NearestCells expression the batch path compiles — parity
+    // by construction, and no k-branch struct-sort plan (the r16 form
+    // built k literal struct branches; at k in the thousands that blows
+    // past codegen method limits into interpreted evaluation)
+    graft.functions.expressions.GraftExpressions.nearestCells(vec,
+      new graft.functions.expressions.CentroidSet(
+        centroids.map(_._1).toArray, centroids.map(_._2.toArray).toArray),
+      probes)
   }
 
   /**

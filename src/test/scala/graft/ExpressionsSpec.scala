@@ -476,4 +476,59 @@ class ExpressionsSpec extends SparkSpec {
       .as[Boolean].collect().toSeq
     assert(keeps == Seq(false, true, false), keeps.toString)
   }
+
+  test("nearest_cells: matches a brute-force (cos, -cid) argmax on random " +
+    "vectors, ordering/tie/zero-vector/ragged edges, k < probes") {
+    import graft.functions.expressions.{CentroidSet, GraftExpressions => GE}
+    val rnd = new scala.util.Random(11)
+    val dim = 6
+    val cents = (0L until 20L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian()))).toArray
+    val cs = new CentroidSet(cents.map(_._1), cents.map(_._2))
+    def bruteCos(v: Array[Double], c: Array[Double]): Double = {
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      if (nv * nc == 0) 0.0
+      else v.zip(c).map { case (a, b) => a * b }.sum / (nv * nc)
+    }
+    def brute(v: Array[Double], p: Int): Seq[Long] =
+      cents.map { case (id, c) => (id, bruteCos(v, c)) }
+        .sortBy { case (id, cos) => (-cos, id) }.take(p).map(_._1)
+        .reverse.toSeq // ascending preference, hard cell LAST
+    for (_ <- 1 to 30) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      for (p <- Seq(1, 3, 25)) { // 25 > k exercises the clamp
+        val got = Seq(v.map(_.toFloat)).toDF("v")
+          .select(GE.nearestCells($"v", cs, p).as("cells"))
+          .as[Seq[Long]].head()
+        assert(got == brute(v, p), s"p=$p: $got vs ${brute(v, p)}")
+      }
+    }
+    // exact tie: two identical centroids -> smaller cid preferred (last)
+    val tied = new CentroidSet(Array(5L, 3L),
+      Array(Array(1.0, 0.0), Array(1.0, 0.0)))
+    val t = Seq(Seq(1.0f, 0.0f)).toDF("v")
+      .select(GE.nearestCells($"v", tied, 2).as("c")).as[Seq[Long]].head()
+    assert(t == Seq(5L, 3L), s"tie order: $t")
+    // zero vector: cosine 0.0 to everything -> pure -cid order
+    val z = Seq(Seq(0.0f, 0.0f)).toDF("v")
+      .select(GE.nearestCells($"v", tied, 2).as("c")).as[Seq[Long]].head()
+    assert(z == Seq(5L, 3L), s"zero-vector order: $z")
+    // double-typed input and a ragged (wrong-dim) vector
+    val d = Seq(Seq(1.0, 0.0)).toDF("v")
+      .select(GE.nearestCells($"v", tied, 1).as("c")).as[Seq[Long]].head()
+    assert(d == Seq(3L))
+    val ragged = Seq(Seq(1.0f, 0.0f, 9.0f)).toDF("v")
+      .select(GE.nearestCells($"v", tied, 1).as("c")).collect()
+    assert(ragged.head.isNullAt(0), "ragged dim must null out")
+    // interpreted eval path agrees with codegen
+    val expr = graft.functions.expressions.NearestCells(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 0.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), tied, 2)
+    val ev = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.toLongArray().toSeq == Seq(5L, 3L))
+  }
 }
