@@ -1189,6 +1189,70 @@ case class NearestCells(child: Expression, cents: CentroidSet, probes: Int)
 }
 
 /**
+ * [[NearestCells]] against one of SEVERAL plan-time centroid sets,
+ * selected per row by an index column — the product-quantization shape,
+ * where each of the m subspaces owns its own ksub-codeword codebook and
+ * the exploded (id, sub, subvec) frame assigns every subvector against
+ * ITS subspace's codewords. Same contract as [[NearestCells]] (cells
+ * ascending by (cos, -cid), hard LAST); an index outside [0, sets)
+ * throws — `sub` is generator-produced, an out-of-range value is a bug,
+ * not data. Replaces the broadcast-join + max_by argmax, which planned
+ * as a SortAggregate over the corpus×codebook joined stream (the
+ * [[NearestCells]] scale note — struct buffers are not hash-aggregable).
+ */
+case class NearestCellsIndexed(left: Expression, right: Expression,
+    sets: Array[CentroidSet], probes: Int) extends BinaryExpression {
+  require(probes >= 1, s"probes must be at least 1, got $probes")
+  require(sets.nonEmpty, "NearestCellsIndexed needs at least one set")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_cells_indexed"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType | FloatType, _), IntegerType | LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, int), got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  private lazy val vecIsDouble = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private lazy val idxIsLong = right.dataType == LongType
+
+  override def nullSafeEval(v: Any, i: Any): Any =
+    sets((if (idxIsLong) i.asInstanceOf[Long] else
+      i.asInstanceOf[Int].toLong).toInt)
+      .nearest(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        vecIsDouble, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCentroidSetArr", sets,
+      classOf[CentroidSet].getName + "[]")
+    nullSafeCodeGen(ctx, ev, (v, i) => {
+      val r = ctx.freshName("nearestIdx")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  $ref[(int) $i].nearest($v, $vecIsDouble, $probes);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Deflate compression ratio of the UTF-8 text: compressed bytes / raw
  * bytes at zlib level 6, raw-deflate framing (no zlib header — the 2+4
  * framing bytes would floor the ratio of tiny docs). The "compression
@@ -1287,6 +1351,13 @@ object GraftExpressions {
   def nearestCells(vec: Column, cents: CentroidSet, probes: Int): Column =
     GraftColumnBridge.column(
       NearestCells(GraftColumnBridge.expression(vec), cents, probes))
+
+  /** See [[NearestCellsIndexed]] — per-row set selection (PQ subspaces). */
+  def nearestCellsIndexed(vec: Column, idx: Column,
+                          sets: Array[CentroidSet], probes: Int): Column =
+    GraftColumnBridge.column(NearestCellsIndexed(
+      GraftColumnBridge.expression(vec), GraftColumnBridge.expression(idx),
+      sets, probes))
 
   /** See [[RepetitionStatsExpr]] — callers own the NULL coalesce. */
   def repetitionStats(c: Column): Column =

@@ -98,12 +98,15 @@ object Quantize {
       .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
         col("subvec").as("codeword")))
     for (_ <- 0 until iters) {
-      val assigned = sv.join(broadcast(cb), Seq("sub"))
-        .groupBy(col(idCol), col("sub"))
-        .agg(max_by(struct(col("subvec").as("v"), col("code").as("c")),
-          struct(cosine(col("subvec"), col("codeword")).as("cos"),
-            (-col("code")).as("nc"))).as("best"))
-        .select(col("sub"), col("best.v").as("subvec"), col("best.c").as("code"))
+      // per-row compiled argmax against the collected per-subspace
+      // codebooks (NearestCellsIndexed) — the join + max_by form planned
+      // as a SortAggregate over the (id, sub)×ksub joined stream (struct
+      // buffers are not hash-aggregable; see Similarity.ivfAssign)
+      val cbSets = collectCodebookSets(cb, m)
+      val assigned = sv.select(col("sub"), col("subvec"),
+        element_at(graft.functions.expressions.GraftExpressions
+            .nearestCellsIndexed(col("subvec"), col("sub"), cbSets, 1), 1)
+          .cast("int").as("code"))
       cb = OpCache.materialize(assigned
         .groupBy(col("sub"), col("code"))
         .agg(vmean(col("subvec")).as("cw"))
@@ -117,22 +120,44 @@ object Quantize {
 
   /**
    * Encode: (idCol, codes array<int>) — codes(s) is the argmax-cosine
-   * codeword of subspace s. One corpus pass: explode → broadcast-join
-   * codebook on `sub` → map-side `max_by` per (id, sub) → regroup.
-   * Tiebreak (-code) keeps equal-similarity assignment deterministic.
+   * codeword of subspace s. One corpus pass: explode → per-row compiled
+   * argmax against the collected per-subspace codebooks
+   * ([[graft.functions.expressions.NearestCellsIndexed]] — the join +
+   * max_by form sorted the (id, sub)×ksub stream through a
+   * SortAggregate; struct orderings are not hash-aggregable) → regroup.
+   * Tiebreak unchanged: equal cosine takes the smaller code.
    */
   def encode(df: DataFrame, codebook: DataFrame, vecCol: String,
-             idCol: String, m: Int, subDim: Int): DataFrame =
+             idCol: String, m: Int, subDim: Int): DataFrame = {
+    val cbSets = collectCodebookSets(codebook, m)
     subvectors(df, vecCol, idCol, m, subDim)
-      .join(broadcast(codebook), Seq("sub"))
-      .groupBy(col(idCol), col("sub"))
-      .agg(max_by(col("code"),
-        struct(cosine(col("subvec"), col("codeword")).as("cos"),
-          (-col("code")).as("nc"))).as("code"))
+      .select(col(idCol), col("sub"),
+        element_at(graft.functions.expressions.GraftExpressions
+            .nearestCellsIndexed(col("subvec"), col("sub"), cbSets, 1), 1)
+          .cast("int").as("code"))
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
         x => x.getField("code")).as("codes"))
+  }
+
+  /** Collected per-subspace codebooks as [[graft.functions.expressions.CentroidSet]]s
+    * indexed by `sub` (m·ksub rows — policy-sized, the centroid-artifact
+    * class). A subspace with no codewords is a caller bug and fails here. */
+  private def collectCodebookSets(codebook: DataFrame, m: Int)
+      : Array[graft.functions.expressions.CentroidSet] = {
+    val rows = codebook
+      .select(col("sub"), col("code").cast("long").as("code"),
+        transform(col("codeword"), _.cast("double")).as("cw"))
+      .collect()
+      .groupBy(_.getInt(0))
+    (0 until m).toArray.map { s =>
+      val cw = rows.getOrElse(s,
+        throw new IllegalArgumentException(s"codebook has no subspace $s"))
+      new graft.functions.expressions.CentroidSet(
+        cw.map(_.getLong(1)), cw.map(_.getSeq[Double](2).toArray))
+    }
+  }
 
   /** Decode: rebuild the approximate vector by concatenating codewords in
     * subspace order. Output (idCol, vecCol) with the reconstruction. */

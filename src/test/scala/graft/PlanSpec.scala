@@ -1122,6 +1122,36 @@ class PlanSpec extends SparkSpec {
       s"no join belongs in the allocator plan:\n$plan")
   }
 
+  test("IVF assignment is a zero-exchange map stage and PQ encode never " +
+    "plans a SortAggregate (the corpus×k sort-spill trap)") {
+    // centroids/codebooks are plan-time artifacts (NearestCells), so
+    // assignment must compile to a per-row expression: the old
+    // broadcast-join + max_by form planned a SortAggregate that sorted
+    // the corpus×k joined stream (struct buffers are not hash-aggregable)
+    // and spilled ENOSPC at the 500k probe decade
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.operators.Similarity
+      .trainCentroids(e, "embedding", "vec_id", 8)
+    val p1 = graft.operators.Similarity
+      .ivfAssign(e, cents, "embedding", "vec_id")
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p1.contains("SortAggregate"), s"assignment sorts:\n$p1")
+    assert(!p1.contains("Exchange"), s"assignment must not shuffle:\n$p1")
+    val p2 = graft.operators.Similarity
+      .ivfAssignMulti(e, cents, "embedding", "vec_id", probes = 2)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p2.contains("SortAggregate") && !p2.contains("Exchange"),
+      s"multi-probe assignment must stay a map stage:\n$p2")
+    val cb = graft.operators.Quantize
+      .trainCodebook(e, "embedding", "vec_id", dim = 64, m = 16, ksub = 8)
+    val p3 = graft.operators.Quantize
+      .encode(e, cb, "embedding", "vec_id", m = 16, subDim = 4)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(!p3.contains("SortAggregate"),
+      s"encode sorts the subvector stream:\n$p3")
+    graft.operators.OpCache.release()
+  }
+
   test("whole-stage codegen covers the hot scan->filter->project pipeline") {
     // codegen explain mode reports the fused subtrees even under AQE
     val df = SparkEntry.queries("q02_filter_project")(spark, sfDir)
