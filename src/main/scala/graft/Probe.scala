@@ -915,6 +915,14 @@ object Probe {
     * must NOT grow quadratically in n at fixed cell size), and found
     * pairs. k scales as n/256 (fixed ~256-vector mean cell), the knob that
     * holds per-cell work constant as the corpus grows. */
+  /** Deterministic 64-dim synthetic embedding from a seed column — the
+    * shared fixture generator of the embedding-tier probes (protoprune /
+    * semdecon / sem). */
+  private def hashVec64(seed: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(63)), j =>
+      ((pmod(xxhash64(seed * 64 + j), lit(2001)) - 1000) / lit(1000.0))
+        .cast("float"))
+
   /** Prototype-pruning decade pricing (round 17; q171's oracle gate runs
     * at 500 fixture rows): [[graft.operators.Curate.prototypePrune]] over
     * synthetic 64-dim embeddings in 256 hash clusters across the
@@ -925,18 +933,13 @@ object Probe {
     * with cluster size, everything else is a scan. */
   private def protoPruneRun(sizes: Seq[Long]): Unit = {
     val spark = session()
-    val dim = 64
-    def vecOf(seed: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(dim - 1)), j =>
-        ((pmod(xxhash64(seed * dim + j), lit(2001)) - 1000) / lit(1000.0))
-          .cast("float"))
     val tmp = java.nio.file.Files.createTempDirectory("protoprune").toString
     for (n <- sizes) {
       // materialize the synthetic input: the measurement prices the
       // OPERATOR's shuffles, not the fixture generator's repartition
       spark.range(n).select(col("id"),
           pmod(col("id"), lit(256)).cast("int").as("cluster"),
-          vecOf(col("id")).as("embedding"))
+          hashVec64(col("id")).as("embedding"))
         .repartition(32).write.mode("overwrite").parquet(s"$tmp/emb_$n")
       val emb = spark.read.parquet(s"$tmp/emb_$n")
       measure(s"warmup protoPrune n=$n")(
@@ -962,24 +965,19 @@ object Probe {
     * also sanity-checks that every planted leak's source is caught. */
   private def semDeconRun(sizes: Seq[Long]): Unit = {
     val spark = session()
-    val dim = 64
-    def vecOf(seed: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(dim - 1)), j =>
-        ((pmod(xxhash64(seed * dim + j), lit(2001)) - 1000) / lit(1000.0))
-          .cast("float"))
     val tmp = java.nio.file.Files.createTempDirectory("semdecon").toString
     for (n <- sizes) {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.max(32L, n / 1000L).toString)
       val k = math.max(8, (n / 256).toInt)
-      spark.range(n).select(col("id"), vecOf(col("id")).as("embedding"))
+      spark.range(n).select(col("id"), hashVec64(col("id")).as("embedding"))
         .repartition(32).write.mode("overwrite").parquet(s"$tmp/corpus_$n")
       val corpus = spark.read.parquet(s"$tmp/corpus_$n")
       // 500 exact leaks (same vector, re-keyed id) + 500 fresh vectors
       val evalDf = corpus.filter(pmod(col("id"), lit(n / 500)) === 0)
         .limit(500).select((col("id") + 10000000L).as("id"), col("embedding"))
         .unionByName(spark.range(20000000L, 20000500L)
-          .select(col("id"), vecOf(col("id")).as("embedding")))
+          .select(col("id"), hashVec64(col("id")).as("embedding")))
       val kept = Dedup.semanticDecontaminate(corpus, evalDf,
         "embedding", "id", k = k, tau = 0.9)
       val dropped = n - kept.count(); OpCache.release()
@@ -992,11 +990,6 @@ object Probe {
 
   private def semRun(sizes: Seq[Long]): Unit = {
     val spark = session()
-    val dim = 64
-    def vecOf(seed: org.apache.spark.sql.Column) =
-      transform(sequence(lit(0), lit(dim - 1)), j =>
-        ((pmod(xxhash64(seed * dim + j), lit(2001)) - 1000) / lit(1000.0))
-          .cast("float"))
     for (n <- sizes) {
       val k = math.max(8, (n / 256).toInt)
       // partition count must scale with the candidate volume (~2n²/k
@@ -1008,7 +1001,7 @@ object Probe {
         math.max(32L, n / 1000L).toString)
       val emb = spark.range(n).select(col("id"),
         when(pmod(col("id"), lit(97)) === 0 && col("id") > 0,
-          vecOf(col("id") - 1)).otherwise(vecOf(col("id"))).as("embedding"))
+          hashVec64(col("id") - 1)).otherwise(hashVec64(col("id"))).as("embedding"))
         .repartition(32)
       val planted = (n - 1) / 97 // ids 97, 194, … pair with id−1
       def pairs(probes: Int) = Dedup.semDedupPairs(emb, "embedding", "id",

@@ -4280,6 +4280,56 @@ object SparkEntry {
 
   /** DOUBLE-cast embedding fragment for exact-parity vector oracles. */
   private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  /** DuckDB prototype-prune tail over a CTE `src(vec_id, label, v)`:
+    * rounded per-label centroid means, the q38 cosine, the
+    * (cos DESC, vec_id) rank, the ceil(frac·n) cut — ONE definition for
+    * q171 (full corpus) and q172 (post-dedup survivors), so the two
+    * oracles cannot drift. */
+  private def protoPruneSql(src: String, frac: Double): String =
+    s"""c AS (SELECT label, fi, round(avg(v[fi]), 6) AS m
+       |      FROM $src CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
+       |      GROUP BY label, fi),
+       |cent AS (SELECT label, array_agg(m ORDER BY fi) AS cv
+       |         FROM c GROUP BY label),
+       |s AS (SELECT $src.vec_id, $src.label, ${cosSql("v", "cv")} AS cos
+       |      FROM $src JOIN cent USING (label)),
+       |r AS (SELECT vec_id, label, cos,
+       |        row_number() OVER (PARTITION BY label
+       |          ORDER BY cos DESC, vec_id) AS proto_rank,
+       |        count(*) OVER (PARTITION BY label) AS cluster_n
+       |      FROM s)
+       |SELECT vec_id, label, round(cos, 4) AS cos_centroid,
+       |  proto_rank, cluster_n
+       |FROM r
+       |WHERE proto_rank > CAST(ceil($frac * cluster_n) AS BIGINT)
+       |ORDER BY label, proto_rank""".stripMargin
+
+  /** DuckDB UniMax waterfilling CTEs over `a(stratum, available_tokens,
+    * cap_tokens)`: the capacity sort, the exact-BIGINT prefix capping
+    * test, and the capped/uniform allocation CASE (CTE `al`, column
+    * `alloc`) — ONE definition for q170 and q174. */
+  private def unimaxCtesSql(budget: Long): String =
+    s"""w AS (SELECT *,
+       |        row_number() OVER (ORDER BY cap_tokens, stratum) AS idx,
+       |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, stratum
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS pfx,
+       |        count(*) OVER () AS n_tot
+       |      FROM a),
+       |f AS (SELECT *,
+       |        cap_tokens * (n_tot - idx + 1) < $budget - pfx AS capped
+       |      FROM w),
+       |g AS (SELECT *,
+       |        sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+       |        coalesce(sum(CASE WHEN capped THEN cap_tokens END)
+       |          OVER (), 0) AS sum_capped
+       |      FROM f),
+       |al AS (SELECT *,
+       |        CASE WHEN capped THEN cap_tokens::DOUBLE
+       |             ELSE ($budget - sum_capped)::DOUBLE / (n_tot - k) END
+       |          AS alloc
+       |      FROM g)""".stripMargin
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
 
@@ -6215,26 +6265,7 @@ object SparkEntry {
          |a AS (SELECT stratum, sum(n_tok)::BIGINT AS available_tokens,
          |        CAST(floor(sum(n_tok) * 2.0) AS BIGINT) AS cap_tokens
          |      FROM t GROUP BY stratum),
-         |w AS (SELECT *,
-         |        row_number() OVER (ORDER BY cap_tokens, stratum) AS idx,
-         |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, stratum
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |          AS pfx,
-         |        count(*) OVER () AS n_tot
-         |      FROM a),
-         |f AS (SELECT *,
-         |        cap_tokens * (n_tot - idx + 1) < 48000 - pfx AS capped
-         |      FROM w),
-         |g AS (SELECT *,
-         |        sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
-         |        coalesce(sum(CASE WHEN capped THEN cap_tokens END)
-         |          OVER (), 0) AS sum_capped
-         |      FROM f),
-         |h AS (SELECT *,
-         |        CASE WHEN capped THEN cap_tokens::DOUBLE
-         |             ELSE (48000 - sum_capped)::DOUBLE / (n_tot - k) END
-         |          AS alloc
-         |      FROM g)
+         |${unimaxCtesSql(48000L)}
          |SELECT stratum, available_tokens, cap_tokens,
          |  round(alloc, 4) AS alloc_tokens,
          |  round(CASE WHEN available_tokens > 0
@@ -6242,33 +6273,14 @@ object SparkEntry {
          |  capped,
          |  CAST(CASE WHEN k = n_tot THEN 48000 - sum_capped ELSE 0 END
          |    AS BIGINT) AS leftover_tokens
-         |FROM h ORDER BY stratum""".stripMargin,
+         |FROM al ORDER BY stratum""".stripMargin,
     // q171 recomputes prototype pruning: per-label dimension-wise means
     // rounded at 1e-6 (the engine-parity pin — both engines then rank
     // from IDENTICAL centroid inputs), the q38-proven cosine, the same
     // (cos DESC, vec_id) rank, the same ceil(frac*n) cut.
     "q171_prototype_prune" ->
-      s"""WITH c AS (
-         |  SELECT label, fi,
-         |    round(avg(CAST(embedding[fi] AS DOUBLE)), 6) AS m
-         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
-         |  GROUP BY label, fi),
-         |cent AS (SELECT label, array_agg(m ORDER BY fi) AS cv
-         |         FROM c GROUP BY label),
-         |s AS (
-         |  SELECT e.vec_id, e.label, ${cosSql("v", "cv")} AS cos
-         |  FROM (SELECT vec_id, label, $vecSql AS v FROM embeddings) e
-         |  JOIN cent USING (label)),
-         |r AS (SELECT vec_id, label, cos,
-         |        row_number() OVER (PARTITION BY label
-         |          ORDER BY cos DESC, vec_id) AS proto_rank,
-         |        count(*) OVER (PARTITION BY label) AS cluster_n
-         |      FROM s)
-         |SELECT vec_id, label, round(cos, 4) AS cos_centroid,
-         |  proto_rank, cluster_n
-         |FROM r
-         |WHERE proto_rank > CAST(ceil(0.25 * cluster_n) AS BIGINT)
-         |ORDER BY label, proto_rank""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |${protoPruneSql("e", 0.25)}""".stripMargin,
     // q172 recomputes the D4 composition end to end: the exact cosine
     // pair graph (q38's proven-parity tier), recursive-CTE transitive
     // closure with min-id representatives (q154's discipline), then the
@@ -6292,23 +6304,7 @@ object SparkEntry {
          |surv AS (SELECT e.vec_id, e.label, e.v
          |         FROM e LEFT JOIN rep ON e.vec_id = rep.id
          |         WHERE rep.id IS NULL OR rep.rep = e.vec_id),
-         |c AS (SELECT label, fi, round(avg(v[fi]), 6) AS m
-         |      FROM surv CROSS JOIN (SELECT unnest(range(1, 65)) AS fi) f
-         |      GROUP BY label, fi),
-         |cent AS (SELECT label, array_agg(m ORDER BY fi) AS cv
-         |         FROM c GROUP BY label),
-         |s AS (SELECT surv.vec_id, surv.label, ${cosSql("v", "cv")} AS cos
-         |      FROM surv JOIN cent USING (label)),
-         |r AS (SELECT vec_id, label, cos,
-         |        row_number() OVER (PARTITION BY label
-         |          ORDER BY cos DESC, vec_id) AS proto_rank,
-         |        count(*) OVER (PARTITION BY label) AS cluster_n
-         |      FROM s)
-         |SELECT vec_id, label, round(cos, 4) AS cos_centroid,
-         |  proto_rank, cluster_n
-         |FROM r
-         |WHERE proto_rank > CAST(ceil(0.2 * cluster_n) AS BIGINT)
-         |ORDER BY label, proto_rank""".stripMargin,
+         |${protoPruneSql("surv", 0.2)}""".stripMargin,
     // q173 recomputes the CCNet split: q103's smoothed bigram-LM CTEs
     // verbatim, then ntile(3) per language over the ROUNDED perplexity
     // (identical sort keys in both engines by q103's hash parity) with
@@ -6367,28 +6363,13 @@ object SparkEntry {
          |    CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
          |         ELSE len($toksSql) END AS BIGINT) AS n_tok
          |  FROM documents),
-         |a AS (SELECT lang AS stratum, sum(n_tok)::BIGINT AS avail,
-         |        CAST(floor(sum(n_tok) * 2.0) AS BIGINT) AS cap
+         |a AS (SELECT lang AS stratum, sum(n_tok)::BIGINT AS available_tokens,
+         |        CAST(floor(sum(n_tok) * 2.0) AS BIGINT) AS cap_tokens
          |      FROM t GROUP BY 1),
-         |w AS (SELECT *,
-         |        row_number() OVER (ORDER BY cap, stratum) AS idx,
-         |        coalesce(sum(cap) OVER (ORDER BY cap, stratum
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |          AS pfx,
-         |        count(*) OVER () AS n_tot
-         |      FROM a),
-         |f AS (SELECT *,
-         |        cap * (n_tot - idx + 1) < 48000 - pfx AS capped FROM w),
-         |g AS (SELECT *,
-         |        sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
-         |        coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
-         |          AS sc
-         |      FROM f),
+         |${unimaxCtesSql(48000L)},
          |p AS (SELECT stratum AS lang,
-         |        round(CASE WHEN capped THEN cap::DOUBLE
-         |              ELSE (48000 - sc)::DOUBLE / (n_tot - k) END
-         |              / avail, 4) AS epochs
-         |      FROM g),
+         |        round(alloc / available_tokens, 4) AS epochs
+         |      FROM al),
          |p2 AS (SELECT lang,
          |        CAST(floor(epochs) AS BIGINT) AS full_repeats,
          |        round(epochs - floor(epochs), 4) AS partial_fraction
