@@ -3705,6 +3705,40 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("repeat_idx"))
   }
 
+  /** Margin-based bitext mining ([[operators.Similarity.marginMine]] —
+    * Artetxe & Schwenk 2019; the CCMatrix rule): the corpus splits into
+    * a "source language" (labels 0–4) and a "target language" (labels
+    * 5–9) half, and every 13th source vector is planted into the target
+    * side as a re-keyed exact copy — the ideal multilingual-encoder
+    * translation. Mutual argmax-margin pairs at tau recover exactly the
+    * planted translations (margin ≈ 1.6–2 vs the natural hubs' ≈ 1.1 —
+    * the hub-discounting the raw cosine cannot do). The exact all-pairs
+    * scored tier is what makes the oracle FULL; production feeds an
+    * [[operators.Similarity.lshTopK]] shortlist (documented on the
+    * operator). */
+  private def q176_margin_mine(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val src = e.filter(col("label") < 5)
+      .select(col("vec_id").as("src_id"), col("embedding").as("sv"))
+    val tgt = e.filter(col("label") >= 5)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("tv"))
+      .unionByName(e.filter(col("label") < 5 &&
+          pmod(col("vec_id"), lit(13)) === 0)
+        .select((col("vec_id") + 1000000L).as("tgt_id"),
+          col("embedding").as("tv")))
+    // exact all-pairs tier (oracle gate; the broadcast side is the
+    // fixture-sized target half)
+    val scored = src.join(broadcast(tgt))
+      .select(col("src_id"), col("tgt_id"),
+        VectorFunctions.cosine(col("sv"), col("tv")).as("cos"))
+    operators.Similarity.marginMine(scored, "src_id", "tgt_id", "cos",
+        k = 4, tau = 1.2, mutual = true)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cos"), 4).as("cos_r"),
+        round(col("margin"), 4).as("margin_r"))
+      .orderBy(col("src_id"))
+  }
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4074,6 +4108,7 @@ object SparkEntry {
     "q173_ccnet_buckets" -> q173_ccnet_buckets _,
     "q174_unimax_materialize" -> q174_unimax_materialize _,
     "q175_compression_signal" -> q175_compression_signal _,
+    "q176_margin_mine" -> q176_margin_mine _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6397,6 +6432,44 @@ object SparkEntry {
         |  ('comp_rep_below_floor', CAST(0.1 AS DOUBLE), TRUE))
         |  AS t(metric, bound, ok)
         |ORDER BY metric""".stripMargin,
+    // q176 recomputes margin mining end to end: the planted-copy target
+    // construction, the all-pairs cosine, both endpoints' top-4 average
+    // (tie-broken on the partner id), the margin ratio, and the mutual
+    // argmax-at-tau cut.
+    "q176_margin_mine" ->
+      s"""WITH src AS (
+         |  SELECT vec_id AS src_id, $vecSql AS sv
+         |  FROM embeddings WHERE label < 5),
+         |tgt AS (
+         |  SELECT vec_id AS tgt_id, $vecSql AS tv
+         |  FROM embeddings WHERE label >= 5
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS tgt_id, $vecSql AS tv
+         |  FROM embeddings WHERE label < 5 AND vec_id % 13 = 0),
+         |scored AS (
+         |  SELECT src_id, tgt_id, ${cosSql("sv", "tv")} AS cos
+         |  FROM src CROSS JOIN tgt),
+         |fa AS (SELECT src_id, avg(cos) AS asrc FROM (
+         |    SELECT src_id, cos, row_number() OVER (PARTITION BY src_id
+         |      ORDER BY cos DESC, tgt_id) AS r FROM scored) x
+         |  WHERE r <= 4 GROUP BY src_id),
+         |fb AS (SELECT tgt_id, avg(cos) AS atgt FROM (
+         |    SELECT tgt_id, cos, row_number() OVER (PARTITION BY tgt_id
+         |      ORDER BY cos DESC, src_id) AS r FROM scored) x
+         |  WHERE r <= 4 GROUP BY tgt_id),
+         |m AS (SELECT s.src_id, s.tgt_id, s.cos,
+         |        s.cos / ((fa.asrc + fb.atgt) / 2) AS margin
+         |      FROM scored s JOIN fa USING (src_id) JOIN fb USING (tgt_id)),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY src_id
+         |          ORDER BY margin DESC, tgt_id) AS fr,
+         |        row_number() OVER (PARTITION BY tgt_id
+         |          ORDER BY margin DESC, src_id) AS br
+         |      FROM m)
+         |SELECT src_id, tgt_id, round(cos, 4) AS cos_r,
+         |  round(margin, 4) AS margin_r
+         |FROM r WHERE fr = 1 AND br = 1 AND margin >= 1.2
+         |ORDER BY src_id""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

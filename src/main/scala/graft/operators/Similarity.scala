@@ -255,4 +255,61 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /**
+   * Margin-based bitext mining (Artetxe & Schwenk 2019, ACL,
+   * arXiv:1811.01136 — the rule CCMatrix mined 4.5B parallel sentences
+   * with, Schwenk et al. 2021): raw cosine cannot rank translation pairs
+   * across languages because some sentences are "hubs" that are close to
+   * EVERYTHING — the margin normalizes each pair's cosine by the mean of
+   * both endpoints' k-NN cosines,
+   * `margin(x,y) = cos(x,y) / ((avgk(x) + avgk(y)) / 2)`,
+   * so a pair only scores high when the two are close RELATIVE to their
+   * own neighborhoods. Keeps each source's argmax-margin target at or
+   * above `tau`; with `mutual` (the paper's "max" strategy hardened to
+   * forward-backward agreement) a pair survives only if the target also
+   * picks that source — the high-precision mode a mined training corpus
+   * wants.
+   *
+   * Takes a SCORED candidate frame (src_id, tgt_id, cos) like
+   * [[graft.operators.Curate.hardNegatives]]: the q176 gate feeds the
+   * exact all-pairs tier so the DuckDB oracle can recompute everything;
+   * production feeds a shortlist ([[lshTopK]] / [[ivfTopK]] with lists
+   * comfortably above k) — margins only need each endpoint's OWN top-k,
+   * which any honest shortlist contains. Windows partition by the pair
+   * endpoints over candidate-sized input; nothing touches the corpus.
+   *
+   * Output: (src_id, tgt_id, cos, margin) for surviving pairs. All
+   * ranks tie-break on the partner id, so equal margins mine
+   * deterministically in both engines.
+   */
+  def marginMine(scored: DataFrame, srcCol: String, tgtCol: String,
+                 cosCol: String, k: Int, tau: Double,
+                 mutual: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def avgk(side: String) = scored
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(side)).orderBy(col(cosCol).desc,
+          col(if (side == srcCol) tgtCol else srcCol))))
+      .filter(col("__r") <= k)
+      .groupBy(col(side)).agg(avg(col(cosCol)).as(s"__avg_$side"))
+    val withMargin = scored
+      .join(avgk(srcCol), Seq(srcCol))
+      .join(avgk(tgtCol), Seq(tgtCol))
+      .withColumn("margin", col(cosCol) /
+        ((col(s"__avg_$srcCol") + col(s"__avg_$tgtCol")) / 2))
+    val fwd = withMargin
+      .withColumn("__fr", row_number().over(
+        Window.partitionBy(col(srcCol))
+          .orderBy(col("margin").desc, col(tgtCol))))
+    val picked =
+      if (!mutual) fwd.filter(col("__fr") === 1)
+      else fwd
+        .withColumn("__br", row_number().over(
+          Window.partitionBy(col(tgtCol))
+            .orderBy(col("margin").desc, col(srcCol))))
+        .filter(col("__fr") === 1 && col("__br") === 1)
+    picked.filter(col("margin") >= tau)
+      .select(col(srcCol), col(tgtCol), col(cosCol), col("margin"))
+  }
 }

@@ -150,4 +150,29 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
     assert(out == Map(10L -> 0L, 11L -> 1L))
   }
+
+  test("marginMine discounts hubs: the mutual argmax-margin pair beats a " +
+    "higher-cosine hub pair; sub-tau sources mine nothing") {
+    // target 20 is a HUB (close to everything): raw cosine pairs source 2
+    // with it (cos .99 vs .80 for target 30) — the failure mode margin
+    // scoring exists to fix. The hub's own k-NN average is high, so its
+    // margins deflate and source 2's true partner wins.
+    val src = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.6f, 0.8f)))
+      .toDF("src_id", "sv")
+    val tgt = Seq((10L, Seq(1f, 0f)), (20L, Seq(0.7071f, 0.7071f)),
+      (30L, Seq(0f, 1f))).toDF("tgt_id", "tv")
+    val scored = src.join(tgt).select($"src_id", $"tgt_id",
+      VectorFunctions.cosine($"sv", $"tv").as("cos"))
+    // premise: raw-cosine argmax for source 2 IS the hub
+    val rawBest = scored.filter($"src_id" === 2L)
+      .orderBy($"cos".desc).select($"tgt_id").as[Long].head()
+    assert(rawBest == 20L, s"fixture premise broken: $rawBest")
+    val mined = Similarity.marginMine(scored, "src_id", "tgt_id", "cos",
+        k = 2, tau = 1.15)
+      .select($"src_id", $"tgt_id").as[(Long, Long)].collect().toSet
+    assert(mined == Set((1L, 10L), (2L, 30L)), mined.toString)
+    // a tau above every natural margin mines nothing — no silent floor
+    assert(Similarity.marginMine(scored, "src_id", "tgt_id", "cos",
+      k = 2, tau = 3.0).count() == 0)
+  }
 }
