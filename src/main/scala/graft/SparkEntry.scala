@@ -3739,6 +3739,23 @@ object SparkEntry {
       .orderBy(col("src_id"))
   }
 
+  /** Distributed BPE merge learning ([[operators.Tokenize.bpeMerges]] —
+    * Sennrich et al. 2016, arXiv:1508.07909; tokenizer induction, the
+    * technique that turns a curated corpus into the vocabulary it will be
+    * trained with): the corpus collapses to its vocab-bounded
+    * word-frequency table, then each of the 8 merges is one pair-count
+    * aggregate + argmax (count desc, lexicographic tie-break) + one
+    * non-overlapping greedy merge application. FULL DuckDB oracle — 8
+    * UNROLLED CTE layers replay the identical pair counts, argmax, and
+    * the double-space-boundary `replace` application (the encoding that
+    * makes single-pass string replace ≡ Sennrich's non-consuming
+    * lookaround scan on repeated-symbol runs — pinned by TokenizeSpec
+    * against a naive sequential reference). */
+  private def q177_bpe_merges(s: SparkSession, dir: String): DataFrame =
+    operators.Tokenize.bpeMerges(parallelize(t(s, dir, "documents")),
+        "text", merges = 8, minPairCount = 2L)
+      .orderBy(col("merge_idx"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4109,6 +4126,7 @@ object SparkEntry {
     "q174_unimax_materialize" -> q174_unimax_materialize _,
     "q175_compression_signal" -> q175_compression_signal _,
     "q176_margin_mine" -> q176_margin_mine _,
+    "q177_bpe_merges" -> q177_bpe_merges _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4367,6 +4385,49 @@ object SparkEntry {
        |      FROM g)""".stripMargin
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  /** DuckDB BPE merge-learning CTEs: `k` UNROLLED iteration layers (an
+    * iterative trainer has no closed form, so the oracle replays each
+    * round — pair counts over the previous segmentation, the (cnt DESC,
+    * lhs, rhs) argmax, and the same single-space-wrapped double-space
+    * -boundary `replace` application [[operators.Tokenize]] uses; both
+    * engines' `replace` scans left-to-right non-overlapping, and the
+    * double boundary keeps repeated-symbol runs merging greedily).
+    * Early-stop parity is structural: an empty argmax CTE empties every
+    * later layer through its CROSS JOIN, exactly like the trainer's
+    * break. */
+  private def bpeCtesSql(k: Int, minCnt: Long): String = {
+    val layers = (1 to k).map { i =>
+      s"""p$i AS (SELECT pr.l AS lhs, pr.r AS rhs, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT freq,
+         |          unnest([{'l': sy[j], 'r': sy[j+1]}
+         |                  for j in range(1, len(sy))]) AS pr
+         |        FROM (SELECT freq, string_split(seg, '  ') AS sy
+         |              FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, cnt FROM p$i WHERE cnt >= $minCnt
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$i AS (SELECT freq,
+         |  array_to_string(list_filter(string_split_regex(
+         |    replace(' ' || seg || ' ', ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |            ' ' || b.lhs || b.rhs || ' '), ' +'), x -> x <> ''),
+         |    '  ') AS seg
+         |  FROM s${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }
+    val union = (1 to k).map { i =>
+      s"SELECT $i AS merge_idx, lhs, rhs, lhs || rhs AS merged," +
+        s" cnt AS pair_count FROM b$i"
+    }.mkString("\nUNION ALL ")
+    s"""wds AS (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT freq,
+       |  array_to_string([word[i] for i in range(1, len(word)+1)], '  ')
+       |    AS seg
+       |  FROM wds),
+       |${layers.mkString(",\n")}
+       |SELECT * FROM ($union) ORDER BY merge_idx""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
@@ -6470,6 +6531,11 @@ object SparkEntry {
          |  round(margin, 4) AS margin_r
          |FROM r WHERE fr = 1 AND br = 1 AND margin >= 1.2
          |ORDER BY src_id""".stripMargin,
+    // q177 recomputes BPE merge learning round by round: the vocab
+    // word-frequency table, then 8 unrolled layers of pair counts,
+    // tie-broken argmax, and the identical boundary-preserving replace.
+    "q177_bpe_merges" ->
+      s"WITH ${bpeCtesSql(8, 2L)}",
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

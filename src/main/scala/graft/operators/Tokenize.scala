@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Tokenizer induction: distributed byte-pair-encoding merge learning
+ * (Sennrich, Haddow & Birch 2016, arXiv:1508.07909 — the vocabulary
+ * algorithm behind GPT-2/LLaMA-family tokenizers). Absent from the
+ * reference (stepist has no text operators — handlers are user Python,
+ * `stepist/app.py:116-141`); a training-data engine needs it because the
+ * tokenizer IS learned from the corpus the engine curates.
+ *
+ * Scale shape: the corpus collapses to its WORD-FREQUENCY table first
+ * (one shuffle, vocab-bounded — a 100 TB corpus has a few-hundred-million
+ *-row vocab, the same "model tables are vocab-bounded" posture as q103's
+ * bigram LM), and every merge iteration is one map + one pair-count
+ * aggregate over that table. Document text never re-enters the loop. The
+ * per-iteration argmax ships ONE row to the driver — the merge table is
+ * driver-sized by definition (every published BPE trainer centralizes
+ * exactly this decision), and the segmentation frame is re-materialized
+ * per iteration ([[OpCache.materialize]]) so lineage stays flat.
+ */
+object Tokenize {
+
+  /** Canonical segmentation encoding: symbols joined by TWO spaces, so a
+    * merge applies as ONE non-overlapping left-to-right `replace` of
+    * `" a  b "` with `" ab "` on the single-space-wrapped string. The
+    * double boundary is load-bearing: each match consumes only one space
+    * from each flank, so back-to-back occurrences (`a a a a` under merge
+    * (a,a)) still match exactly like the reference implementation's
+    * non-consuming lookaround scan (Sennrich's `(?<!\S)a b(?!\S)` re.sub)
+    * — a single-space join would lose the second match's leading
+    * boundary to the first match and under-merge runs. Symbols are
+    * whitespace-free by construction (words are whitespace tokens), so
+    * the encoding is unambiguous. The DuckDB oracle replays the same
+    * wrap/replace/re-split, making the semantics engine-pinned.
+    */
+  private val SymSep = "  "
+
+  private def renormalize(replaced: Column): Column =
+    array_join(filter(split(replaced, " +"), s => s =!= ""), SymSep)
+
+  /**
+   * Learn the first `merges` BPE merge operations from the corpus.
+   *
+   * Returns the merge table — one row per learned merge, in order:
+   * (`merge_idx` 1-based, `lhs`, `rhs`, `merged` = lhs+rhs,
+   * `pair_count` = corpus-weighted adjacent-pair frequency at the time
+   * the merge was chosen). Ties on the count break lexicographically on
+   * (lhs, rhs) so the table is deterministic on any cluster. Learning
+   * stops early when no adjacent pair reaches `minPairCount` (the merge
+   * table simply ends); words are [[TextFunctions.tokens]] whitespace
+   * tokens (lowercased, NULL ≡ empty), weighted by corpus frequency, and
+   * seeded with their character segmentation. No end-of-word marker is
+   * appended — merges never cross word boundaries because pairs are
+   * generated within each word's symbol array only, which is the
+   * property the `</w>` marker exists to enforce in string-concatenating
+   * implementations.
+   */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int,
+                minPairCount: Long = 2L): DataFrame = {
+    require(merges >= 1 && merges <= 256,
+      s"merges must be in [1, 256], got $merges")
+    require(minPairCount >= 1L, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // corpus → word-frequency table (the only pass over document text)
+    val words = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+    // seed segmentation: one symbol per character
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    // each iteration materializes its segmentation and releases the
+    // previous one immediately — peak cache is ONE vocab-sized frame, not
+    // `merges` of them (the last handle is left for OpCache.release())
+    var (segs, segsRdd, _) = OpCache.materializeHandle(
+      words.select(col("freq"), array_join(chars, SymSep).as("seg")))
+
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= merges && !exhausted) {
+      val sy = split(col("seg"), " {2}")
+      val best = segs
+        .select(col("freq"), explode(arrays_zip(
+          slice(sy, lit(1), size(sy) - 1).as("l"),
+          slice(sy, lit(2), size(sy) - 1).as("r"))).as("pr"))
+        .groupBy(col("pr.l").as("lhs"), col("pr.r").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val c = best(0).getLong(2)
+        learned += ((it, l, r, l + r, c))
+        val applied = renormalize(replace(
+          concat(lit(" "), col("seg"), lit(" ")),
+          lit(s" $l$SymSep$r "), lit(s" $l$r ")))
+        val (next, nextRdd, _) =
+          OpCache.materializeHandle(segs.select(col("freq"), applied.as("seg")))
+        segsRdd.unpersist(blocking = false)
+        segs = next
+        segsRdd = nextRdd
+        it += 1
+      }
+    }
+    OpCache.trackRdd(segsRdd)
+    learned.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /**
+   * Segment `word` (a single whitespace-free token) with an already
+   * learned merge table, applied in merge order — the ENCODE side of BPE
+   * (training-time segmentation of new text with a frozen vocabulary).
+   * Pure column expression: the merge table arrives as in-order (lhs,
+   * rhs) literals, each applied as the same wrap/replace/re-join pass
+   * the trainer used, so encode(train corpus) reproduces the trainer's
+   * final segmentation exactly (TokenizeSpec-gated). Returns the symbol
+   * array. Merge count is vocabulary-sized (bounded), so the expression
+   * tree is bounded — at a production 32k vocab, segment once and STORE
+   * the symbols next to the text instead of re-deriving per query.
+   */
+  def bpeSegment(word: Column, merges: Seq[(String, String)]): Column = {
+    val seed = array_join(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      SymSep)
+    val applied = merges.foldLeft(seed) { case (seg, (l, r)) =>
+      renormalize(replace(concat(lit(" "), seg, lit(" ")),
+        lit(s" $l$SymSep$r "), lit(s" $l$r ")))
+    }
+    when(word.isNull || word === "", array().cast("array<string>"))
+      .otherwise(split(applied, " {2}"))
+  }
+}

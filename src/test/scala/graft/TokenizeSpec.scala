@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenize
+
+/** BPE merge learning (q177): the distributed trainer must equal a naive
+  * sequential Sennrich-style reference — pair counts over all adjacent
+  * positions (overlapping runs included), argmax with the (count desc,
+  * lhs, rhs) tie-break, greedy left-to-right non-overlapping merge
+  * application. Fixtures stay ASCII so the reference's String ordering
+  * (UTF-16 code units) cannot diverge from the engine's UTF-8 binary
+  * collation; cross-engine unicode parity is the DuckDB oracle's job. */
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- naive sequential reference -----------------------------------
+
+  private def naiveApply(v: Vector[String], l: String,
+                         r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < v.length) {
+      if (i + 1 < v.length && v(i) == l && v(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += v(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** (merge table, final segmentations) from a word-frequency map. */
+  private def naiveBpe(wordFreq: Map[String, Long], merges: Int,
+                       minCount: Long)
+      : (Seq[(Int, String, String, String, Long)], Map[String, Vector[String]]) = {
+    var segs = wordFreq.map { case (w, f) =>
+      w -> (w.map(_.toString).toVector, f)
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var it = 1
+    var stop = false
+    while (it <= merges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.values.foreach { case (v, f) =>
+        v.indices.dropRight(1).foreach { i =>
+          val k = (v(i), v(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      val eligible = counts.filter(_._2 >= minCount)
+      if (eligible.isEmpty) stop = true
+      else {
+        val ((l, r), c) = eligible.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((it, l, r, l + r, c))
+        segs = segs.map { case (w, (v, f)) => w -> (naiveApply(v, l, r), f) }
+        it += 1
+      }
+    }
+    (out.result(), segs.map { case (w, (v, _)) => w -> v })
+  }
+
+  private def learn(corpus: Seq[String], merges: Int, minCount: Long = 1L) =
+    Tokenize.bpeMerges(corpus.toDF("text"), "text", merges, minCount)
+      .orderBy("merge_idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+      .toSeq
+
+  private def wordFreq(corpus: Seq[String]): Map[String, Long] =
+    corpus.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+
+  // ---- gates ---------------------------------------------------------
+
+  test("bpeMerges matches the hand-computed Sennrich example") {
+    // the paper's running example: {low:5, lower:2, newest:6, widest:3}
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val got = learn(corpus.map(w => w), merges = 4)
+    // e+s (9) → es+t (9) → lo (7) → low (7); ties broken lexicographically
+    assert(got.map(m => (m._2, m._3, m._5)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+    assert(got.map(_._4) == Seq("es", "est", "lo", "low"))
+  }
+
+  test("bpeMerges equals the naive reference on a seeded random corpus") {
+    val rnd = new scala.util.Random(177)
+    val letters = "abcdefgh"
+    def word() =
+      (0 until (2 + rnd.nextInt(6))).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val corpus = (0 until 120).map(_ =>
+      (0 until (1 + rnd.nextInt(5))).map(_ => word()).mkString(" "))
+    val (expect, _) = naiveBpe(wordFreq(corpus), merges = 12, minCount = 2L)
+    assert(learn(corpus, merges = 12, minCount = 2L) == expect)
+  }
+
+  test("repeated-symbol runs merge greedily left-to-right (boundary pin)") {
+    // 'aaaaa' under merge (a,a): greedy non-overlapping → [aa, aa, a].
+    // This is exactly what the double-space replace encoding must
+    // preserve — a single-space join would under-merge the run.
+    val corpus = Seq("aaaaa aaaaa b")
+    val (expect, expectSegs) = naiveBpe(wordFreq(corpus), 3, 1L)
+    assert(learn(corpus, merges = 3, minCount = 1L) == expect)
+    val merges = expect.map(m => (m._2, m._3))
+    val got = Seq("aaaaa").toDF("w")
+      .select(Tokenize.bpeSegment(col("w"), merges).as("s"))
+      .collect()(0).getSeq[String](0).toVector
+    assert(got == expectSegs("aaaaa"))
+  }
+
+  test("bpeSegment with the learned table reproduces the trainer's " +
+      "final segmentation for every corpus word") {
+    val rnd = new scala.util.Random(771)
+    val letters = "abcde"
+    def word() =
+      (0 until (2 + rnd.nextInt(5))).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val corpus = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(4))).map(_ => word()).mkString(" "))
+    val freq = wordFreq(corpus)
+    val (table, finalSegs) = naiveBpe(freq, merges = 10, minCount = 1L)
+    assert(learn(corpus, merges = 10, minCount = 1L) == table)
+    val merges = table.map(m => (m._2, m._3))
+    val got = freq.keys.toSeq.toDF("w")
+      .select(col("w"), Tokenize.bpeSegment(col("w"), merges).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(got == finalSegs)
+    // empty/NULL words segment to the empty array
+    val edge = Seq[(java.lang.Long, String)]((1L, ""), (2L, null))
+      .toDF("id", "w")
+      .select(Tokenize.bpeSegment(col("w"), merges).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(edge.forall(_.isEmpty))
+  }
+
+  test("minPairCount stops learning early; result is partition-order-free") {
+    val corpus = Seq("ab ab ab", "cd cd", "ef")
+    // pairs: (a,b)=3, (c,d)=2, (e,f)=1 → at minCount 2 only two merges
+    // exist no matter how many were asked for
+    val got = learn(corpus, merges = 8, minCount = 2L)
+    assert(got.map(m => (m._2, m._3, m._5)) ==
+      Seq(("a", "b", 3L), ("c", "d", 2L)))
+    // same table from a differently-partitioned input
+    val repart = Tokenize.bpeMerges(
+        corpus.toDF("text").repartition(5), "text", 8, 2L)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(repart == got.map(m => (m._2, m._3, m._5)))
+  }
+}
