@@ -80,7 +80,8 @@ object Bench {
     "q166_gopher_quality_bounds", "q167_c4_filters", "q168_line_dedup",
     "q169_semantic_decontaminate", "q170_unimax", "q171_prototype_prune",
     "q172_d4_pipeline", "q173_ccnet_buckets", "q174_unimax_materialize",
-    "q175_compression_signal", "q176_margin_mine", "q177_bpe_merges")
+    "q175_compression_signal", "q176_margin_mine", "q177_bpe_merges",
+    "q178_weighted_sample", "q179_kcenter_coreset")
 
   private val RUNS = 5
 

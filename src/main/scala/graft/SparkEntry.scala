@@ -3756,6 +3756,35 @@ object SparkEntry {
         "text", merges = 8, minPairCount = 2L)
       .orderBy(col("merge_idx"))
 
+  /** Weighted sampling without replacement ([[operators.Curate
+    * .weightedSample]] — Efraimidis & Spirakis 2006; the weighted tier of
+    * q90's deterministic sampling): top-120 documents by the ln(u)/w key
+    * with w = n_chars, so longer documents are proportionally likelier
+    * without ever being guaranteed — the draw a token-weighted corpus
+    * subsample needs. u is exact dyadic md5 arithmetic; the key rounds
+    * at 1e-9 with an id tie-break (the cross-engine ln pin). FULL DuckDB
+    * oracle — the identical hex-prefix u, ln-key, rank, and cut. */
+  private def q178_weighted_sample(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.weightedSample(
+        parallelize(t(s, dir, "documents")), "doc_id", "n_chars", k = 120)
+      .select(col("doc_id"), col("n_chars"), col("es_key"),
+        col("sample_rank"))
+      .orderBy(col("sample_rank"))
+
+  /** k-center greedy coreset ([[operators.Curate.kCenterGreedy]] — Sener
+    * & Savarese 2018 / Gonzalez 1985; the coverage-based pruning tier
+    * next to q171's density-based prototype pruning): the 8 embedding
+    * rows that best span the corpus, each round picking the point
+    * farthest (1−cos, rounded at 1e-6, id tie-break) from the picks so
+    * far; `sep_dist` traces the k-center objective and is
+    * non-increasing by construction. FULL DuckDB oracle — 8 UNROLLED
+    * CTE layers (the q177 discipline for iterative trainers) replaying
+    * the same seed, running-min distances, and argmax. */
+  private def q179_kcenter_coreset(s: SparkSession, dir: String): DataFrame =
+    operators.Curate.kCenterGreedy(t(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8)
+      .orderBy(col("center_rank"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4127,6 +4156,8 @@ object SparkEntry {
     "q175_compression_signal" -> q175_compression_signal _,
     "q176_margin_mine" -> q176_margin_mine _,
     "q177_bpe_merges" -> q177_bpe_merges _,
+    "q178_weighted_sample" -> q178_weighted_sample _,
+    "q179_kcenter_coreset" -> q179_kcenter_coreset _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4427,6 +4458,33 @@ object SparkEntry {
        |  FROM wds),
        |${layers.mkString(",\n")}
        |SELECT * FROM ($union) ORDER BY merge_idx""".stripMargin
+  }
+
+  /** DuckDB k-center greedy CTEs: `k` UNROLLED layers (the [[bpeCtesSql]]
+    * discipline — greedy selection has no closed form). Layer i holds the
+    * running min distance to centers 1..i; each next center is the
+    * (md DESC, vec_id) argmax. Distances are rounded at 1e-6 BEFORE the
+    * min, mirroring [[operators.Curate.kCenterGreedy]]'s engine-parity
+    * pin. */
+  private def kCenterSql(k: Int): String = {
+    val layers = (2 to k).map { i =>
+      s"""c$i AS (SELECT vec_id, v, md FROM d${i - 1}
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |d$i AS (SELECT d.vec_id, d.v,
+         |    least(d.md, round(1 - ${cosSql("d.v", "c.v")}, 6)) AS md
+         |  FROM d${i - 1} d CROSS JOIN c$i c)""".stripMargin
+    }
+    val union = (s"SELECT 1 AS center_rank, vec_id," +
+      s" CAST(NULL AS DOUBLE) AS sep_dist FROM c1") +:
+      (2 to k).map(i => s"SELECT $i, vec_id, md FROM c$i")
+    s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
+       |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.v,
+       |    round(1 - ${cosSql("e.v", "c.v")}, 6) AS md
+       |  FROM e CROSS JOIN c1 c),
+       |${layers.mkString(",\n")}
+       |SELECT * FROM (${union.mkString("\nUNION ALL ")})
+       |ORDER BY center_rank""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6536,6 +6594,24 @@ object SparkEntry {
     // tie-broken argmax, and the identical boundary-preserving replace.
     "q177_bpe_merges" ->
       s"WITH ${bpeCtesSql(8, 2L)}",
+    // q178 recomputes the Efraimidis-Spirakis draw exactly: the same
+    // 12-hex-digit md5 prefix as an exact dyadic u, ln(u)/w rounded at
+    // 1e-9, the (key DESC, id) rank, and the top-120 cut. 2^48 =
+    // 281474976710656.
+    "q178_weighted_sample" ->
+      """WITH sc AS (
+        |  SELECT doc_id, n_chars,
+        |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |                ::UBIGINT + 0.5) / 281474976710656.0)
+        |          / n_chars, 9) AS es_key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        |SELECT doc_id, n_chars, es_key,
+        |  row_number() OVER (ORDER BY es_key DESC, doc_id) AS sample_rank
+        |FROM sc ORDER BY es_key DESC, doc_id LIMIT 120""".stripMargin,
+    // q179 recomputes k-center greedy with 8 unrolled layers (the q177
+    // discipline): min-id seed, per-layer round-6 distance to the new
+    // center folded into the running min, (md DESC, id) argmax.
+    "q179_kcenter_coreset" -> kCenterSql(8),
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

@@ -43,6 +43,46 @@ object Curate {
     else f"${(rate * 4294967296.0).toLong}%08x"
   }
 
+  /**
+   * Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+   * IPL 97(5) — the one-pass weighted reservoir): each row draws the key
+   * ln(u)/w from a deterministic uniform u and its weight w, and the k
+   * LARGEST keys are the sample. For k=1 the inclusion probability is
+   * exactly w_i/Σw; for general k it is the sequential
+   * draw-without-replacement law — the distribution a quality- or
+   * token-weighted corpus subsample wants, where [[deterministicSample]]
+   * is the unweighted tier.
+   *
+   * Determinism without RNG state: u = (first 12 md5 hex digits of
+   * id||salt + 0.5) / 2^48 — exact dyadic arithmetic, so u is
+   * bit-identical on any engine ([[sampleKey]]'s posture, numeric
+   * because the key needs ln); vary `salt` to redraw. The key is ROUNDED
+   * at 1e-9 with an id tie-break, pinning the cross-engine order where
+   * ln's last ulp could differ. Rows with NULL or non-positive weight
+   * have no defined draw and are dropped (the E-S domain is w > 0) —
+   * coalesce a nullable weight before sampling on it.
+   *
+   * Scale shape: one scan computing the key, then a top-k — Spark plans
+   * TakeOrderedAndProject, shipping k rows per partition to one reducer,
+   * never a global sort. The rank window after the cut touches k rows.
+   * Returns the selected rows with `es_key` and `sample_rank` (1 = the
+   * largest key) appended.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("double")
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+      1, 12), 16, 10).cast("bigint").cast("double") + 0.5) /
+      lit(281474976710656.0) // 2^48
+    df.filter(w.isNotNull && w > 0.0)
+      .withColumn("es_key", round(log(u) / w, 9))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("es_key").desc, col(idCol))).cast("long"))
+  }
+
   /** Keep each row iff its id hashes below `rate` — a deterministic,
     * partition-order-independent Bernoulli(rate) sample. Pure filter:
     * no shuffle, reproducible across runs and cluster sizes.
@@ -792,6 +832,84 @@ object Curate {
       .select(col(idCol), col(clusterCol),
         round(col("__cos"), 4).as("cos_centroid"),
         col("proto_rank"), col("cluster_n"))
+  }
+
+  /**
+   * k-center greedy coreset selection (Sener & Savarese 2018,
+   * arXiv:1708.00489, via Gonzalez 1985's farthest-point 2-approximation)
+   * — the COVERAGE-based data-pruning tier next to [[prototypePrune]]'s
+   * density one: where prototype pruning drops each cluster's redundant
+   * core, k-center picks the k rows that together minimize how far any
+   * corpus point is from its nearest pick — the "spanning subset" used
+   * for active-learning batches, eval-set construction, and tiny-budget
+   * coresets. Greedy: seed with the MIN-id row (deterministic — the
+   * published random seed costs reproducibility and changes nothing
+   * about the 2-approximation), then k−1 times pick the row FARTHEST
+   * from the selected set (cosine distance 1−cos, each pairwise distance
+   * ROUNDED at 1e-6 before the min/argmax — the [[prototypePrune]]
+   * engine-parity pin — with an id tie-break).
+   *
+   * Scale shape: each round is one scan of the corpus updating the
+   * running min-distance against ONE new center (a broadcast literal —
+   * centers are driver-sized by definition, exactly k of them) plus a
+   * top-1 (TakeOrdered, never a global sort); the frame re-materializes
+   * per round so lineage stays flat and the previous round's cache is
+   * released. k rounds = k scans — the algorithm is inherently
+   * sequential (each pick depends on all prior picks); at 100 TB pick
+   * batches of b per round (the standard batched-greedy relaxation)
+   * to amortize scans.
+   *
+   * Returns the k selected rows in pick order: (`center_rank` 1-based,
+   * idCol, `sep_dist` = the row's min distance to all EARLIER centers at
+   * selection time — the k-center objective trace, NULL for the seed;
+   * monotonically non-increasing by construction).
+   */
+  def kCenterGreedy(df: DataFrame, vecCol: String, idCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    def distTo(center: Seq[Double]): Column =
+      round(lit(1.0) - graft.functions.VectorFunctions.cosine(col("__v"),
+        array(center.map(lit): _*)), 6)
+
+    val seed = base.orderBy(col("__id")).limit(1).collect()
+    require(seed.nonEmpty, "kCenterGreedy on an empty frame")
+    val picks =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Option[Double])]
+    picks += ((1, seed(0).get(0), None))
+    var center = seed(0).getSeq[Double](1)
+
+    val h0 = OpCache.materializeHandle(base.withColumn("__md", distTo(center)))
+    var cur = h0._1
+    var curRdd = h0._2
+    var rank = 2
+    while (rank <= k) {
+      val far = cur.orderBy(col("__md").desc, col("__id")).limit(1).collect()(0)
+      picks += ((rank, far.get(0), Some(far.getDouble(2))))
+      center = far.getSeq[Double](1)
+      if (rank < k) {
+        val next = OpCache.materializeHandle(cur.select(col("__id"), col("__v"),
+          least(col("__md"), distTo(center)).as("__md")))
+        curRdd.unpersist(blocking = false)
+        cur = next._1
+        curRdd = next._2
+      }
+      rank += 1
+    }
+    curRdd.unpersist(blocking = false)
+
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("center_rank", IntegerType, nullable = false),
+      df.schema(idCol).copy(name = idCol),
+      StructField("sep_dist", DoubleType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        picks.toSeq.map { case (r, id, d) => Row(r, id, d.orNull) }, 1),
+      schema)
   }
 
   /**

@@ -887,4 +887,136 @@ class CurateSpec extends SparkSpec {
     assert(gt == Map(1L -> "head", 2L -> "head", 3L -> "middle",
       4L -> "middle", 5L -> "tail", 6L -> "tail"), gt.toString)
   }
+
+  // ---- weightedSample (Efraimidis-Spirakis, q178) ---------------------
+
+  /** The operator's exact draw, in driver Scala: u from the 12-hex md5
+    * prefix, key = ln(u)/w rounded at 1e-9, top-k by (key desc, id). */
+  private def naiveEs(rows: Seq[(Long, Double)], k: Int,
+                      salt: String = ""): Seq[(Long, Double)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.filter(_._2 > 0.0).map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(
+        md5hex(id.toString + salt).take(12), 16) + 0.5) / 281474976710656.0
+      val key = BigDecimal(math.log(u) / w)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, key)
+    }.sortBy { case (id, key) => (-key, id) }.take(k)
+  }
+
+  test("weightedSample matches the naive E-S draw; nonpositive/null " +
+      "weights drop; k caps at the eligible count; partition-order-free") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, (i % 17 + 1).toDouble)) ++
+      Seq((201L, 0.0), (202L, -3.0))
+    val df = rows.toDF("id", "w")
+      .unionByName(Seq((203L, Option.empty[Double])).toDF("id", "w"))
+    val got = Curate.weightedSample(df, "id", "w", k = 25)
+      .select($"id", $"es_key", $"sample_rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    val expect = naiveEs(rows, 25)
+    assert(got.map(r => (r._1, r._2)).toSeq == expect)
+    assert(got.map(_._3).toSeq == (1L to 25L))
+    // ineligible rows can never appear at any k
+    val all = Curate.weightedSample(df, "id", "w", k = 1000)
+      .select($"id").as[Long].collect().toSet
+    assert(all == rows.filter(_._2 > 0.0).map(_._1).toSet)
+    // same sample from a differently-partitioned input
+    val rep = Curate.weightedSample(df.repartition(7), "id", "w", k = 25)
+      .select($"id", $"es_key", $"sample_rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(rep.toSeq == got.toSeq)
+    // a different salt redraws (astronomically unlikely to tie exactly)
+    val salted = Curate.weightedSample(df, "id", "w", k = 25, salt = "x")
+      .select($"id").as[Long].collect().toSet
+    assert(salted == naiveEs(rows, 25, "x").map(_._1).toSet)
+    assert(salted != got.map(_._1).toSet)
+  }
+
+  test("weightedSample k=1 inclusion frequency is proportional to weight " +
+      "(the E-S law, measured over salts on the pinned naive draw)") {
+    // P(i wins) = w_i / sum(w) exactly at k=1 — the property that makes
+    // this a WEIGHTED sample rather than a weight-sorted cut. Validated
+    // on the naive reference (which the test above pins the operator to)
+    // so 4000 redraws cost driver microseconds, not 4000 Spark jobs.
+    val rows = Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 4.0))
+    val n = 4000
+    val wins = (0 until n).map(s => naiveEs(rows, 1, s"salt$s").head._1)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val total = rows.map(_._2).sum
+    rows.foreach { case (id, w) =>
+      val expect = n * w / total
+      val sigma = math.sqrt(n * (w / total) * (1 - w / total))
+      assert(math.abs(wins.getOrElse(id, 0) - expect) <= 5 * sigma,
+        s"id $id: ${wins.getOrElse(id, 0)} vs $expect ± $sigma")
+    }
+  }
+
+  // ---- kCenterGreedy (Sener & Savarese, q179) -------------------------
+
+  private def naiveKCenter(rows: Seq[(Long, Array[Double])],
+                           k: Int): Seq[(Int, Long, Option[Double])] = {
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(1.0 - cos(a, b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val seed = rows.minBy(_._1)
+    var md = rows.map { case (id, v) => (id, v, dist(v, seed._2)) }
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seed._1, None))
+    (2 to k).foreach { r =>
+      val far = md.minBy { case (id, _, d) => (-d, id) }
+      out += ((r, far._1, Some(far._3)))
+      md = md.map { case (id, v, d) => (id, v, math.min(d, dist(v, far._2))) }
+    }
+    out.toSeq
+  }
+
+  test("kCenterGreedy matches the naive farthest-point reference; " +
+      "sep_dist is non-increasing; picks are distinct; order-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(179)
+    // three separated blobs + a far outlier the greedy must find early
+    def blob(cx: Double, cy: Double, n: Int, from: Long) =
+      (0 until n).map(i => (from + i,
+        Array(cx + rnd.nextGaussian() * 0.05, cy + rnd.nextGaussian() * 0.05,
+          1.0)))
+    val rows = blob(1, 0, 20, 0L) ++ blob(0, 1, 20, 100L) ++
+      blob(-1, -1, 20, 200L) :+ (300L, Array(5.0, -4.0, 0.1))
+    val df = rows.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+      .select($"id", transform($"v", _.cast("double")).as("v"))
+    val got = Curate.kCenterGreedy(df, "v", "id", k = 6)
+      .select($"center_rank", $"id", $"sep_dist")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1).toSeq
+    assert(got == naiveKCenter(rows, 6))
+    // objective trace: each later pick is no farther than the previous
+    val seps = got.flatMap(_._3)
+    assert(seps == seps.sorted.reverse)
+    assert(got.map(_._2).distinct.size == 6)
+    // the first non-seed pick comes from the blob most ANTI-ALIGNED with
+    // the seed's (1,0,1) direction — cosine distance is angular, so the
+    // (-1,-1,1) blob (cos ≈ 0) beats the far-but-partially-aligned
+    // outlier; and all three blobs plus the outlier are covered by k=6
+    assert(got(1)._2 >= 200L && got(1)._2 < 300L, got.toString)
+    assert(got.map(_._2).exists(_ == 300L), got.toString)
+    // partition-order-free
+    val rep = Curate.kCenterGreedy(df.repartition(5), "v", "id", k = 6)
+      .select($"center_rank", $"id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(rep.map(_._2).toSeq == got.map(_._2))
+    // k=1 is just the min-id seed with a NULL trace
+    val one = Curate.kCenterGreedy(df, "v", "id", k = 1).collect()
+    assert(one.length == 1 && one(0).getLong(1) == 0L && one(0).isNullAt(2))
+  }
 }
