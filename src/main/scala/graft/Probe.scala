@@ -147,6 +147,13 @@ object Probe {
       case Some("protoprune") =>
         protoPruneRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
+      case Some("bpe") => bpeRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k_bigvocab.parquet",
+          "/tmp/graft_scale/documents_500k_bigvocab.parquet"))
+      case Some("kcenter") =>
+        kCenterRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+          else Seq(50000L, 500000L))
       case Some("semdecon") =>
         semDeconRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
@@ -931,6 +938,55 @@ object Probe {
     * after map-side combine) and the cluster-key rank window. Linear
     * decade scaling here is the 100 TB claim: per-cluster sort cost grows
     * with cluster size, everything else is a scan. */
+  /** BPE merge-learning decade pricing (round 17; q177's oracle gate runs
+    * at fixture scale): [[graft.operators.Tokenize.bpeMerges]] over the
+    * 50k/500k big-vocab (8k-word) corpora. The 100 TB claim under test:
+    * document text is touched ONCE (the word-frequency collapse — the
+    * only corpus-scale stage), after which all 8 iterations run on the
+    * vocab-bounded segmentation table, so the decade should move the
+    * scan-dominated total far less than 10× and the per-iteration tail
+    * not at all. The word-collapse is also measured alone to split the
+    * two phases. */
+  private def bpeRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    for (p <- paths) {
+      val docs = spark.read.parquet(p)
+      measure(s"warmup bpe $p")(
+        graft.operators.Tokenize.bpeMerges(docs, "text", merges = 2))
+      measure(s"bpe word-collapse only $p")(
+        docs.select(explode(tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("freq")))
+      measure(s"bpe 8 merges $p")(
+        graft.operators.Tokenize.bpeMerges(docs, "text", merges = 8))
+      OpCache.release()
+    }
+    spark.stop()
+  }
+
+  /** k-center greedy decade pricing (round 17; q179's oracle gate runs at
+    * 500 fixture rows): [[graft.operators.Curate.kCenterGreedy]] k=8 over
+    * synthetic 64-dim embeddings across the 50k/500k decade. The 100 TB
+    * claim: each round is one cached scan against a single literal
+    * center plus a TakeOrdered top-1 — no shuffle at any size — so the
+    * decade should scale ~linearly in scan cost with zero shuffle
+    * growth. */
+  private def kCenterRun(sizes: Seq[Long]): Unit = {
+    val spark = session()
+    val tmp = java.nio.file.Files.createTempDirectory("kcenter").toString
+    for (n <- sizes) {
+      spark.range(n).select(col("id"), hashVec64(col("id")).as("embedding"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/emb_$n")
+      val emb = spark.read.parquet(s"$tmp/emb_$n")
+      measure(s"warmup kcenter n=$n")(
+        graft.operators.Curate.kCenterGreedy(emb, "embedding", "id", 4))
+      measure(s"kcenter n=$n (k=8)")(
+        graft.operators.Curate.kCenterGreedy(emb, "embedding", "id", 8))
+      OpCache.release()
+    }
+    spark.stop()
+  }
+
   private def protoPruneRun(sizes: Seq[Long]): Unit = {
     val spark = session()
     val tmp = java.nio.file.Files.createTempDirectory("protoprune").toString

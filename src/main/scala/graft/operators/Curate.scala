@@ -849,15 +849,20 @@ object Curate {
    * ROUNDED at 1e-6 before the min/argmax — the [[prototypePrune]]
    * engine-parity pin — with an id tie-break).
    *
-   * Scale shape: each round is one scan of the corpus updating the
-   * running min-distance against ONE new center (a broadcast literal —
-   * centers are driver-sized by definition, exactly k of them) plus a
-   * top-1 (TakeOrdered, never a global sort); the frame re-materializes
-   * per round so lineage stays flat and the previous round's cache is
-   * released. k rounds = k scans — the algorithm is inherently
-   * sequential (each pick depends on all prior picks); at 100 TB pick
-   * batches of b per round (the standard batched-greedy relaxation)
-   * to amortize scans.
+   * Scale shape: ONE Tungsten-cached scan of (id, vec) serves every
+   * round — round i recomputes the running min-distance as a chained
+   * `least` of the (few) centers picked since the last fold, all literal
+   * arrays inside one whole-stage-codegen projection, then takes a top-1
+   * (TakeOrdered, never a global sort; zero shuffle at any size). Every
+   * 16 centers the accumulated min folds into a persisted column so
+   * neither the expression tree nor the per-round recompute grows with
+   * k. (The first cut re-materialized the frame per round through an
+   * RDD round-trip — the known Tungsten-deserialization tax — and
+   * measured 44 s for k=8 at 50k rows; this form is the same algorithm
+   * priced at scan speed, `graft.Probe kcenter`.) k rounds = k scans —
+   * the algorithm is inherently sequential (each pick depends on all
+   * prior picks); at 100 TB pick batches of b per round (the standard
+   * batched-greedy relaxation) to amortize scans.
    *
    * Returns the k selected rows in pick order: (`center_rank` 1-based,
    * idCol, `sep_dist` = the row's min distance to all EARLIER centers at
@@ -868,37 +873,46 @@ object Curate {
                     k: Int): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1, 1024], got $k")
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("__id"),
-      transform(col(vecCol), _.cast("double")).as("__v"))
+    val foldEvery = 16
     def distTo(center: Seq[Double]): Column =
       round(lit(1.0) - graft.functions.VectorFunctions.cosine(col("__v"),
         array(center.map(lit): _*)), 6)
 
-    val seed = base.orderBy(col("__id")).limit(1).collect()
+    var cur = OpCache.track(df.select(col(idCol).as("__id"),
+      transform(col(vecCol), _.cast("double")).as("__v")).persist())
+    val seed = cur.orderBy(col("__id")).limit(1).collect()
     require(seed.nonEmpty, "kCenterGreedy on an empty frame")
     val picks =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Option[Double])]
     picks += ((1, seed(0).get(0), None))
-    var center = seed(0).getSeq[Double](1)
-
-    val h0 = OpCache.materializeHandle(base.withColumn("__md", distTo(center)))
-    var cur = h0._1
-    var curRdd = h0._2
+    // centers picked since the last fold; the effective min-distance is
+    // the folded __md column (absent before the first fold) least'ed
+    // with one literal-center distance per pending pick
+    var pending = List(seed(0).getSeq[Double](1))
+    var hasFolded = false
+    def effMd: Column = {
+      val ds = pending.reverse.map(distTo)
+      val all = if (hasFolded) col("__md") :: ds else ds
+      all.reduceLeft(least(_, _))
+    }
     var rank = 2
     while (rank <= k) {
-      val far = cur.orderBy(col("__md").desc, col("__id")).limit(1).collect()(0)
+      val far = cur.select(col("__id"), col("__v"), effMd.as("__emd"))
+        .orderBy(col("__emd").desc, col("__id")).limit(1).collect()(0)
       picks += ((rank, far.get(0), Some(far.getDouble(2))))
-      center = far.getSeq[Double](1)
-      if (rank < k) {
-        val next = OpCache.materializeHandle(cur.select(col("__id"), col("__v"),
-          least(col("__md"), distTo(center)).as("__md")))
-        curRdd.unpersist(blocking = false)
-        cur = next._1
-        curRdd = next._2
+      pending ::= far.getSeq[Double](1)
+      if (pending.size >= foldEvery && rank < k) {
+        val folded = OpCache.track(cur
+          .select(col("__id"), col("__v"), effMd.as("__md")).persist())
+        folded.count()
+        cur.unpersist(blocking = false)
+        cur = folded
+        pending = Nil
+        hasFolded = true
       }
       rank += 1
     }
-    curRdd.unpersist(blocking = false)
+    cur.unpersist(blocking = false)
 
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
