@@ -3785,6 +3785,22 @@ object SparkEntry {
         "embedding", "vec_id", k = 8)
       .orderBy(col("center_rank"))
 
+  /** Kneser–Ney bigram perplexity ([[operators.TextProfile
+    * .knBigramPerplexity]] — Kneser & Ney 1995, the smoother CCNet's
+    * KenLM actually uses; q103's add-one model upgraded to discounted
+    * interpolation with continuation-probability backoff). Same contract
+    * as q103: every document scored against the English reference slice,
+    * docs without bigrams emitted with n_bigrams=0. FULL DuckDB oracle —
+    * the four model tables (pair counts, context totals + distinct
+    * continuations, distinct contexts, B/V scalars) and the exact
+    * discount arithmetic, term order mirrored. */
+  private def q180_kn_perplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = parallelize(t(s, dir, "documents"))
+    operators.TextProfile.knBigramPerplexity(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4158,6 +4174,7 @@ object SparkEntry {
     "q177_bpe_merges" -> q177_bpe_merges _,
     "q178_weighted_sample" -> q178_weighted_sample _,
     "q179_kcenter_coreset" -> q179_kcenter_coreset _,
+    "q180_kn_perplexity" -> q180_kn_perplexity _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6612,6 +6629,51 @@ object SparkEntry {
     // discipline): min-id seed, per-layer round-6 distance to the new
     // center folded into the running min, (md DESC, id) argmax.
     "q179_kcenter_coreset" -> kCenterSql(8),
+    // q180 rebuilds the four Kneser-Ney model tables from the en slice
+    // and replays the discounted interpolation term by term (D = 0.75;
+    // the add-one continuation floor makes unseen words scoreable).
+    "q180_kn_perplexity" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, lang, pr.g AS g, pr.a AS w1, pr.b AS w2
+         |  FROM (SELECT doc_id, lang,
+         |          unnest([{'g': w[i] || ' ' || w[i+1], 'a': w[i],
+         |                   'b': w[i+1]} for i in range(1, len(w))]) AS pr
+         |        FROM tok WHERE len(w) >= 2)),
+         |bi AS (SELECT g, count(*) AS c2 FROM bg WHERE lang = 'en'
+         |       GROUP BY 1),
+         |ctx AS (SELECT w1, count(*) AS ctxc, count(DISTINCT w2) AS n1p
+         |        FROM bg WHERE lang = 'en' GROUP BY 1),
+         |cont AS (SELECT w2, count(DISTINCT w1) AS cont1
+         |         FROM bg WHERE lang = 'en' GROUP BY 1),
+         |scal AS (SELECT (SELECT count(*) FROM bi) AS b,
+         |  (SELECT count(DISTINCT u.w) FROM
+         |    (SELECT unnest(w) AS w FROM tok WHERE lang = 'en') u) AS v),
+         |sc AS (
+         |  SELECT d.doc_id,
+         |    ln(CASE WHEN ctx.ctxc IS NULL
+         |         THEN (coalesce(cont.cont1, 0) + 1)::DOUBLE / (s.b + s.v + 1)
+         |         ELSE greatest(coalesce(bi.c2, 0)::DOUBLE - 0.75, 0.0)
+         |                / ctx.ctxc
+         |              + (0.75 * ctx.n1p / ctx.ctxc) *
+         |                ((coalesce(cont.cont1, 0) + 1)::DOUBLE
+         |                 / (s.b + s.v + 1)) END) AS logp
+         |  FROM bg d LEFT JOIN bi USING (g) LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2) CROSS JOIN scal s),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    round(-avg(logp), 4) AS cross_entropy,
+         |    round(exp(-avg(logp)), 2) AS perplexity
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  a.cross_entropy, a.perplexity
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

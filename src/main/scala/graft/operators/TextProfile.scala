@@ -411,4 +411,86 @@ object TextProfile {
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }
+
+  /**
+   * Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995; Chen &
+   * Goodman 1998's interpolated form with fixed discount D=0.75) — the
+   * smoother CCNet's actual KenLM models use, upgrading
+   * [[bigramPerplexity]]'s add-one baseline: instead of flattening all
+   * unseen mass uniformly, each context keeps its own discounted mass
+   * and redistributes it by CONTINUATION probability (how many distinct
+   * contexts a word follows — "francisco" is frequent but follows almost
+   * nothing, so it gets little backoff mass). Per bigram (w1, w2):
+   *
+   *   P = max(c(w1 w2) − D, 0)/ctx(w1) + (D·N1+(w1·)/ctx(w1))·Pc(w2)
+   *   Pc(w2) = (N1+(·w2) + 1)/(B + V + 1)   — continuation probability,
+   *            add-one floored so unseen words keep P > 0 (the
+   *            deterministic OOV contract; pure KN gives them zero)
+   *   unseen context w1 → P = Pc(w2)
+   *
+   * where ctx(w1) = reference bigrams starting with w1, N1+(w1·)/N1+(·w2)
+   * = distinct continuations/contexts, B = distinct reference bigrams,
+   * V = reference vocabulary. All model quantities are integer counts, so
+   * both engines rebuild identical doubles from identical ratios (q103's
+   * proven posture). Same scale shape as [[bigramPerplexity]]: model
+   * tables are vocab-bounded and hash-keyed (gram strings die at their
+   * scan), document text never shuffles, scoring is three left joins +
+   * one 1-row broadcast.
+   */
+  def knBigramPerplexity(docs: DataFrame, reference: DataFrame,
+                         textCol: String, idCol: String,
+                         discount: Double = 0.75,
+                         broadcastModel: Boolean = false): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"discount must be in (0, 1), got $discount")
+    def toks(df: DataFrame) = df.withColumn("__toks",
+      TextFunctions.tokens(col(textCol)))
+    def bigrams(df: DataFrame) = toks(df)
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(
+        TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    def hpair(c: org.apache.spark.sql.Column, p: String) =
+      Seq(xxhash64(c).as(s"${p}1"), xxhash64(c, lit(1L)).as(s"${p}2"))
+    def hint(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+
+    val refBg = bigrams(reference)
+      .select(hpair(col("g"), "b") ++ hpair(col("w1"), "x") ++
+        hpair(col("w2"), "y"): _*)
+    val biH = hint(refBg.groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("c2")))
+    val ctxH = hint(refBg.groupBy(col("x1"), col("x2"))
+      .agg(count(lit(1)).as("ctxc"),
+        countDistinct(col("y1"), col("y2")).as("n1p")))
+    val contH = hint(refBg.groupBy(col("y1"), col("y2"))
+      .agg(countDistinct(col("x1"), col("x2")).as("cont1")))
+    // scalar frame: B (distinct bigrams) and V (vocabulary) ride one
+    // 1-row broadcast — no driver action
+    val scal = biH.agg(count(lit(1)).as("__b")).crossJoin(
+      toks(reference).select(explode(col("__toks")).as("w"))
+        .select(hpair(col("w"), "u"): _*)
+        .agg(countDistinct(col("u1"), col("u2")).as("__v")))
+
+    val pc = (coalesce(col("cont1"), lit(0L)) + 1).cast("double") /
+      (col("__b") + col("__v") + 1)
+    val d = lit(discount)
+    val p = when(col("ctxc").isNull, pc).otherwise(
+      greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("ctxc") + (d * col("n1p") / col("ctxc")) * pc)
+    val scored = bigrams(docs)
+      .select(Seq(col(idCol)) ++ hpair(col("g"), "b") ++
+        hpair(col("w1"), "x") ++ hpair(col("w2"), "y"): _*)
+      .join(biH, Seq("b1", "b2"), "left")
+      .join(ctxH, Seq("x1", "x2"), "left")
+      .join(contH, Seq("y1", "y2"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col(idCol), log(p).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("logp")), 4).as("cross_entropy"),
+        round(exp(-avg(col("logp"))), 2).as("perplexity"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
 }

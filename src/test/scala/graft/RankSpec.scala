@@ -56,6 +56,61 @@ class RankSpec extends SparkSpec {
     assert(out(5L) == ((0L, None, None)), "empty doc must survive with nulls")
   }
 
+  test("knBigramPerplexity applies the discounted interpolation by hand " +
+      "and ranks high-continuation words above frozen-collocation words") {
+    // reference bigrams, hand-countable: doc0 → ab, ba, ab, ba, ac;
+    // doc1 → ba, ab, ba. So c(ab)=3, c(ba)=4, c(ac)=1; ctx(a)=4 with
+    // n1p(a)=2 {b,c}; ctx(b)=4 with n1p(b)=1 {a}; B=3 distinct bigrams,
+    // V=3; cont(a)=cont(b)=cont(c)=1 (each word has ONE distinct
+    // predecessor)
+    val reference = Seq((0L, "a b a b a c"),
+      (1L, "b a b a")).toDF("doc_id", "text")
+    def pc(cont1: Long, b: Long = 3, v: Long = 3) =
+      (cont1 + 1).toDouble / (b + v + 1)
+    def kn(c2: Long, ctxc: Long, n1p: Long, cont1: Long) =
+      math.max(c2 - 0.75, 0.0) / ctxc + (0.75 * n1p / ctxc) * pc(cont1)
+    val score = Seq(
+      (10L, "a b"),  // seen pair: full interpolation
+      (11L, "a a"),  // seen ctx, unseen pair: backoff mass only
+      (12L, "z b"),  // unseen ctx: pure continuation probability
+      (13L, "z z"),  // both unseen: the add-one floor 1/(B+V+1)
+      (14L, "a")).toDF("doc_id", "text")
+    val got = graft.operators.TextProfile
+      .knBigramPerplexity(score, reference, "text", "doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def ce(p: Double) = Some(BigDecimal(-math.log(p))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(10L) == ((1L, ce(kn(3, 4, 2, 1)))))
+    assert(got(11L) == ((1L, ce(kn(0, 4, 2, 1)))))
+    assert(got(12L) == ((1L, ce(pc(1)))))
+    assert(got(13L) == ((1L, ce(pc(0)))))
+    assert(got(14L) == ((0L, None)))
+
+    // the property KN exists for: "francisco" is FREQUENT (5 mentions)
+    // but always follows "san" (one context); "the" is equally frequent
+    // across five different contexts. After an unseen context, KN must
+    // prefer "the" — add-one smoothing (q103) scores them identically.
+    val kRef = Seq((0L,
+      "san francisco san francisco san francisco san francisco " +
+        "san francisco x1 the x2 the x3 the x4 the x5 the"))
+      .toDF("doc_id", "text")
+    val probe = Seq((1L, "unseen francisco"), (2L, "unseen the"))
+      .toDF("doc_id", "text")
+    val knScores = graft.operators.TextProfile
+      .knBigramPerplexity(probe, kRef, "text", "doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(knScores(2L) < knScores(1L),
+      s"KN must rank the multi-context word cheaper: $knScores")
+    val addOne = graft.operators.TextProfile
+      .bigramPerplexity(probe, kRef, "text", "doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(addOne(1L) == addOne(2L),
+      s"add-one is blind to continuation counts: $addOne")
+  }
+
   test("rrfFuse sums reciprocal ranks with absent-list docs contributing 0") {
     val listA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val listB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
