@@ -81,7 +81,8 @@ object Bench {
     "q169_semantic_decontaminate", "q170_unimax", "q171_prototype_prune",
     "q172_d4_pipeline", "q173_ccnet_buckets", "q174_unimax_materialize",
     "q175_compression_signal", "q176_margin_mine", "q177_bpe_merges",
-    "q178_weighted_sample", "q179_kcenter_coreset", "q180_kn_perplexity")
+    "q178_weighted_sample", "q179_kcenter_coreset", "q180_kn_perplexity",
+    "q181_graph_centrality")
 
   private val RUNS = 5
 

@@ -3801,6 +3801,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Similarity-graph centrality ([[operators.Rank.graphRank]] —
+    * TextRank's weighted power iteration, Mihalcea & Tarau 2004 / Brin &
+    * Page 1998): 5 damped iterations over the exact cosine graph at
+    * tau 0.3 (the q172 pair tier; production feeds the LSH/IVF store
+    * pairs), surfacing the corpus's over-connected hub rows. Every
+    * neighbor sum folds window-ordered (the q110 discipline) and each
+    * iteration rounds at 1e-9, so both engines iterate identical
+    * doubles. FULL DuckDB oracle — 5 UNROLLED CTE layers (the q177
+    * discipline) replaying the same normalized edges, ordered folds,
+    * and damping arithmetic. */
+  private def q181_graph_centrality(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Dedup.embeddingNearDup(e, "embedding", "vec_id",
+        threshold = 0.3, nBits = 0)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("w"))
+    operators.Rank.graphRank(e.select(col("vec_id"), col("label")),
+        "vec_id", pairs, "id_a", "id_b", "w", iters = 5, damping = 0.85)
+      .select(col("vec_id"), col("label"), col("centrality"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4175,6 +4196,7 @@ object SparkEntry {
     "q178_weighted_sample" -> q178_weighted_sample _,
     "q179_kcenter_coreset" -> q179_kcenter_coreset _,
     "q180_kn_perplexity" -> q180_kn_perplexity _,
+    "q181_graph_centrality" -> q181_graph_centrality _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4502,6 +4524,49 @@ object SparkEntry {
        |${layers.mkString(",\n")}
        |SELECT * FROM (${union.mkString("\nUNION ALL ")})
        |ORDER BY center_rank""".stripMargin
+  }
+
+  /** DuckDB graph-centrality CTEs: `iters` UNROLLED power-iteration
+    * layers (the [[bpeCtesSql]] discipline) over the exact cosine pair
+    * graph at `tau`. Every per-node sum (out-strength, each round's
+    * incoming mass) folds as a window ORDERED by the neighbor id —
+    * matching [[operators.Rank.graphRank]]'s ordered-fold pin — and each
+    * round rounds at 1e-9. The damping literals interpolate from the
+    * SAME Scala doubles the operator uses (`1.0 - damping` is NOT the
+    * decimal 0.15 at the last ulp). */
+  private def graphRankSql(iters: Int, damping: Double, tau: Double): String = {
+    def orderedFold(src: String, key: String, ord: String, value: String,
+                    out: String): String =
+      s"""SELECT $key AS id, cum AS $out FROM (
+         |  SELECT $key, sum($value) OVER (PARTITION BY $key ORDER BY $ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    row_number() OVER (PARTITION BY $key ORDER BY $ord DESC) AS rn
+         |  FROM $src) WHERE rn = 1""".stripMargin
+    val layers = (1 to iters).map { i =>
+      s"""m$i AS (${orderedFold(
+        s"(SELECT en.v, en.u, en.nw * r${i - 1}.r AS c FROM en " +
+          s"JOIN r${i - 1} ON en.u = r${i - 1}.id)",
+        "v", "u", "c", "mass")}),
+         |r$i AS (SELECT r0.id, round(${1.0 - damping} +
+         |    $damping * coalesce(m$i.mass, 0), 9) AS r
+         |  FROM r0 LEFT JOIN m$i ON r0.id = m$i.id)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, label, $vecSql AS v FROM embeddings),
+       |p AS MATERIALIZED (
+       |  SELECT ua, ub, round(c, 6) AS w FROM (
+       |    SELECT a.vec_id AS ua, b.vec_id AS ub,
+       |      ${cosSql("a.v", "b.v")} AS c
+       |    FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE c >= $tau),
+       |ee AS (SELECT ua AS u, ub AS v, w FROM p
+       |       UNION ALL SELECT ub, ua, w FROM p),
+       |ow AS (${orderedFold("ee", "u", "v", "w", "outw")}),
+       |en AS MATERIALIZED (SELECT ee.u, ee.v, ee.w / ow.outw AS nw
+       |  FROM ee JOIN ow ON ee.u = ow.id),
+       |r0 AS (SELECT vec_id AS id, 1.0 AS r FROM e),
+       |${layers.mkString(",\n")}
+       |SELECT e.vec_id, e.label, r$iters.r AS centrality
+       |FROM e JOIN r$iters ON e.vec_id = r$iters.id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -6674,6 +6739,10 @@ object SparkEntry {
          |  a.cross_entropy, a.perplexity
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q181 recomputes power-iteration centrality with 5 unrolled layers:
+    // the same exact pair graph, window-ordered neighbor folds, and
+    // interpolated damping literals.
+    "q181_graph_centrality" -> graphRankSql(5, 0.85, 0.3),
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

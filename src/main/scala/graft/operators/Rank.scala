@@ -280,4 +280,88 @@ object Rank {
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("rrf"))
   }
+
+  /**
+   * Weighted graph centrality by power iteration — TextRank's scoring
+   * rule (Mihalcea & Tarau 2004, the weighted-PageRank variant; Brin &
+   * Page 1998) over a SIMILARITY graph: iterate
+   *
+   *   r'(v) = (1−d) + d · Σ_{u~v} ( w(u,v)/outW(u) ) · r(u)
+   *
+   * from r=1, damping d. Over a corpus near-dup/similarity graph the
+   * high-centrality rows are the corpus's "hubs" — the representative
+   * cores a curation pipeline keeps one of (the centrality-weighted
+   * upgrade of [[Dedup.keepRepresentatives]]'s min-id rule) or the
+   * over-connected templates it caps. Nodes without edges keep the
+   * baseline 1−d.
+   *
+   * Input: the node frame plus an UNDIRECTED scored pair frame (a < b,
+   * one row per pair — the [[Similarity.marginMine]]/hardNegatives
+   * convention: the fixture gate feeds exact pairs, production feeds the
+   * LSH/IVF store pairs). Weights must be pre-rounded by the caller if
+   * they come from float math (the q171 pin; q181 rounds cosines at
+   * 1e-6).
+   *
+   * Engine-parity: every neighbor SUM (out-strength and each
+   * iteration's incoming mass) folds in a WINDOW ordered by the
+   * neighbor id — an unordered double `sum` is last-ULP
+   * nondeterministic across engines and even across Spark runs (the
+   * q110 ordered-fold discipline); iteration results round at 1e-9.
+   *
+   * Scale shape: out-strengths and normalized edges build once (one
+   * window shuffle each, keyed on the node); each of the `iters`
+   * rounds is one equi-join of the edge frame with the n-row rank
+   * frame plus one window — all keyed on node ids, no vector or text
+   * payload anywhere. Rank frames persist per round and release at
+   * the end, so lineage stays flat. iters is small by design (power
+   * iteration converges geometrically at rate d).
+   */
+  def graphRank(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String, bCol: String, wCol: String,
+                iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    import org.apache.spark.sql.expressions.Window
+
+    /** Last row's running total per `key`, folded in `ord` order. */
+    def orderedTotal(df: DataFrame, key: String, ord: String,
+                     value: org.apache.spark.sql.Column,
+                     out: String): DataFrame =
+      df.withColumn("__cum", sum(value).over(Window.partitionBy(col(key))
+          .orderBy(col(ord))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__rn", row_number().over(Window.partitionBy(col(key))
+          .orderBy(col(ord).desc)))
+        .filter(col("__rn") === 1)
+        .select(col(key), col("__cum").as(out))
+
+    val half = pairs.select(col(aCol).as("__u"),
+      col(bCol).as("__v"), col(wCol).cast("double").as("__w"))
+    val edges = half.unionByName(
+      half.select(col("__v").as("__u"), col("__u").as("__v"), col("__w")))
+    val en = OpCache.track(edges
+      .join(orderedTotal(edges, "__u", "__v", col("__w"), "__outw"),
+        Seq("__u"))
+      .select(col("__u"), col("__v"), (col("__w") / col("__outw")).as("__nw"))
+      .persist())
+    val ids = OpCache.track(
+      nodes.select(col(idCol).as("__id")).persist())
+
+    var r = ids.withColumn("__r", lit(1.0))
+    for (_ <- 1 to iters) {
+      val mass = orderedTotal(
+        en.join(r, col("__u") === col("__id"))
+          .select(col("__v"), col("__u"), (col("__nw") * col("__r")).as("__c")),
+        "__v", "__u", col("__c"), "__mass")
+      r = OpCache.track(ids
+        .join(mass, col("__id") === col("__v"), "left")
+        .select(col("__id"), round(lit(1.0 - damping) +
+          lit(damping) * coalesce(col("__mass"), lit(0.0)), 9).as("__r"))
+        .persist())
+    }
+    nodes.join(r, col(idCol) === col("__id"))
+      .drop("__id")
+      .withColumnRenamed("__r", "centrality")
+  }
 }

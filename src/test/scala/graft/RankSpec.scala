@@ -111,6 +111,55 @@ class RankSpec extends SparkSpec {
       s"add-one is blind to continuation counts: $addOne")
   }
 
+  test("graphRank matches a naive ordered-fold power iteration; hubs " +
+      "outrank leaves; isolated nodes keep the 1-d baseline; order-free") {
+    // the operator's exact arithmetic in driver Scala: symmetric edges,
+    // out-strength and incoming mass folded IN NEIGHBOR-ID ORDER,
+    // per-round HALF_UP rounding at 1e-9
+    def naive(n: Seq[Long], pairs: Seq[(Long, Long, Double)], iters: Int,
+              d: Double): Map[Long, Double] = {
+      val ee = (pairs ++ pairs.map(p => (p._2, p._1, p._3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      val outw = ee.map { case (u, es) =>
+        u -> es.map(_._3).foldLeft(0.0)(_ + _) }
+      var r = n.map(_ -> 1.0).toMap
+      (1 to iters).foreach { _ =>
+        r = n.map { id =>
+          val in = ee.getOrElse(id, Nil)
+            .map { case (_, v, w) => (v, w / outw(v) * r(v)) }
+            .sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+          id -> BigDecimal((1.0 - d) + d * in)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.toMap
+      }
+      r
+    }
+    // hub 0 tied to five leaves; a detached 2-cycle; node 99 isolated
+    val pairs = (1L to 5L).map(i => (0L, i, 1.0)) ++ Seq((10L, 11L, 0.5))
+    val nodeIds = (0L to 5L) ++ Seq(10L, 11L, 99L)
+    import spark.implicits._
+    val nodes = nodeIds.toDF("nid")
+    val pdf = pairs.toDF("a", "b", "w")
+    val got = Rank.graphRank(nodes, "nid", pdf, "a", "b", "w",
+        iters = 5, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    val expect = naive(nodeIds, pairs, 5, 0.85)
+    assert(got == expect, s"$got vs $expect")
+    // the hub aggregates five leaves' full mass; each leaf only splits
+    // the hub's — and the isolated node sits at the damping baseline
+    assert(got(0L) > got(1L), got.toString)
+    assert((1L to 5L).map(got).distinct.size == 1, "leaves are symmetric")
+    assert(got(99L) == BigDecimal(1.0 - 0.85)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the detached 2-cycle is internally symmetric and above baseline
+    assert(got(10L) == got(11L) && got(10L) > got(99L))
+    // partition-order-free
+    val rep = Rank.graphRank(nodes.repartition(4), "nid",
+        pdf.repartition(3), "a", "b", "w", iters = 5, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(rep == got)
+  }
+
   test("rrfFuse sums reciprocal ranks with absent-list docs contributing 0") {
     val listA = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val listB = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
