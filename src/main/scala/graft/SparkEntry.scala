@@ -3822,6 +3822,21 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** BPE tokenizer fit per language ([[operators.Tokenize.bpeFit]] —
+    * q177's learn → apply → measure loop closed, the way q174 closed
+    * q170's): 8 merges learned on the whole corpus, the vocabulary
+    * segmented once with the learned table, fertility
+    * (symbols-per-word) and chars-per-symbol reported per language —
+    * the learned-tokenizer upgrade of q144's fixed-regex fertility.
+    * FULL DuckDB oracle: the q177 unrolled layers now CARRY each word's
+    * segmentation, so the final layer IS the segmented vocabulary and
+    * the report is exact-BIGINT ratio arithmetic on top. */
+  private def q182_bpe_fit(s: SparkSession, dir: String): DataFrame =
+    operators.Tokenize.bpeFit(parallelize(t(s, dir, "documents")),
+        "text", "lang", merges = 8, minPairCount = 2L)
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4197,6 +4212,7 @@ object SparkEntry {
     "q179_kcenter_coreset" -> q179_kcenter_coreset _,
     "q180_kn_perplexity" -> q180_kn_perplexity _,
     "q181_graph_centrality" -> q181_graph_centrality _,
+    "q182_bpe_fit" -> q182_bpe_fit _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -4466,7 +4482,7 @@ object SparkEntry {
     * Early-stop parity is structural: an empty argmax CTE empties every
     * later layer through its CROSS JOIN, exactly like the trainer's
     * break. */
-  private def bpeCtesSql(k: Int, minCnt: Long): String = {
+  private def bpeLayersSql(k: Int, minCnt: Long): String = {
     val layers = (1 to k).map { i =>
       s"""p$i AS (SELECT pr.l AS lhs, pr.r AS rhs, sum(freq)::BIGINT AS cnt
          |  FROM (SELECT freq,
@@ -4477,25 +4493,29 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |b$i AS (SELECT lhs, rhs, cnt FROM p$i WHERE cnt >= $minCnt
          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
-         |s$i AS (SELECT freq,
+         |s$i AS (SELECT word, freq,
          |  array_to_string(list_filter(string_split_regex(
          |    replace(' ' || seg || ' ', ' ' || b.lhs || '  ' || b.rhs || ' ',
          |            ' ' || b.lhs || b.rhs || ' '), ' +'), x -> x <> ''),
          |    '  ') AS seg
          |  FROM s${i - 1} CROSS JOIN b$i b)""".stripMargin
     }
+    s"""wds AS (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS (SELECT word, freq,
+       |  array_to_string([word[i] for i in range(1, len(word)+1)], '  ')
+       |    AS seg
+       |  FROM wds),
+       |${layers.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeCtesSql(k: Int, minCnt: Long): String = {
     val union = (1 to k).map { i =>
       s"SELECT $i AS merge_idx, lhs, rhs, lhs || rhs AS merged," +
         s" cnt AS pair_count FROM b$i"
     }.mkString("\nUNION ALL ")
-    s"""wds AS (SELECT word, count(*)::BIGINT AS freq
-       |  FROM (SELECT unnest($toksSql) AS word FROM documents)
-       |  WHERE word <> '' GROUP BY word),
-       |s0 AS (SELECT freq,
-       |  array_to_string([word[i] for i in range(1, len(word)+1)], '  ')
-       |    AS seg
-       |  FROM wds),
-       |${layers.mkString(",\n")}
+    s"""${bpeLayersSql(k, minCnt)}
        |SELECT * FROM ($union) ORDER BY merge_idx""".stripMargin
   }
 
@@ -6743,6 +6763,24 @@ object SparkEntry {
     // the same exact pair graph, window-ordered neighbor folds, and
     // interpolated damping literals.
     "q181_graph_centrality" -> graphRankSql(5, 0.85, 0.3),
+    // q182 replays the q177 layers (word carried through), reads the
+    // final layer as the segmented vocabulary, and recomputes the
+    // per-language fit ratios from exact BIGINT sums.
+    "q182_bpe_fit" ->
+      s"""WITH ${bpeLayersSql(8, 2L)},
+         |seg AS (SELECT word, len(string_split(seg, '  '))::BIGINT AS n_sym
+         |        FROM s8),
+         |wl AS (SELECT lang, word, count(*)::BIGINT AS freq
+         |  FROM (SELECT lang, unnest($toksSql) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY 1, 2)
+         |SELECT wl.lang, sum(wl.freq)::BIGINT AS n_tokens,
+         |  count(DISTINCT wl.word)::BIGINT AS vocab_words,
+         |  round(sum(wl.freq * s.n_sym)::DOUBLE / sum(wl.freq), 4)
+         |    AS symbols_per_word,
+         |  round(sum(wl.freq * len(wl.word))::DOUBLE /
+         |    sum(wl.freq * s.n_sym), 4) AS chars_per_symbol
+         |FROM wl JOIN seg s USING (word)
+         |GROUP BY wl.lang ORDER BY wl.lang""".stripMargin,
     // q164 pins the drift metric's actionability contract: calm on an
     // in-distribution control, loud on the concentrated-drift fixture,
     // wide separation between the two (ratio AND skew).

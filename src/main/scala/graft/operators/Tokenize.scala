@@ -120,6 +120,46 @@ object Tokenize {
   }
 
   /**
+   * Tokenizer-fit report: learn `merges` BPE merges from the corpus
+   * ([[bpeMerges]]), segment the vocabulary with the learned table
+   * ([[bpeSegment]]), and report per `groupCol` how well the tokenizer
+   * fits — `symbols_per_word` (fertility: the per-language
+   * tokens-per-word a training-budget planner multiplies by, the
+   * learned-tokenizer upgrade of q144's fixed-regex proxy; languages the
+   * merges under-serve show higher fertility) and `chars_per_symbol`
+   * (mean compression per emitted symbol). The learn→apply→measure loop
+   * closed, like q174 closed q170's allocator.
+   *
+   * Scale shape: two corpus scans (the trainer's word collapse + the
+   * per-group frequency collapse), after which everything is
+   * vocab-bounded: each DISTINCT word segments exactly once (the merge
+   * table rides as `merges` literal replaces) and joins back to the
+   * per-group frequencies; all ratios are exact BIGINT sums divided
+   * once, so both engines print identical rounded values.
+   */
+  def bpeFit(docs: DataFrame, textCol: String, groupCol: String,
+             merges: Int, minPairCount: Long = 2L): DataFrame = {
+    val table = bpeMerges(docs, textCol, merges, minPairCount)
+      .orderBy(col("merge_idx")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wf = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("freq"))
+    val seg = wf.select(col("word")).distinct()
+      .withColumn("n_sym", size(bpeSegment(col("word"), table)).cast("long"))
+    wf.join(seg, Seq("word"))
+      .groupBy(col("grp"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        countDistinct(col("word")).as("vocab_words"),
+        round(sum(col("freq") * col("n_sym")) / sum(col("freq")), 4)
+          .as("symbols_per_word"),
+        round(sum(col("freq") * length(col("word")).cast("long")) /
+          sum(col("freq") * col("n_sym")), 4).as("chars_per_symbol"))
+  }
+
+  /**
    * Segment `word` (a single whitespace-free token) with an already
    * learned merge table, applied in merge order — the ENCODE side of BPE
    * (training-time segmentation of new text with a frozen vocabulary).

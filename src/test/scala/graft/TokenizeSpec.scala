@@ -132,6 +132,44 @@ class TokenizeSpec extends SparkSpec {
     assert(edge.forall(_.isEmpty))
   }
 
+  test("bpeFit reports per-group fertility from the learned table, " +
+      "matching the naive reference's final segmentation arithmetic") {
+    val rnd = new scala.util.Random(182)
+    val letters = "abcdef"
+    def word() =
+      (0 until (2 + rnd.nextInt(5))).map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val rows = (0 until 80).map { i =>
+      (if (i % 3 == 0) "g1" else "g2",
+        (0 until (1 + rnd.nextInt(4))).map(_ => word()).mkString(" "))
+    }
+    val (_, finalSegs) = naiveBpe(wordFreq(rows.map(_._2)), 6, 1L)
+    // expected ratios from the naive segmentation, exact integer sums
+    val expect = rows
+      .flatMap { case (g, t) =>
+        t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).map(w => (g, w)) }
+      .groupBy(identity).map { case ((g, w), occ) => (g, w, occ.size.toLong) }
+      .groupBy(_._1).map { case (g, ws) =>
+        val nTok = ws.map(_._3).sum
+        val nSym = ws.map { case (_, w, f) => f * finalSegs(w).size }.sum
+        val nChr = ws.map { case (_, w, f) => f * w.length }.sum
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        g -> ((nTok, ws.map(_._2).toSet.size.toLong,
+          r4(nSym.toDouble / nTok), r4(nChr.toDouble / nSym)))
+      }
+    val got = Tokenize.bpeFit(rows.toDF("grp", "text"), "text", "grp",
+        merges = 6, minPairCount = 1L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == expect, s"$got vs $expect")
+    // fertility is bounded by [1, chars-per-word]: at least one symbol
+    // per word, never more symbols than characters
+    got.values.foreach { case (_, _, spw, cps) =>
+      assert(spw >= 1.0 && cps >= 1.0, got.toString)
+    }
+  }
+
   test("minPairCount stops learning early; result is partition-order-free") {
     val corpus = Seq("ab ab ab", "cd cd", "ef")
     // pairs: (a,b)=3, (c,d)=2, (e,f)=1 → at minCount 2 only two merges
