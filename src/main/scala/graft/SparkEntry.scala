@@ -3837,6 +3837,23 @@ object SparkEntry {
       .withColumnRenamed("grp", "lang")
       .orderBy(col("lang"))
 
+  /** T5 span corruption ([[operators.Tokenize.spanCorrupt]] — Raffel et
+    * al. 2020's denoising-objective data prep, in the deterministic
+    * md5-offset form: one 3-token span per 20-token window = the paper's
+    * 15% corruption rate, reproducible on any cluster). The rebuilt
+    * input/target texts are md5-pinned (the q167 rebuilt-text
+    * discipline). FULL DuckDB oracle — the same window arithmetic,
+    * hex-derived offsets, sentinel numbering, and final-sentinel close,
+    * replayed over list comprehensions. */
+  private def q183_span_corrupt(s: SparkSession, dir: String): DataFrame =
+    operators.Tokenize.spanCorrupt(parallelize(t(s, dir, "documents")),
+        "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("n_input_tokens"),
+        md5(col("input_text")).as("input_fp"),
+        md5(col("target_text")).as("target_fp"))
+      .orderBy(col("doc_id"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4213,6 +4230,7 @@ object SparkEntry {
     "q180_kn_perplexity" -> q180_kn_perplexity _,
     "q181_graph_centrality" -> q181_graph_centrality _,
     "q182_bpe_fit" -> q182_bpe_fit _,
+    "q183_span_corrupt" -> q183_span_corrupt _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6763,6 +6781,46 @@ object SparkEntry {
     // the same exact pair graph, window-ordered neighbor folds, and
     // interpolated damping literals.
     "q181_graph_centrality" -> graphRankSql(5, 0.85, 0.3),
+    // q183 replays the span-corruption arithmetic over list
+    // comprehensions: same windows, md5-hex offsets, sentinel numbering,
+    // final-sentinel close, md5-pinned rebuilt texts.
+    "q183_span_corrupt" -> {
+      def winSize(w: String) = s"least(20, n - ($w) * 20)"
+      def spanStart(w: String) =
+        s"(($w) * 20 + ('0x' || substr(md5(doc_id || '_' || ($w)), 1, 6))" +
+          s"::BIGINT % (${winSize(w)} - 2))"
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS tk
+         |  FROM documents),
+         |base AS (SELECT doc_id, tk, len(tk) AS n FROM tok),
+         |sp AS (SELECT doc_id, tk, n,
+         |  [w for w in range(0, (n + 19) // 20)
+         |   if ${winSize("w")} >= 3] AS mws FROM base),
+         |inp AS (SELECT doc_id, tk, n, mws,
+         |  list_filter([
+         |    CASE WHEN ${winSize("i//20")} < 3 THEN tk[i+1]
+         |         WHEN i = ${spanStart("i//20")}
+         |           THEN '<extra_id_' || (i//20) || '>'
+         |         WHEN i > ${spanStart("i//20")}
+         |           AND i < ${spanStart("i//20")} + 3 THEN NULL
+         |         ELSE tk[i+1] END
+         |    for i in range(0, n)], x -> x IS NOT NULL) AS itoks
+         |  FROM sp),
+         |t AS (SELECT doc_id, n, len(mws) AS nspans, itoks,
+         |  flatten([['<extra_id_' || w || '>'] ||
+         |           tk[${spanStart("w")}+1 : ${spanStart("w")}+3]
+         |           for w in mws]) ||
+         |    ['<extra_id_' || len(mws) || '>'] AS ttoks
+         |  FROM inp)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(nspans AS BIGINT) AS n_spans,
+         |  CAST(len(itoks) AS BIGINT) AS n_input_tokens,
+         |  md5(coalesce(array_to_string(itoks, ' '), '')) AS input_fp,
+         |  md5(array_to_string(ttoks, ' ')) AS target_fp
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
     // q182 replays the q177 layers (word carried through), reads the
     // final layer as the segmented vocabulary, and recomputes the
     // per-language fit ratios from exact BIGINT sums.

@@ -160,6 +160,71 @@ object Tokenize {
   }
 
   /**
+   * Deterministic T5-style span corruption (Raffel et al. 2020 §3.1.4 —
+   * the denoising pretraining objective's DATA-PREP side: replace token
+   * spans with numbered sentinels, emit the masked spans as the target).
+   * The paper corrupts 15% of tokens in mean-length-3 spans with an RNG;
+   * the reproducible-at-scale form here masks one `spanLen` span per
+   * `windowTokens` window (3/20 = the same 15%) at an md5-derived offset
+   * — same row → same mask on any cluster, any partition order, any
+   * rerun (the [[Curate.sampleKey]] posture), with `salt` to redraw.
+   * Windows shorter than `spanLen` (the doc tail) are left unmasked.
+   *
+   * Output per document: `input_text` (tokens with span w replaced by
+   * `<extra_id_w>`), `target_text` (each sentinel + its masked tokens,
+   * closed by the final sentinel, T5's format), plus token/span counts.
+   * Sentinel ids are window indices, so they are consecutive whether or
+   * not the tail window masks. Empty docs emit an empty input and the
+   * bare closing sentinel.
+   *
+   * Scale shape: pure per-row column expressions over one bound token
+   * array — zero shuffle, zero state, linear scan at any corpus size.
+   */
+  def spanCorrupt(docs: DataFrame, textCol: String, idCol: String,
+                  windowTokens: Int = 20, spanLen: Int = 3,
+                  salt: String = ""): DataFrame = {
+    require(windowTokens > spanLen && spanLen >= 1,
+      s"need windowTokens > spanLen >= 1, got $windowTokens/$spanLen")
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val W = lit(windowTokens)
+    val L = lit(spanLen)
+    def wsize(w: Column) = least(W, n - w * W)
+    def sstart(w: Column) = w * W + pmod(
+      conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
+        w.cast("string"), lit(salt))), 1, 6), 16, 10).cast("int"),
+      wsize(w) - L + 1)
+    def sentinel(k: Column) =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def tokAt(i: Column) = element_at(toks, i + 1)
+    // guard: Spark's sequence(0, -1) counts DOWN, so empty docs need an
+    // explicit empty index range
+    def idxTo(hi: Column) = when(hi <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), hi - 1))
+
+    val inputToks = filter(transform(idxTo(n), i => {
+      val w = (i / W).cast("int")
+      val s = sstart(w)
+      when(wsize(w) < L, tokAt(i))
+        .when(i === s, sentinel(w))
+        .when(i > s && i < s + L, lit(null).cast("string"))
+        .otherwise(tokAt(i))
+    }), x => x.isNotNull)
+    val nWin = ((n + lit(windowTokens - 1)) / W).cast("int")
+    val maskedWins = filter(idxTo(nWin), w => wsize(w) >= L)
+    val targetToks = concat(
+      flatten(transform(maskedWins, w =>
+        concat(array(sentinel(w)), slice(toks, sstart(w) + 1, L)))),
+      array(sentinel(size(maskedWins))))
+
+    docs.select(col(idCol), n.cast("long").as("n_tokens"),
+      size(maskedWins).cast("long").as("n_spans"),
+      size(inputToks).cast("long").as("n_input_tokens"),
+      array_join(inputToks, " ").as("input_text"),
+      array_join(targetToks, " ").as("target_text"))
+  }
+
+  /**
    * Segment `word` (a single whitespace-free token) with an already
    * learned merge table, applied in merge order — the ENCODE side of BPE
    * (training-time segmentation of new text with a frozen vocabulary).

@@ -170,6 +170,62 @@ class TokenizeSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt: sentinel round-trip reconstructs the original text; " +
+      "the mask rate is exactly spanLen per full window; edges hold") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(183)
+    val docs = (0L until 40L).map { i =>
+      // lengths straddle every window edge: 0, 1, 2 (sub-span), 3, 19,
+      // 20, 21, 22, 23 and longer multi-window docs
+      val n = Seq(0, 1, 2, 3, 19, 20, 21, 22, 23, 45, 60, 61)(
+        (i % 12).toInt)
+      (i, (0 until n).map(j => s"w${i}x$j").mkString(" "))
+    }
+    val out = Tokenize.spanCorrupt(docs.toDF("id", "text"), "text", "id")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    val sent = "<extra_id_(\\d+)>".r
+    docs.foreach { case (id, text) =>
+      val (nTok, nSpans, nInp, input, target) = out(id)
+      val orig = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(nTok == orig.size, s"doc $id")
+      // masked token count is exactly spanLen per masked window
+      assert(nTok - (nInp - nSpans) == 3 * nSpans, s"doc $id")
+      // parse the target into sentinel → span map; final sentinel closes
+      val tToks = target.split(" ").toSeq
+      assert(tToks.last == s"<extra_id_$nSpans>", s"doc $id: $target")
+      val spans = scala.collection.mutable.Map.empty[Int, Seq[String]]
+      var cur = -1
+      tToks.dropRight(1).foreach {
+        case sent(k) => cur = k.toInt; spans(cur) = Nil
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.values.forall(_.size == 3), s"doc $id: $spans")
+      // the round-trip invariant: substituting each sentinel with its
+      // span rebuilds the original token stream exactly
+      val rebuilt = (if (input.isEmpty) Seq.empty[String]
+        else input.split(" ").toSeq).flatMap {
+        case sent(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      assert(rebuilt == orig, s"doc $id: $rebuilt vs $orig")
+      // sub-span docs (n < 3) mask nothing
+      if (orig.size < 3) assert(nSpans == 0, s"doc $id")
+    }
+    // empty doc: empty input, bare closing sentinel
+    assert(out(0L)._4 == "" && out(0L)._5 == "<extra_id_0>")
+    // salt redraws the offsets; same rows, different masks somewhere
+    val salted = Tokenize.spanCorrupt(docs.toDF("id", "text"), "text", "id",
+        salt = "s").collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(docs.exists { case (id, _) => salted(id) != out(id)._4 })
+    // partition-order-free
+    val rep = Tokenize.spanCorrupt(docs.toDF("id", "text").repartition(7),
+        "text", "id").collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(rep == out.map { case (k, v) => k -> v._4 })
+  }
+
   test("minPairCount stops learning early; result is partition-order-free") {
     val corpus = Seq("ab ab ab", "cd cd", "ef")
     // pairs: (a,b)=3, (c,d)=2, (e,f)=1 → at minCount 2 only two merges
