@@ -82,7 +82,8 @@ object Bench {
     "q172_d4_pipeline", "q173_ccnet_buckets", "q174_unimax_materialize",
     "q175_compression_signal", "q176_margin_mine", "q177_bpe_merges",
     "q178_weighted_sample", "q179_kcenter_coreset", "q180_kn_perplexity",
-    "q181_graph_centrality", "q182_bpe_fit", "q183_span_corrupt")
+    "q181_graph_centrality", "q182_bpe_fit", "q183_span_corrupt",
+    "q184_blocklist_filter")
 
   private val RUNS = 5
 

@@ -3854,6 +3854,23 @@ object SparkEntry {
         md5(col("target_text")).as("target_fp"))
       .orderBy(col("doc_id"))
 
+  /** C4 blocklist page filter ([[TextFunctions.blocklistHits]] /
+    * `blocklistKeep` — Raffel et al. 2020 §2.2's remaining member next
+    * to q167's structural rules: drop pages containing blocklisted
+    * words; the list is policy content and arrives as a parameter, so
+    * the fixture uses corpus-present neutral words exercising both
+    * branches — 'dup' occurs in the planted near-dup mutations,
+    * 'casino' never occurs). FULL DuckDB oracle via the same distinct
+    * token-set intersection. */
+  private def q184_blocklist_filter(s: SparkSession, dir: String): DataFrame = {
+    val bl = Seq("dup", "casino")
+    parallelize(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.blocklistHits(col("text"), bl).cast("long").as("n_bad"),
+        TextFunctions.blocklistKeep(col("text"), bl).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4231,6 +4248,7 @@ object SparkEntry {
     "q181_graph_centrality" -> q181_graph_centrality _,
     "q182_bpe_fit" -> q182_bpe_fit _,
     "q183_span_corrupt" -> q183_span_corrupt _,
+    "q184_blocklist_filter" -> q184_blocklist_filter _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6777,6 +6795,19 @@ object SparkEntry {
          |  a.cross_entropy, a.perplexity
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q184 recomputes the blocklist decision via the same distinct
+    // token-set intersection (both engines' intersect dedups; only the
+    // SIZE is compared — DuckDB's result order differs).
+    "q184_blocklist_filter" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN trim(coalesce(text, '')) = ''
+         |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  len(list_intersect(w, ['dup', 'casino']))::BIGINT AS n_bad,
+         |  len(list_intersect(w, ['dup', 'casino'])) = 0 AS keep
+         |FROM tok ORDER BY doc_id""".stripMargin,
     // q181 recomputes power-iteration centrality with 5 unrolled layers:
     // the same exact pair graph, window-ordered neighbor folds, and
     // interpolated damping literals.

@@ -511,6 +511,28 @@ object TextFunctions {
   def c4Keep(text: Column, bounds: C4Bounds = C4Bounds()): Column =
     bindOnce(c4Stats(text, bounds))(c4KeepFromStats(_, bounds.minSentences))
 
+  /** C4's blocklist page filter (Raffel et al. 2020 §2.2 — the published
+    * pipeline's remaining member next to [[c4Stats]]'s structural rules
+    * and q100's span dedup: drop any page containing a word from a
+    * blocklist; the paper uses the "List of Dirty, Naughty, Obscene or
+    * Otherwise Bad Words"). The list is policy/locale content, so it
+    * arrives as a PARAMETER (lowercased + deduplicated here; match is on
+    * whole whitespace tokens, the paper's word-boundary semantics) —
+    * this library ships the mechanism, not the wordlist. Returns the
+    * count of DISTINCT blocklisted words present; [[blocklistKeep]] is
+    * the page decision. One bounded per-row set intersection — zero
+    * shuffle; at production list sizes the literal array is a per-task
+    * constant. */
+  def blocklistHits(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklist must be non-empty")
+    val words = blocklist.map(_.toLowerCase).distinct
+    size(array_intersect(tokens(text), array(words.map(lit): _*)))
+  }
+
+  /** True iff no blocklisted word occurs in `text` ([[blocklistHits]]). */
+  def blocklistKeep(text: Column, blocklist: Seq[String]): Column =
+    blocklistHits(text, blocklist) === 0
+
   // --- PII redaction ----------------------------------------------------
   // Patterns restricted to the syntax subset where Java regex (Spark) and
   // RE2 (DuckDB, used by the oracle) agree exactly: character classes,

@@ -282,4 +282,25 @@ class TextFunctionsSpec extends SparkSpec {
           r.getStruct(0).getString(2) == "" && !r.getBoolean(1), r.toString)
       }
   }
+
+  test("blocklistHits counts DISTINCT blocklisted tokens, whole-word and " +
+      "case-insensitive; blocklistKeep is the page decision") {
+    val bl = Seq("Bad", "worse", "bad") // mixed case + duplicate entry
+    val rows = Seq(
+      (1L, "clean text only"),            // 0 hits
+      (2L, "bad bad bad"),                // repeated word counts once
+      (3L, "BAD and Worse together"),     // case-insensitive, 2 distinct
+      (4L, "badge embedded notbad"),      // substrings do NOT match
+      (5L, ""), (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val got = rows.select($"id",
+        blocklistHits($"text", bl).as("n"),
+        blocklistKeep($"text", bl).as("k"))
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(1L -> ((0, true)), 2L -> ((1, false)),
+      3L -> ((2, false)), 4L -> ((0, true)), 5L -> ((0, true)),
+      6L -> ((0, true))), got.toString)
+    intercept[IllegalArgumentException](blocklistHits($"text", Nil))
+  }
 }
