@@ -4519,6 +4519,12 @@ object SparkEntry {
     * later layer through its CROSS JOIN, exactly like the trainer's
     * break. */
   private def bpeLayersSql(k: Int, minCnt: Long): String = {
+    // early-stop robustness (review fix): when b_i is empty (no pair
+    // reaches minCnt), s_i CARRIES s_{i-1} forward via LEFT JOIN ON TRUE
+    // instead of emptying through a CROSS JOIN — every later b_j stays
+    // empty (same counts, same filter), so q177's merge table still ends
+    // early, while q182's segmentation carry (the final s_k) matches the
+    // early-stopped trainer instead of silently vanishing.
     val layers = (1 to k).map { i =>
       s"""p$i AS (SELECT pr.l AS lhs, pr.r AS rhs, sum(freq)::BIGINT AS cnt
          |  FROM (SELECT freq,
@@ -4530,11 +4536,12 @@ object SparkEntry {
          |b$i AS (SELECT lhs, rhs, cnt FROM p$i WHERE cnt >= $minCnt
          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
          |s$i AS (SELECT word, freq,
-         |  array_to_string(list_filter(string_split_regex(
-         |    replace(' ' || seg || ' ', ' ' || b.lhs || '  ' || b.rhs || ' ',
-         |            ' ' || b.lhs || b.rhs || ' '), ' +'), x -> x <> ''),
-         |    '  ') AS seg
-         |  FROM s${i - 1} CROSS JOIN b$i b)""".stripMargin
+         |  CASE WHEN b.lhs IS NULL THEN seg ELSE
+         |    array_to_string(list_filter(string_split_regex(
+         |      replace(' ' || seg || ' ', ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |              ' ' || b.lhs || b.rhs || ' '), ' +'), x -> x <> ''),
+         |      '  ') END AS seg
+         |  FROM s${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     s"""wds AS (SELECT word, count(*)::BIGINT AS freq
        |  FROM (SELECT unnest($toksSql) AS word FROM documents)

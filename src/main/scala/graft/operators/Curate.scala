@@ -30,6 +30,20 @@ object Curate {
   def sampleKey(id: Column): Column =
     substring(md5(id.cast("string")), 1, 8)
 
+  /** First `digits` md5 hex digits of `key` as a BIGINT — the exact
+    * dyadic integer every md5-derived NUMERIC draw builds on (the
+    * [[sampleKey]] posture, numeric form): both engines rebuild the
+    * identical integer (`conv(hex,16,10)` ↔ `('0x'||hex)::UBIGINT`), so
+    * uniforms ((v+0.5)/2^4d) and modular offsets (v % m) are
+    * bit-identical anywhere. ONE definition for [[weightedSample]]'s
+    * ln-key u and [[graft.operators.Tokenize.spanCorrupt]]'s window
+    * offsets — the parity-critical arithmetic must not fork per call
+    * site. `digits` ≤ 15 so the value fits a long exactly. */
+  private[graft] def md5PrefixLong(key: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, s"digits must be in [1,15]: $digits")
+    conv(substring(md5(key), 1, digits), 16, 10).cast("bigint")
+  }
+
   /** Threshold for a sampling rate: 8 hex chars floor(rate * 2^32) for
     * rate < 1, and `"g"` — which sorts lexicographically above every hex
     * key — for rate >= 1. The strict-`<` filter therefore keeps *all* rows
@@ -72,9 +86,8 @@ object Curate {
                      k: Int, salt: String = ""): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = col(weightCol).cast("double")
-    val u = (conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
-      1, 12), 16, 10).cast("bigint").cast("double") + 0.5) /
-      lit(281474976710656.0) // 2^48
+    val u = (md5PrefixLong(concat(col(idCol).cast("string"), lit(salt)), 12)
+      .cast("double") + 0.5) / lit(281474976710656.0) // 2^48
     df.filter(w.isNotNull && w > 0.0)
       .withColumn("es_key", round(log(u) / w, 9))
       .orderBy(col("es_key").desc, col(idCol))
@@ -864,10 +877,13 @@ object Curate {
    * prior picks); at 100 TB pick batches of b per round (the standard
    * batched-greedy relaxation) to amortize scans.
    *
-   * Returns the k selected rows in pick order: (`center_rank` 1-based,
+   * Returns the selected rows in pick order: (`center_rank` 1-based,
    * idCol, `sep_dist` = the row's min distance to all EARLIER centers at
    * selection time — the k-center objective trace, NULL for the seed;
-   * monotonically non-increasing by construction).
+   * monotonically non-increasing by construction). Returns FEWER than k
+   * rows when coverage completes first (the max min-distance hits 0 —
+   * k exceeds the distinct-vector count): the list is duplicate-free by
+   * contract, never padded with re-picked centers.
    */
   def kCenterGreedy(df: DataFrame, vecCol: String, idCol: String,
                     k: Int): DataFrame = {
@@ -896,21 +912,30 @@ object Curate {
       all.reduceLeft(least(_, _))
     }
     var rank = 2
-    while (rank <= k) {
+    var covered = false
+    while (rank <= k && !covered) {
       val far = cur.select(col("__id"), col("__v"), effMd.as("__emd"))
         .orderBy(col("__emd").desc, col("__id")).limit(1).collect()(0)
-      picks += ((rank, far.get(0), Some(far.getDouble(2))))
-      pending ::= far.getSeq[Double](1)
-      if (pending.size >= foldEvery && rank < k) {
-        val folded = OpCache.track(cur
-          .select(col("__id"), col("__v"), effMd.as("__md")).persist())
-        folded.count()
-        cur.unpersist(blocking = false)
-        cur = folded
-        pending = Nil
-        hasFolded = true
+      // the MAX min-distance hitting 0 means every row coincides with a
+      // center (k exceeds the distinct-vector count): coverage is
+      // complete, and continuing would re-pick the min-id seed forever —
+      // stop and return the shorter, duplicate-free list instead
+      if (far.getDouble(2) <= 0.0) {
+        covered = true
+      } else {
+        picks += ((rank, far.get(0), Some(far.getDouble(2))))
+        pending ::= far.getSeq[Double](1)
+        if (pending.size >= foldEvery && rank < k) {
+          val folded = OpCache.track(cur
+            .select(col("__id"), col("__v"), effMd.as("__md")).persist())
+          folded.count()
+          cur.unpersist(blocking = false)
+          cur = folded
+          pending = Nil
+          hasFolded = true
+        }
+        rank += 1
       }
-      rank += 1
     }
     cur.unpersist(blocking = false)
 

@@ -191,8 +191,8 @@ object Tokenize {
     val L = lit(spanLen)
     def wsize(w: Column) = least(W, n - w * W)
     def sstart(w: Column) = w * W + pmod(
-      conv(substring(md5(concat(col(idCol).cast("string"), lit("_"),
-        w.cast("string"), lit(salt))), 1, 6), 16, 10).cast("int"),
+      Curate.md5PrefixLong(concat(col(idCol).cast("string"), lit("_"),
+        w.cast("string"), lit(salt)), 6).cast("int"),
       wsize(w) - L + 1)
     def sentinel(k: Column) =
       concat(lit("<extra_id_"), k.cast("string"), lit(">"))

@@ -1018,5 +1018,14 @@ class CurateSpec extends SparkSpec {
     // k=1 is just the min-id seed with a NULL trace
     val one = Curate.kCenterGreedy(df, "v", "id", k = 1).collect()
     assert(one.length == 1 && one(0).getLong(1) == 0L && one(0).isNullAt(2))
+    // coverage stop (review fix): k beyond the distinct-vector count
+    // returns a SHORTER duplicate-free list, never re-picked centers —
+    // 5 rows carrying only 3 distinct vectors support exactly 3 centers
+    val dup = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 0.0)), (4L, Seq(-1.0, 0.5)), (5L, Seq(0.0, 1.0)))
+      .toDF("id", "v")
+    val cov = Curate.kCenterGreedy(dup, "v", "id", k = 8).collect()
+    assert(cov.length == 3, cov.mkString(","))
+    assert(cov.map(_.getLong(1)).distinct.length == 3)
   }
 }
