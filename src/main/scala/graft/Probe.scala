@@ -154,6 +154,13 @@ object Probe {
       case Some("kcenter") =>
         kCenterRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
+      case Some("knppl") => knPplRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k_bigvocab.parquet",
+          "/tmp/graft_scale/documents_500k_bigvocab.parquet"))
+      case Some("centrality") =>
+        centralityRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
+          else Seq(50000L, 500000L))
       case Some("semdecon") =>
         semDeconRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
@@ -982,6 +989,63 @@ object Probe {
         graft.operators.Curate.kCenterGreedy(emb, "embedding", "id", 4))
       measure(s"kcenter n=$n (k=8)")(
         graft.operators.Curate.kCenterGreedy(emb, "embedding", "id", 8))
+      OpCache.release()
+    }
+    spark.stop()
+  }
+
+  /** Kneser–Ney vs add-one perplexity decade pricing (round 17; q180's
+    * oracle gate runs at fixture scale): both smoothers over the
+    * 50k/500k big-vocab corpora against the en reference slice,
+    * broadcast off (the model joins take their sort-merge shape). The
+    * claim: KN's two extra vocab-bounded model tables (context totals +
+    * distinct continuations, distinct contexts) and one extra scoring
+    * join price at a constant factor over q103's add-one shape, both
+    * linear across the decade — text never shuffles in either. */
+  private def knPplRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    for (p <- paths) {
+      val docs = spark.read.parquet(p).repartition(32)
+      val ref = docs.filter(col("lang") === "en")
+      measure(s"warmup ppl $p")(
+        TextProfile.bigramPerplexity(docs, ref, "text", "doc_id"))
+      measure(s"add-one bigram ppl $p")(
+        TextProfile.bigramPerplexity(docs, ref, "text", "doc_id"))
+      measure(s"kneser-ney bigram ppl $p")(
+        TextProfile.knBigramPerplexity(docs, ref, "text", "doc_id"))
+      OpCache.release()
+    }
+    spark.stop()
+  }
+
+  /** Graph-centrality decade pricing (round 17; q181's oracle gate runs
+    * at 500/2000 fixture nodes): [[graft.operators.Rank.graphRank]] over
+    * synthetic graphs with ~8 hash-derived neighbors per node at
+    * 50k/500k nodes, broadcast off. The claim: each of the 5 rounds is
+    * one id-keyed equi-join of the normalized edge frame with the n-row
+    * rank frame plus one neighbor-ordered window — cost linear in |E|,
+    * no payload beyond (id, id, double) anywhere. */
+  private def centralityRun(sizes: Seq[Long]): Unit = {
+    val spark = session()
+    val tmp = java.nio.file.Files.createTempDirectory("centrality").toString
+    for (n <- sizes) {
+      val deg = 8
+      spark.range(n).select(col("id"),
+          explode(sequence(lit(0), lit(deg - 1))).as("j"))
+        .select(col("id").as("a"),
+          pmod(xxhash64(col("id"), col("j")), lit(n)).as("b"),
+          round((pmod(xxhash64(col("j"), col("id")), lit(1000)) + 1) /
+            lit(1000.0), 6).as("w"))
+        .filter(col("a") =!= col("b"))
+        .repartition(32).write.mode("overwrite").parquet(s"$tmp/edges_$n")
+      val edges = spark.read.parquet(s"$tmp/edges_$n")
+      val nodes = spark.range(n).select(col("id").as("nid"))
+      measure(s"warmup centrality n=$n")(
+        graft.operators.Rank.graphRank(nodes, "nid", edges,
+          "a", "b", "w", iters = 2))
+      measure(s"centrality n=$n (deg ~$deg, 5 iters)")(
+        graft.operators.Rank.graphRank(nodes, "nid", edges,
+          "a", "b", "w", iters = 5))
       OpCache.release()
     }
     spark.stop()
