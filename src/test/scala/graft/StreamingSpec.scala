@@ -742,6 +742,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span corruption and blocklist decisions equal the " +
+      "batch pass per document") {
+    // both are stateless per-row expressions (md5-offset masks, token-set
+    // intersection): an arriving stream must emit bit-identical
+    // input/target pairs and keep flags to the batch formulation — the
+    // property that lets denoising data prep and page filtering run at
+    // ingest instead of in a nightly sweep
+    implicit val sqlCtx = spark.sqlContext
+    val bl = Seq("beta")
+    val input = MemoryStream[(Long, String)]
+    val base = input.toDF().toDF("id", "text")
+    val q1 = graft.operators.Tokenize.spanCorrupt(base, "text", "id")
+      .writeStream.format("memory").queryName("corrupt_out")
+      .outputMode("append").start()
+    val q2 = base.select($"id", graft.functions.TextFunctions
+        .blocklistKeep($"text", bl).as("keep"))
+      .writeStream.format("memory").queryName("blkeep_out")
+      .outputMode("append").start()
+    try {
+      val docs = (1L to 30L).map(i =>
+        (i, (0 until (i * 7 % 50).toInt).map(j => s"t${i}x$j").mkString(" ")))
+      val withBad = docs :+ (31L, "alpha beta gamma")
+      input.addData(withBad.take(15): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData(withBad.drop(15): _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val streamed = spark.sql(
+          "SELECT id, input_text, target_text FROM corrupt_out")
+        .as[(Long, String, String)].collect().toSet
+      val batchDf = withBad.toDF("id", "text")
+      val batch = graft.operators.Tokenize.spanCorrupt(batchDf, "text", "id")
+        .select($"id", $"input_text", $"target_text")
+        .as[(Long, String, String)].collect().toSet
+      assert(streamed == batch)
+      val keeps = spark.sql("SELECT id, keep FROM blkeep_out")
+        .as[(Long, Boolean)].collect().toMap
+      val batchKeeps = batchDf.select($"id", graft.functions.TextFunctions
+          .blocklistKeep($"text", bl).as("keep"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(keeps == batchKeeps)
+      assert(!keeps(31L), "the blocklisted doc must be flagged")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("ParquetBoundary: write side feeds both batch and streaming readers") {
     val dir = java.nio.file.Files.createTempDirectory("boundary").toString
     val b = new ParquetBoundary(s"$dir/stage")
