@@ -3871,6 +3871,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking duplicate-block report ([[operators.Dedup
+    * .cdcDuplicateChunks]] — LBFS 2001 / the FastCDC base form; the
+    * block-level dedup tier whose boundaries RESYNC after insertions,
+    * where q100/q121's grids mis-align and q168 needs newline
+    * structure): every ~64-char content-defined block occurring ≥ 2×
+    * corpus-wide, with occurrence/document counts. FULL DuckDB oracle —
+    * the same normalized text, md5-window cut rule, bounds assembly,
+    * and chunk fingerprints via list comprehensions. */
+  private def q185_cdc_chunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcDuplicateChunks(parallelize(t(s, dir, "documents")),
+        "text", "doc_id")
+      .orderBy(col("n_occ").desc, col("chunk_fp"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4249,6 +4262,7 @@ object SparkEntry {
     "q182_bpe_fit" -> q182_bpe_fit _,
     "q183_span_corrupt" -> q183_span_corrupt _,
     "q184_blocklist_filter" -> q184_blocklist_filter _,
+    "q185_cdc_chunks" -> q185_cdc_chunks _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6815,6 +6829,26 @@ object SparkEntry {
          |  len(list_intersect(w, ['dup', 'casino']))::BIGINT AS n_bad,
          |  len(list_intersect(w, ['dup', 'casino'])) = 0 AS keep
          |FROM tok ORDER BY doc_id""".stripMargin,
+    // q185 replays the CDC cut rule over list comprehensions: same
+    // normalized text, md5-window boundary test (hex prefix mod 64),
+    // [0 ∪ cuts ∪ n] bounds, chunk fingerprints, and the ≥2 report.
+    "q185_cdc_chunks" ->
+      s"""WITH nt AS (SELECT doc_id, $normSql AS t FROM documents),
+         |b AS (SELECT doc_id, t, len(t) AS n,
+         |  [i for i in range(16, len(t))
+         |   if ('0x' || substr(md5(t[i-15:i]), 1, 4))::INT % 64 = 0] AS cuts
+         |  FROM nt),
+         |ch AS (SELECT doc_id,
+         |  unnest([{'fp': md5(t[bounds[j]+1:bounds[j+1]]),
+         |           'ln': bounds[j+1]-bounds[j]}
+         |          for j in range(1, len(bounds))]) AS c
+         |  FROM (SELECT doc_id, t, ([0] || cuts || [n]) AS bounds
+         |        FROM b WHERE n > 0))
+         |SELECT c.fp AS chunk_fp, count(*)::BIGINT AS n_occ,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  min(c.ln)::BIGINT AS chunk_len
+         |FROM ch GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY n_occ DESC, chunk_fp""".stripMargin,
     // q181 recomputes power-iteration centrality with 5 unrolled layers:
     // the same exact pair graph, window-ordered neighbor folds, and
     // interpolated damping literals.

@@ -1525,4 +1525,77 @@ object Dedup {
         size(toksCol).cast("long").as("n_tokens"),
         size(col("__kept")).cast("long").as("n_kept"))
   }
+
+  /**
+   * Content-defined chunking (LBFS, Muthitacharoen et al. SOSP 2001;
+   * the FastCDC family's base form): cut the normalized text AFTER every
+   * position whose trailing `window`-char fingerprint is ≡ 0 mod
+   * 2^maskBits — boundaries depend on CONTENT, not offsets, so an
+   * insertion shifts only the chunks it touches and every later chunk
+   * re-synchronizes. The block-level dedup tier the fixed tiers can't
+   * express: q100/q121's span grids mis-align after one inserted word,
+   * and q168's natural boundaries need newline structure; CDC catches
+   * shared blocks in structure-free text at ~2^maskBits-char
+   * granularity with ONE key per chunk instead of one per stride-1
+   * window. Expected chunk length = 2^maskBits chars; the min/max
+   * chunk-length refinements of FastCDC are deliberately absent (they
+   * make the cut decision sequential in the previous cut — this is the
+   * pure parallel form; tiny chunks are possible and harmless, they
+   * just add keys).
+   *
+   * The per-position fingerprint is md5 of the trailing window — the
+   * oracle-portable surrogate (q52's discipline) of a true rolling
+   * hash; a 100 TB run swaps in the native [[graft.functions.expressions
+   * .GraftExpressions]] RollingHash for the same cut set shape at
+   * O(1)/position. Returns one row per chunk: (idCol, `chunk_idx`
+   * 0-based, `chunk_fp` = md5 of the chunk text, `chunk_len` chars).
+   * Only fingerprints and lengths leave the scan — chunk TEXT never
+   * shuffles. Empty docs emit no chunks.
+   */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                window: Int = 16, maskBits: Int = 6): DataFrame = {
+    require(window >= 4 && window <= 64, s"window in [4,64], got $window")
+    require(maskBits >= 1 && maskBits <= 16,
+      s"maskBits in [1,16], got $maskBits")
+    val t = concat_ws(" ", tokens(col(textCol)))
+    val n = length(t)
+    val mod = lit(1 << maskBits)
+    // candidate cut AFTER char i (1-based), i ∈ [window, n-1]: never at
+    // the end (an end cut would mint an empty final chunk)
+    val cuts = filter(
+      when(n <= lit(window), array().cast("array<int>"))
+        .otherwise(sequence(lit(window), n - 1)),
+      i => pmod(Curate.md5PrefixLong(
+        t.substr(i - lit(window - 1), lit(window)), 4), mod) === 0)
+    val bounds = concat(array(lit(0)), cuts, array(n))
+    val chunks = filter(
+      transform(sequence(lit(1), size(bounds) - 1), j => {
+        val lo = element_at(bounds, j)
+        val hi = element_at(bounds, j + 1)
+        struct((j - 1).cast("long").as("chunk_idx"),
+          md5(t.substr(lo + 1, hi - lo)).as("chunk_fp"),
+          (hi - lo).cast("long").as("chunk_len"))
+      }),
+      c => c.getField("chunk_len") > 0)
+    df.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_fp"),
+        col("__c.chunk_len"))
+  }
+
+  /**
+   * Corpus-wide duplicate-block report over [[cdcChunks]]: every chunk
+   * fingerprint occurring ≥ `minOcc` times, with occurrence and
+   * distinct-document counts — the detection face of block-level dedup
+   * (strip/dedup decisions join back on `chunk_fp`). One hash shuffle
+   * of (fp, id, len) triples; text never moves.
+   */
+  def cdcDuplicateChunks(df: DataFrame, textCol: String, idCol: String,
+                         window: Int = 16, maskBits: Int = 6,
+                         minOcc: Long = 2L): DataFrame =
+    cdcChunks(df, textCol, idCol, window, maskBits)
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_occ") >= minOcc)
 }

@@ -861,4 +861,67 @@ class DedupSpec extends SparkSpec {
     assert(keptAll == Set(1L, 2L, 3L, 4L, 5L), s"got $keptAll")
     OpCache.release()
   }
+
+  test("cdcChunks matches a naive reference, reconstructs each doc's " +
+      "length, and resyncs chunk boundaries after an insertion") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naive(text: String, w: Int = 16, mask: Int = 64)
+        : Seq[(Long, String, Long)] = {
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      val n = t.length
+      if (n == 0) return Nil
+      val cuts = (w until n).filter(i =>
+        Integer.parseInt(md5hex(t.substring(i - w, i)).take(4), 16)
+          % mask == 0)
+      val bounds = 0 +: cuts :+ n
+      bounds.sliding(2).zipWithIndex.map { case (Seq(lo, hi), j) =>
+        (j.toLong, md5hex(t.substring(lo, hi)), (hi - lo).toLong)
+      }.toSeq
+    }
+    val rnd = new scala.util.Random(185)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def prose(k: Int) =
+      (0 until k).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val docA = prose(300)
+    // docB inserts a phrase near the front: content-defined boundaries
+    // must RESYNC, so the tail chunks match docA's exactly
+    val docB = docA.split(" ").take(10).mkString(" ") +
+      " wholly new inserted material here " +
+      docA.split(" ").drop(10).mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = graft.operators.Dedup.cdcChunks(docs, "text", "id")
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    // exact naive equality per doc (index, fingerprint, length)
+    assert(got.getOrElse(1L, Nil) == naive(docA))
+    assert(got.getOrElse(2L, Nil) == naive(docB))
+    assert(!got.contains(3L) && !got.contains(4L),
+      "empty/null docs emit no chunks")
+    // reconstruction: chunk lengths cover the normalized text exactly
+    val normLen = docA.split("\\s+").filter(_.nonEmpty).mkString(" ").length
+    assert(got(1L).map(_._3).sum == normLen)
+    // resync: the bulk of docA's chunks survive the insertion verbatim
+    val fpsA = got(1L).map(_._2)
+    val shared = fpsA.toSet.intersect(got(2L).map(_._2).toSet)
+    assert(shared.size >= fpsA.toSet.size / 2,
+      s"only ${shared.size} of ${fpsA.toSet.size} chunks resynced")
+    // and a fixed grid of the same granularity would NOT: offset every
+    // position by the insertion and alignment is lost from chunk one
+    val gridA = docA.grouped(64).map(md5hex).toSet
+    val gridB = docB.grouped(64).map(md5hex).toSet
+    assert(gridA.intersect(gridB).size < shared.size,
+      "CDC must beat the fixed grid after an insertion")
+    // partition-order-free
+    val rep = graft.operators.Dedup.cdcChunks(docs.repartition(5),
+        "text", "id")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(rep == graft.operators.Dedup.cdcChunks(docs, "text", "id")
+      .as[(Long, Long, String, Long)].collect().toSet)
+  }
 }
