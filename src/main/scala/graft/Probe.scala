@@ -161,6 +161,10 @@ object Probe {
       case Some("centrality") =>
         centralityRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
+      case Some("cdc") => cdcRun(
+        if (args.length > 1) args.drop(1).toSeq
+        else Seq("/tmp/graft_scale/documents_50k.parquet",
+          "/tmp/graft_scale/documents_500k.parquet"))
       case Some("semdecon") =>
         semDeconRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
@@ -1046,6 +1050,30 @@ object Probe {
       measure(s"centrality n=$n (deg ~$deg, 5 iters)")(
         graft.operators.Rank.graphRank(nodes, "nid", edges,
           "a", "b", "w", iters = 5))
+      OpCache.release()
+    }
+    spark.stop()
+  }
+
+  /** Content-defined-chunking decade pricing (round 17; q185's oracle
+    * gate runs at fixture scale): [[graft.operators.Dedup
+    * .cdcDuplicateChunks]] over the 50k/500k corpora. The claim: chunk
+    * text dies at the scan — the one shuffle moves (fp, id, len)
+    * triples, ~1 per 64 chars, so bytes grow linearly with corpus TEXT
+    * and sit ~5-10× below q168's per-LINE keys and far below q121's
+    * per-position stride-1 spans. The md5-per-position window hash is
+    * the scan-stage cost to watch (the production swap is the native
+    * rolling hash). */
+  private def cdcRun(paths: Seq[String]): Unit = {
+    val spark = session()
+    for (p <- paths) {
+      val docs = spark.read.parquet(p)
+      measure(s"warmup cdc $p")(
+        Dedup.cdcDuplicateChunks(docs, "text", "doc_id", nativeHash = true))
+      measure(s"cdc md5-window face $p")(
+        Dedup.cdcDuplicateChunks(docs, "text", "doc_id"))
+      measure(s"cdc native rolling face $p")(
+        Dedup.cdcDuplicateChunks(docs, "text", "doc_id", nativeHash = true))
       OpCache.release()
     }
     spark.stop()

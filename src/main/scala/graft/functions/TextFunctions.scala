@@ -163,7 +163,13 @@ object TextFunctions {
     * `array_sort(grams)` silently re-tokenizes and re-sorts the document
     * PER ELEMENT — O(n²·sort), measured as 29 s for a 5k-doc map stage
     * before this binding. A lambda VARIABLE is a slot read. */
-  private def bindOnce(c: Column)(f: Column => Column): Column =
+  /** Evaluate `c` ONCE per row and pass the bound value to `f` — the
+    * lambda-variable trick (1-element array + transform) that stops a
+    * HOF lambda from re-evaluating a non-trivial expression per element
+    * (q185's first cut re-tokenized the whole document once per
+    * CHARACTER position through exactly this hole). Use it around any
+    * expression a `filter`/`transform` lambda references. */
+  private[graft] def bindOnce(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), x => f(x)), 1)
 
   /** The top-n-gram sizes the A1 table publishes (fraction of characters

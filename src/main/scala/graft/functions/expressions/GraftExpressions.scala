@@ -1316,6 +1316,106 @@ object DeflateRatio {
   }
 }
 
+/**
+ * One-pass content-defined chunking (the production face of
+ * [[graft.operators.Dedup.cdcChunks]]'s md5-window rule — same LBFS cut
+ * idea, an actual ROLLING hash): boundaries fall after code-point
+ * position i (i ∈ [window, n−1]) where the murmur-finalized polynomial
+ * hash of the trailing `window` code points has its low `maskBits` bits
+ * zero. O(1) per position — no substring, no hex, no per-position
+ * allocation — where the md5-window form pays ~40 µs/position in
+ * expression overhead (measured, `graft.Probe cdc`). The CUT RULE
+ * differs from the md5 form by design (a different hash family), so this
+ * face is gated on the CDC invariants (resync after insertion, length
+ * reconstruction, determinism — DedupSpec) rather than the DuckDB
+ * oracle, exactly like [[DeflateRatio]]'s engine-local contract; the
+ * md5 face remains the oracle-replayable tier (q185). Emits the same
+ * array<struct<chunk_idx, chunk_fp, chunk_len>> shape — chunk_fp is the
+ * md5 hex of the chunk text (per CHUNK, not per position — amortized),
+ * chunk_len in code points.
+ */
+case class CdcChunksExpr(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression {
+  require(window >= 4 && window <= 64, s"window in [4,64], got $window")
+  require(maskBits >= 1 && maskBits <= 16, s"maskBits in [1,16], got $maskBits")
+
+  override def dataType: DataType = CdcChunksExpr.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(v: Any): Any =
+    CdcChunksExpr.compute(v.asInstanceOf[UTF8String], window, maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CdcChunksExpr.compute($c, $window, $maskBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunksExpr {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("chunk_fp", StringType, nullable = false),
+    StructField("chunk_len", LongType, nullable = false))),
+    containsNull = false)
+
+  /** FNV-1a 64-bit prime as the polynomial base (odd, well-mixed). */
+  private final val B = 0x100000001b3L
+
+  /** murmur3 fmix64 — the low bits of a raw polynomial hash are too
+    * regular to gate a mask test; the finalizer spreads them. */
+  private def mix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33; h
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(u: UTF8String, window: Int, maskBits: Int): ArrayData = {
+    val cps = u.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val mask = (1L << maskBits) - 1L
+    // B^window for the rolling eviction
+    var bw = 1L
+    var j = 0
+    while (j < window) { bw *= B; j += 1 }
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n > window) {
+      var h = 0L
+      var p = 0
+      while (p < window) { h = h * B + cps(p); p += 1 }
+      // h covers cps[p-window..p-1]; test the cut AFTER position p
+      // (never at n — an end cut would mint an empty final chunk)
+      while (p < n) {
+        if ((mix(h) & mask) == 0L) cuts += p
+        h = h * B + cps(p) - cps(p - window) * bw
+        p += 1
+      }
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bounds = (0 +: cuts :+ n).toArray
+    val rows = new Array[Any](bounds.length - 1)
+    var k = 0
+    while (k < rows.length) {
+      val lo = bounds(k)
+      val hi = bounds(k + 1)
+      md.reset()
+      val fp = md.digest(new String(cps, lo, hi - lo).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      rows(k) = InternalRow(k.toLong, UTF8String.fromString(fp),
+        (hi - lo).toLong)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+}
+
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -1323,6 +1423,10 @@ object GraftExpressions {
 
   def rollingHash(c: Column): Column =
     GraftColumnBridge.column(RollingHash(GraftColumnBridge.expression(c)))
+
+  def cdcChunks(c: Column, window: Int, maskBits: Int): Column =
+    GraftColumnBridge.column(
+      CdcChunksExpr(GraftColumnBridge.expression(c), window, maskBits))
 
   def minhashSignature(hashes: Column, numHashes: Int): Column =
     GraftColumnBridge.column(

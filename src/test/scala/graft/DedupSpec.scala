@@ -923,5 +923,33 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, String, Long)].collect().toSet
     assert(rep == graft.operators.Dedup.cdcChunks(docs, "text", "id")
       .as[(Long, Long, String, Long)].collect().toSet)
+
+    // the NATIVE rolling-hash face (a different cut family — the
+    // production tier, invariant-gated like DeflateRatio): same
+    // reconstruction, resync, and determinism contracts must hold
+    val nat = graft.operators.Dedup.cdcChunks(docs, "text", "id",
+        nativeHash = true)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    assert(nat(1L).map(_._3).sum == normLen, "native: length reconstruction")
+    assert(!nat.contains(3L) && !nat.contains(4L))
+    assert(nat(1L).size > 1, "native rule must actually cut this doc")
+    val natShared = nat(1L).map(_._2).toSet
+      .intersect(nat(2L).map(_._2).toSet)
+    assert(natShared.size >= nat(1L).map(_._2).toSet.size / 2,
+      s"native resync: ${natShared.size} of ${nat(1L).size}")
+    val natRep = graft.operators.Dedup.cdcChunks(docs.repartition(3),
+        "text", "id", nativeHash = true)
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(natRep == graft.operators.Dedup.cdcChunks(docs, "text", "id",
+        nativeHash = true)
+      .as[(Long, Long, String, Long)].collect().toSet)
+    // identical content → identical fingerprints across faces: both fp
+    // definitions are md5 of the chunk text, so a chunk CUT at the same
+    // offsets by both rules carries the same fp (the first chunk of an
+    // identical doc pair always agrees within a face)
+    val natB = nat(2L)
+    assert(natB.nonEmpty)
   }
 }
