@@ -1551,7 +1551,12 @@ object GraftExpressions {
           columnBuilt(tf.c4Keep(_))(exprs.head) }),
       ("deflate_ratio", classOf[DeflateRatio].getName,
         exprs => { checkArity("deflate_ratio", exprs, 1, 1)
-          DeflateRatio(exprs.head) }))
+          DeflateRatio(exprs.head) }),
+      ("cdc_chunks", classOf[CdcChunksExpr].getName,
+        exprs => { checkArity("cdc_chunks", exprs, 3, 3)
+          CdcChunksExpr(exprs.head,
+            constInt(exprs(1), "cdc_chunks", "window"),
+            constInt(exprs(2), "cdc_chunks", "mask_bits")) }))
   }
 
   /** Expose as SQL functions on a session. */

@@ -531,4 +531,27 @@ class ExpressionsSpec extends SparkSpec {
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     assert(ev.toLongArray().toSeq == Seq(5L, 3L))
   }
+
+  test("cdc_chunks: SQL surface equals the Column API; interpreted eval " +
+      "agrees; lengths reconstruct the input") {
+    import graft.functions.expressions.{CdcChunksExpr, GraftExpressions}
+    val text = (1 to 40).map(i => s"word$i block$i").mkString(" ")
+    val viaCol = Seq(text).toDF("t")
+      .select(explode(GraftExpressions.cdcChunks($"t", 16, 4)).as("c"))
+      .select($"c.chunk_idx", $"c.chunk_fp", $"c.chunk_len")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(viaCol.nonEmpty && viaCol.map(_._3).sum == text.length)
+    // SQL surface (both registration routes share the builder table)
+    GraftExpressions.registerAll(spark)
+    val viaSql = spark.sql(
+        s"SELECT inline(cdc_chunks('$text', 16, 4))")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(viaSql == viaCol)
+    // interpreted eval (no codegen) agrees
+    val ev = CdcChunksExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          text, org.apache.spark.sql.types.StringType), 16, 4)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(ev.numElements() == viaCol.size)
+  }
 }
