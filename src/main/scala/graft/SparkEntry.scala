@@ -3884,6 +3884,21 @@ object SparkEntry {
         "text", "doc_id")
       .orderBy(col("n_occ").desc, col("chunk_fp"))
 
+  /** CDC duplicate-block REMOVAL ([[operators.Dedup.stripDuplicateBlocks]]
+    * — q185's decision face, the keep-first rule at content-defined
+    * granularity; the detection→decision pairing q150/q168 gave their
+    * tiers): every ≥2× block removed everywhere but its min-(id, idx)
+    * first occurrence, documents rebuilt by concatenating survivors.
+    * The rebuilt text is md5-pinned (the q167 discipline). FULL DuckDB
+    * oracle — the q185 cut/fp arithmetic plus the same occurrence
+    * window, keep rule, and per-document slice-and-concat rebuild. */
+  private def q186_strip_blocks(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicateBlocks(parallelize(t(s, dir, "documents")),
+        "text", "doc_id")
+      .select(col("doc_id"), md5(col("text_clean")).as("clean_fp"),
+        col("n_chunks"), col("n_kept"))
+      .orderBy(col("doc_id"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4263,6 +4278,7 @@ object SparkEntry {
     "q183_span_corrupt" -> q183_span_corrupt _,
     "q184_blocklist_filter" -> q184_blocklist_filter _,
     "q185_cdc_chunks" -> q185_cdc_chunks _,
+    "q186_strip_blocks" -> q186_strip_blocks _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6849,6 +6865,43 @@ object SparkEntry {
          |  min(c.ln)::BIGINT AS chunk_len
          |FROM ch GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY n_occ DESC, chunk_fp""".stripMargin,
+    // q186 extends the q185 replay with the decision: the same chunks
+    // carry offsets, one fp-window computes occurrence + keep rank,
+    // and each document rebuilds by slicing its kept ranges back out
+    // of the normalized text (md5-pinned, coalesce for the empty-list
+    // NULL gotcha).
+    "q186_strip_blocks" ->
+      s"""WITH nt AS (SELECT doc_id, $normSql AS t FROM documents),
+         |b AS (SELECT doc_id, t, len(t) AS n,
+         |  [i for i in range(16, len(t))
+         |   if ('0x' || substr(md5(t[i-15:i]), 1, 4))::INT % 64 = 0] AS cuts
+         |  FROM nt),
+         |ch AS (SELECT doc_id, c.idx AS idx, c.off AS off, c.ln AS ln,
+         |         c.fp AS fp
+         |  FROM (SELECT doc_id,
+         |          unnest([{'idx': j-1, 'off': bounds[j],
+         |                   'ln': bounds[j+1]-bounds[j],
+         |                   'fp': md5(t[bounds[j]+1:bounds[j+1]])}
+         |                  for j in range(1, len(bounds))]) AS c
+         |        FROM (SELECT doc_id, t, ([0] || cuts || [n]) AS bounds
+         |              FROM b WHERE n > 0))),
+         |w AS (SELECT *, count(*) OVER (PARTITION BY fp) AS occ,
+         |        row_number() OVER (PARTITION BY fp
+         |          ORDER BY doc_id, idx) AS rn
+         |      FROM ch),
+         |k AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |        sum(CASE WHEN occ < 2 OR rn = 1 THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_kept,
+         |        array_agg({'off': off, 'ln': ln} ORDER BY idx)
+         |          FILTER (WHERE occ < 2 OR rn = 1) AS ks
+         |      FROM w GROUP BY doc_id)
+         |SELECT nt.doc_id,
+         |  md5(coalesce(array_to_string(
+         |    [nt.t[s.off+1:s.off+s.ln] for s in k.ks], ''), '')) AS clean_fp,
+         |  coalesce(k.n_chunks, 0) AS n_chunks,
+         |  coalesce(k.n_kept, 0) AS n_kept
+         |FROM nt LEFT JOIN k USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin,
     // q181 recomputes power-iteration centrality with 5 unrolled layers:
     // the same exact pair graph, window-ordered neighbor folds, and
     // interpolated damping literals.

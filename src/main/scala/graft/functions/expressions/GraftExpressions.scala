@@ -1358,7 +1358,8 @@ object CdcChunksExpr {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("chunk_idx", LongType, nullable = false),
     StructField("chunk_fp", StringType, nullable = false),
-    StructField("chunk_len", LongType, nullable = false))),
+    StructField("chunk_len", LongType, nullable = false),
+    StructField("chunk_off", LongType, nullable = false))),
     containsNull = false)
 
   /** FNV-1a 64-bit prime as the polynomial base (odd, well-mixed). */
@@ -1409,7 +1410,7 @@ object CdcChunksExpr {
       val fp = md.digest(new String(cps, lo, hi - lo).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       rows(k) = InternalRow(k.toLong, UTF8String.fromString(fp),
-        (hi - lo).toLong)
+        (hi - lo).toLong, lo.toLong)
       k += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)

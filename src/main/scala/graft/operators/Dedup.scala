@@ -1569,7 +1569,7 @@ object Dedup {
         concat_ws(" ", tokens(col(textCol))), window, maskBits)
       return df.select(col(idCol), explode(c).as("__c"))
         .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_fp"),
-          col("__c.chunk_len"))
+          col("__c.chunk_len"), col("__c.chunk_off"))
     }
     val mod = lit(1 << maskBits)
     // bindOnce discipline: the cut-test lambda runs once per CHARACTER
@@ -1595,14 +1595,15 @@ object Dedup {
             val hi = element_at(bounds, j + 1)
             struct((j - 1).cast("long").as("chunk_idx"),
               md5(t.substr(lo + 1, hi - lo)).as("chunk_fp"),
-              (hi - lo).cast("long").as("chunk_len"))
+              (hi - lo).cast("long").as("chunk_len"),
+              lo.cast("long").as("chunk_off"))
           }),
           c => c.getField("chunk_len") > 0)
       }
     }
     df.select(col(idCol), explode(chunks).as("__c"))
       .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_fp"),
-        col("__c.chunk_len"))
+        col("__c.chunk_len"), col("__c.chunk_off"))
   }
 
   /**
@@ -1622,4 +1623,59 @@ object Dedup {
         countDistinct(col(idCol)).as("n_docs"),
         min(col("chunk_len")).as("chunk_len"))
       .filter(col("n_occ") >= minOcc)
+
+  /**
+   * The DECISION face of [[cdcChunks]] — corpus-wide duplicate-BLOCK
+   * removal with the keep-first rule (the CDC-granularity sibling of
+   * [[removeDuplicateSegments]]'s line tier and q150's phrase strip):
+   * every content-defined block occurring ≥ `minOcc` times corpus-wide
+   * is removed everywhere except its min-(id, chunk_idx) first
+   * occurrence, and each document's text is rebuilt by concatenating
+   * its surviving blocks (blocks tile the normalized text, so removal
+   * just closes the gap). Catches cross-document boilerplate at
+   * arbitrary offsets in structure-free text — the case the line tier
+   * needs newlines for and the span grids mis-align on.
+   *
+   * Scale shape: the chunk pass (fp, id, idx, len, off — never text),
+   * ONE fp-keyed window computing occurrence count + keep rank, then
+   * one id-keyed aggregation joining back to the docs to slice the
+   * kept ranges out of each row's own text. Both shuffles carry scalar
+   * tuples; the only text handling is per-row slicing at rebuild.
+   * Returns (idCol, `text_clean`, `n_chunks`, `n_kept`).
+   */
+  def stripDuplicateBlocks(df: DataFrame, textCol: String, idCol: String,
+                           window: Int = 16, maskBits: Int = 6,
+                           minOcc: Long = 2L,
+                           nativeHash: Boolean = false): DataFrame = {
+    val byFp = Window.partitionBy(col("chunk_fp"))
+    val keepOrder = byFp.orderBy(col(idCol), col("chunk_idx"))
+    val keep = col("__occ") < minOcc || col("__rn") === 1
+    val kept = cdcChunks(df, textCol, idCol, window, maskBits, nativeHash)
+      .withColumn("__occ", count(lit(1)).over(byFp))
+      .withColumn("__rn", row_number().over(keepOrder))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops nulls, so dropped blocks vanish here; the
+        // struct sorts by its first field, so the slices reassemble in
+        // chunk order regardless of arrival order
+        array_sort(collect_list(when(keep,
+          struct(col("chunk_idx"), col("chunk_off"), col("chunk_len")))))
+          .as("__ks"))
+    val emptyKs = array().cast(
+      "array<struct<chunk_idx:bigint,chunk_off:bigint,chunk_len:bigint>>")
+    // bindOnce: the rebuild lambda slices the normalized text per KEPT
+    // chunk — it must reference the bound string, not re-normalize per
+    // element (the q185 probe lesson)
+    val rebuilt = graft.functions.TextFunctions.bindOnce(
+      concat_ws(" ", tokens(col(textCol)))) { tt =>
+      concat_ws("", transform(coalesce(col("__ks"), emptyKs),
+        s => tt.substr(s.getField("chunk_off").cast("int") + 1,
+          s.getField("chunk_len").cast("int"))))
+    }
+    df.join(kept, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as("text_clean"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

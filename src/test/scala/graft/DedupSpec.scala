@@ -895,6 +895,7 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((1L, docA), (2L, docB), (3L, ""),
       (4L, null.asInstanceOf[String])).toDF("id", "text")
     val got = graft.operators.Dedup.cdcChunks(docs, "text", "id")
+      .select($"id", $"chunk_idx", $"chunk_fp", $"chunk_len")
       .as[(Long, Long, String, Long)].collect()
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
@@ -920,8 +921,10 @@ class DedupSpec extends SparkSpec {
     // partition-order-free
     val rep = graft.operators.Dedup.cdcChunks(docs.repartition(5),
         "text", "id")
+      .select($"id", $"chunk_idx", $"chunk_fp", $"chunk_len")
       .as[(Long, Long, String, Long)].collect().toSet
     assert(rep == graft.operators.Dedup.cdcChunks(docs, "text", "id")
+      .select($"id", $"chunk_idx", $"chunk_fp", $"chunk_len")
       .as[(Long, Long, String, Long)].collect().toSet)
 
     // the NATIVE rolling-hash face (a different cut family — the
@@ -929,6 +932,7 @@ class DedupSpec extends SparkSpec {
     // reconstruction, resync, and determinism contracts must hold
     val nat = graft.operators.Dedup.cdcChunks(docs, "text", "id",
         nativeHash = true)
+      .select($"id", $"chunk_idx", $"chunk_fp", $"chunk_len")
       .as[(Long, Long, String, Long)].collect()
       .groupBy(_._1).view
       .mapValues(_.sortBy(_._2).map(r => (r._2, r._3, r._4)).toSeq).toMap
@@ -941,9 +945,11 @@ class DedupSpec extends SparkSpec {
       s"native resync: ${natShared.size} of ${nat(1L).size}")
     val natRep = graft.operators.Dedup.cdcChunks(docs.repartition(3),
         "text", "id", nativeHash = true)
+      .select($"id", $"chunk_idx", $"chunk_fp", $"chunk_len")
       .as[(Long, Long, String, Long)].collect().toSet
     assert(natRep == graft.operators.Dedup.cdcChunks(docs, "text", "id",
         nativeHash = true)
+      .select($"id", $"chunk_idx", $"chunk_fp", $"chunk_len")
       .as[(Long, Long, String, Long)].collect().toSet)
     // identical content → identical fingerprints across faces: both fp
     // definitions are md5 of the chunk text, so a chunk CUT at the same
@@ -951,5 +957,65 @@ class DedupSpec extends SparkSpec {
     // identical doc pair always agrees within a face)
     val natB = nat(2L)
     assert(natB.nonEmpty)
+  }
+
+  test("stripDuplicateBlocks removes every ≥2x block except its first " +
+      "occurrence and rebuilds by concatenating the survivors") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def naiveChunks(text: String): Seq[(Int, Int)] = { // (off, len)
+      val t = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .mkString(" ")
+      val n = t.length
+      if (n == 0) return Nil
+      val cuts = (16 until n).filter(i =>
+        Integer.parseInt(md5hex(t.substring(i - 16, i)).take(4), 16)
+          % 64 == 0)
+      val bounds = 0 +: cuts :+ n
+      bounds.sliding(2).map { case Seq(lo, hi) => (lo, hi - lo) }.toSeq
+    }
+    def norm(s: String) =
+      s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val rnd = new scala.util.Random(186)
+    val words = Vector("one", "two", "three", "four", "five", "six")
+    def prose(k: Int) =
+      (0 until k).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val shared = prose(120) // the cross-document boilerplate block run
+    val a = prose(40) + " " + shared + " " + prose(30)
+    val b = prose(55) + " " + shared + " " + prose(25) // different offset
+    val c = prose(60) // no shared material beyond chance
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, "")).toDF("id", "text")
+    // naive keep-first over the same chunks
+    val all = Seq(1L -> a, 2L -> b, 3L -> c).flatMap { case (id, tx) =>
+      naiveChunks(tx).zipWithIndex.map { case ((off, ln), idx) =>
+        (id, idx, off, ln, md5hex(norm(tx).substring(off, off + ln)))
+      }
+    }
+    val occ = all.groupBy(_._5).view.mapValues(_.size).toMap
+    val firstOf = all.groupBy(_._5).view
+      .mapValues(_.minBy(r => (r._1, r._2))).toMap
+    val expect = Seq(1L -> a, 2L -> b, 3L -> c).map { case (id, tx) =>
+      val keptSlices = all.filter(_._1 == id).sortBy(_._2).collect {
+        case r if occ(r._5) < 2 || firstOf(r._5) == r =>
+          norm(tx).substring(r._3, r._3 + r._4)
+      }
+      id -> keptSlices.mkString("")
+    }.toMap
+    val got = graft.operators.Dedup.stripDuplicateBlocks(docs, "text", "id")
+      .select($"id", $"text_clean", $"n_chunks", $"n_kept")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id)._1 == expect(id), s"doc $id rebuild diverged")
+    }
+    // doc 1 keeps the shared run (first occurrence); doc 2 loses blocks
+    assert(got(1L)._3 == got(1L)._2, "doc 1 must keep every block")
+    assert(got(2L)._3 < got(2L)._2, "doc 2 must lose the shared blocks")
+    assert(got(2L)._1.length < norm(b).length)
+    // untouched and empty docs survive intact
+    assert(got(3L)._1 == norm(c))
+    assert(got(4L) == (("", 0L, 0L)))
   }
 }

@@ -538,14 +538,17 @@ class ExpressionsSpec extends SparkSpec {
     val text = (1 to 40).map(i => s"word$i block$i").mkString(" ")
     val viaCol = Seq(text).toDF("t")
       .select(explode(GraftExpressions.cdcChunks($"t", 16, 4)).as("c"))
-      .select($"c.chunk_idx", $"c.chunk_fp", $"c.chunk_len")
-      .as[(Long, String, Long)].collect().toSeq
+      .select($"c.chunk_idx", $"c.chunk_fp", $"c.chunk_len", $"c.chunk_off")
+      .as[(Long, String, Long, Long)].collect().toSeq
     assert(viaCol.nonEmpty && viaCol.map(_._3).sum == text.length)
+    // offsets are the cumulative lengths (chunks tile the input)
+    assert(viaCol.map(_._4) ==
+      viaCol.map(_._3).scanLeft(0L)(_ + _).dropRight(1))
     // SQL surface (both registration routes share the builder table)
     GraftExpressions.registerAll(spark)
     val viaSql = spark.sql(
         s"SELECT inline(cdc_chunks('$text', 16, 4))")
-      .as[(Long, String, Long)].collect().toSeq
+      .as[(Long, String, Long, Long)].collect().toSeq
     assert(viaSql == viaCol)
     // interpreted eval (no codegen) agrees
     val ev = CdcChunksExpr(
