@@ -230,6 +230,25 @@ object Probe {
     OpCache.release()
   }
 
+  /** Run `body` with the production broadcast thresholds (10 MB).
+    * [[session]] pins broadcast OFF for the shuffle-shape probes; the
+    * store-serving probes want the production broadcast path instead —
+    * this saves and RESTORES the two conf values so a later subcommand
+    * in the same JVM isn't silently skewed (one helper, every
+    * broadcast-wanting run goes through it). */
+  private def withProductionBroadcast(spark: SparkSession)
+                                     (body: => Unit): Unit = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "10MB"))
+    try body
+    finally saved.foreach {
+      case (k, Some(prev)) => spark.conf.set(k, prev)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Retraction pricing (round 13, q148/q149): what does a takedown cost
     * against each serving store, vs the rebuild it replaces?
     *  - IVF-PQ code store ([[graft.operators.Quantize.removeFromCodeStore]]):
@@ -250,8 +269,10 @@ object Probe {
     * throughout (ingest never retrains). */
   private def csIngestRun(n: Long): Unit = {
     val spark = session()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    withProductionBroadcast(spark)(csIngestBody(spark, n))
+  }
+
+  private def csIngestBody(spark: SparkSession, n: Long): Unit = {
     val dim = 64
     val (m, subDim) = (16, 4)
     val cells = math.max(16, (n / 1000).toInt)
@@ -405,18 +426,7 @@ object Probe {
     * the honest worst case (≈ legacy — every id routes to the join). */
   private def csBloomRun(n: Long): Unit = {
     val spark = session()
-    // session() pins broadcast OFF for the shuffle-shape probes; this run
-    // wants the production broadcast path — save and RESTORE the two conf
-    // values so a later subcommand in the same JVM isn't silently skewed
-    val broadcastKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = broadcastKeys.map(k => k -> spark.conf.getOption(k))
-    broadcastKeys.foreach(spark.conf.set(_, "10MB"))
-    try csBloomBody(spark, n)
-    finally saved.foreach {
-      case (k, Some(prev)) => spark.conf.set(k, prev)
-      case (k, None) => spark.conf.unset(k)
-    }
+    withProductionBroadcast(spark)(csBloomBody(spark, n))
   }
 
   private def csBloomBody(spark: SparkSession, n: Long): Unit = {
@@ -547,8 +557,10 @@ object Probe {
     * migration's correctness, this prices its value. */
   private def retrainRun(n: Long): Unit = {
     val spark = session()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    withProductionBroadcast(spark)(retrainBody(spark, n))
+  }
+
+  private def retrainBody(spark: SparkSession, n: Long): Unit = {
     val dim = 64
     val (m, subDim) = (16, 4)
     val cells = math.max(16, (n / 1000).toInt)
@@ -654,8 +666,11 @@ object Probe {
 
   private def retractRun(n: Long, docsPath: String): Unit = {
     val spark = session()
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+    withProductionBroadcast(spark)(retractBody(spark, n, docsPath))
+  }
+
+  private def retractBody(spark: SparkSession, n: Long,
+                          docsPath: String): Unit = {
     val dim = 64
     val (m, subDim) = (16, 4)
     val cells = math.max(16, (n / 1000).toInt)

@@ -4606,9 +4606,15 @@ object SparkEntry {
          |    least(d.md, round(1 - ${cosSql("d.v", "c.v")}, 6)) AS md
          |  FROM d${i - 1} d CROSS JOIN c$i c)""".stripMargin
     }
+    // `md > 0` mirrors the operator's early stop: when the max
+    // min-distance hits 0 coverage is complete (k exceeds the
+    // distinct-vector count) and kCenterGreedy returns the shorter,
+    // duplicate-free list — without the filter this oracle would pad
+    // with re-picked zero-distance rows and diverge on such a fixture.
+    // sep_dist is non-increasing, so every later layer filters too.
     val union = (s"SELECT 1 AS center_rank, vec_id," +
       s" CAST(NULL AS DOUBLE) AS sep_dist FROM c1") +:
-      (2 to k).map(i => s"SELECT $i, vec_id, md FROM c$i")
+      (2 to k).map(i => s"SELECT $i, vec_id, md FROM c$i WHERE md > 0")
     s"""WITH e AS (SELECT vec_id, $vecSql AS v FROM embeddings),
        |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
        |d1 AS (SELECT e.vec_id, e.v,
@@ -6790,6 +6796,9 @@ object SparkEntry {
     // q180 rebuilds the four Kneser-Ney model tables from the en slice
     // and replays the discounted interpolation term by term (D = 0.75;
     // the add-one continuation floor makes unseen words scoreable).
+    // Per-document logp folds as a window ORDERED by bigram position —
+    // the SAME fold order as the operator's posexplode window, so the
+    // cross-entropy doubles agree bitwise, not just post-rounding.
     "q180_kn_perplexity" ->
       s"""WITH tok AS (
          |  SELECT doc_id, lang,
@@ -6797,9 +6806,10 @@ object SparkEntry {
          |         THEN CAST([] AS VARCHAR[]) ELSE $toksSql END AS w
          |  FROM documents),
          |bg AS (
-         |  SELECT doc_id, lang, pr.g AS g, pr.a AS w1, pr.b AS w2
+         |  SELECT doc_id, lang, pr.i AS pos, pr.g AS g, pr.a AS w1,
+         |    pr.b AS w2
          |  FROM (SELECT doc_id, lang,
-         |          unnest([{'g': w[i] || ' ' || w[i+1], 'a': w[i],
+         |          unnest([{'i': i, 'g': w[i] || ' ' || w[i+1], 'a': w[i],
          |                   'b': w[i+1]} for i in range(1, len(w))]) AS pr
          |        FROM tok WHERE len(w) >= 2)),
          |bi AS (SELECT g, count(*) AS c2 FROM bg WHERE lang = 'en'
@@ -6812,7 +6822,7 @@ object SparkEntry {
          |  (SELECT count(DISTINCT u.w) FROM
          |    (SELECT unnest(w) AS w FROM tok WHERE lang = 'en') u) AS v),
          |sc AS (
-         |  SELECT d.doc_id,
+         |  SELECT d.doc_id, d.pos,
          |    ln(CASE WHEN ctx.ctxc IS NULL
          |         THEN (coalesce(cont.cont1, 0) + 1)::DOUBLE / (s.b + s.v + 1)
          |         ELSE greatest(coalesce(bi.c2, 0)::DOUBLE - 0.75, 0.0)
@@ -6822,11 +6832,19 @@ object SparkEntry {
          |                 / (s.b + s.v + 1)) END) AS logp
          |  FROM bg d LEFT JOIN bi USING (g) LEFT JOIN ctx USING (w1)
          |  LEFT JOIN cont USING (w2) CROSS JOIN scal s),
+         |f AS (
+         |  SELECT doc_id,
+         |    sum(logp) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    count(*) OVER (PARTITION BY doc_id) AS n,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY pos DESC)
+         |      AS rn
+         |  FROM sc),
          |agg AS (
-         |  SELECT doc_id, count(*) AS n_bigrams,
-         |    round(-avg(logp), 4) AS cross_entropy,
-         |    round(exp(-avg(logp)), 2) AS perplexity
-         |  FROM sc GROUP BY 1)
+         |  SELECT doc_id, n AS n_bigrams,
+         |    round(-cum / n, 4) AS cross_entropy,
+         |    round(exp(-cum / n), 2) AS perplexity
+         |  FROM f WHERE rn = 1)
          |SELECT d.doc_id,
          |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  a.cross_entropy, a.perplexity

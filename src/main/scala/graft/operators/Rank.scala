@@ -298,7 +298,11 @@ object Rank {
    * Input: the node frame plus an UNDIRECTED scored pair frame (a < b,
    * one row per pair — the [[Similarity.marginMine]]/hardNegatives
    * convention: the fixture gate feeds exact pairs, production feeds the
-   * LSH/IVF store pairs). Weights must be pre-rounded by the caller if
+   * LSH/IVF store pairs). The contract is ENFORCED, not assumed: pairs
+   * are canonicalized to (least, greatest), duplicates and
+   * double-orientation rows collapse to their max weight, and
+   * self-loops drop — identity for well-formed input, well-defined
+   * (instead of partition-order-dependent) for a malformed caller. Weights must be pre-rounded by the caller if
    * they come from float math (the q171 pin; q181 rounds cosines at
    * 1e-6).
    *
@@ -336,8 +340,23 @@ object Rank {
         .filter(col("__rn") === 1)
         .select(col(key), col("__cum").as(out))
 
-    val half = pairs.select(col(aCol).as("__u"),
-      col(bCol).as("__v"), col(wCol).cast("double").as("__w"))
+    // Enforce the "one row per undirected pair" contract rather than
+    // trust it: canonicalize to (least, greatest), collapse duplicates
+    // and double-orientation rows to max-weight, and drop self-loops.
+    // Without this, tied neighbor ids would make the ordered folds
+    // below partition-order-dependent (duplicate (a,b) rows share an
+    // order key), silently corrupting out-strength and per-round mass;
+    // a malformed caller now gets the well-defined max-weight graph
+    // instead of a nondeterministic one. For a contract-satisfying
+    // input (a < b, unique) this is an exact identity, so the q181
+    // oracle replay is unchanged; the groupBy exchanges only
+    // (id, id, double) triples.
+    val half = pairs
+      .select(least(col(aCol), col(bCol)).as("__u"),
+        greatest(col(aCol), col(bCol)).as("__v"),
+        col(wCol).cast("double").as("__w"))
+      .filter(col("__u") =!= col("__v"))
+      .groupBy(col("__u"), col("__v")).agg(max(col("__w")).as("__w"))
     val edges = half.unionByName(
       half.select(col("__v").as("__u"), col("__u").as("__v"), col("__w")))
     val en = OpCache.track(edges

@@ -432,10 +432,15 @@ object TextProfile {
    * = distinct continuations/contexts, B = distinct reference bigrams,
    * V = reference vocabulary. All model quantities are integer counts, so
    * both engines rebuild identical doubles from identical ratios (q103's
-   * proven posture). Same scale shape as [[bigramPerplexity]]: model
+   * proven posture) — and per-document cross-entropy folds those doubles
+   * in BIGRAM-POSITION order (a window, the q110/graphRank ordered-fold
+   * discipline; the oracle folds in the same order), so the sum is
+   * bitwise-deterministic across engines and partitionings, not just
+   * rounding-absorbed. Same scale shape as [[bigramPerplexity]]: model
    * tables are vocab-bounded and hash-keyed (gram strings die at their
    * scan), document text never shuffles, scoring is three left joins +
-   * one 1-row broadcast.
+   * one 1-row broadcast + one per-document window over (id, pos, logp)
+   * triples.
    */
   def knBigramPerplexity(docs: DataFrame, reference: DataFrame,
                          textCol: String, idCol: String,
@@ -443,12 +448,19 @@ object TextProfile {
                          broadcastModel: Boolean = false): DataFrame = {
     require(discount > 0.0 && discount < 1.0,
       s"discount must be in (0, 1), got $discount")
+    import org.apache.spark.sql.expressions.Window
     def toks(df: DataFrame) = df.withColumn("__toks",
       TextFunctions.tokens(col(textCol)))
+    // posexplode keeps each bigram's in-document POSITION: the scoring
+    // fold below runs in position order (the q110/graphRank ordered-fold
+    // discipline), so per-document cross-entropy is deterministic across
+    // partitionings AND bitwise-identical to the oracle's replay, which
+    // folds in the same order — an unordered avg(logp) was last-ulp
+    // partition-order-dependent. Model builders ignore the position.
     def bigrams(df: DataFrame) = toks(df)
       .filter(size(col("__toks")) >= 2)
-      .select(col(idCol), explode(
-        TextFunctions.shingles(col(textCol), 2)).as("g"))
+      .select(col(idCol), posexplode(
+        TextFunctions.shingles(col(textCol), 2)).as(Seq("__pos", "g")))
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
     def hpair(c: org.apache.spark.sql.Column, p: String) =
@@ -478,18 +490,25 @@ object TextProfile {
     val p = when(col("ctxc").isNull, pc).otherwise(
       greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0)) /
         col("ctxc") + (d * col("n1p") / col("ctxc")) * pc)
+    val perDoc = Window.partitionBy(col(idCol))
     val scored = bigrams(docs)
-      .select(Seq(col(idCol)) ++ hpair(col("g"), "b") ++
+      .select(Seq(col(idCol), col("__pos")) ++ hpair(col("g"), "b") ++
         hpair(col("w1"), "x") ++ hpair(col("w2"), "y"): _*)
       .join(biH, Seq("b1", "b2"), "left")
       .join(ctxH, Seq("x1", "x2"), "left")
       .join(contH, Seq("y1", "y2"), "left")
       .crossJoin(broadcast(scal))
-      .select(col(idCol), log(p).as("logp"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(-avg(col("logp")), 4).as("cross_entropy"),
-        round(exp(-avg(col("logp"))), 2).as("perplexity"))
+      .select(col(idCol), col("__pos"), log(p).as("logp"))
+      .withColumn("__cum", sum(col("logp")).over(perDoc
+        .orderBy(col("__pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      .withColumn("__rn",
+        row_number().over(perDoc.orderBy(col("__pos").desc)))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__n").as("n_bigrams"),
+        round(-col("__cum") / col("__n"), 4).as("cross_entropy"),
+        round(exp(-col("__cum") / col("__n")), 2).as("perplexity"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
   }

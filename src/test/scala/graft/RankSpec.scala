@@ -109,6 +109,19 @@ class RankSpec extends SparkSpec {
       .map(r => r._1 -> r._3.get).toMap
     assert(addOne(1L) == addOne(2L),
       s"add-one is blind to continuation counts: $addOne")
+
+    // the per-document logp fold runs in bigram-position order, so the
+    // exact doubles are partition-order-free (a multi-bigram doc is the
+    // case an unordered avg could reorder)
+    val multi = Seq((20L, "a b a c a b b a z q a b")).toDF("doc_id", "text")
+    val one = graft.operators.TextProfile
+      .knBigramPerplexity(multi, reference, "text", "doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    val rep = graft.operators.TextProfile
+      .knBigramPerplexity(multi.repartition(7), reference.repartition(3),
+        "text", "doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(one == rep, s"$one vs $rep")
   }
 
   test("graphRank matches a naive ordered-fold power iteration; hubs " +
@@ -158,6 +171,16 @@ class RankSpec extends SparkSpec {
         pdf.repartition(3), "a", "b", "w", iters = 5, damping = 0.85)
       .as[(Long, Double)].collect().toMap
     assert(rep == got)
+    // the pair contract is ENFORCED: a malformed frame carrying a
+    // duplicate row, both orientations of an edge (at a lower weight —
+    // max wins), and a self-loop collapses to the same well-formed
+    // graph instead of silently corrupting the ordered folds
+    val malformed = (pairs ++ Seq((0L, 1L, 1.0), (3L, 0L, 0.25),
+        (11L, 10L, 0.5), (2L, 2L, 9.0))).toDF("a", "b", "w")
+    val enforced = Rank.graphRank(nodes, "nid", malformed, "a", "b", "w",
+        iters = 5, damping = 0.85)
+      .as[(Long, Double)].collect().toMap
+    assert(enforced == got, s"$enforced vs $got")
   }
 
   test("rrfFuse sums reciprocal ranks with absent-list docs contributing 0") {
