@@ -3899,6 +3899,151 @@ object SparkEntry {
         col("n_chunks"), col("n_kept"))
       .orderBy(col("doc_id"))
 
+  /** Similarity-graph centrality served OFF THE STANDING STORE — the
+    * q161 pattern applied to q181, closing the "production feeds the
+    * store pairs" claim [[operators.Rank.graphRank]] documents: the
+    * edge set comes from the cell-bucketed assigned-corpus store
+    * ([[operators.Dedup.semDedupPairsFromStore]] — within-cell EXACT
+    * cosine at the q181 tau, so the served graph is a SUBSET of the
+    * exact graph by construction, never a superset) and graphRank runs
+    * the same 5 damped iterations on it. The exact all-pairs tier runs
+    * here only as the oracle side of the parity verdict — gate cost,
+    * the q169 discipline: edge recall vs the exact graph, structurally
+    * zero spurious edges, and hub-ordering agreement (top-20 by served
+    * centrality vs top-20 exact — the ordering centrality exists to
+    * surface) at bounds measured across all three fixture SFs.
+    * Scale shape: the served side is the q125 store path — assignment
+    * is one compiled map pass, the within-cell self-join reads
+    * co-located buckets (no exchange hashes on cell), vectors never
+    * move, and graphRank exchanges only (id, id, double) triples; only
+    * the exact tier (the gate) is quadratic, and production never runs
+    * it. */
+  private def q187_store_centrality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val tau = 0.3
+    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q187_sem_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeAssignedCorpus(e, cents, "embedding", "vec_id", probes = 4,
+      tbl, buckets = 8)
+    val served = operators.OpCache.track(
+      Dedup.semDedupPairsFromStore(s, tbl, "embedding", "vec_id", tau)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("w"))
+        .persist())
+    val exact = operators.OpCache.track(
+      Dedup.embeddingNearDup(e, "embedding", "vec_id", threshold = tau,
+          nBits = 0)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("w"))
+        .persist())
+    val nodes = e.select(col("vec_id"), col("label"))
+    def hubs(pairs: DataFrame) = operators.Rank.graphRank(nodes, "vec_id",
+        pairs, "id_a", "id_b", "w", iters = 5, damping = 0.85)
+      .orderBy(col("centrality").desc, col("vec_id")).limit(20)
+      .select(col("vec_id"))
+    val hubsServed = operators.OpCache.materialize(hubs(served))
+    val hubsExact = operators.OpCache.materialize(hubs(exact))
+    val nExact = exact.count()
+    val keys = exact.select(col("id_a"), col("id_b"))
+    val hit = served.join(keys, Seq("id_a", "id_b"), "left_semi").count()
+    val spurious = served.join(keys, Seq("id_a", "id_b"), "left_anti").count()
+    val overlap = hubsServed.join(hubsExact, Seq("vec_id"), "left_semi").count()
+    // bounds measured before pinning (the q169 discipline): recall
+    // 0.998/0.996/0.998 and hub overlap 19/20 at sf0.001/0.01/0.1 with
+    // probes = 4 of 8 cells (0.74 and 11/20 at probes = 2 — the
+    // recall-vs-cost knob, documented on semanticDecontaminate);
+    // spurious is structurally zero (within-cell exact cosine at tau)
+    Seq(
+      ("stored_centrality_edge_recall", 0.95,
+        nExact > 0 && hit >= 0.95 * nExact),
+      ("stored_centrality_spurious_edges", 0.0, spurious == 0L),
+      ("stored_centrality_hub_overlap", 16.0, overlap >= 16L),
+      ("stored_centrality_nonempty", 1.0, nExact > 0))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
+  /** Margin-based bitext mining served OFF THE STANDING STORE — the
+    * q161 pattern applied to q176, closing the "production feeds a
+    * store shortlist" claim [[operators.Similarity.marginMine]]
+    * documents: the target half is ingested into the cell-bucketed
+    * assigned store, the source half scores ONLY within its probed
+    * cells ([[operators.Dedup.semDedupBatchAgainstStore]] at a −1
+    * cosine floor — the FULL within-cell shortlist, because margins
+    * need each endpoint's own top-k, not just the high-cos tail), and
+    * marginMine runs the same k/tau/mutual rule on the shortlist. The
+    * exact all-pairs tier runs here only as the oracle side of the
+    * verdict — gate cost: planted-translation recovery (an exact copy
+    * shares its twin's hard cell, so the shortlist always carries the
+    * pair and its cos = 1 argmax survives), mined-set recall and
+    * spurious count vs the exact tier, nonempty. Scale shape: corpus
+    * vectors never move (the batch shuffles into the store's cell
+    * bucketing); marginMine's windows see candidate-sized input. */
+  private def q188_store_margin_mine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val src = e.filter(col("label") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val tgt = e.filter(col("label") >= 5)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("label") < 5 &&
+          pmod(col("vec_id"), lit(13)) === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val cents = Similarity.trainCentroids(tgt, "embedding", "vec_id", k = 8)
+    val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
+    val tbl = s"q188_mm_$pid"
+    dropLocalTable(s, tbl)
+    Dedup.writeAssignedCorpus(tgt, cents, "embedding", "vec_id", probes = 4,
+      tbl, buckets = 8)
+    val shortlist = Dedup.semDedupBatchAgainstStore(s, src, tbl, cents,
+        "embedding", "vec_id", probes = 4, tau = -1.0)
+      .select(col("batch_id").as("src_id"), col("corpus_id").as("tgt_id"),
+        col("cos"))
+    val minedStore = operators.OpCache.materialize(
+      operators.Similarity.marginMine(shortlist, "src_id", "tgt_id", "cos",
+          k = 4, tau = 1.2, mutual = true)
+        .select(col("src_id"), col("tgt_id")))
+    val scoredExact = src.select(col("vec_id").as("src_id"),
+        col("embedding").as("sv"))
+      .join(broadcast(tgt.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("tv"))))
+      .select(col("src_id"), col("tgt_id"),
+        VectorFunctions.cosine(col("sv"), col("tv")).as("cos"))
+    val minedExact = operators.OpCache.materialize(
+      operators.Similarity.marginMine(scoredExact, "src_id", "tgt_id",
+          "cos", k = 4, tau = 1.2, mutual = true)
+        .select(col("src_id"), col("tgt_id")))
+    val planted = operators.OpCache.materialize(
+      src.filter(pmod(col("vec_id"), lit(13)) === 0)
+        .select(col("vec_id").as("src_id"),
+          (col("vec_id") + 1000000L).as("tgt_id")))
+    val nPlanted = planted.count()
+    val plantedHit =
+      planted.join(minedStore, Seq("src_id", "tgt_id"), "left_semi").count()
+    val nExact = minedExact.count()
+    val hit =
+      minedStore.join(minedExact, Seq("src_id", "tgt_id"), "left_semi").count()
+    val spurious =
+      minedStore.join(minedExact, Seq("src_id", "tgt_id"), "left_anti").count()
+    // bounds measured before pinning: at probes = 4 the store-mined set
+    // EQUALED the exact tier's at all three SFs (recall 1.0, spurious 0;
+    // probes = 2 measured recall 0.89 with 14 spurious — the shortlist
+    // fidelity knob); planted recovery is the structural claim (an
+    // exact copy shares its twin's hard cell and wins both argmaxes at
+    // cos = 1), so it pins at ALL, while recall/spurious keep headroom
+    // for natural-pair margin flips near the tau boundary
+    Seq(
+      ("stored_mine_planted_recovered", 1.0,
+        nPlanted > 0 && plantedHit == nPlanted),
+      ("stored_mine_recall_of_exact", 0.9,
+        nExact > 0 && hit >= 0.9 * nExact),
+      ("stored_mine_spurious", 0.1, spurious <= 0.1 * nExact),
+      ("stored_mine_nonempty", 1.0, nExact > 0))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4279,6 +4424,8 @@ object SparkEntry {
     "q184_blocklist_filter" -> q184_blocklist_filter _,
     "q185_cdc_chunks" -> q185_cdc_chunks _,
     "q186_strip_blocks" -> q186_strip_blocks _,
+    "q187_store_centrality" -> q187_store_centrality _,
+    "q188_store_margin_mine" -> q188_store_margin_mine _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6924,6 +7071,28 @@ object SparkEntry {
     // the same exact pair graph, window-ordered neighbor folds, and
     // interpolated damping literals.
     "q181_graph_centrality" -> graphRankSql(5, 0.85, 0.3),
+    // q187 pins the store-served centrality's parity verdicts against
+    // the exact graph (recall/spurious/hub-overlap — all booleans, so
+    // the oracle is the literal row set, the q161 pattern).
+    "q187_store_centrality" ->
+      """SELECT * FROM (VALUES
+        |  ('stored_centrality_edge_recall', CAST(0.95 AS DOUBLE), TRUE),
+        |  ('stored_centrality_hub_overlap', CAST(16.0 AS DOUBLE), TRUE),
+        |  ('stored_centrality_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('stored_centrality_spurious_edges', CAST(0.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
+    // q188 pins the store-served margin mining's parity verdicts
+    // against the exact tier (planted recovery / recall / spurious —
+    // booleans, literal row set).
+    "q188_store_margin_mine" ->
+      """SELECT * FROM (VALUES
+        |  ('stored_mine_nonempty', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('stored_mine_planted_recovered', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('stored_mine_recall_of_exact', CAST(0.9 AS DOUBLE), TRUE),
+        |  ('stored_mine_spurious', CAST(0.1 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     // q183 replays the span-corruption arithmetic over list
     // comprehensions: same windows, md5-hex offsets, sentinel numbering,
     // final-sentinel close, md5-pinned rebuilt texts.

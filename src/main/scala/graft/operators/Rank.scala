@@ -297,8 +297,11 @@ object Rank {
    *
    * Input: the node frame plus an UNDIRECTED scored pair frame (a < b,
    * one row per pair — the [[Similarity.marginMine]]/hardNegatives
-   * convention: the fixture gate feeds exact pairs, production feeds the
-   * LSH/IVF store pairs). The contract is ENFORCED, not assumed: pairs
+   * convention: the fixture gate feeds exact pairs, production feeds
+   * the IVF store pairs — a claim GATED by q187, which serves this
+   * operator off the cell-bucketed assigned store and pins edge
+   * recall, zero spurious edges, and top-20 hub agreement against the
+   * exact graph). The contract is ENFORCED, not assumed: pairs
    * are canonicalized to (least, greatest), duplicates and
    * double-orientation rows collapse to their max weight, and
    * self-loops drop — identity for well-formed input, well-defined

@@ -274,9 +274,13 @@ object Similarity {
    * Takes a SCORED candidate frame (src_id, tgt_id, cos) like
    * [[graft.operators.Curate.hardNegatives]]: the q176 gate feeds the
    * exact all-pairs tier so the DuckDB oracle can recompute everything;
-   * production feeds a shortlist ([[lshTopK]] / [[ivfTopK]] with lists
-   * comfortably above k) — margins only need each endpoint's OWN top-k,
-   * which any honest shortlist contains. Windows partition by the pair
+   * production feeds a shortlist ([[lshTopK]] / [[ivfTopK]] / the
+   * assigned-store within-cell pairs, with lists comfortably above k) —
+   * margins only need each endpoint's OWN top-k, which any honest
+   * shortlist contains. That claim is GATED by q188, which mines off
+   * the cell-bucketed store shortlist and pins planted-translation
+   * recovery, mined-set recall, and the spurious bound against this
+   * exact tier. Windows partition by the pair
    * endpoints over candidate-sized input; nothing touches the corpus.
    *
    * Output: (src_id, tgt_id, cos, margin) for surviving pairs. All
