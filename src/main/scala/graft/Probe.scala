@@ -151,6 +151,8 @@ object Probe {
         if (args.length > 1) args.drop(1).toSeq
         else Seq("/tmp/graft_scale/documents_50k_bigvocab.parquet",
           "/tmp/graft_scale/documents_500k_bigvocab.parquet"))
+      case Some("bpelocal") => bpeLocalRun(args.drop(1).headOption
+        .getOrElse("/tmp/graft_scale/documents_500k_bigvocab.parquet"))
       case Some("kcenter") =>
         kCenterRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
@@ -973,6 +975,43 @@ object Probe {
     * scan-dominated total far less than 10× and the per-iteration tail
     * not at all. The word-collapse is also measured alone to split the
     * two phases. */
+  /** Production-merge-count BPE pricing (round 18, q189): the
+    * driver-side learner [[graft.operators.Tokenize.bpeMergesLocal]] at
+    * 1k/8k/32k merges — the scale the 256-capped one-job-per-merge
+    * [[graft.operators.Tokenize.bpeMerges]] loop cannot reach (32k
+    * sequential Spark jobs ≈ days at even 100 ms/job). The merges=1
+    * line isolates the distributed word-collapse + top-V cap (the only
+    * corpus-sized work — identical for every merge count); the deltas
+    * above it are pure driver learn. The encode line prices applying
+    * the learned 32k table to every DISTINCT word with the native
+    * [[graft.functions.expressions.BpeEncodeExpr]] loop (the bpeFit
+    * join-back shape — vocab-bounded, never corpus-bounded). */
+  private def bpeLocalRun(path: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(path)
+    import graft.operators.Tokenize
+    timed(s"bpelocal collapse only (merges=1) $path") {
+      Tokenize.bpeMergesLocal(docs, "text", merges = 1).count()
+    }
+    for (m <- Seq(1024, 8192, 32768)) {
+      timed(s"bpelocal learn $m merges $path") {
+        val got = Tokenize.bpeMergesLocal(docs, "text", merges = m).count()
+        println(s"[probe]   learned $got merges (exhaustion-capped)")
+      }
+    }
+    val table = Tokenize.bpeMergesLocal(docs, "text", merges = 32768)
+      .orderBy(col("merge_idx")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    timed(s"bpelocal native encode ${table.size} merges x vocab $path") {
+      val n = docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .select(sum(size(Tokenize.bpeEncode(col("w"), table))).as("s"))
+        .collect()(0).getLong(0)
+      println(s"[probe]   $n symbols emitted")
+    }
+    spark.stop()
+  }
+
   private def bpeRun(paths: Seq[String]): Unit = {
     val spark = session()
     for (p <- paths) {

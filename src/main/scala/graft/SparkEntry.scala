@@ -4044,6 +4044,24 @@ object SparkEntry {
       .orderBy(col("metric"))
   }
 
+  /** PRODUCTION-scale BPE learning gated at fixture scale
+    * ([[operators.Tokenize.bpeMergesLocal]] — the corpus still collapses
+    * to its word-frequency table distributed, but the merge loop runs
+    * driver-side with incremental pair maintenance, the shape every
+    * published trainer uses, because 32k sequential one-job-per-merge
+    * rounds would take days): with topV covering the fixture vocabulary
+    * the learner is an EXACT drop-in for q177's distributed loop, so
+    * q177's 8-layer unrolled DuckDB oracle gates it row for row —
+    * same counts, argmaxes, tie-breaks, and early stop. What the path
+    * buys at 32k merges (and the native [[operators.Tokenize.bpeEncode]]
+    * apply that replaces 32k chained literal replaces) is priced by
+    * `graft.Probe bpelocal`; TokenizeSpec pins local≡distributed parity
+    * across seeds, the topV cap semantics, and encode equivalence. */
+  private def q189_bpe_local(s: SparkSession, dir: String): DataFrame =
+    operators.Tokenize.bpeMergesLocal(parallelize(t(s, dir, "documents")),
+        "text", merges = 8, minPairCount = 2L)
+      .orderBy(col("merge_idx"))
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4104,7 +4122,10 @@ object SparkEntry {
     * "head", the noisiest "tail"; docs too short to score (no bigrams)
     * surface as "none", never silently shifted into a bucket. FULL DuckDB
     * oracle: q103's smoothed LM CTEs + the same ntile over the ROUNDED
-    * perplexity (identical sort keys by q103's proven parity). */
+    * perplexity (identical sort keys by q103's proven parity). This gate
+    * runs the exact tier; a billion-doc language group switches to the
+    * operator's `approxAccuracy` boundary-cut mode (CurateSpec-gated
+    * against this exact tier) and never sorts the group. */
   private def q173_ccnet_buckets(s: SparkSession, dir: String): DataFrame = {
     val docs = parallelize(t(s, dir, "documents"))
     val ppl = operators.TextProfile.bigramPerplexity(docs,
@@ -4426,6 +4447,7 @@ object SparkEntry {
     "q186_strip_blocks" -> q186_strip_blocks _,
     "q187_store_centrality" -> q187_store_centrality _,
     "q188_store_margin_mine" -> q188_store_margin_mine _,
+    "q189_bpe_local" -> q189_bpe_local _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -6921,6 +6943,11 @@ object SparkEntry {
     // word-frequency table, then 8 unrolled layers of pair counts,
     // tie-broken argmax, and the identical boundary-preserving replace.
     "q177_bpe_merges" ->
+      s"WITH ${bpeCtesSql(8, 2L)}",
+    // q189 is the PRODUCTION learner (driver-side merge loop over the
+    // distributed word collapse) at full-vocab topV — an exact drop-in
+    // for q177's algorithm, so the SAME unrolled oracle gates it.
+    "q189_bpe_local" ->
       s"WITH ${bpeCtesSql(8, 2L)}",
     // q178 recomputes the Efraimidis-Spirakis draw exactly: the same
     // 12-hex-digit md5 prefix as an exact dyadic u, ln(u)/w rounded at

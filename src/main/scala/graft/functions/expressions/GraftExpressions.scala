@@ -1417,6 +1417,118 @@ object CdcChunksExpr {
   }
 }
 
+/**
+ * Frozen BPE merge table compiled for the encode hot path
+ * ([[graft.operators.Tokenize.bpeEncode]]): `lhs(i)`/`rhs(i)` in merge
+ * order. Encoding applies each merge SEQUENTIALLY, exactly like the
+ * trainer's per-iteration replace pass (left-to-right, non-overlapping
+ * within a pass), so `encode(word)` ≡ the chained-literal
+ * [[graft.operators.Tokenize.bpeSegment]] at ANY table size — but as
+ * one loop over the symbol array instead of a `merges`-deep expression
+ * tree (a production 32k-merge table as chained literal replaces would
+ * blow the codegen method-size limit and re-materialize the string per
+ * layer). Sequential application — NOT the rank-priority loop some
+ * encoders use — is deliberate: the two differ on degenerate tables
+ * where a later merge re-creates an earlier merge's pair string, and
+ * sequential is what the trainer's own corpus segmentation did, which
+ * is the parity this engine pins (TokenizeSpec).
+ *
+ * Per-merge fast path: a merge can only apply when BOTH its sides are
+ * in the word's current symbol set, so the common case is two hash
+ * probes and the O(len) adjacency scan runs only on candidates. A 32k
+ * table over a ~10-symbol word is ~64k probes ≈ milliseconds; the
+ * intended shape segments each DISTINCT word once and joins back (the
+ * bpeFit pattern), so encode cost is VOCAB-bounded, not corpus-bounded
+ * — at 100 TB, segment once and store symbols next to the text.
+ */
+final class BpeMergeTable(val lhs: Array[String], val rhs: Array[String])
+    extends Serializable {
+  require(lhs.length == rhs.length,
+    s"lhs/rhs length mismatch: ${lhs.length} vs ${rhs.length}")
+
+  def size: Int = lhs.length
+
+  /** Encode one word: seed one symbol per code point (the trainer's
+    * `substr(i, 1)` seed), then apply every merge in table order. */
+  def encode(word: UTF8String): ArrayData = {
+    val s = word.toString
+    var syms = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      syms.add(s.substring(i, i + n))
+      i += n
+    }
+    val present = new java.util.HashSet[String](syms)
+    var m = 0
+    while (m < lhs.length && syms.size > 1) {
+      val l = lhs(m)
+      val r = rhs(m)
+      if (present.contains(l) && present.contains(r)) {
+        var changed = false
+        val out = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j + 1 < syms.size && syms.get(j) == l &&
+              syms.get(j + 1) == r) {
+            out.add(l + r); j += 2; changed = true
+          } else { out.add(syms.get(j)); j += 1 }
+        }
+        if (changed) {
+          syms = out
+          present.clear()
+          present.addAll(syms)
+        }
+      }
+      m += 1
+    }
+    val arr = new Array[AnyRef](syms.size)
+    var k = 0
+    while (k < syms.size) {
+      arr(k) = UTF8String.fromString(syms.get(k)); k += 1
+    }
+    ArrayData.toArrayData(arr)
+  }
+}
+
+/** BPE encode of a single word with a frozen [[BpeMergeTable]] — the
+  * (b)-tier native form of [[graft.operators.Tokenize.bpeSegment]]'s
+  * chained literals, for production merge counts. NULL word → NULL
+  * (callers own the empty-array coalesce, the [[DeflateRatio]]
+  * convention); empty word → empty array, matching bpeSegment. */
+case class BpeEncodeExpr(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    table.encode(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the merge table is a plan-time object (the NearestCells pattern):
+    // one references-array slot per stage, not per row
+    val ref = ctx.addReferenceObj("graftBpeTable", table,
+      classOf[BpeMergeTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftExpressions {
   def cosineSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(
@@ -1451,6 +1563,11 @@ object GraftExpressions {
   /** See [[DeflateRatio]] — callers own the NULL coalesce. */
   def deflateRatio(c: Column): Column =
     GraftColumnBridge.column(DeflateRatio(GraftColumnBridge.expression(c)))
+
+  /** See [[BpeEncodeExpr]] — callers own the NULL coalesce. */
+  def bpeEncode(word: Column, table: BpeMergeTable): Column =
+    GraftColumnBridge.column(
+      BpeEncodeExpr(GraftColumnBridge.expression(word), table))
 
   /** See [[NearestCells]] — cells ascending by (cos, -cid), hard LAST. */
   def nearestCells(vec: Column, cents: CentroidSet, probes: Int): Column =

@@ -965,23 +965,48 @@ object Curate {
    * Generic on purpose: any per-group score (perplexity, classifier
    * margin, quality composite) buckets the same way; labels.size picks
    * the quantile count. Scale shape: one window shuffle on the group key
-   * (per-group sort — the exact tier; a 100 TB corpus would cut at
-   * approx-percentile boundaries instead, q124's machinery, trading
-   * exact tercile sizes for a scan).
+   * — the EXACT tier (per-group sort, what the q173 oracle replays).
+   * `approxAccuracy > 0` switches to the mega-group escape (q124's
+   * machinery): per-group `percentile_approx` boundary cuts at the same
+   * quantiles, broadcast-joined back and applied as one scan — no
+   * per-group sort anywhere, so a billion-doc language group costs a
+   * partial-aggregated sketch plus a map pass. The trade is CCNet's own:
+   * bucket SIZES become approximate (boundary-tied rows land in the
+   * lower bucket; the sketch's rank error is bounded by `accuracy`),
+   * while every row still buckets by the same score ordering —
+   * CurateSpec gates exact≡approx on divisible distinct-score groups
+   * and bounds the boundary drift elsewhere.
    */
   def scoreBuckets(df: DataFrame, groupCol: String, scoreCol: String,
                    idCol: String, labels: Seq[String],
-                   nullLabel: String = "none"): DataFrame = {
+                   nullLabel: String = "none",
+                   approxAccuracy: Int = 0): DataFrame = {
     require(labels.nonEmpty, "labels must be non-empty")
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol), col(idCol))
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val bucketed =
+      if (approxAccuracy <= 0) {
+        val w = Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol), col(idCol))
+        scored.withColumn("__t", ntile(labels.size).over(w))
+      } else {
+        val k = labels.size
+        val qs = (1 until k).map(i => i.toDouble / k)
+        val bounds = scored.groupBy(col(groupCol))
+          .agg(expr(s"percentile_approx($scoreCol, array(${
+            qs.mkString("D,")}D), $approxAccuracy)").as("__qb"))
+        // bucket = 1 + #boundaries strictly below the score: a row AT a
+        // boundary lands in the LOWER bucket, mirroring ntile's "early
+        // rows fill early tiles" on the sorted order
+        scored.join(broadcast(bounds), Seq(groupCol))
+          .withColumn("__t", lit(1) + aggregate(col("__qb"), lit(0),
+            (acc, b) => acc + when(col(scoreCol) > b, 1).otherwise(0)))
+          .drop("__qb")
+      }
     val labelExpr = labels.zipWithIndex.foldRight(lit(nullLabel)) {
       case ((lab, i), acc) =>
         when(col("__t") === (i + 1), lit(lab)).otherwise(acc)
     }
-    df.filter(col(scoreCol).isNotNull)
-      .withColumn("__t", ntile(labels.size).over(w))
-      .withColumn("bucket", labelExpr).drop("__t")
+    bucketed.withColumn("bucket", labelExpr).drop("__t")
       .unionByName(df.filter(col(scoreCol).isNull)
         .withColumn("bucket", lit(nullLabel)))
   }

@@ -119,6 +119,176 @@ object Tokenize {
     learned.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** Spark string ORDER BY compares unsigned UTF-8 bytes, which is
+    * CODE-POINT order; Java's String.compareTo is UTF-16 code-unit
+    * order, which disagrees above the BMP (surrogates sort below
+    * U+E000..U+FFFF). The driver-side learner tie-breaks with this so
+    * its argmax matches [[bpeMerges]]' `orderBy` exactly. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  private def toCodePoints(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
+  /**
+   * Learn BPE merges at PRODUCTION merge counts — the [[bpeMerges]]
+   * algorithm with the per-merge coordination moved driver-side (what
+   * HF `tokenizers` and every published BPE trainer do): the corpus
+   * still collapses to its word-frequency table DISTRIBUTED (the only
+   * pass over document text), but the table is then capped to the
+   * `topV` most frequent words (freq desc, word — a TakeOrdered, never
+   * a global sort) and collected, and the merge loop runs in driver
+   * memory with incremental pair-count maintenance — a TreeSet argmax
+   * plus per-affected-word deltas, so each merge costs O(affected
+   * words), not one Spark job. Measured (`graft.Probe bpelocal`, 500k
+   * docs / 8k-word vocab): learning to the corpus's 10,152-merge
+   * exhaustion point adds ~1-2 s of driver time to the ~10 s
+   * distributed collapse — the whole run prices like ONE [[bpeMerges]]
+   * iteration, where a one-job-per-merge 32k loop would take days.
+   *
+   * EXACT-parity contract with [[bpeMerges]] when `topV` covers the
+   * vocabulary (TokenizeSpec gates this on fixtures, q189 on the
+   * corpus): same overlapping-adjacency counts weighted by word
+   * frequency, same (count desc, lhs, rhs) tie-break in UTF-8
+   * code-point order ([[cpCompare]] — Spark's ORDER BY order, not
+   * Java's UTF-16 order), same left-to-right non-overlapping merge
+   * application, same `minPairCount` early stop. The `topV` cap is
+   * CORPUS POLICY (the standard escape for a few-hundred-million-row
+   * 100 TB vocab: tail words contribute negligible pair mass — HF's
+   * `vocab_size`/min-frequency truncation); parity holds exactly
+   * whenever no capped word would have changed a chosen pair's count
+   * ordering.
+   *
+   * Same output schema as [[bpeMerges]].
+   */
+  def bpeMergesLocal(docs: DataFrame, textCol: String, merges: Int,
+                     minPairCount: Long = 2L,
+                     topV: Int = 1 << 16): DataFrame = {
+    require(merges >= 1 && merges <= 65536,
+      s"merges must be in [1, 65536], got $merges")
+    require(minPairCount >= 1L,
+      s"minPairCount must be >= 1, got $minPairCount")
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val vocab: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topV)
+      .as[(String, Long)].collect()
+
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map(v => toCodePoints(v._1))
+    val freqs: Array[Long] = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var j = 0
+      while (j < w.length - 1) {
+        val p = (w(j), w(j + 1))
+        counts.update(p, counts.getOrElse(p, 0L) + freqs(wi))
+        where.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+        j += 1
+      }
+      wi += 1
+    }
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // count DESC
+          if (c != 0) return c
+          val l = cpCompare(x._2, y._2)
+          if (l != 0) l else cpCompare(x._3, y._3)
+        }
+      }
+    val heap = mutable.TreeSet.empty[(Long, String, String)]
+    counts.foreach { case ((l, r), c) => heap += ((c, l, r)) }
+
+    val learned = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= merges && !done) {
+      if (heap.isEmpty || heap.head._1 < minPairCount) done = true
+      else {
+        val (cnt, l, r) = heap.head
+        learned += ((it, l, r, l + r, cnt))
+        val deltas = mutable.HashMap.empty[(String, String), Long]
+        def bump(p: (String, String), d: Long): Unit =
+          deltas.update(p, deltas.getOrElse(p, 0L) + d)
+        val affected = where.getOrElse((l, r), mutable.HashSet.empty).toArray
+        for (ai <- affected) {
+          val old = words(ai)
+          val f = freqs(ai)
+          var j = 0
+          while (j < old.length - 1) { bump((old(j), old(j + 1)), -f); j += 1 }
+          val nw = mutable.ArrayBuffer.empty[String]
+          j = 0
+          while (j < old.length) {
+            if (j + 1 < old.length && old(j) == l && old(j + 1) == r) {
+              nw += l + r; j += 2
+            } else { nw += old(j); j += 1 }
+          }
+          val neu = nw.toArray
+          words(ai) = neu
+          j = 0
+          while (j < neu.length - 1) { bump((neu(j), neu(j + 1)), f); j += 1 }
+          // membership upkeep: drop this word from pairs it no longer
+          // contains, add it to the ones the merge created
+          val oldSet = old.indices.dropRight(1)
+            .map(k => (old(k), old(k + 1))).toSet
+          val newSet = neu.indices.dropRight(1)
+            .map(k => (neu(k), neu(k + 1))).toSet
+          (oldSet diff newSet).foreach { p =>
+            where.get(p).foreach { s =>
+              s -= ai
+              if (s.isEmpty) where.remove(p)
+            }
+          }
+          (newSet diff oldSet).foreach { p =>
+            where.getOrElseUpdate(p, mutable.HashSet.empty) += ai
+          }
+        }
+        deltas.foreach { case (p, d) =>
+          if (d != 0L) {
+            val oldC = counts.getOrElse(p, 0L)
+            val newC = oldC + d
+            if (oldC > 0L) heap -= ((oldC, p._1, p._2))
+            if (newC > 0L) {
+              counts.update(p, newC)
+              heap += ((newC, p._1, p._2))
+            } else counts.remove(p)
+          }
+        }
+        it += 1
+      }
+    }
+    learned.toSeq.toDF("merge_idx", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /**
    * Tokenizer-fit report: learn `merges` BPE merges from the corpus
    * ([[bpeMerges]]), segment the vocabulary with the learned table
@@ -133,7 +303,7 @@ object Tokenize {
    * Scale shape: two corpus scans (the trainer's word collapse + the
    * per-group frequency collapse), after which everything is
    * vocab-bounded: each DISTINCT word segments exactly once (the merge
-   * table rides as `merges` literal replaces) and joins back to the
+   * table rides as one [[bpeEncode]] reference object) and joins back to the
    * per-group frequencies; all ratios are exact BIGINT sums divided
    * once, so both engines print identical rounded values.
    */
@@ -148,7 +318,7 @@ object Tokenize {
       .filter(col("word") =!= "")
       .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("freq"))
     val seg = wf.select(col("word")).distinct()
-      .withColumn("n_sym", size(bpeSegment(col("word"), table)).cast("long"))
+      .withColumn("n_sym", size(bpeEncode(col("word"), table)).cast("long"))
     wf.join(seg, Seq("word"))
       .groupBy(col("grp"))
       .agg(sum(col("freq")).as("n_tokens"),
@@ -246,5 +416,24 @@ object Tokenize {
     }
     when(word.isNull || word === "", array().cast("array<string>"))
       .otherwise(split(applied, " {2}"))
+  }
+
+  /**
+   * [[bpeSegment]] at PRODUCTION merge counts: the same sequential
+   * table application as ONE native codegen'd loop
+   * ([[graft.functions.expressions.BpeEncodeExpr]]) instead of a
+   * `merges`-deep chained-replace expression tree — identical output
+   * at any table size (TokenizeSpec pins the equivalence against
+   * bpeSegment and the trainer's own segmentation), but a 32k-merge
+   * table stays one references-array object instead of 32k literal
+   * layers that would blow the codegen method-size limit. NULL and
+   * empty words yield an empty array, exactly like [[bpeSegment]].
+   */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    val table = new graft.functions.expressions.BpeMergeTable(
+      merges.map(_._1).toArray, merges.map(_._2).toArray)
+    coalesce(
+      graft.functions.expressions.GraftExpressions.bpeEncode(word, table),
+      array().cast("array<string>"))
   }
 }

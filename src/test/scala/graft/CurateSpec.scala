@@ -888,6 +888,42 @@ class CurateSpec extends SparkSpec {
       4L -> "middle", 5L -> "tail", 6L -> "tail"), gt.toString)
   }
 
+  test("scoreBuckets approx mode: equals exact ntile on divisible " +
+      "distinct-score groups; off-boundary rows never move elsewhere") {
+    import spark.implicits._
+    // 9 distinct scores, 3 buckets: percentile boundaries fall ON the
+    // tercile edges, so approx must equal exact row for row (nulls too)
+    val rows = (1 to 9).map(i => (i.toLong, "a", Some((i * 10).toDouble))) ++
+      Seq((10L, "a", None)) ++
+      (1 to 6).map(i => (100L + i, "b", Some(i.toDouble)))
+    val df = rows.toDF("id", "g", "score")
+    val labels = Seq("head", "middle", "tail")
+    def collectB(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"bucket").as[(Long, String)].collect().toMap
+    val exact = collectB(Curate.scoreBuckets(df, "g", "score", "id", labels))
+    val approx = collectB(Curate.scoreBuckets(df, "g", "score", "id", labels,
+      approxAccuracy = 10000))
+    assert(approx == exact, s"$approx vs $exact")
+    // non-divisible group sizes: drift is confined to BOUNDARY rows —
+    // the bucket sequence along the sorted order stays monotone and the
+    // per-bucket count is within 1 of the exact tercile size
+    val rnd = new scala.util.Random(173)
+    val big = (1 to 100).map(i => (i.toLong, "c", Some(rnd.nextDouble())))
+    val bdf = big.toDF("id", "g", "score")
+    val ex = collectB(Curate.scoreBuckets(bdf, "g", "score", "id", labels))
+    val ap = collectB(Curate.scoreBuckets(bdf, "g", "score", "id", labels,
+      approxAccuracy = 10000))
+    val order = big.sortBy(_._3.get).map(_._1)
+    def ranks(m: Map[Long, String]) = order.map(m)
+    assert(ranks(ap).foldLeft(("head", true)) { case ((prev, ok), cur) =>
+      (cur, ok && labels.indexOf(cur) >= labels.indexOf(prev))
+    }._2, "approx buckets must be monotone along the score order")
+    labels.foreach { l =>
+      val (ne, na) = (ex.values.count(_ == l), ap.values.count(_ == l))
+      assert(math.abs(ne - na) <= 1, s"$l: exact $ne vs approx $na")
+    }
+  }
+
   // ---- weightedSample (Efraimidis-Spirakis, q178) ---------------------
 
   /** The operator's exact draw, in driver Scala: u from the 12-hex md5

@@ -65,6 +65,16 @@ class TokenizeSpec extends SparkSpec {
         r.getLong(4)))
       .toSeq
 
+  private def learnLocal(corpus: Seq[String], merges: Int,
+                         minCount: Long = 1L, topV: Int = 1 << 16) =
+    Tokenize.bpeMergesLocal(corpus.toDF("text"), "text", merges, minCount,
+        topV)
+      .orderBy("merge_idx")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4)))
+      .toSeq
+
   private def wordFreq(corpus: Seq[String]): Map[String, Long] =
     corpus.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
       .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
@@ -128,6 +138,78 @@ class TokenizeSpec extends SparkSpec {
     val edge = Seq[(java.lang.Long, String)]((1L, ""), (2L, null))
       .toDF("id", "w")
       .select(Tokenize.bpeSegment(col("w"), merges).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(edge.forall(_.isEmpty))
+  }
+
+  test("bpeMergesLocal equals bpeMerges and the naive reference at full " +
+      "vocab, across seeds and early stops") {
+    // the production driver-side learner must be an EXACT drop-in for
+    // the distributed per-merge loop when topV covers the vocabulary —
+    // same counts, same tie-breaks, same early stop
+    for (seed <- Seq(18, 181, 1818)) {
+      val rnd = new scala.util.Random(seed)
+      val letters = "abcdefgh"
+      def word() = (0 until (2 + rnd.nextInt(6)))
+        .map(_ => letters(rnd.nextInt(letters.length))).mkString
+      val corpus = (0 until 120).map(_ =>
+        (0 until (1 + rnd.nextInt(5))).map(_ => word()).mkString(" "))
+      val (expect, _) = naiveBpe(wordFreq(corpus), merges = 24, minCount = 2L)
+      assert(learnLocal(corpus, merges = 24, minCount = 2L) == expect,
+        s"seed $seed")
+      // incremental pair maintenance must also survive the long tail:
+      // learn far past the 24 above until exhaustion and recheck
+      val (deep, _) = naiveBpe(wordFreq(corpus), merges = 200, minCount = 2L)
+      assert(learnLocal(corpus, merges = 200, minCount = 2L) == deep,
+        s"seed $seed deep")
+    }
+    // the Sennrich worked example, via the local learner
+    val sennrich = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    assert(learnLocal(sennrich, merges = 4).map(m => (m._2, m._3, m._5)) ==
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L)))
+  }
+
+  test("bpeMergesLocal topV cap learns over exactly the capped vocabulary") {
+    // cap = 2 keeps the two most frequent words (freq desc, word):
+    // 'newest' (6) and 'low' (5); merges must equal the naive learner
+    // run over just those — 'wider'/'lower' pair mass is gone
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val capped = Map("newest" -> 6L, "low" -> 5L)
+    val (expect, _) = naiveBpe(capped, merges = 6, minCount = 2L)
+    assert(learnLocal(corpus, merges = 6, minCount = 2L, topV = 2) == expect)
+  }
+
+  test("bpeEncode (native loop) equals bpeSegment (chained literals) " +
+      "and the trainer's final segmentation; null/empty edges match") {
+    val rnd = new scala.util.Random(8118)
+    val letters = "abcde"
+    def word() = (0 until (2 + rnd.nextInt(5)))
+      .map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val corpus = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(4))).map(_ => word()).mkString(" "))
+    val freq = wordFreq(corpus)
+    val (table, finalSegs) = naiveBpe(freq, merges = 16, minCount = 1L)
+    val merges = table.map(m => (m._2, m._3))
+    val rows = freq.keys.toSeq.toDF("w")
+      .select(col("w"),
+        Tokenize.bpeSegment(col("w"), merges).as("chained"),
+        Tokenize.bpeEncode(col("w"), merges).as("native"))
+      .collect()
+    rows.foreach { r =>
+      val w = r.getString(0)
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"word $w")
+      assert(r.getSeq[String](2).toVector == finalSegs(w), s"word $w")
+    }
+    // multi-char repeated runs through the native loop (the boundary pin)
+    val runSeg = Seq("aaaaa").toDF("w")
+      .select(Tokenize.bpeEncode(col("w"), Seq(("a", "a"))).as("s"))
+      .collect()(0).getSeq[String](0).toVector
+    assert(runSeg == Vector("aa", "aa", "a"))
+    val edge = Seq[(java.lang.Long, String)]((1L, ""), (2L, null))
+      .toDF("id", "w")
+      .select(Tokenize.bpeEncode(col("w"), merges).as("s"))
       .collect().map(_.getSeq[String](0))
     assert(edge.forall(_.isEmpty))
   }
