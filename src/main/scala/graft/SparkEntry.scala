@@ -1395,16 +1395,23 @@ object SparkEntry {
     * quality failures the composite score's length/punctuation signals
     * cannot see), per-language quality gating (top half), exact dedup
     * to min-id representatives, benchmark decontamination against the
-    * eval slice, then exact mix materialization. Every stage is the
+    * eval slice, exact mix materialization, then the FINAL
+    * MATERIALIZATION pair every published pipeline applies at
+    * training-set write time (the Dolma posture): CDC keep-first block
+    * dedup over the selected set (q186's tier) and PII redaction on the
+    * rebuilt text (q92's chain), md5-pinned. Every stage is the
     * operator its standalone query exercises (q162/q166/q93/q28/q89/
-    * q95); what this query gates is the COMPOSITION, oracle-checked as
-    * the same CTE chain. Scale shape: both A1 gates are pure maps over
+    * q95/q186/q92); what this query gates is the COMPOSITION,
+    * oracle-checked as the same CTE chain. Scale shape: both A1 gates
+    * are pure maps over
     * the scan (no shuffle — Probe `repfilter` prices the pair at
     * 2.95 + 1.80 s per 500k docs), the quality window shuffles once
     * per language, dedup shuffles (fingerprint, id) pairs,
     * decontamination ships only (id, gram) pairs semi-joined against
-    * the broadcastable eval-gram set, and the mix join broadcasts a
-    * |strata|-row quota frame — no stage widens at 100 TB. The eval
+    * the broadcastable eval-gram set, the mix join broadcasts a
+    * |strata|-row quota frame, the CDC pass exchanges one (fp, id, len)
+    * key per ~64-char block of the SELECTED set only, and redaction is
+    * a scan-speed regex map — no stage widens at 100 TB. The eval
     * slice for decontamination is drawn from the RAW docs: a benchmark
     * document is a leak source whatever its repetition profile. */
   private def q96_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
@@ -1421,9 +1428,28 @@ object SparkEntry {
         train, docs.filter(isEval), "text", "doc_id", n = 4)
       .select(col("doc_id"))
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
-    operators.Curate.materializeMix(clean, "lang",
+    val mixed = operators.Curate.materializeMix(clean, "lang",
         Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
       .select(col("doc_id"), col("lang"), col("quality"), col("sample_rank"))
+    // FINAL MATERIALIZATION (the Dolma posture: masking/boilerplate
+    // removal happen when the training set is written, after selection):
+    // CDC keep-first block dedup over the SELECTED set — the block-level
+    // boilerplate the line/span tiers mis-align on (q186's tier, wired) —
+    // then PII redaction on the rebuilt text (q92's chain, wired; this
+    // corpus plants no PII, so n_pii pins the chain at zero — the
+    // decorated both-directions gate is q92's). clean_fp hashes the
+    // final redacted text, so ANY drift in cut rule, keep rule, rebuild,
+    // or redaction order fails the oracle.
+    val withText = mixed
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val stripped = Dedup.stripDuplicateBlocks(withText, "text", "doc_id")
+    mixed.join(stripped, Seq("doc_id"))
+      .withColumn("__c", TextFunctions.piiCounts(col("text_clean")))
+      .select(col("doc_id"), col("lang"), col("quality"), col("sample_rank"),
+        col("n_chunks"), col("n_kept"),
+        (col("__c.n_emails") + col("__c.n_ips") + col("__c.n_phones"))
+          .cast("long").as("n_pii"),
+        md5(TextFunctions.redactPii(col("text_clean"))).as("clean_fp"))
       .orderBy(col("doc_id"))
   }
 
@@ -4062,6 +4088,36 @@ object SparkEntry {
         "text", merges = 8, minPairCount = 2L)
       .orderBy(col("merge_idx"))
 
+  /** Dolma document-level PII policy ([[TextFunctions.piiPolicy]] —
+    * detect, count, DECIDE: pages over the span threshold drop instead
+    * of masking, the Dolma toolkit's contact-dump rule; survivors get
+    * q92's redaction chain). Decorated fixture, both directions (the
+    * q92 pattern): every doc plants one email + one IP + one phone
+    * (3 ≤ 5 → kept and masked), every 7th doc additionally plants a
+    * six-address contact dump (9 > 5 → dropped, red_fp NULL). FULL
+    * DuckDB oracle — the same planting, stage-wise counts, threshold,
+    * and conditional md5 of the redacted rebuild. */
+  private def q190_pii_policy(s: SparkSession, dir: String): DataFrame = {
+    val base = concat(coalesce(col("text"), lit("")),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 10."),
+      pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".0.1 tel +1415555"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val dump = concat_ws(" ", (1 to 6).map(k =>
+      concat(lit(s"u$k."), col("doc_id").cast("string"),
+        lit("@dump.example"))): _*)
+    val planted = when(pmod(col("doc_id"), lit(7)) === 0,
+      concat(base, lit(" "), dump)).otherwise(base)
+    parallelize(t(s, dir, "documents"))
+      .withColumn("__o", TextFunctions.piiPolicy(planted, maxSpans = 5))
+      .select(col("doc_id"),
+        col("__o.n_pii").as("n_pii"),
+        col("__o.keep").as("keep"),
+        md5(col("__o.text_redacted")).as("red_fp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compression-ratio quality signal ([[TextFunctions.compressionRatio]]
     * / [[TextFunctions.compressionKeep]] — the RedPajama-v2/Dolma zlib
     * signal as a native codegen expression): engine-LOCAL by design (no
@@ -4448,6 +4504,7 @@ object SparkEntry {
     "q187_store_centrality" -> q187_store_centrality _,
     "q188_store_margin_mine" -> q188_store_margin_mine _,
     "q189_bpe_local" -> q189_bpe_local _,
+    "q190_pii_policy" -> q190_pii_policy _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5568,6 +5625,37 @@ object SparkEntry {
          | md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) AS red_fp
          |FROM s2 ORDER BY doc_id""".stripMargin
     },
+    // q190 replays the Dolma document-level policy: the q92 planting
+    // plus a six-address dump on every 7th doc, stage-wise counts, the
+    // <=5 threshold, and md5 of the redacted text only for kept docs
+    // (dropped docs yield NULL — both engines' md5(NULL)).
+    "q190_pii_policy" -> {
+      val em = TextFunctions.emailPattern
+      val ip = TextFunctions.ipv4Pattern
+      val ph = TextFunctions.phonePattern
+      s"""WITH p AS (SELECT doc_id,
+         |  coalesce(text,'') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+         |  '.0.1 tel +1415555' ||
+         |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' ' || array_to_string(
+         |    [('u' || k || '.' || CAST(doc_id AS VARCHAR) || '@dump.example')
+         |     for k in range(1, 7)], ' ') ELSE '' END AS t
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t,
+         |  regexp_replace(t, '$em', '<EMAIL>', 'g') AS t1 FROM p),
+         |s2 AS (SELECT doc_id, t, t1,
+         |  regexp_replace(t1, '$ip', '<IP>', 'g') AS t2 FROM s1),
+         |c AS (SELECT doc_id, t2,
+         |  CAST(len(regexp_extract_all(t, '$em')) +
+         |       len(regexp_extract_all(t1, '$ip')) +
+         |       len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_pii
+         |  FROM s2)
+         |SELECT doc_id, n_pii, n_pii <= 5 AS keep,
+         |  CASE WHEN n_pii <= 5
+         |    THEN md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) END AS red_fp
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
     "q93_quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualityExprSql AS quality
          |  FROM (${qualityRawSql("doc_id, lang")}) raw),
@@ -5621,6 +5709,9 @@ object SparkEntry {
       val cases = Seq("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1,
           "zh" -> 0.1).sortBy(_._1)
         .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+      val piiEm = TextFunctions.emailPattern
+      val piiIp = TextFunctions.ipv4Pattern
+      val piiPh = TextFunctions.phonePattern
       val gramExpr =
         """CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
           |    ELSE list_distinct([array_to_string(w[i:i+3], ' ')
@@ -5670,10 +5761,51 @@ object SparkEntry {
          |rk2 AS (SELECT doc_id, lang, quality,
          |  row_number() OVER (PARTITION BY lang
          |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)
-         |    AS sample_rank FROM clean)
-         |SELECT rk2.doc_id, rk2.lang, rk2.quality, rk2.sample_rank
-         |FROM rk2 JOIN q ON rk2.lang = q.stratum
-         |WHERE rk2.sample_rank <= q.sample_n ORDER BY rk2.doc_id""".stripMargin
+         |    AS sample_rank FROM clean),
+         |sel AS (SELECT rk2.doc_id, rk2.lang, rk2.quality, rk2.sample_rank
+         |  FROM rk2 JOIN q ON rk2.lang = q.stratum
+         |  WHERE rk2.sample_rank <= q.sample_n),
+         |nt9 AS (SELECT sel.doc_id, sel.lang, sel.quality, sel.sample_rank,
+         |  $normSql AS t FROM sel JOIN documents USING (doc_id)),
+         |b9 AS (SELECT doc_id, t, len(t) AS n,
+         |  [i for i in range(16, len(t))
+         |   if ('0x' || substr(md5(t[i-15:i]), 1, 4))::INT % 64 = 0] AS cuts
+         |  FROM nt9),
+         |ch9 AS (SELECT doc_id, c.idx AS idx, c.off AS off, c.ln AS ln,
+         |         c.fp AS fp
+         |  FROM (SELECT doc_id,
+         |          unnest([{'idx': j-1, 'off': bounds[j],
+         |                   'ln': bounds[j+1]-bounds[j],
+         |                   'fp': md5(t[bounds[j]+1:bounds[j+1]])}
+         |                  for j in range(1, len(bounds))]) AS c
+         |        FROM (SELECT doc_id, t, ([0] || cuts || [n]) AS bounds
+         |              FROM b9 WHERE n > 0))),
+         |w9 AS (SELECT *, count(*) OVER (PARTITION BY fp) AS occ,
+         |        row_number() OVER (PARTITION BY fp
+         |          ORDER BY doc_id, idx) AS rn
+         |      FROM ch9),
+         |k9 AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+         |        sum(CASE WHEN occ < 2 OR rn = 1 THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_kept,
+         |        array_agg({'off': off, 'ln': ln} ORDER BY idx)
+         |          FILTER (WHERE occ < 2 OR rn = 1) AS ks
+         |      FROM w9 GROUP BY doc_id),
+         |cl9 AS (SELECT nt9.doc_id, nt9.lang, nt9.quality, nt9.sample_rank,
+         |  coalesce(array_to_string(
+         |    [nt9.t[s.off+1:s.off+s.ln] for s in k9.ks], ''), '') AS tc,
+         |  coalesce(k9.n_chunks, 0) AS n_chunks,
+         |  coalesce(k9.n_kept, 0) AS n_kept
+         |  FROM nt9 LEFT JOIN k9 USING (doc_id)),
+         |p9 AS (SELECT *, regexp_replace(tc, '$piiEm', '<EMAIL>', 'g') AS t1
+         |  FROM cl9),
+         |p9b AS (SELECT *, regexp_replace(t1, '$piiIp', '<IP>', 'g') AS t2
+         |  FROM p9)
+         |SELECT doc_id, lang, quality, sample_rank, n_chunks, n_kept,
+         |  CAST(len(regexp_extract_all(tc, '$piiEm')) +
+         |       len(regexp_extract_all(t1, '$piiIp')) +
+         |       len(regexp_extract_all(t2, '$piiPh')) AS BIGINT) AS n_pii,
+         |  md5(regexp_replace(t2, '$piiPh', '<PHONE>', 'g')) AS clean_fp
+         |FROM p9b ORDER BY doc_id""".stripMargin
     },
     // q97: concatenation-offset packing — per-shard running token sum,
     // bin = floor(start / budget). DuckDB's window sum over BIGINT yields

@@ -584,6 +584,30 @@ object TextFunctions {
       regexp_count(t2, lit(phonePattern)).as("n_phones"))
   }
 
+  /**
+   * Dolma's document-level PII POLICY (Soldaini et al. 2024 — the Dolma
+   * toolkit pairs span masking with a DOCUMENT decision: a page with
+   * many PII hits is a contact dump / scraped directory, and masking
+   * would leave a useless sentinel skeleton, so it is dropped instead).
+   * The threshold is CORPUS POLICY and arrives as a parameter. Returns
+   * a struct (`n_pii` = total replacements [[redactPii]] would make,
+   * stage-consistent with [[piiCounts]]; `keep` = n_pii <= maxSpans;
+   * `text_redacted` = the redacted text for kept documents, NULL for
+   * dropped ones — a dropped doc contributes no training text). One
+   * scan-speed regex map, zero shuffle.
+   */
+  def piiPolicy(text: Column, maxSpans: Int = 5): Column = {
+    require(maxSpans >= 0, s"maxSpans must be >= 0, got $maxSpans")
+    val c = piiCounts(text)
+    val n = (c.getField("n_emails") + c.getField("n_ips") +
+      c.getField("n_phones")).cast("long")
+    struct(
+      n.as("n_pii"),
+      (n <= maxSpans).as("keep"),
+      when(n <= maxSpans, redactPii(text)).otherwise(lit(null).cast("string"))
+        .as("text_redacted"))
+  }
+
   // --- Compression-ratio quality signal ---------------------------------
 
   /** Deflate compression ratio of the text (see

@@ -1491,6 +1491,122 @@ final class BpeMergeTable(val lhs: Array[String], val rhs: Array[String])
   }
 }
 
+/**
+ * Frozen unigram-LM piece table (Kudo 2018, arXiv:1804.10959 — the
+ * SentencePiece unigram model) compiled for the encode hot path:
+ * `pieces(i)`/`logp(i)` sorted so a per-word Viterbi can look pieces up
+ * in a hash map. Encoding is the paper's inference rule — the
+ * segmentation maximizing the sum of piece log-probabilities — via
+ * one left-to-right DP over the word's code points, pieces bounded by
+ * `maxLen`. Deterministic tie-break: equal scores prefer the LONGER
+ * final piece (documented on [[graft.operators.Tokenize.unigramFit]];
+ * ties are measure-zero for learned float probs but the rule makes
+ * malformed hand-built tables deterministic too). A word containing a
+ * code point absent from the table falls back to emitting that code
+ * point as an unknown single — coverage never fails at encode time
+ * (the trainer always retains all singles, so this arises only with
+ * hand-pruned tables).
+ */
+final class UnigramTable(val pieces: Array[String], val logp: Array[Double])
+    extends Serializable {
+  require(pieces.length == logp.length,
+    s"pieces/logp length mismatch: ${pieces.length} vs ${logp.length}")
+
+  @transient private lazy val lut: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), logp(i)); i += 1 }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    if (pieces.isEmpty) 1 else pieces.iterator.map(p => p.codePointCount(0, p.length)).max
+
+  /** Unknown-single penalty: below every table logp, so known pieces
+    * always win; constant so encoding stays deterministic. */
+  private def unkLogp: Double = -1e9
+
+  def encode(word: UTF8String): ArrayData = {
+    val s = word.toString
+    // code-point grid (the BpeMergeTable seed convention)
+    val cps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < s.length) {
+      val n = Character.charCount(s.codePointAt(ci))
+      cps += s.substring(ci, ci + n)
+      ci += n
+    }
+    val n = cps.length
+    if (n == 0) return ArrayData.toArrayData(Array.empty[AnyRef])
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1) // start index of the piece ending at i
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val piece = cps.slice(j, i).mkString
+          val lp = lut.get(piece)
+          val sc =
+            if (lp != null) best(j) + lp.doubleValue()
+            else if (i - j == 1) best(j) + unkLogp
+            else Double.NegativeInfinity
+          // strict > : j ascends, so the FIRST maximal candidate
+          // (smallest j = LONGEST final piece) wins ties
+          if (sc != Double.NegativeInfinity && sc > best(i)) {
+            best(i) = sc; back(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) {
+      val j = back(k)
+      out += cps.slice(j, k).mkString
+      k = j
+    }
+    ArrayData.toArrayData(out.reverse.map(p =>
+      UTF8String.fromString(p): AnyRef).toArray)
+  }
+}
+
+/** Unigram-LM Viterbi encode with a frozen [[UnigramTable]] — the
+  * encode face of [[graft.operators.Tokenize.unigramFit]]. NULL word →
+  * NULL (callers own the coalesce); empty word → empty array. */
+case class UnigramEncodeExpr(child: Expression, table: UnigramTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unigram_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    table.encode(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftUnigramTable", table,
+      classOf[UnigramTable].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encode($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** BPE encode of a single word with a frozen [[BpeMergeTable]] — the
   * (b)-tier native form of [[graft.operators.Tokenize.bpeSegment]]'s
   * chained literals, for production merge counts. NULL word → NULL
@@ -1568,6 +1684,11 @@ object GraftExpressions {
   def bpeEncode(word: Column, table: BpeMergeTable): Column =
     GraftColumnBridge.column(
       BpeEncodeExpr(GraftColumnBridge.expression(word), table))
+
+  /** See [[UnigramEncodeExpr]] — callers own the NULL coalesce. */
+  def unigramEncode(word: Column, table: UnigramTable): Column =
+    GraftColumnBridge.column(
+      UnigramEncodeExpr(GraftColumnBridge.expression(word), table))
 
   /** See [[NearestCells]] — cells ascending by (cos, -cid), hard LAST. */
   def nearestCells(vec: Column, cents: CentroidSet, probes: Int): Column =

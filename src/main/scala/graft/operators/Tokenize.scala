@@ -290,6 +290,201 @@ object Tokenize {
   }
 
   /**
+   * Unigram-LM tokenizer training (Kudo 2018, arXiv:1804.10959 — the
+   * SentencePiece unigram model, the OTHER canonical induction
+   * algorithm next to [[bpeMerges]]' BPE: instead of growing a merge
+   * table bottom-up, START from a large seed inventory and shrink it,
+   * keeping the pieces a unigram language model finds most useful; the
+   * probabilistic segmentation this trains is what subword
+   * regularization samples from). The [[bpeMergesLocal]] shape: the
+   * corpus collapses DISTRIBUTED to its top-V word-frequency table (the
+   * only corpus-sized pass), and the train loop runs driver-side over
+   * the vocab-bounded table.
+   *
+   * Faithful to the paper where it specifies, documented where it
+   * leaves freedom:
+   *  - Seed = the `seedSize` highest-frequency substrings up to
+   *    `maxPieceLen` code points (frequency-weighted occurrence counts,
+   *    ties broken in UTF-8 code-point order), plus ALL single code
+   *    points (coverage, §3.2 — singles are never pruned).
+   *  - E-step = exact forward–backward over each word's segmentation
+   *    lattice (soft EM — expected piece counts over ALL segmentations,
+   *    log-sum-exp arithmetic), frequency-weighted; M-step = count
+   *    normalization. TokenizeSpec pins the lattice against an
+   *    exhaustive enumeration of every segmentation on seeded fixtures.
+   *  - Pruning: the paper removes the pieces whose removal least hurts
+   *    the likelihood; this implementation prunes by LOWEST EXPECTED
+   *    COUNT (the standard reimplementation simplification — a piece
+   *    the E-step barely uses cannot carry likelihood), `shrinkFactor`
+   *    of the multi-cp surplus per round, ≥1 per round, with `emIters`
+   *    EM steps between rounds, until ≤ `vocabSize` pieces remain.
+   *
+   * Everything is deterministic: words iterate in the collected
+   * (freq DESC, word) order, pieces in code-point order, so the learned
+   * doubles are bit-identical on every run and cluster. Returns one row
+   * per surviving piece: (`piece_rank` by prob DESC with code-point
+   * tie-break, `piece`, `n_cp`, `logp` rounded at 1e-9 — the display
+   * rounding; ranking uses the exact doubles).
+   *
+   * Encode with [[unigramSegment]] (native Viterbi — one DP per word,
+   * vocab-bounded when applied distinct-word-first like [[bpeFit]]).
+   */
+  def unigramFit(docs: DataFrame, textCol: String, vocabSize: Int,
+                 maxPieceLen: Int = 8, seedSize: Int = 4096,
+                 emIters: Int = 2, shrinkFactor: Double = 0.25,
+                 topV: Int = 1 << 16): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      s"maxPieceLen in [1, 32], got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(emIters >= 1 && emIters <= 32,
+      s"emIters in [1, 32], got $emIters")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
+      s"shrinkFactor in (0, 1), got $shrinkFactor")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val vocab: Array[(String, Long)] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(topV)
+      .as[(String, Long)].collect()
+    require(vocab.nonEmpty, "unigramFit on an empty corpus")
+
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map(v => toCodePoints(v._1))
+    val freqs: Array[Long] = vocab.map(_._2)
+
+    // ---- seed inventory --------------------------------------------
+    val subCount = mutable.HashMap.empty[String, Long]
+    for (wi <- words.indices) {
+      val w = words(wi)
+      for (i <- w.indices; l <- 1 to math.min(maxPieceLen, w.length - i))
+        subCount.update(w.slice(i, i + l).mkString,
+          subCount.getOrElse(w.slice(i, i + l).mkString, 0L) + freqs(wi))
+    }
+    val singles = subCount.keys.filter(p => p.codePointCount(0, p.length) == 1)
+      .toArray.sortWith(cpCompare(_, _) < 0)
+    val multisSeed = subCount.iterator
+      .filter(kv => kv._1.codePointCount(0, kv._1.length) > 1)
+      .toArray
+      .sortWith { case ((p1, c1), (p2, c2)) =>
+        if (c1 != c2) c1 > c2 else cpCompare(p1, p2) < 0 }
+      .take(math.max(0, seedSize - singles.length))
+      .map(_._1)
+    // canonical piece order: code-point order, stable across runs
+    var pieces: Array[String] =
+      (singles ++ multisSeed).sortWith(cpCompare(_, _) < 0)
+    var logp: mutable.HashMap[String, Double] = {
+      val tot = pieces.iterator.map(subCount(_)).sum.toDouble
+      mutable.HashMap.from(pieces.iterator.map(p =>
+        p -> math.log(subCount(p) / tot)))
+    }
+
+    def logSumExp(a: Double, b: Double): Double =
+      if (a == Double.NegativeInfinity) b
+      else if (b == Double.NegativeInfinity) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) +
+        math.exp(b - m)) }
+
+    /** One soft-EM pass: expected piece counts over every word lattice. */
+    def emStep(): mutable.HashMap[String, Double] = {
+      val counts = mutable.HashMap.empty[String, Double]
+      for (wi <- words.indices) {
+        val w = words(wi)
+        val n = w.length
+        val fwd = Array.fill(n + 1)(Double.NegativeInfinity)
+        val bwd = Array.fill(n + 1)(Double.NegativeInfinity)
+        fwd(0) = 0.0
+        for (i <- 1 to n; j <- math.max(0, i - maxPieceLen) until i) {
+          val lp = logp.get(w.slice(j, i).mkString)
+          if (lp.isDefined && fwd(j) != Double.NegativeInfinity)
+            fwd(i) = logSumExp(fwd(i), fwd(j) + lp.get)
+        }
+        bwd(n) = 0.0
+        for (j <- n - 1 to 0 by -1;
+             i <- j + 1 to math.min(n, j + maxPieceLen)) {
+          val lp = logp.get(w.slice(j, i).mkString)
+          if (lp.isDefined && bwd(i) != Double.NegativeInfinity)
+            bwd(j) = logSumExp(bwd(j), lp.get + bwd(i))
+        }
+        val z = fwd(n)
+        if (z != Double.NegativeInfinity) {
+          for (i <- 1 to n; j <- math.max(0, i - maxPieceLen) until i) {
+            val s = w.slice(j, i).mkString
+            val lp = logp.get(s)
+            if (lp.isDefined && fwd(j) != Double.NegativeInfinity &&
+                bwd(i) != Double.NegativeInfinity) {
+              val post = math.exp(fwd(j) + lp.get + bwd(i) - z)
+              counts.update(s, counts.getOrElse(s, 0.0) + post * freqs(wi))
+            }
+          }
+        }
+      }
+      counts
+    }
+
+    def mStep(counts: mutable.HashMap[String, Double]): Unit = {
+      // iterate in the canonical piece order so the total folds
+      // identically on every run
+      val tot = pieces.iterator.map(counts.getOrElse(_, 0.0)).sum
+      logp = mutable.HashMap.from(pieces.iterator.map { p =>
+        val c = counts.getOrElse(p, 0.0)
+        p -> (if (c > 0.0) math.log(c / tot) else Double.NegativeInfinity)
+      })
+    }
+
+    var lastCounts = mutable.HashMap.empty[String, Double]
+    for (_ <- 1 to emIters) { lastCounts = emStep(); mStep(lastCounts) }
+    var nMulti = pieces.count(p => p.codePointCount(0, p.length) > 1)
+    val nSingles = pieces.length - nMulti
+    while (pieces.length > math.max(vocabSize, nSingles)) {
+      val surplus = pieces.length - math.max(vocabSize, nSingles)
+      val drop = math.max(1, math.min(surplus,
+        (nMulti * shrinkFactor).toInt))
+      val victims = pieces.iterator
+        .filter(p => p.codePointCount(0, p.length) > 1)
+        .toArray
+        .sortWith { case (p1, p2) =>
+          val c1 = lastCounts.getOrElse(p1, 0.0)
+          val c2 = lastCounts.getOrElse(p2, 0.0)
+          if (c1 != c2) c1 < c2 else cpCompare(p1, p2) < 0 }
+        .take(drop).toSet
+      pieces = pieces.filterNot(victims)
+      nMulti -= victims.size
+      for (_ <- 1 to emIters) { lastCounts = emStep(); mStep(lastCounts) }
+    }
+
+    val rows = pieces
+      .map(p => (p, logp(p)))
+      .sortWith { case ((p1, l1), (p2, l2)) =>
+        if (l1 != l2) l1 > l2 else cpCompare(p1, p2) < 0 }
+      .zipWithIndex
+      .map { case ((p, l), i) =>
+        (i + 1, p, p.codePointCount(0, p.length),
+          BigDecimal(l).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble) }
+    rows.toSeq.toDF("piece_rank", "piece", "n_cp", "logp")
+  }
+
+  /**
+   * Viterbi segmentation of `word` with a learned unigram table — the
+   * encode face of [[unigramFit]] (native
+   * [[graft.functions.expressions.UnigramEncodeExpr]]: one DP per word,
+   * longest-final-piece tie-break). `table` = (piece, logp) rows. NULL
+   * and empty words yield an empty array ([[bpeEncode]]'s contract).
+   */
+  def unigramSegment(word: Column, table: Seq[(String, Double)]): Column = {
+    val t = new graft.functions.expressions.UnigramTable(
+      table.map(_._1).toArray, table.map(_._2).toArray)
+    coalesce(
+      graft.functions.expressions.GraftExpressions.unigramEncode(word, t),
+      array().cast("array<string>"))
+  }
+
+  /**
    * Tokenizer-fit report: learn `merges` BPE merges from the corpus
    * ([[bpeMerges]]), segment the vocabulary with the learned table
    * ([[bpeSegment]]), and report per `groupCol` how well the tokenizer

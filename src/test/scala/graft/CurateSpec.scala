@@ -195,6 +195,37 @@ class CurateSpec extends SparkSpec {
     // broad by design; documented, not accidental (the test row pins it).
   }
 
+  test("piiPolicy: the Dolma threshold drops contact dumps, keeps and " +
+      "redacts the rest; null text is zero-span kept") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "reach me at bob@x.io or +4915112345678"), // 2 spans -> keep
+      (2L, (1 to 6).map(k => s"u$k@dump.example").mkString(" ")), // 6 -> drop
+      (3L, "no pii at all"), // 0 -> keep, text unchanged
+      (4L, null.asInstanceOf[String])) // null == empty -> keep
+    val got = rows.toDF("id", "text")
+      .select(col("id"),
+        TextFunctions.piiPolicy(col("text"), maxSpans = 5).as("o"))
+      .select(col("id"), col("o.n_pii"), col("o.keep"),
+        col("o.text_redacted"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2, got.toString)
+    assert(got(1L)._3.get.contains("<EMAIL>") &&
+      got(1L)._3.get.contains("<PHONE>"), got(1L).toString)
+    assert(got(2L) == ((6L, false, None)), got(2L).toString)
+    assert(got(3L) == ((0L, true, Some("no pii at all"))), got(3L).toString)
+    assert(got(4L) == ((0L, true, Some(""))), got(4L).toString)
+    // the threshold is policy: at maxSpans = 1 even the 2-span doc drops
+    val strict = rows.toDF("id", "text")
+      .select(col("id"),
+        TextFunctions.piiPolicy(col("text"), maxSpans = 1).as("o"))
+      .select(col("id"), col("o.keep")).as[(Long, Boolean)].collect().toMap
+    assert(!strict(1L) && !strict(2L) && strict(3L) && strict(4L),
+      strict.toString)
+  }
+
   test("redaction order: emails first, so their dotted parts never IP-match") {
     import spark.implicits._
     val out = Seq("mail user@10.0.0.1.example.com then host 10.0.0.1")

@@ -322,4 +322,157 @@ class TokenizeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
     assert(repart == got.map(m => (m._2, m._3, m._5)))
   }
+
+  // ---- unigram-LM trainer (Kudo 2018, q191) --------------------------
+
+  /** Independent enumerative reference for the unigram trainer: same
+    * documented seed/prune/rank rules, but the E-step ENUMERATES every
+    * segmentation of every word and weights by the product of piece
+    * probabilities — no lattice, no log-sum-exp — so the trainer's
+    * forward-backward is checked by a genuinely different algorithm.
+    * ASCII fixtures keep String ordering ≡ UTF-8 code-point ordering. */
+  private def naiveUnigram(corpus: Seq[String], vocabSize: Int,
+                           maxPieceLen: Int, seedSize: Int, emIters: Int,
+                           shrink: Double): Seq[(String, Double)] = {
+    import scala.collection.mutable
+    val words = wordFreq(corpus).toSeq.sortBy { case (w, f) => (-f, w) }
+    val subCount = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(maxPieceLen, w.length - i))
+      subCount(w.substring(i, i + l)) += f
+    val singles = subCount.keys.filter(_.length == 1).toSeq.sorted
+    val multis = subCount.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, seedSize - singles.size)).map(_._1)
+    var pieces = (singles ++ multis).sorted
+    var logp = {
+      val tot = pieces.map(subCount(_).toDouble).sum
+      pieces.map(p => p -> math.log(subCount(p) / tot)).toMap
+    }
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(maxPieceLen, w.length)).flatMap { l =>
+        val h = w.substring(0, l)
+        if (logp.contains(h)) segs(w.substring(l)).map(h +: _)
+        else Seq.empty
+      }
+    var lastCounts = Map.empty[String, Double]
+    def em(): Unit = {
+      val counts = mutable.Map.empty[String, Double].withDefaultValue(0.0)
+      for ((w, f) <- words) {
+        val ss = segs(w).map(s => s -> math.exp(s.map(logp).sum))
+        val z = ss.map(_._2).sum
+        if (z > 0)
+          for ((s, pr) <- ss; x <- s) counts(x) += f * pr / z
+      }
+      lastCounts = counts.toMap
+      val tot = pieces.map(counts(_)).sum
+      logp = pieces.map { p =>
+        p -> (if (counts(p) > 0) math.log(counts(p) / tot)
+              else Double.NegativeInfinity)
+      }.toMap
+    }
+    (1 to emIters).foreach(_ => em())
+    var nMulti = pieces.count(_.length > 1)
+    val nSingles = pieces.size - nMulti
+    while (pieces.size > math.max(vocabSize, nSingles)) {
+      val surplus = pieces.size - math.max(vocabSize, nSingles)
+      val drop = math.max(1, math.min(surplus, (nMulti * shrink).toInt))
+      val victims = pieces.filter(_.length > 1)
+        .sortBy(p => (lastCounts.getOrElse(p, 0.0), p)).take(drop).toSet
+      pieces = pieces.filterNot(victims)
+      nMulti -= victims.size
+      (1 to emIters).foreach(_ => em())
+    }
+    pieces.map(p => p -> logp(p))
+      .sortBy { case (p, l) => (-l, p) }
+  }
+
+  test("unigramFit equals the enumerative EM reference across seeds; " +
+      "prob mass sums to one; singles survive pruning; deterministic") {
+    for (seed <- Seq(19, 191)) {
+      val rnd = new scala.util.Random(seed)
+      val letters = "abcd"
+      def word() = (0 until (2 + rnd.nextInt(4)))
+        .map(_ => letters(rnd.nextInt(letters.length))).mkString
+      val corpus = (0 until 80).map(_ =>
+        (0 until (1 + rnd.nextInt(4))).map(_ => word()).mkString(" "))
+      val expect = naiveUnigram(corpus, vocabSize = 12, maxPieceLen = 4,
+        seedSize = 64, emIters = 2, shrink = 0.25)
+      val got = Tokenize.unigramFit(corpus.toDF("text"), "text",
+          vocabSize = 12, maxPieceLen = 4, seedSize = 64, emIters = 2,
+          shrinkFactor = 0.25)
+        .orderBy("piece_rank").collect()
+        .map(r => (r.getString(1), r.getDouble(3))).toSeq
+      assert(got.map(_._1) == expect.map(_._1),
+        s"seed $seed: ${got.map(_._1)} vs ${expect.map(_._1)}")
+      got.zip(expect).foreach { case ((p, lg), (_, le)) =>
+        assert(math.abs(lg - le) < 1e-6, s"seed $seed piece $p: $lg vs $le")
+      }
+      // probability mass: the learned model is a distribution
+      val mass = got.map { case (_, l) => math.exp(l) }.sum
+      assert(math.abs(mass - 1.0) < 1e-6, s"seed $seed mass $mass")
+      // every single code point of the corpus survives
+      val haveSingles = got.map(_._1).filter(_.length == 1).toSet
+      val wantSingles = corpus.flatMap(_.toLowerCase.replaceAll("\\s", ""))
+        .map(_.toString).toSet
+      assert(haveSingles == wantSingles, s"seed $seed")
+      // deterministic across partitionings
+      val rep = Tokenize.unigramFit(corpus.toDF("text").repartition(7),
+          "text", vocabSize = 12, maxPieceLen = 4, seedSize = 64,
+          emIters = 2, shrinkFactor = 0.25)
+        .orderBy("piece_rank").collect()
+        .map(r => (r.getString(1), r.getDouble(3))).toSeq
+      assert(rep == got, s"seed $seed")
+    }
+  }
+
+  test("unigramSegment: Viterbi equals exhaustive argmax; " +
+      "reconstruction holds; unknown singles fall back; edges") {
+    val rnd = new scala.util.Random(1911)
+    val letters = "abc"
+    def word() = (0 until (2 + rnd.nextInt(5)))
+      .map(_ => letters(rnd.nextInt(letters.length))).mkString
+    val corpus = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(3))).map(_ => word()).mkString(" "))
+    val table = Tokenize.unigramFit(corpus.toDF("text"), "text",
+        vocabSize = 10, maxPieceLen = 4, seedSize = 48)
+      .orderBy("piece_rank").collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSeq
+    val lp = table.toMap
+    def segsOf(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to w.length).flatMap { l =>
+        val h = w.substring(0, l)
+        if (lp.contains(h)) segsOf(w.substring(l)).map(h +: _)
+        else Seq.empty
+      }
+    val probe = (0 until 40).map(_ => word()).distinct
+    val got = probe.toDF("w")
+      .select(col("w"), Tokenize.unigramSegment(col("w"), table).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    probe.foreach { w =>
+      val s = got(w)
+      assert(s.mkString == w, s"reconstruction of $w: $s")
+      val all = segsOf(w)
+      if (all.nonEmpty) {
+        val best = all.map(_.map(lp).sum).max
+        val mine = s.map(lp).sum
+        assert(math.abs(mine - best) < 1e-9,
+          s"$w: viterbi $mine vs exhaustive $best ($s)")
+      }
+    }
+    // unknown code point: emitted as a single, neighbors still optimal
+    val unk = Seq("azb").toDF("w")
+      .select(Tokenize.unigramSegment(col("w"),
+        Seq(("a", -0.5), ("b", -0.7))).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(unk == Seq("a", "z", "b"), unk.toString)
+    // null/empty → empty array
+    val edge = Seq[(java.lang.Long, String)]((1L, ""), (2L, null))
+      .toDF("id", "w")
+      .select(Tokenize.unigramSegment(col("w"), table).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(edge.forall(_.isEmpty))
+  }
 }
