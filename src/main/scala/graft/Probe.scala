@@ -153,6 +153,8 @@ object Probe {
           "/tmp/graft_scale/documents_500k_bigvocab.parquet"))
       case Some("bpelocal") => bpeLocalRun(args.drop(1).headOption
         .getOrElse("/tmp/graft_scale/documents_500k_bigvocab.parquet"))
+      case Some("unilocal") => uniLocalRun(args.drop(1).headOption
+        .getOrElse("/tmp/graft_scale/documents_500k_bigvocab.parquet"))
       case Some("kcenter") =>
         kCenterRun(if (args.length > 1) args.drop(1).map(_.toLong).toSeq
           else Seq(50000L, 500000L))
@@ -1006,6 +1008,35 @@ object Probe {
       val n = docs.select(explode(tokens(col("text"))).as("w"))
         .filter(col("w") =!= "").distinct()
         .select(sum(size(Tokenize.bpeEncode(col("w"), table))).as("s"))
+        .collect()(0).getLong(0)
+      println(s"[probe]   $n symbols emitted")
+    }
+    spark.stop()
+  }
+
+  /** Unigram-LM trainer pricing (round 18, q191): the q189 posture for
+    * the OTHER induction algorithm — distributed collapse + driver EM;
+    * the vocab=target lines price the full seed→EM→prune→EM descent,
+    * the encode line the native Viterbi over every distinct word. */
+  private def uniLocalRun(path: String): Unit = {
+    val spark = session()
+    val docs = spark.read.parquet(path)
+    import graft.operators.Tokenize
+    for (v <- Seq(1024, 4096)) {
+      timed(s"unilocal learn vocab=$v $path") {
+        val n = Tokenize.unigramFit(docs, "text", vocabSize = v,
+          maxPieceLen = 8, seedSize = 4 * v).count()
+        println(s"[probe]   $n pieces")
+      }
+    }
+    val table = Tokenize.unigramFit(docs, "text", vocabSize = 4096,
+        maxPieceLen = 8, seedSize = 16384)
+      .orderBy(col("piece_rank")).collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSeq
+    timed(s"unilocal viterbi encode ${table.size} pieces x vocab $path") {
+      val n = docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .select(sum(size(Tokenize.unigramSegment(col("w"), table))).as("s"))
         .collect()(0).getLong(0)
       println(s"[probe]   $n symbols emitted")
     }

@@ -4088,6 +4088,57 @@ object SparkEntry {
         "text", merges = 8, minPairCount = 2L)
       .orderBy(col("merge_idx"))
 
+  /** Unigram-LM tokenizer training (Kudo 2018 —
+    * [[operators.Tokenize.unigramFit]], the SentencePiece algorithm: the
+    * OTHER canonical induction method next to q177/q189's BPE — seed
+    * large, let a unigram LM's EM decide which pieces carry likelihood,
+    * shrink). Same production shape as q189: distributed word collapse,
+    * driver-side train loop over the vocab-bounded table. ENGINE-LOCAL
+    * gate (an EM float loop has no SQL twin — the DeflateRatio
+    * convention): verdict rows pin that the learned table IS a
+    * probability distribution (mass within 1e-6 of 1), that pruning hit
+    * the vocab target while keeping EVERY corpus code point (the
+    * paper's coverage rule), that at least one multi-codepoint piece
+    * was actually learned, and that Viterbi-segmenting every distinct
+    * corpus word reconstructs it exactly from in-table pieces (zero
+    * unknown fallbacks). The distinct-word frame is vocab-bounded, so
+    * the gate never collects corpus-sized data. TokenizeSpec pins the
+    * trainer against an ENUMERATIVE EM reference (every segmentation of
+    * every word, no lattice) across seeds, and the Viterbi encoder
+    * against exhaustive argmax. */
+  private def q191_unigram_fit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = parallelize(t(s, dir, "documents"))
+    val table = operators.Tokenize.unigramFit(docs, "text",
+        vocabSize = 64, maxPieceLen = 6, seedSize = 512)
+      .orderBy(col("piece_rank")).collect()
+      .map(r => (r.getString(1), r.getDouble(3))).toSeq
+    val mass = table.map(p => math.exp(p._2)).sum
+    val tableSingles = table.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    val nMulti = table.size - tableSingles.size
+    val words = operators.OpCache.track(docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "").distinct().persist())
+    val wantSingles = words.as[String].collect()
+      .flatMap(w => w.codePoints().toArray.map(cp =>
+        new String(Character.toChars(cp)))).toSet
+    val segd = words.select(col("w"),
+      operators.Tokenize.unigramSegment(col("w"), table).as("s"))
+    val badRecon = segd.filter(concat_ws("", col("s")) =!= col("w")).count()
+    val badPiece = segd.select(explode(col("s")).as("p"))
+      .filter(!col("p").isInCollection(table.map(_._1))).count()
+    Seq(
+      ("uni_prob_mass", 1e-6, math.abs(mass - 1.0) <= 1e-6),
+      ("uni_vocab_target", 64.0,
+        table.size <= math.max(64, wantSingles.size) &&
+          tableSingles == wantSingles),
+      ("uni_learned_multis", 1.0, nMulti >= 1),
+      ("uni_reconstruction", 0.0, badRecon == 0L && badPiece == 0L))
+      .toDF("metric", "bound", "ok")
+      .orderBy(col("metric"))
+  }
+
   /** Dolma document-level PII policy ([[TextFunctions.piiPolicy]] —
     * detect, count, DECIDE: pages over the span threshold drop instead
     * of masking, the Dolma toolkit's contact-dump rule; survivors get
@@ -4505,6 +4556,7 @@ object SparkEntry {
     "q188_store_margin_mine" -> q188_store_margin_mine _,
     "q189_bpe_local" -> q189_bpe_local _,
     "q190_pii_policy" -> q190_pii_policy _,
+    "q191_unigram_fit" -> q191_unigram_fit _,
   )
 
   /** SQL list literal of a stopword list. */
@@ -5656,6 +5708,18 @@ object SparkEntry {
          |    THEN md5(regexp_replace(t2, '$ph', '<PHONE>', 'g')) END AS red_fp
          |FROM c ORDER BY doc_id""".stripMargin
     },
+    // q191 is engine-local (EM float loop — the DeflateRatio
+    // convention): the oracle pins the literal verdict rows; the
+    // trainer itself is TokenizeSpec-gated against an enumerative EM
+    // reference.
+    "q191_unigram_fit" ->
+      """SELECT * FROM (VALUES
+        |  ('uni_learned_multis', CAST(1.0 AS DOUBLE), TRUE),
+        |  ('uni_prob_mass', CAST(1e-6 AS DOUBLE), TRUE),
+        |  ('uni_reconstruction', CAST(0.0 AS DOUBLE), TRUE),
+        |  ('uni_vocab_target', CAST(64.0 AS DOUBLE), TRUE))
+        |  AS t(metric, bound, ok)
+        |ORDER BY metric""".stripMargin,
     "q93_quality_filter" ->
       s"""WITH q AS (SELECT doc_id, lang, $qualityExprSql AS quality
          |  FROM (${qualityRawSql("doc_id, lang")}) raw),

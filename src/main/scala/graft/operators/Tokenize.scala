@@ -310,8 +310,12 @@ object Tokenize {
    *  - E-step = exact forward–backward over each word's segmentation
    *    lattice (soft EM — expected piece counts over ALL segmentations,
    *    log-sum-exp arithmetic), frequency-weighted; M-step = count
-   *    normalization. TokenizeSpec pins the lattice against an
-   *    exhaustive enumeration of every segmentation on seeded fixtures.
+   *    normalization with an add-`smoothing` floor (the q180 add-one
+   *    posture: pure-MLE EM is winner-take-all for redundant pieces and
+   *    underflows unused coverage singles to exactly zero — the floor
+   *    keeps every retained piece scoreable). TokenizeSpec pins the
+   *    lattice against an exhaustive enumeration of every segmentation
+   *    on seeded fixtures.
    *  - Pruning: the paper removes the pieces whose removal least hurts
    *    the likelihood; this implementation prunes by LOWEST EXPECTED
    *    COUNT (the standard reimplementation simplification — a piece
@@ -321,7 +325,11 @@ object Tokenize {
    *
    * Everything is deterministic: words iterate in the collected
    * (freq DESC, word) order, pieces in code-point order, so the learned
-   * doubles are bit-identical on every run and cluster. Returns one row
+   * doubles are bit-identical on every run and cluster. Measured
+   * (`graft.Probe unilocal`, 500k docs / 8k-word vocab): the full
+   * seed→EM→prune→EM descent to a 4096-piece vocabulary runs in ~15 s
+   * total, ~10 s of which is the distributed collapse; the native
+   * Viterbi encode of the whole distinct vocabulary adds ~12 s. Returns one row
    * per surviving piece: (`piece_rank` by prob DESC with code-point
    * tie-break, `piece`, `n_cp`, `logp` rounded at 1e-9 — the display
    * rounding; ranking uses the exact doubles).
@@ -332,7 +340,10 @@ object Tokenize {
   def unigramFit(docs: DataFrame, textCol: String, vocabSize: Int,
                  maxPieceLen: Int = 8, seedSize: Int = 4096,
                  emIters: Int = 2, shrinkFactor: Double = 0.25,
+                 smoothing: Double = 0.1,
                  topV: Int = 1 << 16): DataFrame = {
+    require(smoothing > 0.0,
+      s"smoothing must be positive, got $smoothing")
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(maxPieceLen >= 1 && maxPieceLen <= 32,
       s"maxPieceLen in [1, 32], got $maxPieceLen")
@@ -428,11 +439,16 @@ object Tokenize {
 
     def mStep(counts: mutable.HashMap[String, Double]): Unit = {
       // iterate in the canonical piece order so the total folds
-      // identically on every run
+      // identically on every run. Add-alpha smoothing (the q180
+      // add-one posture): pure-MLE EM is winner-take-all for redundant
+      // pieces, and on a small-vocabulary corpus the repeated EM passes
+      // between prune rounds drive unused COVERAGE SINGLES' expected
+      // counts to exact 0 by underflow — a floor keeps every retained
+      // piece scoreable, which is the contract the singles exist for.
       val tot = pieces.iterator.map(counts.getOrElse(_, 0.0)).sum
+      val denom = tot + smoothing * pieces.length
       logp = mutable.HashMap.from(pieces.iterator.map { p =>
-        val c = counts.getOrElse(p, 0.0)
-        p -> (if (c > 0.0) math.log(c / tot) else Double.NegativeInfinity)
+        p -> math.log((counts.getOrElse(p, 0.0) + smoothing) / denom)
       })
     }
 

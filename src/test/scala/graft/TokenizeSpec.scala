@@ -367,10 +367,8 @@ class TokenizeSpec extends SparkSpec {
       }
       lastCounts = counts.toMap
       val tot = pieces.map(counts(_)).sum
-      logp = pieces.map { p =>
-        p -> (if (counts(p) > 0) math.log(counts(p) / tot)
-              else Double.NegativeInfinity)
-      }.toMap
+      val denom = tot + 0.1 * pieces.size // the trainer's add-alpha floor
+      logp = pieces.map(p => p -> math.log((counts(p) + 0.1) / denom)).toMap
     }
     (1 to emIters).foreach(_ => em())
     var nMulti = pieces.count(_.length > 1)
