@@ -83,7 +83,9 @@ object Bench {
     "q175_compression_signal", "q176_margin_mine", "q177_bpe_merges",
     "q178_weighted_sample", "q179_kcenter_coreset", "q180_kn_perplexity",
     "q181_graph_centrality", "q182_bpe_fit", "q183_span_corrupt",
-    "q184_blocklist_filter", "q185_cdc_chunks", "q186_strip_blocks")
+    "q184_blocklist_filter", "q185_cdc_chunks", "q186_strip_blocks",
+    "q187_store_centrality", "q188_store_margin_mine", "q189_bpe_local",
+    "q190_pii_policy", "q191_unigram_fit")
 
   private val RUNS = 5
 
