@@ -948,7 +948,7 @@ object Dedup {
       var round = 0
       while (!converged && round < maxRounds) {
         val (next, nextRdd, nextCount) =
-          OpCache.materializeHandle(smallStar(largeStar(edges)))
+          OpCache.materializeHandle(starRound(edges))
         inFlightRdd = nextRdd
         // exact set-equality: distinct frames with equal cardinality and an
         // empty anti-join are identical (both checks are scalar aggregates)
@@ -990,30 +990,68 @@ object Dedup {
     }
   }
 
+  /** Per-u neighborhood minimum attached to every edge row in ONE
+    * exchange: a `min` window partitioned by `u` (no orderBy — the frame
+    * is the whole partition, so WindowExec only groups by the partition
+    * key). The r18 rewrite of the former `groupBy(u).min + join-back`
+    * shape, which shuffled the edge frame AND the mins frame and planned
+    * two exchanges per star round; the window shuffles the edge rows
+    * once and attaches the min in the same pass — strictly fewer
+    * exchanges and fewer shuffled bytes per round at any scale. Skew
+    * note: a high-degree hub's group lands in one window buffer exactly
+    * as it landed in one join partition before; WindowExec's buffer
+    * spills (ExternalAppendOnlyUnsafeRowArray), so the failure mode is
+    * unchanged, minus one whole shuffle of the frame. */
+  private def withNeighborhoodMin(edges: DataFrame): DataFrame =
+    edges.withColumn("mn", min(col("v")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("u"))))
+
   /** Large-star round: every node connects its larger neighbors to the
-    * minimum of its closed neighborhood. One groupBy + one join on id pairs. */
-  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    * minimum of its closed neighborhood. One window + one distinct. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame =
+    largeStarRaw(edges).distinct()
+
+  /** [[largeStar]] WITHOUT the trailing distinct — the fused round body
+    * ([[smallStar]]'s window min is duplicate-insensitive and its own
+    * trailing distinct dedups the union, so the intermediate exchange
+    * buys nothing; output rows stay ≤ |undirected edges| because exactly
+    * one orientation of each symmetric row survives `v > u`). */
+  private def largeStarRaw(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
-    sym.join(mins, "u")
+    withNeighborhoodMin(sym)
       .filter(col("v") > col("u"))
       // m = min(Γ(u) ∪ {u}) ≤ u < v, so the emitted edge stays larger→smaller
       .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-      .distinct()
   }
 
   /** Small-star round: every node rewires its smaller neighbors (and itself)
-    * to its minimum smaller neighbor. */
-  private[graft] def smallStar(edges: DataFrame): DataFrame = {
-    val mins = edges.groupBy("u").agg(min(col("v")).as("mn"))
-    val rewired = edges.join(mins, "u")
-      .filter(col("v") =!= col("mn"))
-      .select(col("v").as("u"), col("mn").as("v"))
-    rewired.union(mins.select(col("u"), col("mn").as("v")))
+    * to its minimum smaller neighbor. One window + one distinct. Both
+    * rewire targets — (v, mn) for the smaller neighbor and (u, mn) for
+    * the node itself — emit from ONE `explode` over the windowed frame:
+    * a `union` of two selects would reference the frame twice and
+    * duplicate its whole upstream subtree in the plan (two window
+    * exchanges for one logical pass — the r18 plan audit caught exactly
+    * that). The v = mn case emits (mn, mn) and self-drops in the filter,
+    * matching the old `v =!= mn` pre-filter; u = mn cannot occur (edges
+    * are directed larger→smaller, so mn ≤ v < u). */
+  private[graft] def smallStar(edges: DataFrame): DataFrame =
+    withNeighborhoodMin(edges)
+      .select(explode(array(
+        struct(col("v").as("u"), col("mn").as("v")),
+        struct(col("u"), col("mn").as("v")))).as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-  }
+
+  /** One fused large-star + small-star round ([[resolveClusters]]'s loop
+    * body): [[largeStarRaw]] feeds [[smallStar]] directly — the
+    * intermediate distinct's exchange is elided (see [[largeStarRaw]]).
+    * Note [[smallStar]]'s un-deduped union side now carries one
+    * (u, mn) row per INPUT row rather than per distinct u; the final
+    * distinct collapses them, so the round's fixpoint set is unchanged. */
+  private def starRound(edges: DataFrame): DataFrame =
+    smallStar(largeStarRaw(edges))
 
   /**
    * Applies a cluster resolution back to the corpus: keeps every document

@@ -16,10 +16,24 @@ object Layout {
    * `keyCols`, sorted within buckets. Subsequent equi-joins or aggregations
    * on exactly `keyCols` between same-bucketing tables plan with NO shuffle
    * on either side (and no sort for sort-merge).
+   *
+   * The write CO-LOCATES each bucket first (`repartition(buckets, keys)`
+   * is murmur3 pmod n — exactly Spark's bucket id function, the
+   * [[rewriteBucketed]] shuffle): without it every upstream partition
+   * writes its own file into every bucket it touches — tasks × buckets
+   * tiny files per store (measured 256 for a 32-partition frame at 8
+   * buckets), paying parquet writer open/footer cost per file at write
+   * time and file-open fan-out on every later scan. One write-time
+   * shuffle buys one file per bucket — the same discipline as
+   * [[graft.operators.Quantize.writeCodeStore]]'s per-cell co-location
+   * (its store note measured the tiny-file tax at 2× on probe reads).
+   * At scale, `buckets` is sized so one bucket's rows fit a write task
+   * comfortably — the parameter already carries that contract.
    */
   def writeBucketed(df: DataFrame, table: String, keyCols: Seq[String],
                     buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, keyCols.map(col): _*)
+      .write
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
       .mode("overwrite")
@@ -355,7 +369,12 @@ object Layout {
       s"appendBucketed: a rewrite already committed from $target — the " +
         "store moved; retry against the current version"))
     try
-      df.write
+      // co-locate the batch per bucket before the append (the
+      // writeBucketed note): "one new file per touched bucket" only
+      // holds when each write task owns one bucket — an un-shuffled
+      // 32-partition batch would append up to 32 files per bucket
+      df.repartition(spec.numBuckets, bcols.map(col): _*)
+        .write
         .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
         .sortBy(scols.head, scols.tail: _*)
         .mode("append")

@@ -108,19 +108,29 @@ class PlanSpec extends SparkSpec {
       s"scan did not use the bucketed layout:\n$plan")
   }
 
-  test("connected-components rounds are join+agg plans over bare id pairs") {
-    // one large-star + small-star round: the loop body must plan as
-    // hash-aggregate + join with no row collect and no cartesian — the
-    // driver only ever sees scalar convergence aggregates
+  test("connected-components rounds are window+distinct plans over bare id pairs") {
+    // one large-star + small-star round (r18 shape): each star's
+    // neighborhood min attaches via ONE window exchange instead of the
+    // former groupBy+join-back pair, with no row collect and no
+    // cartesian — the driver only ever sees scalar convergence
+    // aggregates. Pin the shape: exactly the two min-windows plus the
+    // trailing distinct's exchange pair — a join or extra exchange
+    // reappearing here is the regression this gate exists for.
     import spark.implicits._
     val edges = Seq((20L, 10L), (30L, 20L), (40L, 30L)).toDF("u", "v")
     val round = graft.operators.Dedup.smallStar(
       graft.operators.Dedup.largeStar(edges))
     val plan = round.queryExecution.explainString(ExplainMode.fromString("simple"))
-    assert(plan.contains("Join"), s"star round should be join-based:\n$plan")
-    assert(plan.contains("HashAggregate"), s"min-reduction should hash-agg:\n$plan")
+    assert(plan.contains("Window"), s"star round should window its mins:\n$plan")
+    assert(!plan.contains("Join"),
+      s"star round must not join the mins back (one-exchange window shape):\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("CollectLimit"),
       s"star round must not collect or go quadratic:\n$plan")
+    // exchange budget: 2 window shuffles (large star on sym, small star on
+    // its output) + 2 distinct exchanges (the stars' trailing distincts;
+    // resolveClusters' fused loop body elides the intermediate one)
+    val nEx = "Exchange".r.findAllIn(plan).size
+    assert(nEx <= 4, s"star round grew exchanges ($nEx > 4):\n$plan")
   }
 
   test("q87 dedup pipeline: survivor filter is an anti-join, never cartesian") {
