@@ -1428,9 +1428,19 @@ object SparkEntry {
         train, docs.filter(isEval), "text", "doc_id", n = 4)
       .select(col("doc_id"))
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
-    val mixed = operators.Curate.materializeMix(clean, "lang",
-        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
-      .select(col("doc_id"), col("lang"), col("quality"), col("sample_rank"))
+    // PERSIST the selected set: it is read three times below — the strip
+    // tier's chunk pass, the strip tier's rebuild join (both inside
+    // stripDuplicateBlocks, which references its input twice by
+    // contract), and the final column re-attach. Without the persist the
+    // whole selection upstream (quality gates, exact dedup,
+    // decontamination's n-gram join, mix materialization) re-executes
+    // per reference — measured 2.1× on the r18 baseline bench when the
+    // final-materialization pair landed.
+    val mixed = operators.OpCache.track(
+      operators.Curate.materializeMix(clean, "lang",
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("quality"), col("sample_rank"))
+        .persist())
     // FINAL MATERIALIZATION (the Dolma posture: masking/boilerplate
     // removal happen when the training set is written, after selection):
     // CDC keep-first block dedup over the SELECTED set — the block-level

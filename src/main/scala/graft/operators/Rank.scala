@@ -370,17 +370,22 @@ object Rank {
     val ids = OpCache.track(
       nodes.select(col(idCol).as("__id")).persist())
 
+    // each round's rank frame is consumed exactly ONCE (by the next
+    // round's join, or by the final attach), so the r17 per-round
+    // persist only paid a cache write+read of the frame per iteration
+    // without ever serving a second reader — the rounds now pipeline in
+    // one lazy plan (iters ≤ 64 bounds its depth; en/ids stay persisted,
+    // they ARE multiply read)
     var r = ids.withColumn("__r", lit(1.0))
     for (_ <- 1 to iters) {
       val mass = orderedTotal(
         en.join(r, col("__u") === col("__id"))
           .select(col("__v"), col("__u"), (col("__nw") * col("__r")).as("__c")),
         "__v", "__u", col("__c"), "__mass")
-      r = OpCache.track(ids
+      r = ids
         .join(mass, col("__id") === col("__v"), "left")
         .select(col("__id"), round(lit(1.0 - damping) +
           lit(damping) * coalesce(col("__mass"), lit(0.0)), 9).as("__r"))
-        .persist())
     }
     nodes.join(r, col(idCol) === col("__id"))
       .drop("__id")
