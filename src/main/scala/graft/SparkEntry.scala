@@ -2374,6 +2374,9 @@ object SparkEntry {
     val qualified = operators.Curate.topFractionPerGroup(
       docs.withColumn("quality", TextFunctions.qualityScore(col("text"))),
       "lang", "quality", 0.5, "doc_id")
+    // NOT persisted (measured 1.08× with a persist on the r18 A/B —
+    // caching the full-text frame costs more than recomputing the
+    // quality window + exact dedup per reference at any tested SF)
     val deduped = Dedup.exact(qualified, "text", "doc_id")
     val spans = Dedup.duplicateSubstringSpans(deduped, "text", "doc_id",
       minTokens = 5)
@@ -3134,11 +3137,16 @@ object SparkEntry {
         "text", "doc_id").persist())
     val pairs = Dedup.jaccardSelfJoin(curated, "text", "doc_id",
       shingleK = 3, threshold = 0.6)
-    val train = operators.Curate.clusterSafeSplits(curated, "text",
-        "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      .filter(col("split") === "train")
-      .select(col("doc_id"), col("lang"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    // persisted: the repeat planner aggregates the train split and the
+    // epoch materializer re-reads it — without this the cluster-safe
+    // split chain (CC resolution included) runs once per reference
+    val train = operators.OpCache.track(
+      operators.Curate.clusterSafeSplits(curated, "text",
+          "doc_id", pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        .persist())
     val plan = operators.Curate.repeatPlan(train, "lang", "n_tok",
       budgetTokens = 150000L,
       weights = Map("en" -> 0.5, "de" -> 0.2, "es" -> 0.15,
@@ -4356,7 +4364,12 @@ object SparkEntry {
     val quality = docs.filter(
       TextFunctions.qualityScore(col("text")) >= 0.6 &&
         TextFunctions.gopherRepetitionKeep(col("text")))
-    val deduped = Dedup.exact(quality, "text", "doc_id")
+    // persisted: dsirWeights is two-pass over its input (feature
+    // histograms, then scoring) and the split assignment joins the
+    // deduped frame again — without this the quality gate + exact dedup
+    // run once per reference (the q96 r18 lesson)
+    val deduped = operators.OpCache.track(
+      Dedup.exact(quality, "text", "doc_id").persist())
     val weighted = operators.Curate.dsirWeights(deduped, "text", "doc_id",
       col("lang") === "en", nBuckets = 1009, alpha = 0.5)
     val selected = weighted
