@@ -2090,7 +2090,7 @@ object SparkEntry {
       .select(col("doc_id"), col("score").as("sb"))
     // materialized: both verdict rows select from this 1-row aggregate,
     // which would otherwise re-run the two BM25 pipelines per row
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       a.join(b, Seq("doc_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
@@ -2163,7 +2163,7 @@ object SparkEntry {
     val li = t(s, dir, "lineitem")
     // materialize the 1-row aggregate: both gate rows select from it, and
     // without this the sketch AND the exact percentile recompute per row
-    val one = operators.OpCache.materialize(li.agg(
+    val one = operators.OpCache.materializeLocal(li.agg(
       expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)")
         .as("apx"),
       expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ext")))
@@ -2199,7 +2199,7 @@ object SparkEntry {
         "embedding", "vec_id", tau = 0.45)
       .select(col("id_a"), col("id_b"), lit(1).as("ina"))
     // 1-row agg read by both verdict rows → materialize (q119 pattern)
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       adhoc.join(store, Seq("id_a", "id_b"), "full_outer")
         .agg(
           coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
@@ -2235,7 +2235,7 @@ object SparkEntry {
     val adhoc = Dedup.dedupAgainst(batch, corpus, "text", "doc_id")
       .select(col("doc_id"), lit(1).as("ina"))
     // 1-row agg read by both verdict rows → eager materialize (q125 note)
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       adhoc.join(store, Seq("doc_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
@@ -2274,7 +2274,7 @@ object SparkEntry {
     val adhoc = Dedup.minhashLshAgainst(batch, corpus, "text", "doc_id",
         shingleK = 3, numHashes = 64, bands = 16, threshold = 0.5)
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard").as("ja"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("ja").isNull || col("js").isNull ||
@@ -2316,7 +2316,7 @@ object SparkEntry {
         "embedding", "vec_id", tau = 0.45)
       .select(col("batch_id"), col("corpus_id"), lit(1).as("ina"))
     // 1-row agg read by both verdict rows → materialize (q125 pattern)
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
@@ -2343,7 +2343,7 @@ object SparkEntry {
         "user_id", "event_type", "ts", stages, approxMedian = approx)
       .select(col("stage_idx"), col("median_gap_s"))
     // 2-row frame read by every gate row → eager materialize (q124 note)
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       conv(false).withColumnRenamed("median_gap_s", "ext")
         .join(conv(true).withColumnRenamed("median_gap_s", "apx"),
           Seq("stage_idx"))
@@ -2410,7 +2410,7 @@ object SparkEntry {
       .filter(Dedup.hammingDistance(col("fa"), col("fb")) <= maxH)
       .select(col("batch_id"), col("corpus_id"), lit(1).as("ine"))
     // 1-row agg read by both verdict rows → eager materialize (q125 note)
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       blocked.join(bf, Seq("batch_id", "corpus_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("inb").isNull || col("ine").isNull, 1)
@@ -2476,8 +2476,8 @@ object SparkEntry {
     val rerank = operators.Quantize.ivfPqRerank(e, queries, cents, cb,
       "embedding", "vec_id", m, subDim, k = 10, shortlist = 50, nProbe = 3)
     // 1-row recalls read by two verdict rows each → eager materialize
-    val rp = operators.OpCache.materialize(recallOf(plain))
-    val rr = operators.OpCache.materialize(recallOf(rerank))
+    val rp = operators.OpCache.materializeLocal(recallOf(plain))
+    val rr = operators.OpCache.materializeLocal(recallOf(rerank))
     // bound 0.4, measured (verify-skill protocol): rerank recall 0.54 at
     // sf0.001, 0.46 at sf0.01 — vs plain ADC 0.34 / 0.32 (+~40%
     // relative, the exact-re-rank lift at shortlist = 50)
@@ -2725,7 +2725,7 @@ object SparkEntry {
         "text", "doc_id", shingleK = 3, numHashes = 64, bands = 16,
         threshold = 0.5)
       .select(col("batch_id"), col("corpus_id"), col("est_jaccard").as("ja"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("ja").isNull || col("js").isNull ||
@@ -2769,7 +2769,7 @@ object SparkEntry {
           cents, "embedding", "vec_id", 2),
         "embedding", "vec_id", tau = 0.45)
       .select(col("batch_id"), col("corpus_id"), lit(1).as("ina"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       adhoc.join(store, Seq("batch_id", "corpus_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("ina").isNull || col("ins").isNull, 1)
@@ -2811,7 +2811,7 @@ object SparkEntry {
       .withColumnRenamed("score", "sa")
     val b = operators.Rank.bm25FromIndex(i2, s2, "doc_id", terms)
       .withColumnRenamed("score", "sb")
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       a.join(b, Seq("doc_id"), "full_outer")
         .agg(
           coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
@@ -2862,7 +2862,7 @@ object SparkEntry {
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
         .agg(
           coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
@@ -3029,7 +3029,7 @@ object SparkEntry {
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
         .agg(
           coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
@@ -3092,7 +3092,7 @@ object SparkEntry {
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
         .agg(
           coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
@@ -3203,7 +3203,7 @@ object SparkEntry {
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materialize(
+    val joined = operators.OpCache.materializeLocal(
       got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
         .agg(
           coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
@@ -3318,7 +3318,7 @@ object SparkEntry {
     // boundary SPILLS (never splits), so per-bin token sums may exceed
     // the budget by one spill — the layout invariant is that every doc
     // STARTS inside its bin: bin_offset ∈ [0, budget)
-    val bins = operators.OpCache.materialize(
+    val bins = operators.OpCache.materializeLocal(
       packed.agg(count(lit(1)).as("nrows"),
         coalesce(sum(when(col("bin_offset") < 0L ||
           col("bin_offset") >= 2048L, 1L).otherwise(0L)), lit(0L))
@@ -3986,8 +3986,8 @@ object SparkEntry {
         pairs, "id_a", "id_b", "w", iters = 5, damping = 0.85)
       .orderBy(col("centrality").desc, col("vec_id")).limit(20)
       .select(col("vec_id"))
-    val hubsServed = operators.OpCache.materialize(hubs(served))
-    val hubsExact = operators.OpCache.materialize(hubs(exact))
+    val hubsServed = operators.OpCache.materializeLocal(hubs(served))
+    val hubsExact = operators.OpCache.materializeLocal(hubs(exact))
     val nExact = exact.count()
     val keys = exact.select(col("id_a"), col("id_b"))
     val hit = served.join(keys, Seq("id_a", "id_b"), "left_semi").count()

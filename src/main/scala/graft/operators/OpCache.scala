@@ -53,4 +53,24 @@ object OpCache {
     trackRdd(rdd)
     out
   }
+
+  /** Materialize a VERDICT-SIZED frame (global 1-row aggregates,
+    * `limit(k)` artifacts — never anything data-sized) into a driver-
+    * local relation: one `collect()` instead of [[materialize]]'s
+    * RDD persist + count + re-plan, so every downstream verdict select
+    * over it is a LocalRelation — zero further Spark jobs (the r18
+    * profile measured 2–4 jobs plus ~45 ms of driver planning per
+    * extra job on every 1-row materialize in the gate class). The
+    * guard is a hard cap, not a hint: a caller handing this a frame
+    * that grows with the corpus must fail loudly, never silently
+    * collect a corpus to the driver. */
+  private[graft] def materializeLocal(df: DataFrame,
+                                      maxRows: Int = 1024): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"materializeLocal: ${rows.length} rows exceeds the verdict-frame " +
+        s"cap $maxRows — this frame is data-sized; use materialize/persist")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }
