@@ -2016,9 +2016,11 @@ object SparkEntry {
   private def q118_ivfpq_code_store(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val (m, subDim) = (16, 4)
-    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 10)
-    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
-      dim = 64, m = m, ksub = 16)
+    // independent model trainings overlap (the q157 note)
+    val (cents, cb) = operators.Par.par2(
+      Similarity.trainCentroids(e, "embedding", "vec_id", k = 10),
+      operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+        dim = 64, m = m, ksub = 16))
     val store = roundTripDir("graft_q118_codestore")
     operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
       m, subDim, store)
@@ -2843,36 +2845,45 @@ object SparkEntry {
   private def q149_codestore_retract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
-    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
-    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
-      dim = 64, m = 4, ksub = 8)
+    // independent model trainings overlap (the q157 note)
+    val (cents, cb) = operators.Par.par2(
+      Similarity.trainCentroids(e, "embedding", "vec_id", k = 8),
+      operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 8))
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q149_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/rebuild")
     rmTree(new java.io.File(base))
-    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
-      4, 16, dirA)
     val removed = e.filter(pmod(col("vec_id"), lit(5)) === 0)
       .select(col("vec_id"))
-    operators.Quantize.removeFromCodeStore(s, dirA, removed, "vec_id")
-    operators.Quantize.writeCodeStore(
-      e.join(removed, Seq("vec_id"), "left_anti"), cents, cb,
-      "embedding", "vec_id", 4, 16, dirB)
+    // dirA lifecycle (build + retract) and the dirB rebuild touch
+    // disjoint stores — overlap the two chains (the q157 note)
+    operators.Par.par2(
+      {
+        operators.Quantize.writeCodeStore(e, cents, cb, "embedding",
+          "vec_id", 4, 16, dirA)
+        operators.Quantize.removeFromCodeStore(s, dirA, removed, "vec_id")
+      },
+      operators.Quantize.writeCodeStore(
+        e.join(removed, Seq("vec_id"), "left_anti"), cents, cb,
+        "embedding", "vec_id", 4, 16, dirB))
     val got = operators.Quantize.readCodeStore(s, dirA)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materializeLocal(
-      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
-            .otherwise(0)), lit(0)).as("bad"),
-          count(lit(1)).as("n")))
-    val served = operators.Quantize.ivfPqTopKFromStore(s, dirA,
-        e.filter(col("vec_id") === 1), cents, cb, "embedding", "vec_id",
-        4, 16, k = 10, nProbe = 3)
-      .join(removed.withColumnRenamed("vec_id", "corpus_id"),
-        Seq("corpus_id"), "left_semi").count()
+    // parity aggregate and serving probe overlap (the q157 note)
+    val (joined, served) = operators.Par.par2(
+      operators.OpCache.materializeLocal(
+        got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+              .otherwise(0)), lit(0)).as("bad"),
+            count(lit(1)).as("n"))),
+      operators.Quantize.ivfPqTopKFromStore(s, dirA,
+          e.filter(col("vec_id") === 1), cents, cb, "embedding", "vec_id",
+          4, 16, k = 10, nProbe = 3)
+        .join(removed.withColumnRenamed("vec_id", "corpus_id"),
+          Seq("corpus_id"), "left_semi").count())
     joined.select(
         lit("codestore_retract_equals_rebuild").as("metric"),
         lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
@@ -3008,38 +3019,50 @@ object SparkEntry {
   private def q157_codestore_versioned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
-    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
-    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
-      dim = 64, m = 4, ksub = 8)
+    // the coarse quantizer and the PQ codebook train independently —
+    // overlap them (guide §2.6 via Par), like every chain split below
+    val (cents, cb) = operators.Par.par2(
+      Similarity.trainCentroids(e, "embedding", "vec_id", k = 8),
+      operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 8))
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q157_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/rebuild")
     rmTree(new java.io.File(base))
-    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
-      4, 16, dirA, versioned = true)
     val rm1 = e.filter(pmod(col("vec_id"), lit(5)) === 0).select(col("vec_id"))
     val rm2 = e.filter(pmod(col("vec_id"), lit(7)) === 1).select(col("vec_id"))
-    operators.Quantize.removeFromCodeStore(s, dirA, rm1, "vec_id")
-    operators.Quantize.removeFromCodeStore(s, dirA, rm2, "vec_id")
     val removed = rm1.unionByName(rm2).distinct()
-    operators.Quantize.writeCodeStore(
-      e.join(removed, Seq("vec_id"), "left_anti"), cents, cb,
-      "embedding", "vec_id", 4, 16, dirB, versioned = true)
+    // the dirA lifecycle (build + two retractions) and the dirB rebuild
+    // touch disjoint stores — overlap the two chains; the retractions
+    // stay strictly ordered inside their block (same manifest chain)
+    operators.Par.par2(
+      {
+        operators.Quantize.writeCodeStore(e, cents, cb, "embedding",
+          "vec_id", 4, 16, dirA, versioned = true)
+        operators.Quantize.removeFromCodeStore(s, dirA, rm1, "vec_id")
+        operators.Quantize.removeFromCodeStore(s, dirA, rm2, "vec_id")
+      },
+      operators.Quantize.writeCodeStore(
+        e.join(removed, Seq("vec_id"), "left_anti"), cents, cb,
+        "embedding", "vec_id", 4, 16, dirB, versioned = true))
     val got = operators.Quantize.readCodeStore(s, dirA)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materializeLocal(
-      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
-            .otherwise(0)), lit(0)).as("bad"),
-          count(lit(1)).as("n")))
-    val served = operators.Quantize.ivfPqTopKFromStore(s, dirA,
-        e.filter(col("vec_id") === 1), cents, cb, "embedding", "vec_id",
-        4, 16, k = 10, nProbe = 3)
-      .join(removed.withColumnRenamed("vec_id", "corpus_id"),
-        Seq("corpus_id"), "left_semi").count()
+    // the rebuild-parity aggregate and the retracted-id serving probe
+    // read the final stores independently — overlap them
+    val (joined, served) = operators.Par.par2(
+      operators.OpCache.materializeLocal(
+        got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+              .otherwise(0)), lit(0)).as("bad"),
+            count(lit(1)).as("n"))),
+      operators.Quantize.ivfPqTopKFromStore(s, dirA,
+          e.filter(col("vec_id") === 1), cents, cb, "embedding", "vec_id",
+          4, 16, k = 10, nProbe = 3)
+        .join(removed.withColumnRenamed("vec_id", "corpus_id"),
+          Seq("corpus_id"), "left_semi").count())
     // generation chain: two retractions on a v1 store land at v3, and GC
     // keeps exactly the current + one grace manifest
     val manifests = new java.io.File(dirA).list()
@@ -3071,36 +3094,46 @@ object SparkEntry {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val m3 = pmod(col("vec_id"), lit(3))
-    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
-    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
-      dim = 64, m = 4, ksub = 8)
+    // independent model trainings overlap (the q157 note)
+    val (cents, cb) = operators.Par.par2(
+      Similarity.trainCentroids(e, "embedding", "vec_id", k = 8),
+      operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 8))
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q158_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/oneshot")
     rmTree(new java.io.File(base))
-    operators.Quantize.writeCodeStore(e.filter(m3 === 0), cents, cb,
-      "embedding", "vec_id", 4, 16, dirA, versioned = true)
-    operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 1),
-      cents, cb, "embedding", "vec_id", 4, 16)
-    operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 2),
-      cents, cb, "embedding", "vec_id", 4, 16)
-    val replayed = operators.Quantize.ingestBatchCodeStore(s, dirA,
-      e.filter(m3 === 2), cents, cb, "embedding", "vec_id", 4, 16).count()
-    operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
-      4, 16, dirB, versioned = true)
+    // the dirA ingest chain (strictly ordered: same manifest chain) and
+    // the dirB one-shot build touch disjoint stores — overlap them
+    val (replayed, _) = operators.Par.par2(
+      {
+        operators.Quantize.writeCodeStore(e.filter(m3 === 0), cents, cb,
+          "embedding", "vec_id", 4, 16, dirA, versioned = true)
+        operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 1),
+          cents, cb, "embedding", "vec_id", 4, 16)
+        operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 2),
+          cents, cb, "embedding", "vec_id", 4, 16)
+        operators.Quantize.ingestBatchCodeStore(s, dirA, e.filter(m3 === 2),
+          cents, cb, "embedding", "vec_id", 4, 16).count()
+      },
+      operators.Quantize.writeCodeStore(e, cents, cb, "embedding", "vec_id",
+        4, 16, dirB, versioned = true))
     val got = operators.Quantize.readCodeStore(s, dirA)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materializeLocal(
-      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
-            .otherwise(0)), lit(0)).as("bad"),
-          count(lit(1)).as("n")))
     val store = operators.Quantize.readCodeStore(s, dirA)
-    val oneFilePerCell = store.inputFiles.length.toLong ==
-      store.select(col("cell")).distinct().count()
+    // the sequential-equals-oneshot aggregate and the one-file-per-cell
+    // distinct count read the final stores independently — overlap them
+    val (joined, nCells) = operators.Par.par2(
+      operators.OpCache.materializeLocal(
+        got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+              .otherwise(0)), lit(0)).as("bad"),
+            count(lit(1)).as("n"))),
+      store.select(col("cell")).distinct().count())
+    val oneFilePerCell = store.inputFiles.length.toLong == nCells
     joined.select(
         lit("cstore_ingest_seq_equals_oneshot").as("metric"),
         lit(0.0).as("bound"), (col("bad") === 0).as("ok"))
@@ -3183,9 +3216,11 @@ object SparkEntry {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val half = e.filter(pmod(col("vec_id"), lit(2)) === 0)
-    val cents0 = Similarity.trainCentroids(half, "embedding", "vec_id", k = 8)
-    val cb0 = operators.Quantize.trainCodebook(half, "embedding", "vec_id",
-      dim = 64, m = 4, ksub = 8)
+    // independent model trainings overlap (the q157 note)
+    val (cents0, cb0) = operators.Par.par2(
+      Similarity.trainCentroids(half, "embedding", "vec_id", k = 8),
+      operators.Quantize.trainCodebook(half, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 8))
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q160_$pid"
     val (dirA, dirB) = (s"$base/store", s"$base/oneshot")
@@ -3203,15 +3238,18 @@ object SparkEntry {
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("ing"))
     val want = operators.Quantize.readCodeStore(s, dirB)
       .select(col("vec_id"), col("codes"), col("cell"), lit(1).as("inw"))
-    val joined = operators.OpCache.materializeLocal(
-      got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
-            .otherwise(0)), lit(0)).as("bad"),
-          count(lit(1)).as("n")))
-    val served = operators.Quantize.ivfPqTopKFromStore(s, dirA,
-      e.filter(col("vec_id") === 1), c2, cb2, "embedding", "vec_id",
-      4, 16, k = 10, nProbe = 3).count()
+    // the retrain-parity aggregate and the stored-models serving probe
+    // read the final stores independently — overlap them (q157 note)
+    val (joined, served) = operators.Par.par2(
+      operators.OpCache.materializeLocal(
+        got.join(want, Seq("vec_id", "codes", "cell"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("ing").isNull || col("inw").isNull, 1)
+              .otherwise(0)), lit(0)).as("bad"),
+            count(lit(1)).as("n"))),
+      operators.Quantize.ivfPqTopKFromStore(s, dirA,
+        e.filter(col("vec_id") === 1), c2, cb2, "embedding", "vec_id",
+        4, 16, k = 10, nProbe = 3).count())
     val manifests = new java.io.File(dirA).list()
       .filter(_.startsWith("_graft_manifest")).sorted.toSeq
     val chainOk = operators.Quantize.codeStoreVersion(s, dirA)
@@ -3397,9 +3435,11 @@ object SparkEntry {
   private def q163_codestore_bloom(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
-    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
-    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
-      dim = 64, m = 4, ksub = 8)
+    // independent model trainings overlap (the q157 note)
+    val (cents, cb) = operators.Par.par2(
+      Similarity.trainCentroids(e, "embedding", "vec_id", k = 8),
+      operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 8))
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q163_$pid"
     rmTree(new java.io.File(base))
@@ -3455,9 +3495,11 @@ object SparkEntry {
   private def q164_codestore_drift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = t(s, dir, "embeddings")
-    val cents = Similarity.trainCentroids(e, "embedding", "vec_id", k = 8)
-    val cb = operators.Quantize.trainCodebook(e, "embedding", "vec_id",
-      dim = 64, m = 4, ksub = 8)
+    // independent model trainings overlap (the q157 note)
+    val (cents, cb) = operators.Par.par2(
+      Similarity.trainCentroids(e, "embedding", "vec_id", k = 8),
+      operators.Quantize.trainCodebook(e, "embedding", "vec_id",
+        dim = 64, m = 4, ksub = 8))
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_q164_$pid"
     rmTree(new java.io.File(base))
@@ -3476,8 +3518,9 @@ object SparkEntry {
     def stats(batch: DataFrame) = operators.Quantize
       .codeStoreDriftStats(s, store, batch, "embedding", "vec_id")
       .collect()(0)
-    val c = stats(control)
-    val d = stats(drifted)
+    // the control and drifted diagnostics are independent batch-bounded
+    // passes over the same read-only store — overlap them (q157 note)
+    val (c, d) = operators.Par.par2(stats(control), stats(drifted))
     val (cr, dr) = (c.getAs[Double]("err_ratio"), d.getAs[Double]("err_ratio"))
     val (cs, ds) = (c.getAs[Double]("fill_skew"), d.getAs[Double]("fill_skew"))
     // bounds measured before pinning: control ratio 1.22/1.24 and skew
@@ -3981,18 +4024,43 @@ object SparkEntry {
           nBits = 0)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("w"))
         .persist())
+    // fill both pair caches CONCURRENTLY (guide §2.6 via Par — the two
+    // tiers are independent until the parity verdicts), then fan out the
+    // two graphRank chains and the parity aggregate the same way; the
+    // up-front counts stop the concurrent readers from racing the same
+    // un-materialized cache into duplicate heavy computes
+    operators.Par.par2(served.count(), exact.count())
     val nodes = e.select(col("vec_id"), col("label"))
     def hubs(pairs: DataFrame) = operators.Rank.graphRank(nodes, "vec_id",
         pairs, "id_a", "id_b", "w", iters = 5, damping = 0.85)
       .orderBy(col("centrality").desc, col("vec_id")).limit(20)
       .select(col("vec_id"))
-    val hubsServed = operators.OpCache.materializeLocal(hubs(served))
-    val hubsExact = operators.OpCache.materializeLocal(hubs(exact))
-    val nExact = exact.count()
-    val keys = exact.select(col("id_a"), col("id_b"))
-    val hit = served.join(keys, Seq("id_a", "id_b"), "left_semi").count()
-    val spurious = served.join(keys, Seq("id_a", "id_b"), "left_anti").count()
-    val overlap = hubsServed.join(hubsExact, Seq("vec_id"), "left_semi").count()
+    // ONE full-outer aggregate replaces the r18 three sequential counts
+    // (exact.count + semi-join count + anti-join count): both pair sets
+    // are unique by construction (distinct candidates / ordered brute
+    // pairs), so row markers in the joined frame classify every pair
+    // exactly as the three joins did
+    val (hubsServed, hubsExact, parity) = operators.Par.par3(
+      operators.OpCache.materializeLocal(hubs(served)),
+      operators.OpCache.materializeLocal(hubs(exact)),
+      served.select(col("id_a"), col("id_b"), lit(1).as("l"))
+        .join(exact.select(col("id_a"), col("id_b"), lit(1).as("r")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          coalesce(sum(col("r")), lit(0)).as("n_exact"),
+          coalesce(sum(when(col("l") === 1 && col("r") === 1, 1)
+            .otherwise(0)), lit(0)).as("hit"),
+          coalesce(sum(when(col("l") === 1 && col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("spurious"))
+        .collect()(0))
+    val nExact = parity.getLong(0)
+    val hit = parity.getLong(1)
+    val spurious = parity.getLong(2)
+    // both hub frames are driver-local 20-row relations — intersect on
+    // the driver instead of running one more Spark job
+    val exactHubSet = hubsExact.collect().map(_.get(0)).toSet
+    val overlap =
+      hubsServed.collect().map(_.get(0)).count(exactHubSet).toLong
     // bounds measured before pinning (the q169 discipline): recall
     // 0.998/0.996/0.998 and hub overlap 19/20 at sf0.001/0.01/0.1 with
     // probes = 4 of 8 cells (0.74 and 11/20 at probes = 2 — the
@@ -4038,38 +4106,62 @@ object SparkEntry {
     val pid = java.lang.Long.toHexString(ProcessHandle.current().pid())
     val tbl = s"q188_mm_$pid"
     dropLocalTable(s, tbl)
-    Dedup.writeAssignedCorpus(tgt, cents, "embedding", "vec_id", probes = 4,
-      tbl, buckets = 8)
-    val shortlist = Dedup.semDedupBatchAgainstStore(s, src, tbl, cents,
-        "embedding", "vec_id", probes = 4, tau = -1.0)
-      .select(col("batch_id").as("src_id"), col("corpus_id").as("tgt_id"),
-        col("cos"))
-    val minedStore = operators.OpCache.materialize(
-      operators.Similarity.marginMine(shortlist, "src_id", "tgt_id", "cos",
-          k = 4, tau = 1.2, mutual = true)
-        .select(col("src_id"), col("tgt_id")))
-    val scoredExact = src.select(col("vec_id").as("src_id"),
-        col("embedding").as("sv"))
-      .join(broadcast(tgt.select(col("vec_id").as("tgt_id"),
-        col("embedding").as("tv"))))
-      .select(col("src_id"), col("tgt_id"),
-        VectorFunctions.cosine(col("sv"), col("tv")).as("cos"))
-    val minedExact = operators.OpCache.materialize(
-      operators.Similarity.marginMine(scoredExact, "src_id", "tgt_id",
-          "cos", k = 4, tau = 1.2, mutual = true)
-        .select(col("src_id"), col("tgt_id")))
-    val planted = operators.OpCache.materialize(
-      src.filter(pmod(col("vec_id"), lit(13)) === 0)
-        .select(col("vec_id").as("src_id"),
-          (col("vec_id") + 1000000L).as("tgt_id")))
-    val nPlanted = planted.count()
-    val plantedHit =
-      planted.join(minedStore, Seq("src_id", "tgt_id"), "left_semi").count()
-    val nExact = minedExact.count()
-    val hit =
-      minedStore.join(minedExact, Seq("src_id", "tgt_id"), "left_semi").count()
-    val spurious =
-      minedStore.join(minedExact, Seq("src_id", "tgt_id"), "left_anti").count()
+    // the store tier (write + shortlist + mine) and the exact tier are
+    // independent until the parity verdicts — run the two mining chains
+    // concurrently (guide §2.6 via Par); planted is a trivial filter
+    val (minedStore, minedExact) = operators.Par.par2(
+      {
+        Dedup.writeAssignedCorpus(tgt, cents, "embedding", "vec_id",
+          probes = 4, tbl, buckets = 8)
+        val shortlist = Dedup.semDedupBatchAgainstStore(s, src, tbl, cents,
+            "embedding", "vec_id", probes = 4, tau = -1.0)
+          .select(col("batch_id").as("src_id"),
+            col("corpus_id").as("tgt_id"), col("cos"))
+        operators.OpCache.materialize(
+          operators.Similarity.marginMine(shortlist, "src_id", "tgt_id",
+              "cos", k = 4, tau = 1.2, mutual = true)
+            .select(col("src_id"), col("tgt_id")))
+      }, {
+        val scoredExact = src.select(col("vec_id").as("src_id"),
+            col("embedding").as("sv"))
+          .join(broadcast(tgt.select(col("vec_id").as("tgt_id"),
+            col("embedding").as("tv"))))
+          .select(col("src_id"), col("tgt_id"),
+            VectorFunctions.cosine(col("sv"), col("tv")).as("cos"))
+        operators.OpCache.materialize(
+          operators.Similarity.marginMine(scoredExact, "src_id", "tgt_id",
+              "cos", k = 4, tau = 1.2, mutual = true)
+            .select(col("src_id"), col("tgt_id")))
+      })
+    val planted = src.filter(pmod(col("vec_id"), lit(13)) === 0)
+      .select(col("vec_id").as("src_id"),
+        (col("vec_id") + 1000000L).as("tgt_id"))
+    // each parity tier fuses its r18 sequential counts into ONE
+    // aggregate (mined/planted sets are unique pairs by construction:
+    // marginMine keeps one forward pick per src, planted one row per
+    // src), and the two aggregates run concurrently
+    val (plantedRow, parityRow) = operators.Par.par2(
+      planted
+        .join(minedStore.withColumn("m", lit(1)), Seq("src_id", "tgt_id"),
+          "left_outer")
+        .agg(count(lit(1)).as("n_planted"),
+          coalesce(sum(col("m")), lit(0)).as("planted_hit"))
+        .collect()(0),
+      minedStore.select(col("src_id"), col("tgt_id"), lit(1).as("l"))
+        .join(minedExact.select(col("src_id"), col("tgt_id"), lit(1).as("r")),
+          Seq("src_id", "tgt_id"), "full_outer")
+        .agg(
+          coalesce(sum(col("r")), lit(0)).as("n_exact"),
+          coalesce(sum(when(col("l") === 1 && col("r") === 1, 1)
+            .otherwise(0)), lit(0)).as("hit"),
+          coalesce(sum(when(col("l") === 1 && col("r").isNull, 1)
+            .otherwise(0)), lit(0)).as("spurious"))
+        .collect()(0))
+    val nPlanted = plantedRow.getLong(0)
+    val plantedHit = plantedRow.getLong(1)
+    val nExact = parityRow.getLong(0)
+    val hit = parityRow.getLong(1)
+    val spurious = parityRow.getLong(2)
     // bounds measured before pinning: at probes = 4 the store-mined set
     // EQUALED the exact tier's at all three SFs (recall 1.0, spurious 0;
     // probes = 2 measured recall 0.89 with 14 spurious — the shortlist

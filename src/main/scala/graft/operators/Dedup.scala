@@ -1286,8 +1286,9 @@ object Dedup {
   def semanticDecontaminate(corpus: DataFrame, eval: DataFrame,
       vecCol: String, idCol: String, k: Int, tau: Double,
       iters: Int = 2, probes: Int = 2): DataFrame = {
-    val cents = OpCache.materialize(
-      Similarity.trainCentroids(corpus, vecCol, idCol, k, iters))
+    // trainCentroids already returns a driver-local relation (r19) — a
+    // materialize wrap would push it back through the RDD round-trip
+    val cents = Similarity.trainCentroids(corpus, vecCol, idCol, k, iters)
     val corpusAssigned = Similarity.ivfAssign(corpus, cents, vecCol, idCol)
     val evalAssigned =
       Similarity.ivfAssignMulti(eval, cents, vecCol, idCol, probes)

@@ -66,10 +66,14 @@ object OpCache {
     * collect a corpus to the driver. */
   private[graft] def materializeLocal(df: DataFrame,
                                       maxRows: Int = 1024): DataFrame = {
-    val rows = df.collect()
+    // collect through limit(maxRows + 1), NOT a bare collect-then-check:
+    // a miswired data-sized frame must fail loudly WITHOUT first pulling
+    // the whole corpus into driver memory (the limit bounds the transfer
+    // to one row past the cap; the require still fires on overflow)
+    val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
-      s"materializeLocal: ${rows.length} rows exceeds the verdict-frame " +
-        s"cap $maxRows — this frame is data-sized; use materialize/persist")
+      s"materializeLocal: over $maxRows rows — this frame is data-sized; " +
+        "use materialize/persist")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }

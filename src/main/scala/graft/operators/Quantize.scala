@@ -92,11 +92,16 @@ object Quantize {
     val sv = subvectors(train, vecCol, idCol, m, subDim)
     val seedW = Window.partitionBy(col("sub"))
       .orderBy(xxhash64(col(idCol)), col(idCol))
-    var cb = OpCache.materialize(sv
+    // each round's codebook is m·ksub rows by policy — a DRIVER-LOCAL
+    // relation (the trainCentroids r19 note): one collect per round, and
+    // [[collectCodebookSets]]'s collect plus every broadcast of the
+    // codebook then runs zero further Spark jobs (LocalTableScan)
+    val cap = math.max(m * ksub, 1024)
+    var cb = OpCache.materializeLocal(sv
       .withColumn("rn", row_number().over(seedW))
       .filter(col("rn") <= ksub)
       .select(col("sub"), (col("rn") - 1).cast("int").as("code"),
-        col("subvec").as("codeword")))
+        col("subvec").as("codeword")), cap)
     for (_ <- 0 until iters) {
       // per-row compiled argmax against the collected per-subspace
       // codebooks (NearestCellsIndexed) — the join + max_by form planned
@@ -107,15 +112,20 @@ object Quantize {
         element_at(graft.functions.expressions.GraftExpressions
             .nearestCellsIndexed(col("subvec"), col("sub"), cbSets, 1), 1)
           .cast("int").as("code"))
-      cb = OpCache.materialize(assigned
+      cb = OpCache.materializeLocal(assigned
         .groupBy(col("sub"), col("code"))
         .agg(vmean(col("subvec")).as("cw"))
         .select(col("sub"), col("code"),
-          transform(col("cw"), x => x.cast("float")).as("codeword")))
+          transform(col("cw"), x => x.cast("float")).as("codeword")), cap)
     }
-    // dense re-code per subspace after possible cell dropout
-    cb.withColumn("code", (row_number().over(
-        Window.partitionBy(col("sub")).orderBy(col("code"))) - 1).cast("int"))
+    // dense re-code per subspace after possible cell dropout — localized
+    // too (a window over a LocalRelation does not fold back to one, and
+    // every consumer collect/broadcast of the codebook would re-run it
+    // as a job otherwise)
+    OpCache.materializeLocal(
+      cb.withColumn("code", (row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("code"))) - 1).cast("int")),
+      cap)
   }
 
   /**
@@ -522,10 +532,21 @@ object Quantize {
     codeStoreVersion(spark, path).flatMap { v =>
       readManifestMeta(spark, path, v).get("models").map { d =>
         val base = path.stripSuffix("/")
-        (spark.read.parquet(s"$base/$d/centroids"),
-          spark.read.parquet(s"$base/$d/codebook"))
+        // model artifacts are KB-sized by policy — resolve them as
+        // driver-local relations (one scan job each) so every consumer
+        // collect/broadcast (probe cells, ADC LUT, encode argmax) runs
+        // zero further jobs; the cap is the loud data-size guard
+        (OpCache.materializeLocal(
+            spark.read.parquet(s"$base/$d/centroids"), ModelFrameCap),
+          OpCache.materializeLocal(
+            spark.read.parquet(s"$base/$d/codebook"), ModelFrameCap))
       }
     }
+
+  /** Row cap for a driver-resolved model frame (centroids / codebooks) —
+    * far above any policy-sized model (thousands of rows), far below
+    * anything data-sized. */
+  private val ModelFrameCap = 65536
 
   /**
    * Record a HELD-ID Bloom filter in the manifest (`@bloom` artifact +
@@ -1142,9 +1163,12 @@ object Quantize {
       throw new IllegalArgumentException(
         s"retrainCodeStore: $path is not a versioned store — " +
           "enableCodeStoreVersioning first (model swaps need atomic swaps)"))
-    val cents = OpCache.materialize(
-      Similarity.trainCentroids(corpus, vecCol, idCol, cells, iters))
-    val cb = OpCache.materialize(
+    // both trainers already return driver-local relations (r19) — a
+    // materialize wrap would push them back through the RDD round-trip —
+    // and they are independent Lloyd loops over the same corpus, so they
+    // overlap (guide §2.6 via Par)
+    val (cents, cb) = Par.par2(
+      Similarity.trainCentroids(corpus, vecCol, idCol, cells, iters),
       trainCodebook(corpus, vecCol, idCol, dim, m, ksub, iters))
     val models = writeModels(spark, path, v + 1, cents, cb)
     val codes = assembleCodes(corpus, cents, cb, vecCol, idCol, m, dim / m)
@@ -1277,8 +1301,11 @@ object Quantize {
       } yield {
         val base = path.stripSuffix("/")
         val a = pq.split("\t", 2)
-        (spark.read.parquet(s"$base/$d/centroids"),
-          spark.read.parquet(s"$base/$d/codebook"),
+        // driver-local model resolution — the storedModels note
+        (OpCache.materializeLocal(
+            spark.read.parquet(s"$base/$d/centroids"), ModelFrameCap),
+          OpCache.materializeLocal(
+            spark.read.parquet(s"$base/$d/codebook"), ModelFrameCap),
           a(0).toInt, a(1).toInt)
       }
     }
@@ -1307,8 +1334,10 @@ object Quantize {
           "pass models explicitly via ingestBatchCodeStore"))
     val base = path.stripSuffix("/")
     ingestCodeStore(spark, path, batch,
-      spark.read.parquet(s"$base/$d/centroids"),
-      spark.read.parquet(s"$base/$d/codebook"),
+      OpCache.materializeLocal(
+        spark.read.parquet(s"$base/$d/centroids"), ModelFrameCap),
+      OpCache.materializeLocal(
+        spark.read.parquet(s"$base/$d/codebook"), ModelFrameCap),
       vecCol, idCol, pq(0).toInt, pq(1).toInt, fullIdCheck,
       expectModels = Some(d))
   }

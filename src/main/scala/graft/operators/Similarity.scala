@@ -201,19 +201,28 @@ object Similarity {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val vmean = udaf(graft.functions.Aggregators.VectorMean,
       ExpressionEncoder[Seq[Float]]())
+    // every round's centroid table is k rows by policy (the CentroidSet
+    // artifact class), so it materializes as a DRIVER-LOCAL relation:
+    // one collect per round instead of the r18 RDD persist + count, and
+    // every consumer — [[collectCentroids]]'s collect, probe-side
+    // broadcasts — then runs ZERO further Spark jobs (LocalTableScan
+    // executes driver-side; the r19 profile measured 2 jobs/round plus
+    // ~45 ms of driver planning per job on the old path). The cap stays
+    // a loud guard against a data-sized miswire.
+    val cap = math.max(k, 1024)
     // hash order = deterministic pseudo-random sample, decorrelated from id
     // assignment order; TakeOrderedAndProject ships only k rows
-    var cents = OpCache.materialize(corpus
+    var cents = OpCache.materializeLocal(corpus
       .select(col(idCol).as("centroid_id"), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
-      .limit(k))
+      .limit(k), cap)
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(corpus, cents, vecCol, idCol)
-      cents = OpCache.materialize(assigned
+      cents = OpCache.materializeLocal(assigned
         .groupBy(col("cell").as("centroid_id"))
         .agg(vmean(col(vecCol)).as("m"))
         .select(col("centroid_id"),
-          transform(col("m"), x => x.cast("float")).as(vecCol)))
+          transform(col("m"), x => x.cast("float")).as(vecCol)), cap)
     }
     cents
   }
