@@ -758,8 +758,26 @@ object Dedup {
    * heavy-tailed shingle frequencies.
    */
   def jaccardSelfJoin(df: DataFrame, textCol: String, idCol: String,
-                      shingleK: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val (sets, cands) = jaccardCandidates(df, textCol, idCol, shingleK, threshold)
+                      shingleK: Int = 3, threshold: Double = 0.6): DataFrame =
+    jaccardSelfJoinOnSets(
+      shingleSets(df, textCol, idCol, shingleK), threshold)
+
+  /** The persisted (id, sh, len) sorted-shingle-hash frame every jaccard
+    * tier verifies against — exposed so a gate running BOTH the exact
+    * self-join and a store-candidate verify over the same corpus (q161)
+    * shingles and sorts it ONCE instead of once per tier. Tracked in
+    * [[OpCache]] like every shared intermediate. */
+  private[graft] def shingleSets(df: DataFrame, textCol: String,
+                                 idCol: String, shingleK: Int): DataFrame =
+    OpCache.track(df.select(col(idCol).as("id"),
+        sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
+      .withColumn("len", size(col("sh")))
+      .persist())
+
+  /** [[jaccardSelfJoin]] over a prebuilt [[shingleSets]] frame. */
+  private[graft] def jaccardSelfJoinOnSets(sets: DataFrame,
+                                           threshold: Double): DataFrame = {
+    val cands = jaccardCandidatesOnSets(sets, threshold)
     val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
       col("len").as("__len_a"))
     val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
@@ -797,18 +815,7 @@ object Dedup {
   def jaccardVerifyPairs(df: DataFrame, textCol: String, idCol: String,
                          pairs: DataFrame, shingleK: Int = 3,
                          threshold: Double = 0.6): DataFrame = {
-    // canonicalize CALLER-SUPPLIED candidates: the scaladoc advertises
-    // "any blocking tier", and an arbitrary tier may emit (a,b) AND
-    // (b,a) — both would survive a plain dropDuplicates and the pair
-    // would verify twice — or a self-pair (a,a), which would emit a
-    // spurious jaccard-1.0 row. Orient to id_a < id_b and drop
-    // self-pairs BEFORE deduping so output parity with jaccardSelfJoin
-    // holds for arbitrary candidate sets, not just canonical-emitting
-    // tiers like the LSH store.
-    val pairs2 = pairs.select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
+    val pairs2 = canonicalPairs(pairs)
     // pair-bounded means pair-bounded: shingle ONLY the ids the candidate
     // pairs touch (a 10^9-doc corpus with 10^4 candidates must not pay a
     // corpus-wide shingle/sort pass for a 2·10^4-id verify)
@@ -820,6 +827,41 @@ object Dedup {
         sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
       .withColumn("len", size(col("sh")))
       .persist())
+    verifyPairsOnSets(sets, pairs2, threshold)
+  }
+
+  /** Canonicalize CALLER-SUPPLIED candidates: the verify scaladoc
+    * advertises "any blocking tier", and an arbitrary tier may emit
+    * (a,b) AND (b,a) — both would survive a plain dropDuplicates and the
+    * pair would verify twice — or a self-pair (a,a), which would emit a
+    * spurious jaccard-1.0 row. Orient to id_a < id_b and drop self-pairs
+    * BEFORE deduping so output parity with [[jaccardSelfJoin]] holds for
+    * arbitrary candidate sets, not just canonical-emitting tiers like
+    * the LSH store. */
+  private def canonicalPairs(pairs: DataFrame): DataFrame =
+    pairs.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+
+  /** [[jaccardVerifyPairs]] over a prebuilt [[shingleSets]] frame — the
+    * form a gate running the exact self-join over the SAME corpus in the
+    * same invocation uses (q161): the corpus-wide shingle pass is
+    * already paid (and persisted) by the exact tier, so re-shingling the
+    * touched slice would cost a second pass for nothing. Identical
+    * output to [[jaccardVerifyPairs]] — same canonicalization, same
+    * kernel (attaching from a superset of the touched ids changes no
+    * pair's sets). */
+  private[graft] def jaccardVerifyPairsOnSets(sets: DataFrame,
+                                              pairs: DataFrame,
+                                              threshold: Double): DataFrame =
+    verifyPairsOnSets(sets, canonicalPairs(pairs), threshold)
+
+  /** Shared verify kernel: exact jaccard for the (already canonical)
+    * pairs, sets attached by id. Same arithmetic as [[jaccardSelfJoin]]'s
+    * verify stage. */
+  private def verifyPairsOnSets(sets: DataFrame, pairs2: DataFrame,
+                                threshold: Double): DataFrame = {
     val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
       col("len").as("__len_a"))
     val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"),
@@ -842,11 +884,14 @@ object Dedup {
   private[graft] def jaccardCandidates(
       df: DataFrame, textCol: String, idCol: String, shingleK: Int,
       threshold: Double): (DataFrame, DataFrame) = {
+    val sets = shingleSets(df, textCol, idCol, shingleK)
+    (sets, jaccardCandidatesOnSets(sets, threshold))
+  }
+
+  /** The blocking stage over a prebuilt [[shingleSets]] frame. */
+  private def jaccardCandidatesOnSets(
+      sets: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val sets = OpCache.track(df.select(col(idCol).as("id"),
-        sort_array(shingleHashes(col(textCol), shingleK)).as("sh"))
-      .withColumn("len", size(col("sh")))
-      .persist())
     // prefix length errs LARGER on float boundaries (never drops a pair)
     val p = (col("len") - ceil(col("len") * threshold - 1e-9) + 1).cast("int")
     val prefix = sets.select(col("id"), col("len"),
@@ -866,7 +911,7 @@ object Dedup {
           .cast("double") >= alpha)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    (sets, cands)
+    cands
   }
 
   /**
