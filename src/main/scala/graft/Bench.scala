@@ -176,8 +176,16 @@ object Bench {
     val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","headline":"min","queries":$qs,"sf":"$sfDir","runs":$RUNS,"failed":$failedJson,"spread":$spread}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
       "/root/repo/bench_full.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
+      // ADDITION (r19, verdict item 6): the stdout line is unchanged, but
+      // its exact bytes ALSO land in a sidecar file — the r17 round lost
+      // its whole PERF comparison because the driver's stdout-tail capture
+      // truncated the one JSON line mid-queries; a file copy of the same
+      // line survives any capture window
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile + ".compact"), compact + "\n")
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop() // stop BEFORE the result line: Spark shutdown chatter on
     println(compact) // stdout would land after it and re-pollute the tail

@@ -1800,14 +1800,17 @@ object SparkEntry {
     val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id",
         threshold = 0.45, nBits = 0)
       .select(col("id_a"), col("id_b"))
-    // lazily persisted: recall AND spurious-drop rows both read these,
-    // and each is a full connected-components resolution (persist, not
-    // the RDD materialize — see q118's note)
-    val semDropped = operators.OpCache.track(Dedup.resolveClusters(sem)
+    // the two connected-components resolutions (approximate and exact
+    // tier) are independent eager loops — overlap them (guide §2.6 via
+    // Par, the q157 note)
+    val (semResolved, exactResolved) = operators.Par.par2(
+      Dedup.resolveClusters(sem), Dedup.resolveClusters(exact))
+    // lazily persisted: recall AND spurious-drop rows both read these
+    // (persist, not the RDD materialize — see q118's note)
+    val semDropped = operators.OpCache.track(semResolved
       .filter(!col("keep")).select(col("id")).persist())
-    val exactDropped = operators.OpCache.track(
-      Dedup.resolveClusters(exact)
-        .filter(!col("keep")).select(col("id")).persist())
+    val exactDropped = operators.OpCache.track(exactResolved
+      .filter(!col("keep")).select(col("id")).persist())
     val recall = exactDropped
       .join(semDropped.withColumn("hit", lit(1)), Seq("id"), "left_outer")
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
@@ -2800,12 +2803,18 @@ object SparkEntry {
     val (tbl, tbl2) = (s"q148_idx_$pid", s"q148_rb_$pid")
     Seq(tbl, s"${tbl}_stats", s"${tbl}__graft_compact", s"${tbl}__graft_old",
       tbl2, s"${tbl2}_stats").foreach(dropLocalTable(s, _))
-    operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
     val removed = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
       .select(col("doc_id"))
-    operators.Rank.removeFromIndex(s, tbl, removed, "doc_id")
-    operators.Rank.writeIndex(docs.join(removed, Seq("doc_id"), "left_anti"),
-      "text", "doc_id", tbl2, buckets = 8)
+    // the tbl lifecycle (build + retraction) and the tbl2 rebuild touch
+    // disjoint tables — overlap the two chains (the q157 note)
+    operators.Par.par2(
+      {
+        operators.Rank.writeIndex(docs, "text", "doc_id", tbl, buckets = 8)
+        operators.Rank.removeFromIndex(s, tbl, removed, "doc_id")
+      },
+      operators.Rank.writeIndex(
+        docs.join(removed, Seq("doc_id"), "left_anti"),
+        "text", "doc_id", tbl2, buckets = 8))
     val terms = Seq("spark", "data", "query", "stream")
     val (i1, s1) = operators.Rank.readIndex(s, tbl)
     val (i2, s2) = operators.Rank.readIndex(s, tbl2)
@@ -2813,16 +2822,17 @@ object SparkEntry {
       .withColumnRenamed("score", "sa")
     val b = operators.Rank.bm25FromIndex(i2, s2, "doc_id", terms)
       .withColumnRenamed("score", "sb")
-    val joined = operators.OpCache.materializeLocal(
-      a.join(b, Seq("doc_id"), "full_outer")
-        .agg(
-          coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
-            col("sa") =!= col("sb"), 1).otherwise(0)), lit(0)).as("bad"),
-          count(lit(1)).as("n")))
-    val servedRemoved =
-      a.join(removed, Seq("doc_id"), "left_semi").count()
-    val postingsLeft =
-      i1.join(removed, Seq("doc_id"), "left_semi").count()
+    // the three verdict actions read the final stores independently —
+    // overlap them
+    val (joined, servedRemoved, postingsLeft) = operators.Par.par3(
+      operators.OpCache.materializeLocal(
+        a.join(b, Seq("doc_id"), "full_outer")
+          .agg(
+            coalesce(sum(when(col("sa").isNull || col("sb").isNull ||
+              col("sa") =!= col("sb"), 1).otherwise(0)), lit(0)).as("bad"),
+            count(lit(1)).as("n"))),
+      a.join(removed, Seq("doc_id"), "left_semi").count(),
+      i1.join(removed, Seq("doc_id"), "left_semi").count())
     joined.select(
         lit("retract_scores_equal_rebuild").as("metric"),
         lit(0.0).as("bound"), (col("bad") === 0).as("ok"))

@@ -246,9 +246,13 @@ object Dedup {
     val sigs = OpCache.track(
       lshSignatures(survivors, textCol, idCol, shingleK, numHashes)
         .persist())
-    Layout.appendBucketed(spark,
-      lshBandBuckets(sigs, bands, numHashes / bands), s"${table}_bands")
-    Layout.appendBucketed(spark, sigs, s"${table}_sigs")
+    sigs.count() // prime the shared cache before the concurrent writers
+    // independent tables over the same cached batch signatures — overlap
+    // the two appends (the writeLshStore note)
+    Par.par2(
+      Layout.appendBucketed(spark,
+        lshBandBuckets(sigs, bands, numHashes / bands), s"${table}_bands"),
+      Layout.appendBucketed(spark, sigs, s"${table}_sigs"))
     survivors
   }
 
@@ -425,9 +429,13 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = OpCache.track(
       lshSignatures(corpus, textCol, idCol, shingleK, numHashes).persist())
-    Layout.writeBucketed(lshBandBuckets(sigs, bands, rows),
-      s"${table}_bands", Seq("band", "bucket"), buckets)
-    Layout.writeBucketed(sigs, s"${table}_sigs", Seq("id"), buckets)
+    sigs.count() // prime the shared cache before the concurrent writers
+    // the two stores are independent tables over the same cached
+    // signature frame — overlap their writes (guide §2.6 via Par)
+    Par.par2(
+      Layout.writeBucketed(lshBandBuckets(sigs, bands, rows),
+        s"${table}_bands", Seq("band", "bucket"), buckets),
+      Layout.writeBucketed(sigs, s"${table}_sigs", Seq("id"), buckets))
   }
 
   /**

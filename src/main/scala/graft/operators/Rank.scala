@@ -125,9 +125,13 @@ object Rank {
   def writeIndex(docs: DataFrame, textCol: String, idCol: String,
                  table: String, buckets: Int): Unit = {
     val (index, stats) = buildIndex(docs, textCol, idCol)
-    Layout.writeBucketed(index, table, Seq("term"), buckets)
-    stats.write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${table}_stats")
+    // independent tables (postings vs 1-row stats) — overlap the writes
+    // (guide §2.6 via Par); each re-tokenizes its own pass, which the
+    // overlap hides rather than adds
+    Par.par2(
+      Layout.writeBucketed(index, table, Seq("term"), buckets),
+      stats.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_stats"))
   }
 
   /** (index, stats) back from [[writeIndex]]. */
@@ -319,9 +323,13 @@ object Rank {
    * window shuffle each, keyed on the node); each of the `iters`
    * rounds is one equi-join of the edge frame with the n-row rank
    * frame plus one window — all keyed on node ids, no vector or text
-   * payload anywhere. Rank frames persist per round and release at
-   * the end, so lineage stays flat. iters is small by design (power
-   * iteration converges geometrically at rate d).
+   * payload anywhere. The rounds pipeline in ONE lazy plan (each
+   * round's rank frame is consumed exactly once; `iters` ≤ 64 bounds
+   * the plan depth) and the RESULT IS UNCACHED — consume it once, or
+   * persist at the call site, because a second action recomputes every
+   * iteration. Only the multiply-read `en`/`ids` frames stay persisted.
+   * iters is small by design (power iteration converges geometrically
+   * at rate d).
    */
   def graphRank(nodes: DataFrame, idCol: String, pairs: DataFrame,
                 aCol: String, bCol: String, wCol: String,
